@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Accessors for the driver-generated parquet testdata (see TESTDATA.md).
+  *
+  * Every table is a plain parquet directory-or-file under `dir`; reads go
+  * through `spark.read.parquet` so Catalyst gets pushdown + pruning on the
+  * scan. At cluster scale these would be catalog tables; the `dir`
+  * indirection keeps the query functions location-agnostic.
+  */
+final class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame = t("region")
+  def nation: DataFrame = t("nation")
+  def customer: DataFrame = t("customer")
+  def supplier: DataFrame = t("supplier")
+  def part: DataFrame = t("part")
+  def orders: DataFrame = t("orders")
+  def lineitem: DataFrame = t("lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; read it as a long and integer-divide to microseconds (a
+    * double division would lose precision — 2024 epoch-nanos exceed 2^53).
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts",
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
+
+/** One engine query: a Spark DataFrame program plus (when expressible) the
+  * equivalent ANSI SQL for the DuckDB oracle. Column names and row order
+  * must match between the two — the driver sorts columns by name and
+  * hash-compares values.
+  */
+final case class GraftQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
