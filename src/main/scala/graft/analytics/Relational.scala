@@ -153,13 +153,16 @@ object Relational {
         ORDER BY o_orderpriority""")),
 
     // ------------------------------------------------------------------
-    // q05: left-anti join (NOT EXISTS): customers that never ordered.
+    // q05: left-anti join (NOT EXISTS): customers with no order in 1995
+    // (every customer has *some* order at sf>=0.01, so the unfiltered
+    // variant would be vacuously empty).
     GraftQuery(
       "q05_customers_without_orders",
       (spark, dir) => {
         val t = new Tables(spark, dir)
+        val orders95 = t.orders.filter(year(col("o_orderdate")) === 1995)
         t.customer
-          .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(orders95, col("c_custkey") === col("o_custkey"), "left_anti")
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n_customers"),
                sum(dec2(col("c_acctbal"))).cast("double").as("sum_acctbal"))
@@ -169,7 +172,8 @@ object Relational {
         SELECT c_mktsegment, COUNT(*) AS n_customers,
           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
         FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND EXTRACT(year FROM o_orderdate) = 1995)
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment""")),
 

@@ -1,0 +1,242 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.{GraftQuery, Tables}
+
+/** Time-windowed analytics over the `events` stream table — the batch form
+  * of the reference's monitoring queries (SURVEY.md §2C: sliding-window
+  * failure ratios and latency percentiles, k8s/monitoring/alerts.yaml) plus
+  * the canonical streaming-window operators (tumbling / hopping / session
+  * windows, as-of join). Each query uses the exact same `window()` /
+  * `session_window()` constructs the streaming pipeline uses, so batch
+  * verification covers the streaming transform logic too.
+  */
+object TimeSeries {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Format a window-start timestamp deterministically for output. */
+  private def fmt(c: Column): Column =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------------------------
+    // q15: tumbling 1-hour windows via the streaming `window()` function
+    // (epoch-aligned, so it equals date_trunc('hour') in the oracle).
+    GraftQuery(
+      "q15_hourly_window",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.events
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+               sum(dec2(col("value"))).cast("double").as("sum_value"))
+          .select(fmt(col("window.start")).as("window_start"),
+                  col("event_type"), col("n_events"), col("sum_value"))
+          .orderBy(col("window_start"), col("event_type"))
+      },
+      Some("""
+        SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type""")),
+
+    // ------------------------------------------------------------------
+    // q16: hopping (sliding) windows — 60 min width, 10 min hop: the
+    // reference's failure-ratio alert (alerts.yaml:28-38) as a continuous
+    // aggregation. Each event lands in 6 windows; the oracle expands them
+    // with generate_series.
+    GraftQuery(
+      "q16_sliding_error_ratio",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.events
+          .groupBy(window(col("ts"), "60 minutes", "10 minutes"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+              .as("n_errors"))
+          .select(fmt(col("window.start")).as("window_start"),
+                  col("n_events"), col("n_errors"),
+                  (col("n_errors").cast("double") / col("n_events"))
+                    .as("error_ratio"))
+          .orderBy(col("window_start"))
+      },
+      Some("""
+        WITH expanded AS (
+          SELECT unnest(generate_series(
+                   time_bucket(INTERVAL '10 minutes', ts) - INTERVAL 50 MINUTE,
+                   time_bucket(INTERVAL '10 minutes', ts),
+                   INTERVAL 10 MINUTE)) AS window_start,
+                 event_type
+          FROM events),
+        windows AS (
+          SELECT window_start, COUNT(*) AS n_events,
+                 SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+          FROM expanded
+          GROUP BY 1)
+        SELECT STRFTIME(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(n_errors AS BIGINT) AS n_errors,
+               CAST(n_errors AS DOUBLE) / n_events AS error_ratio
+        FROM windows
+        ORDER BY window_start""")),
+
+    // ------------------------------------------------------------------
+    // q17: exact percentiles per key — the p95 latency SLO queries
+    // (alerts.yaml:51-60,76-85). Exact `percentile` (not approx) so the
+    // oracle can match; both engines use linear interpolation between
+    // order statistics. The approx variant (percentile_approx) is
+    // exercised in Bench where no hash-match is required.
+    GraftQuery(
+      "q17_value_percentiles",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.events
+          .groupBy(col("event_type"))
+          .agg(
+            expr("percentile(value, 0.5)").as("p50"),
+            expr("percentile(value, 0.95)").as("p95"),
+            expr("percentile(value, 0.99)").as("p99"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type,
+               quantile_cont("value", 0.5) AS p50,
+               quantile_cont("value", 0.95) AS p95,
+               quantile_cont("value", 0.99) AS p99,
+               MIN("value") AS min_value,
+               MAX("value") AS max_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // q18: as-of join — each purchase matched to the latest click by the
+    // same user at-or-before it. Spark lacks a native as-of join; rather
+    // than a range cross-join (quadratic at scale) we union the two sides
+    // and take `last(..., ignoreNulls)` over a single user-partitioned
+    // window — one shuffle on user_id, linear work, and the same plan
+    // shape works under watermarks in streaming.
+    GraftQuery(
+      "q18_asof_purchase_click",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val ev = t.events
+        val purchases = ev.filter(col("event_type") === "purchase")
+        val clicks = ev.filter(col("event_type") === "click")
+        // side=0 sorts clicks before purchases at identical timestamps,
+        // matching ASOF JOIN's >= (at-or-before) semantics.
+        val tagged = clicks
+          .select(col("user_id"), col("ts"), lit(0).as("side"),
+                  lit(null).cast("long").as("event_id"),
+                  lit(null).cast("double").as("value"),
+                  col("ts").as("click_ts"))
+          .unionByName(purchases
+            .select(col("user_id"), col("ts"), lit(1).as("side"),
+                    col("event_id"), col("value"),
+                    lit(null).cast("timestamp").as("click_ts")))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("side"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        tagged
+          .withColumn("last_click_ts",
+            last(col("click_ts"), ignoreNulls = true).over(w))
+          .filter(col("side") === 1 && col("last_click_ts").isNotNull)
+          .select(col("event_id"), col("user_id"),
+                  fmt(col("ts")).as("purchase_ts"),
+                  fmt(col("last_click_ts")).as("click_ts"),
+                  dec2(col("value")).cast("double").as("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT p.event_id,
+               p.user_id,
+               STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               CAST(CAST(p."value" AS DECIMAL(12,2)) AS DOUBLE) AS "value"
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id""")),
+
+    // ------------------------------------------------------------------
+    // q19: session windows (gap-based sessionization) via the streaming
+    // `session_window()` construct; the oracle is the classic
+    // gaps-and-islands rewrite. 30-minute inactivity gap.
+    GraftQuery(
+      "q19_user_sessions",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.events
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+               sum(dec2(col("value"))).cast("double").as("sum_value"))
+          .select(col("user_id"),
+                  fmt(col("session_window.start")).as("session_start"),
+                  col("n_events"), col("sum_value"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""
+        WITH marked AS (
+          SELECT user_id, ts, "value",
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           >= INTERVAL 30 MINUTE
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        numbered AS (
+          SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM marked)
+        SELECT user_id,
+               STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM numbered
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start""")),
+
+    // ------------------------------------------------------------------
+    // q20: grouped top-k with analytic functions — each user's 3 largest
+    // purchases with their share of the user's total spend.
+    GraftQuery(
+      "q20_user_top_purchases",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val purchases = t.events.filter(col("event_type") === "purchase")
+        val byUser = Window.partitionBy(col("user_id"))
+        val rankW = byUser.orderBy(col("value").desc, col("event_id"))
+        purchases
+          .withColumn("rk", row_number().over(rankW))
+          .withColumn("user_total", sum(dec2(col("value"))).over(byUser))
+          .filter(col("rk") <= 3)
+          .select(col("user_id"), col("rk"), col("event_id"),
+                  dec2(col("value")).cast("double").as("value"),
+                  (dec2(col("value")).cast("double")
+                    / col("user_total").cast("double")).as("share"))
+          .orderBy(col("user_id"), col("rk"))
+      },
+      Some("""
+        SELECT user_id, rk, event_id, "value",
+               "value" / user_total AS share
+        FROM (
+          SELECT user_id, event_id,
+                 CAST(CAST("value" AS DECIMAL(12,2)) AS DOUBLE) AS "value",
+                 CAST(SUM(CAST("value" AS DECIMAL(12,2)))
+                      OVER (PARTITION BY user_id) AS DOUBLE) AS user_total,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY "value" DESC, event_id) AS rk
+          FROM events WHERE event_type = 'purchase')
+        WHERE rk <= 3
+        ORDER BY user_id, rk"""))
+  )
+}
