@@ -12,7 +12,8 @@ object SparkEntry {
   /** Every registered query, in registration order. */
   def all: Seq[GraftQuery] =
     analytics.Relational.queries ++
-    analytics.TimeSeries.queries
+    analytics.TimeSeries.queries ++
+    analytics.PipelineQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,192 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{GraftQuery, Tables}
+import graft.ops.Envelope
+
+/** The reference-parity pipeline projections (SURVEY.md §2A: P1–P8, F2/F3,
+  * key templating, request/report JSON) expressed as oracle-checked
+  * queries. The `events` table stands in for the message stream: each event
+  * is deterministically mapped to a file-transfer envelope, then the real
+  * `graft.ops.Envelope` transforms run over it — so the exact production
+  * code paths (not test doubles) are what the DuckDB oracle checks.
+  */
+object PipelineQueries {
+
+  /** Deterministic events→envelope mapping (shared by several queries;
+    * mirrored 1:1 in each oracle's WITH clause).
+    */
+  private def eventsAsEnvelope(t: Tables): DataFrame =
+    t.events.select(
+      concat(lit("doc_"), col("event_id"), lit(".pdf")).as("fileName"),
+      lit("application/pdf").as("contentType"),
+      (col("event_id") % 90000000L + 1024L).as("fileSize"),
+      concat(lit("GOANYWHERE-"), col("event_id")).as("transferId"),
+      sha2(encode(col("props"), "UTF-8"), 256).as("checksum"),
+      concat(lit("corr-"), col("user_id"), lit("-"), col("event_id"))
+        .as("correlationId"),
+      encode(col("props"), "UTF-8").as("body"),
+      col("ts").as("eventTime"),
+      (col("event_id") % 3 + 1).cast("int").as("deliveryCount"))
+
+  private val envelopeSql = """
+          SELECT CONCAT('doc_', event_id, '.pdf') AS fileName,
+                 'application/pdf' AS contentType,
+                 event_id % 90000000 + 1024 AS fileSize,
+                 CONCAT('GOANYWHERE-', event_id) AS transferId,
+                 sha256(props) AS checksum,
+                 CONCAT('corr-', user_id, '-', event_id) AS correlationId,
+                 ts AS eventTime,
+                 CAST(event_id % 3 + 1 AS INT) AS deliveryCount
+          FROM events"""
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------------------------
+    // q21: P1/P3/P7 — processing-date derivation and the three
+    // deterministic object keys (idempotence depends on these being pure
+    // functions of the envelope; file-pipeline.yaml:76-85,211-218).
+    GraftQuery(
+      "q21_object_keys",
+      (spark, dir) => {
+        val env = eventsAsEnvelope(new Tables(spark, dir))
+        Envelope.withObjectKeys(Envelope.withProcessingDate(env))
+          .select(col("correlationId"), col("processingDate"),
+                  col("s3IncomingKey"), col("s3ProcessedKey"),
+                  col("s3FailedKey"))
+          .orderBy(col("correlationId"))
+      },
+      Some(s"""
+        WITH env AS ($envelopeSql)
+        SELECT correlationId,
+               STRFTIME(eventTime, '%Y/%m/%d') AS processingDate,
+               CONCAT('incoming/', STRFTIME(eventTime, '%Y/%m/%d'), '/', correlationId, '/', fileName) AS s3IncomingKey,
+               CONCAT('processed/', STRFTIME(eventTime, '%Y/%m/%d'), '/', correlationId, '/', fileName, '.json') AS s3ProcessedKey,
+               CONCAT('failed/', STRFTIME(eventTime, '%Y/%m/%d'), '/', correlationId, '/', fileName, '.failure.json') AS s3FailedKey
+        FROM env
+        ORDER BY correlationId""")),
+
+    // ------------------------------------------------------------------
+    // q22: P4 — the Docling request JSON (file-pipeline.yaml:124-136),
+    // built with to_json(struct(...)): both engines emit identical compact
+    // JSON with declaration-ordered keys.
+    GraftQuery(
+      "q22_docling_requests",
+      (spark, dir) => {
+        val env = eventsAsEnvelope(new Tables(spark, dir))
+        Envelope.withDoclingRequest(
+            Envelope.withObjectKeys(Envelope.withProcessingDate(env)))
+          .select(col("correlationId"), col("doclingRequest"))
+          .orderBy(col("correlationId"))
+      },
+      Some(s"""
+        WITH env AS ($envelopeSql)
+        SELECT correlationId,
+               to_json(struct_pack(
+                 source := CONCAT('incoming/', STRFTIME(eventTime, '%Y/%m/%d'), '/', correlationId, '/', fileName),
+                 options := struct_pack(
+                   from_format := 'pdf',
+                   to_format := 'json',
+                   ocr := true,
+                   table_structure := true))) AS doclingRequest
+        FROM env
+        ORDER BY correlationId""")),
+
+    // ------------------------------------------------------------------
+    // q23: P2/P5 — the DLQ failure report (dlq-handler.yaml:69-86) for
+    // the error-type events, with F2's breaker-vs-other routing flag.
+    // Failure time is the event time here so the output is deterministic.
+    GraftQuery(
+      "q23_failure_reports",
+      (spark, dir) => {
+        val env = eventsAsEnvelope(new Tables(spark, dir))
+          .filter(col("fileSize") % 7 === 0)
+          .withColumn("error",
+            when(col("fileSize") % 14 === 0,
+                 lit("circuit breaker open: failing fast"))
+              .otherwise(lit("docling: conversion failed")))
+        env.select(
+            col("correlationId"),
+            Envelope.failureReportJson(col("error"), col("eventTime"))
+              .as("report"),
+            Envelope.isBreakerError(col("error")).as("isBreakerFailure"))
+          .orderBy(col("correlationId"))
+      },
+      Some(s"""
+        WITH env AS ($envelopeSql),
+        failing AS (
+          SELECT *, CASE WHEN fileSize % 14 = 0
+                         THEN 'circuit breaker open: failing fast'
+                         ELSE 'docling: conversion failed' END AS error
+          FROM env WHERE fileSize % 7 = 0)
+        SELECT correlationId,
+               to_json(struct_pack(
+                 status := 'FAILED',
+                 fileName := fileName,
+                 correlationId := correlationId,
+                 transferId := transferId,
+                 failureTimestamp := STRFTIME(eventTime, '%Y-%m-%dT%H:%M:%S.%g') || 'Z',
+                 redeliveryCount := deliveryCount,
+                 exception := error,
+                 headers := struct_pack(
+                   contentType := contentType,
+                   fileSize := fileSize,
+                   checksum := checksum))) AS report,
+               contains(error, 'circuit breaker') AS isBreakerFailure
+        FROM failing
+        ORDER BY correlationId""")),
+
+    // ------------------------------------------------------------------
+    // q24: keep-first dedup — the deterministic batch analog of the
+    // streaming dropDuplicates-with-watermark (north-star dedup op).
+    // row_number instead of dropDuplicates because dropDuplicates keeps
+    // an arbitrary row (partition-order-dependent) — unacceptable for a
+    // replayable pipeline.
+    GraftQuery(
+      "q24_dedup_keep_first",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        t.events
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+                  date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""
+        SELECT user_id, event_type, event_id,
+               STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts, event_id) AS rn
+              FROM events)
+        WHERE rn = 1
+        ORDER BY user_id, event_type""")),
+
+    // ------------------------------------------------------------------
+    // q25: checksum functions — sha2-256 (the producer contract's
+    // checksum, goanywhere-config.md:158-165) + md5 fingerprint over the
+    // payload bytes.
+    GraftQuery(
+      "q25_payload_checksums",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.events
+          .filter(col("event_id") % 97 === 0)
+          .select(col("event_id"),
+                  sha2(encode(col("props"), "UTF-8"), 256).as("sha256_hex"),
+                  md5(encode(col("props"), "UTF-8")).as("md5_hex"),
+                  length(encode(col("props"), "UTF-8")).as("payload_len"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, sha256(props) AS sha256_hex, md5(props) AS md5_hex,
+               CAST(LENGTH(props) AS INT) AS payload_len
+        FROM events
+        WHERE event_id % 97 = 0
+        ORDER BY event_id"""))
+  )
+}

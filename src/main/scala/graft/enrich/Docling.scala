@@ -1,0 +1,190 @@
+package graft.enrich
+
+import java.security.MessageDigest
+
+/** Client for the document-conversion service (the reference calls Docling
+  * Serve over HTTP — camel/file-pipeline.yaml:124-167). The engine only
+  * depends on this trait; production would bind an HTTP implementation
+  * with a pooled client per executor, tests/offline runs bind
+  * [[LocalDocling]].
+  */
+trait DoclingClient extends Serializable {
+  /** Converts one document; returns the structured-JSON result.
+    * @throws RuntimeException on conversion failure.
+    */
+  def convert(requestJson: String): String
+}
+
+/** Deterministic local stand-in for Docling Serve. The real service does
+  * OCR + table-structure extraction (k8s/configmaps.yaml:13-26); none of
+  * those libraries exist in this environment, so the *content* is a
+  * deterministic function of the request while the *shape* (JSON document
+  * with text/tables/pages) matches what the pipeline stores verbatim.
+  *
+  * `failSubstring` lets tests inject failures for specific documents;
+  * `transientFailures` makes the first N calls per document fail, to
+  * exercise retry.
+  */
+final class LocalDocling(
+    failSubstring: Option[String] = None,
+    transientFailures: Int = 0) extends DoclingClient {
+
+  // Per-instance (= per-executor after closure serialization) call counts
+  // for transient-failure simulation.
+  @transient private lazy val calls =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  private def sha(s: String): String =
+    MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  override def convert(requestJson: String): String = {
+    failSubstring.foreach { frag =>
+      if (requestJson.contains(frag))
+        throw new RuntimeException(s"docling: permanent failure for $frag")
+    }
+    if (transientFailures > 0) {
+      val n = calls.updateWith(requestJson)(c => Some(c.getOrElse(0) + 1)).get
+      if (n <= transientFailures)
+        throw new RuntimeException(s"docling: transient failure #$n")
+    }
+    val digest = sha(requestJson)
+    // Deterministic fake extraction: stable pseudo page/table counts.
+    val pages = (java.lang.Long.parseLong(digest.take(6), 16) % 40 + 1)
+    val tables = (java.lang.Long.parseLong(digest.slice(6, 12), 16) % 5)
+    s"""{"schema":"docling/v1","digest":"$digest","pages":$pages,"tables":$tables,"text":"extracted:$digest"}"""
+  }
+}
+
+/** Retry schedule mirroring the reference's redelivery policy
+  * (camel/file-pipeline.yaml:269-277: 3 attempts, 5 s initial, ×2
+  * multiplier, 60 s cap). `sleeper` is injectable so tests don't sleep.
+  */
+final case class RetryPolicy(
+    maxAttempts: Int = 3,
+    initialDelayMs: Long = 5000L,
+    multiplier: Double = 2.0,
+    maxDelayMs: Long = 60000L,
+    sleeper: Long => Unit = Thread.sleep) {
+
+  /** Delay before attempt n+1 (n is 1-based attempt just failed). */
+  def delayFor(attempt: Int): Long =
+    math.min(maxDelayMs,
+      (initialDelayMs * math.pow(multiplier, (attempt - 1).toDouble)).toLong)
+
+  /** Runs `f` with bounded retry; Right(result, attempts) or
+    * Left(lastError, attempts).
+    */
+  def run[A](f: () => A): Either[(String, Int), (A, Int)] = {
+    var attempt = 0
+    var lastErr: String = "no attempts made"
+    while (attempt < maxAttempts) {
+      attempt += 1
+      try return Right((f(), attempt))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          lastErr = Option(e.getMessage).getOrElse(e.getClass.getName)
+          if (attempt < maxAttempts) sleeper(delayFor(attempt))
+      }
+    }
+    Left((lastErr, attempt))
+  }
+}
+
+final case class BreakerConfig(
+    failureRatio: Double = 0.5,
+    requestVolumeThreshold: Int = 10,
+    openDelayMs: Long = 60000L,
+    successThreshold: Int = 3)
+
+/** Circuit breaker matching the reference's MicroProfile FT semantics
+  * (file-pipeline.yaml:147-151: 50% failure ratio over a rolling window,
+  * 60 s open delay, 3-success close threshold). One instance per executor
+  * (the reference equivalently has one per pod — SURVEY.md §7.4.2);
+  * `clock` is injectable for deterministic tests.
+  */
+final class CircuitBreaker(
+    cfg: BreakerConfig = BreakerConfig(),
+    clock: () => Long = System.currentTimeMillis) extends Serializable {
+
+  sealed trait State
+  case object Closed extends State
+  case object Open extends State
+  case object HalfOpen extends State
+
+  private val window =
+    new java.util.ArrayDeque[Boolean](cfg.requestVolumeThreshold)
+  private var _state: State = Closed
+  private var openedAt = 0L
+  private var halfOpenSuccesses = 0
+
+  def state: State = synchronized {
+    if (_state == Open && clock() - openedAt >= cfg.openDelayMs) {
+      _state = HalfOpen
+      halfOpenSuccesses = 0
+    }
+    _state
+  }
+
+  /** Runs `f` under the breaker. When open, fails fast with a message
+    * containing "circuit breaker" — the marker the routing predicate F2
+    * matches on (file-pipeline.yaml:183-184).
+    */
+  def call[A](f: () => A): A = {
+    state match {
+      case Open =>
+        throw new RuntimeException("circuit breaker open: failing fast")
+      case _ =>
+        try { val r = f(); onSuccess(); r }
+        catch { case scala.util.control.NonFatal(e) => onFailure(); throw e }
+    }
+  }
+
+  private def onSuccess(): Unit = synchronized {
+    _state match {
+      case HalfOpen =>
+        halfOpenSuccesses += 1
+        if (halfOpenSuccesses >= cfg.successThreshold) {
+          _state = Closed
+          window.clear()
+        }
+      case _ => record(true)
+    }
+  }
+
+  private def onFailure(): Unit = synchronized {
+    _state match {
+      case HalfOpen =>
+        _state = Open
+        openedAt = clock()
+      case _ =>
+        record(false)
+        if (window.size >= cfg.requestVolumeThreshold) {
+          val failures = window.toArray(Array.empty[java.lang.Boolean])
+            .count(b => !b)
+          if (failures.toDouble / window.size >= cfg.failureRatio) {
+            _state = Open
+            openedAt = clock()
+          }
+        }
+    }
+  }
+
+  private def record(ok: Boolean): Unit = {
+    if (window.size >= cfg.requestVolumeThreshold) window.removeFirst()
+    window.addLast(ok)
+  }
+}
+
+/** Executor-local breaker registry: `mapPartitions` closures fetch their
+  * executor's breaker by name instead of serializing shared state (breaker
+  * state must not round-trip through the driver).
+  */
+object BreakerRegistry {
+  private val breakers =
+    scala.collection.concurrent.TrieMap.empty[String, CircuitBreaker]
+  def get(name: String, cfg: BreakerConfig): CircuitBreaker =
+    breakers.getOrElseUpdate(name, new CircuitBreaker(cfg))
+  /** Test hook. */
+  def reset(): Unit = breakers.clear()
+}

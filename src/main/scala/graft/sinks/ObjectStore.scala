@@ -1,0 +1,129 @@
+package graft.sinks
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.util.LongAccumulator
+
+/** Object-store sinks/sources (SURVEY.md §2A K1–K3, S4): exact
+  * deterministic keys under a base URI — `file://` in tests, `s3a://` in
+  * production; the Hadoop FileSystem API abstracts both. Exact keys (not
+  * Spark's part-file naming) are load-bearing: they make at-least-once
+  * redelivery idempotent, the same property the reference depends on
+  * (SURVEY.md §3.1 step 9).
+  */
+object ObjectStore {
+
+  /** K1: raw payload bytes to `incoming/yyyy/MM/dd/{correlationId}/{name}`
+    * (key layout: camel/file-pipeline.yaml:76-85). Runs per-partition with
+    * one FileSystem handle; rows never leave their partition (no shuffle).
+    */
+  def writeIncoming(valid: DataFrame, baseDir: String): Unit =
+    writeBytes(valid.select(col("s3IncomingKey").as("key"), col("body")),
+               baseDir)
+
+  /** K2: Docling JSON to `processed/.../{name}.json`
+    * (camel/file-pipeline.yaml:207-240).
+    */
+  def writeProcessed(ok: DataFrame, baseDir: String): Unit =
+    writeBytes(
+      ok.select(col("s3ProcessedKey").as("key"),
+                encode(col("doclingResult"), "UTF-8").as("body")),
+      baseDir)
+
+  /** K3: failure reports to `failed/.../{name}.failure.json`. Write errors
+    * are swallowed so a broken report store can't lose the DLQ record —
+    * the reference does the same (dlq-handler.yaml:124). Each written
+    * report bumps the DLQ counter (K5, dlq-handler.yaml:129-132).
+    */
+  def writeFailed(reports: DataFrame, baseDir: String): Unit = {
+    val counter = PipelineMetrics.dlqCounter(reports.sparkSession)
+    val withBytes = reports.select(
+      col("key"), encode(col("report"), "UTF-8").as("body"))
+    withBytes.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val fs = newFs(baseDir)
+      it.foreach { row =>
+        try {
+          put(fs, baseDir, row.getString(0), row.getAs[Array[Byte]](1))
+          counter.add(1L)
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+  }
+
+  private def writeBytes(df: DataFrame, baseDir: String): Unit =
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val fs = newFs(baseDir)
+      it.foreach { row =>
+        put(fs, baseDir, row.getString(0), row.getAs[Array[Byte]](1))
+      }
+    }
+
+  private def newFs(baseDir: String): FileSystem = {
+    val fs = FileSystem.get(new Path(baseDir).toUri, new Configuration())
+    // local-FS checksum shadows (.name.crc) would pollute the exact-key
+    // layout; object stores (s3a) don't have them anyway.
+    fs.setWriteChecksum(false)
+    fs
+  }
+
+  private def put(fs: FileSystem, baseDir: String, key: String,
+                  body: Array[Byte]): Unit = {
+    val out = fs.create(new Path(s"$baseDir/$key"), true)
+    try out.write(body) finally out.close()
+  }
+
+  /** S4: read raw incoming objects back (binaryFile source); correlationId
+    * recovered from the deterministic key layout.
+    */
+  def readIncoming(spark: SparkSession, baseDir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(s"$baseDir/incoming")
+      .select(
+        regexp_extract(col("path"), "incoming/\\d{4}/\\d{2}/\\d{2}/([^/]+)/", 1)
+          .as("correlationId"),
+        col("content").as("body"))
+
+  val failureReportSchema: StructType = StructType(Seq(
+    StructField("status", StringType),
+    StructField("fileName", StringType),
+    StructField("correlationId", StringType),
+    StructField("transferId", StringType),
+    StructField("failureTimestamp", StringType),
+    StructField("redeliveryCount", IntegerType),
+    StructField("exception", StringType),
+    StructField("headers", StructType(Seq(
+      StructField("contentType", StringType),
+      StructField("fileSize", LongType),
+      StructField("checksum", StringType))))))
+
+  /** Failure reports back as a flat DataFrame (drives reprocess, E5). */
+  def readFailedReports(spark: SparkSession, baseDir: String): DataFrame =
+    spark.read.schema(failureReportSchema)
+      .option("recursiveFileLookup", "true")
+      .json(s"$baseDir/failed")
+      .select(col("status"), col("fileName"), col("correlationId"),
+              col("transferId"), col("failureTimestamp"),
+              col("redeliveryCount"), col("exception"),
+              col("headers.contentType").as("contentType"),
+              col("headers.fileSize").as("fileSize"),
+              col("headers.checksum").as("checksum"))
+}
+
+/** K5: pipeline metrics. The reference's per-file micrometer counter
+  * becomes a Spark accumulator surfaced on the driver (a per-file *tag*
+  * would be unbounded cardinality at scale; the reference's own alert
+  * only uses the total — k8s/monitoring/alerts.yaml:40-49).
+  */
+object PipelineMetrics {
+  @volatile private var acc: LongAccumulator = _
+  def dlqCounter(spark: SparkSession): LongAccumulator = synchronized {
+    if (acc == null)
+      acc = spark.sparkContext.longAccumulator("file_pipeline_dlq_messages_total")
+    acc
+  }
+  def reset(): Unit = synchronized { acc = null }
+}
