@@ -13,7 +13,8 @@ object SparkEntry {
   def all: Seq[GraftQuery] =
     analytics.Relational.queries ++
     analytics.TimeSeries.queries ++
-    analytics.PipelineQueries.queries
+    analytics.PipelineQueries.queries ++
+    analytics.ExtQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,317 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** The LLM-data-pipeline extension operators (north star §"beyond the
+  * reference"): dedup (exact / n-gram-Jaccard / MinHash-LSH / SimHash),
+  * similarity search (brute-force + IVF), text analysis (lang-ID,
+  * quality, token counts, fingerprints) and multimodal metadata — each
+  * wired to the `documents` / `embeddings` / `events` tables with a DuckDB
+  * oracle wherever the operator is SQL-expressible.
+  */
+object ExtQueries {
+
+  private val shingleOracle = """
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shingles AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS sh FROM words),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shingles),
+        sizes AS (SELECT doc_id, len(sh) AS n FROM shingles),
+        pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT ia AS id_a, ib AS id_b, inter AS intersection,
+               CAST(sa.n AS INT) AS size_a, CAST(sb.n AS INT) AS size_b,
+               CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jaccard
+        FROM pairs JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+        WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8
+        ORDER BY id_a, id_b"""
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------------------------
+    // q26: exact dedup — hash-groupBy keep-first with group sizes, on the
+    // events payloads (the props column has real duplicate groups).
+    GraftQuery(
+      "q26_dedup_exact",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Dedup.exact(t.events,
+            keys = Seq(col("props")),
+            order = Seq(col("event_id")),
+            keep = Seq(col("props"), col("event_id")))
+          .orderBy(col("props"))
+      },
+      Some("""
+        SELECT props, event_id, group_size FROM (
+          SELECT props, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY props ORDER BY event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY props) AS group_size
+          FROM events)
+        WHERE rn = 1
+        ORDER BY props""")),
+
+    // ------------------------------------------------------------------
+    // q27: exact near-dup pairs by 3-word-shingle Jaccard ≥ 0.8 via the
+    // shingle inverted index (one shuffle on shingles, one on pair keys).
+    GraftQuery(
+      "q27_jaccard_pairs",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Dedup.jaccardPairs(t.documents, col("doc_id"), col("text"),
+            n = 3, threshold = 0.8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(shingleOracle)),
+
+    // ------------------------------------------------------------------
+    // q28: the same near-dup result via MinHash(128)+LSH(64 bands)
+    // candidate generation + exact verification — the scale path: at
+    // 100 TB the inverted index of q27 is quadratic in hot shingles,
+    // while LSH bounds candidate fan-out by bucket. Oracle identical to
+    // q27 (P[LSH misses a 0.8-pair] ≈ (1-0.8²)⁶⁴ ≈ 4e-29).
+    GraftQuery(
+      "q28_minhash_lsh_pairs",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Dedup.minhashPairs(t.documents, col("doc_id"), col("text"),
+            n = 3, threshold = 0.8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(shingleOracle)),
+
+    // ------------------------------------------------------------------
+    // q29: SimHash near-dup candidates (hamming ≤ 3 over 64-bit
+    // signatures, pigeonhole-chunk candidate generation). The signature
+    // depends on xxhash64 — not reproducible in ANSI SQL, so this is a
+    // rows-only check; SimhashSpec pins golden values instead.
+    GraftQuery(
+      "q29_simhash_pairs",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Dedup.simhashPairs(t.documents, col("doc_id"), col("text"),
+            maxDistance = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // q30: brute-force cosine top-5 for 20 query vectors. Quantized
+    // integer dot/norms make the cosine bit-reproducible (see
+    // Similarity's scaladoc), so even ranking ties match the oracle.
+    GraftQuery(
+      "q30_knn_bruteforce",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Similarity.bruteForceTopK(
+            t.embeddings.filter(col("vec_id") < 20), t.embeddings, k = 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH qv AS (SELECT vec_id, list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE)*10000 + 0.5)) AS v
+                    FROM embeddings WHERE vec_id < 20),
+        cv AS (SELECT vec_id, list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE)*10000 + 0.5)) AS v
+               FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.v, c.v)
+                   / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cosine
+          FROM qv q JOIN cv c ON q.vec_id != c.vec_id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
+    // ------------------------------------------------------------------
+    // q31: IVF-bucketed approximate top-5 (sign-bit coarse quantizer,
+    // 16 cells, radius-1 multi-probe = 5 cells/query ≈ 1/3 of the
+    // corpus scanned). Deterministic bucketing -> fully oracle-checkable
+    // despite being approximate.
+    GraftQuery(
+      "q31_knn_ivf",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Similarity.ivfTopK(
+            t.embeddings.filter(col("vec_id") < 20), t.embeddings,
+            k = 5, bits = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH cells AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE)*10000 + 0.5)) AS v,
+                 (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                  + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                  + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+                  + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
+          FROM embeddings),
+        probes AS (
+          SELECT vec_id, v,
+                 unnest([cell, xor(cell, 1), xor(cell, 2), xor(cell, 4), xor(cell, 8)]) AS cell
+          FROM cells WHERE vec_id < 20),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.cell AS cell,
+                 list_dot_product(q.v, c.v)
+                   / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cosine
+          FROM probes q JOIN cells c ON q.cell = c.cell AND q.vec_id != c.vec_id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine,
+               CAST(cell AS INT) AS cell
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
+    // ------------------------------------------------------------------
+    // q32: heuristic language ID (marker-word profiles) with per-language
+    // accuracy against the labeled lang column.
+    GraftQuery(
+      "q32_lang_id",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        TextAnalysis.withLangId(t.documents, col("text"))
+          .groupBy(col("lang"), col("predicted_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("predicted_lang"))
+      },
+      Some("""
+        WITH scored AS (
+          SELECT lang,
+            len(list_filter(string_split(text,' '), x -> x = 'the'))
+              + len(list_filter(string_split(text,' '), x -> x = 'fast'))
+              + len(list_filter(string_split(text,' '), x -> x = 'slow')) AS s_en,
+            len(list_filter(string_split(text,' '), x -> x = 'data'))
+              + len(list_filter(string_split(text,' '), x -> x = 'batch'))
+              + len(list_filter(string_split(text,' '), x -> x = 'hash')) AS s_de,
+            len(list_filter(string_split(text,' '), x -> x = 'table'))
+              + len(list_filter(string_split(text,' '), x -> x = 'row'))
+              + len(list_filter(string_split(text,' '), x -> x = 'line')) AS s_es,
+            len(list_filter(string_split(text,' '), x -> x = 'merge'))
+              + len(list_filter(string_split(text,' '), x -> x = 'sort'))
+              + len(list_filter(string_split(text,' '), x -> x = 'filter')) AS s_fr,
+            len(list_filter(string_split(text,' '), x -> x = 'spark'))
+              + len(list_filter(string_split(text,' '), x -> x = 'query'))
+              + len(list_filter(string_split(text,' '), x -> x = 'scan')) AS s_zh
+          FROM documents),
+        pred AS (
+          SELECT lang,
+            CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                 WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                 WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                 WHEN s_fr >= s_zh THEN 'fr'
+                 ELSE 'zh' END AS predicted_lang
+          FROM scored)
+        SELECT lang, predicted_lang, COUNT(*) AS n_docs
+        FROM pred GROUP BY 1, 2
+        ORDER BY lang, predicted_lang""")),
+
+    // ------------------------------------------------------------------
+    // q33: quality scoring + token counting per document.
+    GraftQuery(
+      "q33_text_quality",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.documents
+          .select(col("doc_id"),
+                  TextAnalysis.tokenCountWs(col("text")).as("n_tokens_ws"),
+                  TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"),
+                  TextAnalysis.qualityScore(col("text")).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH sig AS (
+          SELECT doc_id,
+            CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens_ws,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]', 0),
+                t -> CASE WHEN regexp_matches(t, '^[A-Za-z0-9]+$')
+                          THEN CAST(ceil(length(t)/4.0) AS BIGINT)
+                          ELSE CAST(1 AS BIGINT) END)),
+              (a, b) -> a + b) AS n_tokens_bpe,
+            CAST(length(text) AS DOUBLE) AS nc,
+            CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+            CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS nstop,
+            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS npunct,
+            CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nupper
+          FROM documents)
+        SELECT doc_id, n_tokens_ws, n_tokens_bpe,
+          floor((0.35 * (CASE WHEN nc BETWEEN 100 AND 10000 THEN 1.0 ELSE 0.3 END)
+              + 0.25 * (CASE WHEN (nc - (nw - 1)) / nw BETWEEN 3 AND 10 THEN 1.0 ELSE 0.4 END)
+              + 0.2 * least((nstop / nw) * 5, 1.0)
+              + 0.1 * (1.0 - npunct / nc)
+              + 0.1 * (1.0 - nupper / nc)) * 10000 + 0.5) / 10000 AS quality
+        FROM sig
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q34: document fingerprints — md5 and the codegen'd polynomial
+    // rolling hash (graft.functions.PolyHash), both oracle-exact.
+    GraftQuery(
+      "q34_fingerprints",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        TextAnalysis.withFingerprints(t.documents, col("text"))
+          .select(col("doc_id"), col("md5_hex"), col("poly_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, md5(text) AS md5_hex,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(text) + 1),
+                   i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) AS poly_hash
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q35: multimodal metadata extraction — binary media column (events
+    // payloads standing in for image/video bytes), typed per-partition
+    // decode via the stubbed decoder (deterministic dims — see
+    // Multimodal.StubDecoder), schema + plumbing fully real.
+    GraftQuery(
+      "q35_multimodal_meta",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        import spark.implicits._
+        val media = t.events.select(
+            col("event_id").as("media_id"),
+            when(col("event_type") === "purchase", "video/mp4")
+              .otherwise("image/png").as("mime"),
+            encode(col("props"), "UTF-8").as("media"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.extractMeta(media, new Multimodal.StubDecoder)
+          .toDF()
+          .select(col("media_id"), col("mime"), col("byteLen"),
+                  col("sha256"), col("width"), col("height"), col("nFrames"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT event_id AS media_id,
+               CASE WHEN event_type = 'purchase' THEN 'video/mp4'
+                    ELSE 'image/png' END AS mime,
+               CAST(length(props) AS BIGINT) AS byteLen,
+               sha256(props) AS sha256,
+               CAST(64 + (length(props) % 16) * 32 AS INT) AS width,
+               CAST(64 + ((length(props) * 7) % 12) * 32 AS INT) AS height,
+               CAST(CASE WHEN event_type = 'purchase'
+                         THEN 1 + length(props) % 240 ELSE 1 END AS INT) AS nFrames
+        FROM events
+        ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q36: winnowing fingerprints (k=8 gram, w=4 window minima — the
+    // MOSS scheme) — native expression, not SQL-expressible: rows-only
+    // check here, golden values pinned in TextAnalysisSpec.
+    GraftQuery(
+      "q36_winnow_fingerprints",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        TextAnalysis.withFingerprints(t.documents, col("text"))
+          .select(col("doc_id"), size(col("winnow_fp")).as("n_fp"),
+                  element_at(col("winnow_fp"), 1).as("first_fp"))
+          .orderBy(col("doc_id"))
+      },
+      None)
+  )
+}

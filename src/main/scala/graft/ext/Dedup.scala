@@ -1,0 +1,193 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for large-scale corpus curation: exact,
+  * n-gram-Jaccard exact near-dup, MinHash+LSH approximate near-dup, and
+  * SimHash. All are pure DataFrame programs (codegen'd array/higher-order
+  * functions; no UDFs), designed so the only shuffles are the unavoidable
+  * keyed ones:
+  *
+  *  - signatures/shingles/simhash are computed MAP-SIDE per row (no
+  *    shuffle, no explode-regroup round trip);
+  *  - pair generation shuffles on shingle / LSH-bucket / simhash-chunk
+  *    keys, whose fan-out is bounded (bands, chunks) or frequency-bounded
+  *    (shingles), never on raw document text;
+  *  - verification joins carry only (id, shingle-array) — document bodies
+  *    never cross an exchange.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the first row per key (deterministic order), with
+    * group size. `dropDuplicates` is deliberately avoided — it keeps an
+    * arbitrary row per key, which is not replayable.
+    */
+  def exact(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+            keep: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__group_size", count(lit(1)).over(Window.partitionBy(keys: _*)))
+      .filter(col("__rn") === 1)
+      .select(keep :+ col("__group_size").as("group_size"): _*)
+  }
+
+  /** Distinct word n-gram shingles of a text column, as an array column
+    * (map-side only).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(words) - n, lit(0)) ),
+        i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*)))
+  }
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold via a shingle inverted
+    * index: explode shingles → self-join on shingle → count = |A∩B| →
+    * join sizes → filter. Exact (no approximation); the join key is the
+    * shingle, so skew is bounded by the hottest shingle's document
+    * frequency — for natural text apply a document-frequency cap upstream
+    * (stopword shingles) or switch to [[minhashPairs]] at corpus scale.
+    * Output: (id_a, id_b, intersection, size_a, size_b, jaccard).
+    */
+  def jaccardPairs(docs: DataFrame, id: Column, text: Column, n: Int,
+                   threshold: Double): DataFrame = {
+    val sh = docs.select(id.as("id"), shingles(text, n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val pairs = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+               col("a.n_sh").as("size_a"), col("b.n_sh").as("size_b"))
+      .agg(count(lit(1)).as("intersection"))
+    pairs
+      .withColumn("jaccard",
+        col("intersection").cast("double")
+          / (col("size_a") + col("size_b") - col("intersection")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("intersection"),
+              col("size_a"), col("size_b"), col("jaccard"))
+  }
+
+  /** 64-bit hashes of a shingle array (xxhash64; map-side). */
+  private def shingleHashes(sh: Column): Column =
+    transform(sh, s => xxhash64(s))
+
+  // Minhash uses (a*h + b) mod p over a Mersenne prime; coefficients are
+  // fixed (derived from splitmix64 of the permutation index) so
+  // signatures are reproducible across runs and engines.
+  private val MinhashPrime = (1L << 61) - 1
+
+  private def splitmix64(i: Long): Long = {
+    var z = i + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature (numHashes entries) of a shingle array — computed
+    * entirely map-side with higher-order functions: no shuffle, no
+    * explode. h_i = min over shingles of ((a_i * h31(s) + b_i) mod p),
+    * where h31 folds xxhash64 to 31 bits so a_i*h31+b_i stays within a
+    * long (Spark 4 runs ANSI mode — a silent-wrap multiply would throw).
+    */
+  def minhashSignature(sh: Column, numHashes: Int): Column = {
+    val hashes = shingleHashes(sh)
+    val perms = (0 until numHashes).map { i =>
+      val a = math.floorMod(splitmix64(2L * i), 1L << 29) + 1L
+      val b = math.floorMod(splitmix64(2L * i + 1), MinhashPrime)
+      array_min(transform(hashes,
+        h => pmod(pmod(h, lit(1L << 31)) * a + b, lit(MinhashPrime))))
+    }
+    array(perms: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs with exact-Jaccard verification:
+    * signature (map-side) → banded bucket keys (map-side) → shuffle on
+    * (band, bucket) → candidate pairs (distinct) → verify with exact
+    * Jaccard on the shingle arrays → filter ≥ threshold.
+    *
+    * With numHashes=128 / bands=64 (r=2), P[miss | j=0.8] = (1-0.64)^64
+    * ≈ 4e-29 — the LSH prunes the candidate space; the verification step
+    * keeps the result exact. Candidates carry only ids + band keys; the
+    * shingle arrays are joined back only for the (few) candidates.
+    */
+  def minhashPairs(docs: DataFrame, id: Column, text: Column, n: Int,
+                   threshold: Double, numHashes: Int = 128,
+                   bands: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sh = docs.select(id.as("id"), shingles(text, n).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = sh.select(col("id"), col("sh"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+               xxhash64(lit(b), slice(col("sig"), b * r + 1, r))
+                 .as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("sh"), col("bb.band"), col("bb.bucket"))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .withColumn("intersection",
+        size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("size_a", size(col("sh_a")))
+      .withColumn("size_b", size(col("sh_b")))
+      .withColumn("jaccard",
+        col("intersection").cast("double")
+          / (col("size_a") + col("size_b") - col("intersection")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("intersection"),
+              col("size_a"), col("size_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over the word multiset (map-side): bit j of the
+    * signature is the sign of Σ_words (2*bit_j(xxhash64(w)) - 1). Built as
+    * a static 64-term expression tree (shift amounts must be Scala
+    * literals), all inside whole-stage codegen.
+    */
+  def simhash64(text: Column): Column = {
+    val words = split(text, " ")
+    val hashes = transform(words, w => xxhash64(w))
+    val bits = (0 until 64).map { j =>
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftrightunsigned(h, j).bitwiseAND(1) * 2 - 1))
+        > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDistance, using
+    * the pigeonhole trick for candidate generation: split the 64-bit
+    * signature into (maxDistance+1) chunks — any pair within distance d
+    * must agree on ≥1 chunk — shuffle on (chunk index, chunk value), then
+    * verify the true Hamming distance. Exact w.r.t. the simhash.
+    */
+  def simhashPairs(docs: DataFrame, id: Column, text: Column,
+                   maxDistance: Int = 3): DataFrame = {
+    val chunks = maxDistance + 1
+    val bitsPer = 64 / chunks
+    val sigs = docs.select(id.as("id"), simhash64(text).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+      explode(array((0 until chunks).map(c =>
+        struct(lit(c).as("chunk"),
+               shiftrightunsigned(col("sig"), c * bitsPer)
+                 .bitwiseAND((1L << bitsPer) - 1).as("v"))): _*)).as("cc"))
+      .select(col("id"), col("sig"), col("cc.chunk"), col("cc.v"))
+    val candidates = chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

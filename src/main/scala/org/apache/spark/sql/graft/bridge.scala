@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made the Column API backend-
+  * agnostic (ColumnNode) and hid the classic Expression conversions
+  * behind `private[sql]`; custom native expressions still need them.
+  * This is the standard extension-library shim: a minimal accessor
+  * placed in the sql package — no Spark internals are modified.
+  */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,134 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.functions.ColumnFns
+
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("minhash+LSH finds exactly the pairs exact Jaccard finds (threshold 0.8)") {
+    val exact = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(docs, col("doc_id"), col("text"), 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty) // the corpus has planted near-dups
+    assert(lsh == exact)
+  }
+
+  test("simhash distance 0 for identical docs; near-dup pairs overlap jaccard pairs") {
+    val twice = docs.limit(5).select(col("doc_id"), col("text"))
+      .union(docs.limit(5).select(col("doc_id") + 100000, col("text")))
+    val pairs = Dedup.simhashPairs(twice, col("doc_id"), col("text"), 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // each doc and its copy are hamming-0 pairs
+    assert(pairs.count { case (a, b, d) => b - a == 100000 && d == 0 } == 5)
+  }
+
+  test("simhash of planted near-dups is within small hamming distance") {
+    val jacc = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sigs = docs.select(col("doc_id"),
+      Dedup.simhash64(col("text")).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dists = jacc.map { case (a, b) =>
+      java.lang.Long.bitCount(sigs(a) ^ sigs(b)) }
+    assert(dists.nonEmpty && dists.forall(_ <= 12))
+  }
+
+  test("IVF multi-probe recall beats single-probe and clears the floor") {
+    val q = embs.filter(col("vec_id") < 50)
+    val bf = Similarity.bruteForceTopK(q, embs, 5).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(radius: Int) = {
+      val ivf = Similarity.ivfTopK(q, embs, 5, bits = 4, probeRadius = radius)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ivf.intersect(bf).size.toDouble / bf.size
+    }
+    val r0 = recallAt(0); val r1 = recallAt(1); val r2 = recallAt(2)
+    assert(r1 > r0 && r2 > r1, s"recall not monotone: $r0 $r1 $r2")
+    assert(r1 >= 0.3, s"radius-1 IVF recall $r1 too low")
+    assert(r2 >= 0.6, s"radius-2 IVF recall $r2 too low")
+  }
+
+  test("cosine of a vector with itself is 1.0 (quantized path)") {
+    val self = embs.limit(10).select(
+      Similarity.cosineQ(Similarity.quantize(col("embedding")),
+                         Similarity.quantize(col("embedding"))).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("poly_hash matches the JVM reference implementation (golden)") {
+    def ref(s: String): Long = {
+      var h = 0L
+      s.getBytes("UTF-8").foreach(b => h = (h * 31 + (b & 0xff)) % 1000000007L)
+      h
+    }
+    val rows = Seq("hello", "", "the fast key order", "ünïcödé").toDF("t")
+      .select(col("t"), ColumnFns.poly_hash(col("t")).as("h")).collect()
+    rows.foreach(r => assert(r.getLong(1) == ref(r.getString(0))))
+    assert(ref("hello") == 99162322L) // pinned golden
+  }
+
+  test("winnow fingerprints: deterministic, non-empty, and shared for identical text") {
+    val fp = Seq("the quick brown fox jumps over the lazy dog",
+                 "the quick brown fox jumps over the lazy dog",
+                 "a completely different sentence here").toDF("t")
+      .select(ColumnFns.winnow(col("t"), 8, 4).as("fp"))
+      .collect().map(_.getSeq[Long](0))
+    assert(fp(0) == fp(1))
+    assert(fp(0) != fp(2))
+    assert(fp(0).nonEmpty)
+    // short strings (< k) fingerprint to empty, not error
+    val short = Seq("abc").toDF("t")
+      .select(ColumnFns.winnow(col("t"), 8, 4).as("fp"))
+      .collect().head.getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
+  test("lang id predicts the marker-dominant language") {
+    val df = Seq(
+      ("d1", "the fast slow the fast"),      // en markers
+      ("d2", "spark query scan spark")).toDF("id", "text")
+    val out = TextAnalysis.withLangId(df, col("text"))
+      .select("id", "predicted_lang").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("d1") == "en")
+    assert(out("d2") == "zh")
+  }
+
+  test("multimodal stub decoder: deterministic dims, failure rows not task failures") {
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image/png", Array[Byte](1, 2, 3, 4, 5)),
+      Multimodal.MediaRecord(2L, "video/mp4", Array.fill[Byte](100)(7)))
+      .toDS()
+    val meta = Multimodal.extractMeta(media, new Multimodal.StubDecoder)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(meta(1L).width == 64 + (5 % 16) * 32 && meta(1L).nFrames == 1)
+    assert(meta(2L).nFrames == 1 + 100 % 240)
+    assert(meta.values.forall(_.ok))
+    val failing = new Multimodal.MediaDecoder {
+      def decode(m: String, b: Array[Byte]) = throw new RuntimeException("codec boom")
+    }
+    val bad = Multimodal.extractMeta(media, failing).collect()
+    assert(bad.forall(m => !m.ok && m.error.contains("codec boom")))
+    // sha/byteLen still extracted on decode failure
+    assert(bad.forall(_.byteLen > 0))
+  }
+
+  test("frame sample plan strides deterministically") {
+    val meta = Seq((1L, 10), (2L, 1)).toDF("media_id", "nFrames")
+    val plan = Multimodal.frameSamplePlan(meta, targetFrames = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(plan.map(_._1).distinct.toSeq == Seq(1L))    // single-frame skipped
+    assert(plan.map(_._2).toSeq == Seq(0, 3, 6, 9))     // stride ceil(10/4)=3
+  }
+}
