@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.SketchFns
 
 /** Deduplication operators for large-scale corpus curation: exact,
   * n-gram-Jaccard exact near-dup, MinHash+LSH approximate near-dup, and
@@ -53,7 +54,11 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, id: Column, text: Column, n: Int,
                    threshold: Double): DataFrame = {
-    val sh = docs.select(id.as("id"), shingles(text, n).as("sh"))
+    // hashed shingles (native kernel): the inverted index joins on 8-byte
+    // keys, never on shingle strings (collision odds across a pair of
+    // docs are ~|A||B|/2^64 — vanishing)
+    val sh = docs.select(id.as("id"),
+        SketchFns.hashed_shingles(text, n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
     val pairs = inv.as("a").join(inv.as("b"),
@@ -74,6 +79,15 @@ object Dedup {
   private def shingleHashes(sh: Column): Column =
     transform(sh, s => xxhash64(s))
 
+  /** let-binding for expensive intermediate expressions: Catalyst's
+    * CollapseProject inlines projected columns into every downstream
+    * reference (a signature referenced by 64 band expressions would be
+    * recomputed 64 times). Wrapping the value in a one-element array and
+    * binding it to a lambda variable forces single evaluation.
+    */
+  private def letIn(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), v => body(v)), 1)
+
   // Minhash uses (a*h + b) mod p over a Mersenne prime; coefficients are
   // fixed (derived from splitmix64 of the permutation index) so
   // signatures are reproducible across runs and engines.
@@ -92,16 +106,21 @@ object Dedup {
     * where h31 folds xxhash64 to 31 bits so a_i*h31+b_i stays within a
     * long (Spark 4 runs ANSI mode — a silent-wrap multiply would throw).
     */
-  def minhashSignature(sh: Column, numHashes: Int): Column = {
-    val hashes = shingleHashes(sh)
-    val perms = (0 until numHashes).map { i =>
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    minhashSignatureFromHashes(shingleHashes(sh), numHashes)
+
+  /** Same, over an already-materialized hash-array column — callers
+    * should precompute the hashes into a column so the ~numHashes
+    * array_min transforms share one hash pass instead of re-hashing
+    * every shingle string numHashes times.
+    */
+  def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column =
+    letIn(hashes, hs => array((0 until numHashes).map { i =>
       val a = math.floorMod(splitmix64(2L * i), 1L << 29) + 1L
       val b = math.floorMod(splitmix64(2L * i + 1), MinhashPrime)
-      array_min(transform(hashes,
+      array_min(transform(hs,
         h => pmod(pmod(h, lit(1L << 31)) * a + b, lit(MinhashPrime))))
-    }
-    array(perms: _*)
-  }
+    }: _*))
 
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification:
     * signature (map-side) → banded bucket keys (map-side) → shuffle on
@@ -118,21 +137,31 @@ object Dedup {
                    bands: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sh = docs.select(id.as("id"), shingles(text, n).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = sh.select(col("id"), col("sh"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-               xxhash64(lit(b), slice(col("sig"), b * r + 1, r))
-                 .as("bucket"))): _*)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.bucket"))
-    val candidates = banded.as("a").join(banded.as("b"),
+    val sh = docs.select(id.as("id"),
+      SketchFns.hashed_shingles(text, n).as("sh"))
+    // banded index carries ONLY (id, band, bucket): the LSH self-join
+    // must never shuffle the shingle arrays (64x fan-out times a
+    // ~300-element array is the difference between an 8-byte and a
+    // multi-KB exchange row)
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+             xxhash64(lit(b), slice(col("sig"), b * r + 1, r))
+               .as("bucket")))
+    val banded = sh
+      .select(col("id"),
+              SketchFns.minhash_signature(col("sh"), numHashes).as("sig"))
+      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val candidateIds = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-              col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // shingle arrays re-enter only for the candidate set
+    val candidates = candidateIds
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
     candidates
       .withColumn("intersection",
         size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -151,16 +180,7 @@ object Dedup {
     * a static 64-term expression tree (shift amounts must be Scala
     * literals), all inside whole-stage codegen.
     */
-  def simhash64(text: Column): Column = {
-    val words = split(text, " ")
-    val hashes = transform(words, w => xxhash64(w))
-    val bits = (0 until 64).map { j =>
-      when(aggregate(hashes, lit(0L),
-        (acc, h) => acc + (shiftrightunsigned(h, j).bitwiseAND(1) * 2 - 1))
-        > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simhash64(text: Column): Column = SketchFns.simhash64(text)
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDistance, using
     * the pigeonhole trick for candidate generation: split the 64-bit

@@ -1,0 +1,195 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native sketch kernels for the dedup operators.
+  *
+  * Why native expressions and not higher-order functions: Spark's
+  * `transform`/`aggregate` lambdas have NO codegen path — they evaluate
+  * interpreted with per-element boxing, and Catalyst's CollapseProject
+  * happily duplicates them into every consumer. A 128-permutation MinHash
+  * over ~500 shingles per document costs ~64k modular ops/row; interpreted
+  * that dominated the whole benchmark (~18 s at sf0.1), while these
+  * JIT-compiled loops run it in well under a second. Each expression's
+  * `doGenCode` emits a single call into [[SketchKernels]], so the
+  * surrounding whole-stage codegen span stays intact and Janino never sees
+  * the loop bodies.
+  */
+object SketchKernels extends Serializable {
+
+  /** xxhash64 (seed 42) of a UTF8String's bytes — same function Spark's
+    * xxhash64 SQL expression applies to string input, so results are
+    * interchangeable with SQL-computed hashes.
+    */
+  def xx64(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+
+  /** Distinct hashed word n-gram shingles of a text (split on single
+    * spaces, n-gram join with spaces, xxhash64).
+    */
+  def hashedShingles(text: UTF8String, n: Int): Array[Long] = {
+    val words = text.split(UTF8String.fromString(" "), -1)
+    val count = math.max(words.length - n + 1, 1)
+    val seen = new java.util.HashSet[java.lang.Long](count * 2)
+    val out = new Array[Long](count)
+    var m = 0
+    var i = 0
+    while (i < count) {
+      val parts = new Array[UTF8String](math.min(n, words.length - i) * 2 - 1)
+      var j = 0
+      var p = 0
+      while (j < n && i + j < words.length) {
+        if (j > 0) { parts(p) = UTF8String.fromString(" "); p += 1 }
+        parts(p) = words(i + j); p += 1
+        j += 1
+      }
+      val h = xx64(UTF8String.concat(parts: _*))
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, m)
+  }
+
+  private val MinhashPrime = (1L << 61) - 1
+
+  private def splitmix64(i: Long): Long = {
+    var z = i + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Fixed permutation coefficients (same derivation for every run). */
+  def perms(numHashes: Int): (Array[Long], Array[Long]) = {
+    val a = new Array[Long](numHashes)
+    val b = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      a(i) = math.floorMod(splitmix64(2L * i), 1L << 29) + 1L
+      b(i) = math.floorMod(splitmix64(2L * i + 1), MinhashPrime)
+      i += 1
+    }
+    (a, b)
+  }
+
+  /** MinHash signature from hashed shingles: sig_i = min over h of
+    * ((a_i * (h mod 2^31) + b_i) mod p).
+    */
+  def minhash(hashes: Array[Long], a: Array[Long], b: Array[Long]): Array[Long] = {
+    val k = a.length
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    while (j < hashes.length) {
+      val h31 = java.lang.Math.floorMod(hashes(j), 1L << 31)
+      var i = 0
+      while (i < k) {
+        val v = java.lang.Math.floorMod(a(i) * h31 + b(i), MinhashPrime)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over whitespace-token hashes of the text. */
+  def simhash(text: UTF8String): Long = {
+    val words = text.split(UTF8String.fromString(" "), -1)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < words.length) {
+      val h = xx64(words(i))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/** hashed_shingles(text, n): distinct xxhash64'd word n-grams. */
+case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      SketchKernels.hashedShingles(input.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = classOf[SketchKernels.type].getName.stripSuffix("$") + "$.MODULE$"
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new $gad($k.hashedShingles($c, $n));")
+  }
+  override protected def withNewChildInternal(c: Expression): HashedShingles =
+    copy(child = c)
+}
+
+/** minhash_signature(hashedShingles, k): k-permutation MinHash. */
+case class MinhashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  @transient private lazy val (pa, pb) = SketchKernels.perms(numHashes)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      SketchKernels.minhash(input.asInstanceOf[ArrayData].toLongArray(), pa, pb))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = classOf[SketchKernels.type].getName.stripSuffix("$") + "$.MODULE$"
+    val gad = classOf[GenericArrayData].getName
+    val a = ctx.addReferenceObj("minhashA", pa, "long[]")
+    val b = ctx.addReferenceObj("minhashB", pb, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new $gad($k.minhash($c.toLongArray(), $a, $b));")
+  }
+  override protected def withNewChildInternal(c: Expression): MinhashSignature =
+    copy(child = c)
+}
+
+/** simhash64(text): 64-bit SimHash of the whitespace tokens. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SketchKernels.simhash(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = classOf[SketchKernels.type].getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $k.simhash($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+object SketchFns {
+  import org.apache.spark.sql.graft.bridge
+  def hashed_shingles(text: Column, n: Int): Column =
+    bridge.column(HashedShingles(bridge.expression(text), n))
+  def minhash_signature(hashes: Column, k: Int): Column =
+    bridge.column(MinhashSignature(bridge.expression(hashes), k))
+  def simhash64(text: Column): Column =
+    bridge.column(SimHash64(bridge.expression(text)))
+}
