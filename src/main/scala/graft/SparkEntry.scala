@@ -14,7 +14,8 @@ object SparkEntry {
     analytics.Relational.queries ++
     analytics.TimeSeries.queries ++
     analytics.PipelineQueries.queries ++
-    analytics.ExtQueries.queries
+    analytics.ExtQueries.queries ++
+    analytics.SketchQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

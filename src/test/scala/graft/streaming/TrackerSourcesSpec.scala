@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.streaming.TransferTracker.{StatusEvent, TransferUpdate}
+
+class TrackerSourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("transfer tracker emits terminal updates with latency and times out stalled transfers") {
+    val source = MemoryStream[StatusEvent](spark)
+    val tracked = TransferTracker.track(
+      source.toDS().withWatermark("eventTime", "1 minute")
+        .as[StatusEvent])
+    val q = tracked.writeStream.format("memory")
+      .queryName("tracker_out").outputMode("append").start()
+
+    source.addData(
+      StatusEvent("c1", "RECEIVED", ts("2024-03-05 07:00:00")),
+      StatusEvent("c2", "RECEIVED", ts("2024-03-05 07:00:30")))
+    q.processAllAvailable()
+    // c1 completes quickly; c2 never completes
+    source.addData(StatusEvent("c1", "PROCESSED", ts("2024-03-05 07:02:00")))
+    q.processAllAvailable()
+    // advance event time past c2's 10-minute timeout + watermark
+    source.addData(StatusEvent("c9", "RECEIVED", ts("2024-03-05 07:30:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("tracker_out").as[TransferUpdate].collect()
+      .map(u => u.correlationId -> u).toMap
+    assert(out("c1").finalStatus == "PROCESSED")
+    assert(out("c1").latencyMs == 120000L)
+    assert(out("c1").updates == 2)
+    assert(out("c2").finalStatus == "STALLED")
+    assert(!out.contains("c9")) // still in flight, no update emitted
+  }
+
+  test("file monitor source streams new files through the pattern filter") {
+    val dir = Files.createTempDirectory("graft-files")
+    Files.write(dir.resolve("a.pdf"), "hello pdf".getBytes)
+    Files.write(dir.resolve("b.txt"), "not matched".getBytes)
+    Files.write(dir.resolve("c.DOCX"), "docx body".getBytes)
+
+    val env = graft.sources.Sources.fileMonitor(spark, dir.toString)
+    val q = env.writeStream.format("memory")
+      .queryName("files_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("files_out").collect()
+    assert(rows.map(_.getAs[String]("fileName")).toSet == Set("a.pdf", "c.DOCX"))
+    val pdf = rows.find(_.getAs[String]("fileName") == "a.pdf").get
+    assert(pdf.getAs[Long]("fileSize") == 9L)
+    assert(pdf.getAs[String]("contentType") == "application/pdf")
+    // checksum matches the payload (producer contract)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("hello pdf".getBytes).map("%02x".format(_)).mkString
+    assert(pdf.getAs[String]("checksum") == sha)
+  }
+
+  test("bottom-k sample aggregator is deterministic and mergeable across partitions") {
+    import graft.functions.BottomKByMd5
+    def md5(v: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.toString.getBytes).map("%02x".format(_)).mkString
+    val expected = (0L until 1000L).sortBy(md5).take(10).toSet
+
+    for (parts <- Seq(1, 7)) { // partitioning must not change the result
+      val got = spark.range(1000).repartition(parts).as[Long]
+        .groupByKey(_ => "all")
+        .agg(new BottomKByMd5[Long](10, identity).toColumn.name("s"))
+        .collect().head._2.toSet
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+}
