@@ -15,7 +15,8 @@ object SparkEntry {
     analytics.TimeSeries.queries ++
     analytics.PipelineQueries.queries ++
     analytics.ExtQueries.queries ++
-    analytics.SketchQueries.queries
+    analytics.SketchQueries.queries ++
+    analytics.RangeJoin.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

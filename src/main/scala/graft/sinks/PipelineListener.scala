@@ -1,0 +1,57 @@
+package graft.sinks
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+/** K5/K6 + the §2C telemetry surface: a StreamingQueryListener that turns
+  * per-micro-batch progress into the counters/gauges the reference's
+  * Prometheus alerts consume (throughput, batch duration for the p95 SLO,
+  * input backlog standing in for queue depth). Snapshots are kept
+  * in-memory for tests/inspection and logged; a production deployment
+  * would forward them to its metrics sink from the same hook.
+  */
+final class PipelineListener extends StreamingQueryListener {
+
+  final case class BatchSnapshot(
+      queryName: String,
+      batchId: Long,
+      numInputRows: Long,
+      inputRowsPerSecond: Double,
+      batchDurationMs: Long)
+
+  private val snaps =
+    new java.util.concurrent.ConcurrentLinkedQueue[BatchSnapshot]
+
+  def snapshots: Seq[BatchSnapshot] = {
+    val it = snaps.iterator()
+    val b = Seq.newBuilder[BatchSnapshot]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  /** Rolling p95 of batch durations — the route-processing-time SLO
+    * (alerts.yaml:51-60) computed driver-side over listener snapshots.
+    */
+  def p95BatchDurationMs: Option[Long] = {
+    val ds = snapshots.map(_.batchDurationMs).sorted
+    if (ds.isEmpty) None
+    else Some(ds(math.min(ds.length - 1, (0.95 * (ds.length - 1)).round.toInt)))
+  }
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    val snap = BatchSnapshot(
+      Option(p.name).getOrElse(p.id.toString),
+      p.batchId,
+      p.numInputRows,
+      p.inputRowsPerSecond match { case d if d.isNaN => 0d; case d => d },
+      p.batchDuration)
+    snaps.add(snap)
+    org.apache.logging.log4j.LogManager.getLogger(getClass)
+      .info(s"pipeline batch: $snap")
+  }
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+}

@@ -67,6 +67,29 @@ class TrackerSourcesSpec extends AnyFunSuite {
     assert(pdf.getAs[String]("checksum") == sha)
   }
 
+  test("pipeline listener captures batch snapshots and a p95 duration") {
+    val listener = new graft.sinks.PipelineListener
+    spark.streams.addListener(listener)
+    try {
+      val source = MemoryStream[(String, Timestamp)](spark)
+      val q = source.toDF().toDF("k", "ts")
+        .writeStream.format("memory").queryName("listener_probe")
+        .outputMode("append").start()
+      source.addData(("a", ts("2024-03-05 07:00:00")),
+                     ("b", ts("2024-03-05 07:01:00")))
+      q.processAllAvailable()
+      source.addData(("c", ts("2024-03-05 07:02:00")))
+      q.processAllAvailable()
+      q.stop()
+      // listener events are async; wait for delivery
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.snapshots.map(_.numInputRows).sum < 3
+             && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(listener.snapshots.map(_.numInputRows).sum == 3)
+      assert(listener.p95BatchDurationMs.exists(_ >= 0))
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("bottom-k sample aggregator is deterministic and mergeable across partitions") {
     import graft.functions.BottomKByMd5
     def md5(v: Long) = java.security.MessageDigest.getInstance("MD5")
