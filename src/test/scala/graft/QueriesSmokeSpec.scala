@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query must run at sf0.001 and produce rows — an empty
+  * result hash-matches any oracle trivially, so emptiness is treated as a
+  * regression unless a query is explicitly known-sparse at this SF.
+  */
+class QueriesSmokeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("query names are unique and every query has an oracle or a documented reason") {
+    val names = SparkEntry.all.map(_.name)
+    assert(names.distinct.size == names.size)
+    val noOracle = SparkEntry.all.filter(_.oracle.isEmpty).map(_.name).toSet
+    // rows-only checks are the documented exceptions (hash-function- or
+    // approximation-dependent results)
+    assert(noOracle == Set("q29_simhash_pairs", "q36_winnow_fingerprints",
+                           "q37_approx_sketches"))
+  }
+
+  test("entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.all.foreach { q =>
+    test(s"${q.name} runs and returns rows at sf0.001") {
+      assert(q.run(spark, sf).count() > 0)
+    }
+  }
+}
