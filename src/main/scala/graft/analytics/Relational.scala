@@ -211,8 +211,12 @@ object Relational {
       "q07_supplier_running_qty",
       (spark, dir) => {
         val t = new Tables(spark, dir)
+        // l_quantity tie-break: the sf0.1 testdata contains duplicate
+        // (orderkey, linenumber) keys, and a running sum needs a TOTAL
+        // order on quantities to be engine-independent
         val w = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"),
+                   col("l_linenumber"), col("l_quantity"))
         t.lineitem
           .withColumn("running_qty",
             sum(dec2(col("l_quantity")))
@@ -230,7 +234,7 @@ object Relational {
           LAG(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE), 1) OVER w AS prev_qty
         FROM lineitem
         WINDOW w AS (PARTITION BY l_suppkey
-                     ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
         ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
 
     // ------------------------------------------------------------------
