@@ -139,6 +139,68 @@ object PipelineQueries {
         ORDER BY correlationId""")),
 
     // ------------------------------------------------------------------
+    // q23b/q41: the FULL enrichment path under the oracle — the real
+    // FilePipeline.prepare + FilePipeline.enrich (mapPartitions stage,
+    // retry + circuit breaker) with the deterministic LocalDocling stub,
+    // then from_json over the conversion result (the schema-on-read
+    // surface for the Docling JSON, SURVEY.md §1.2). The oracle recomputes
+    // the stub's pages/tables from sha256(request) with a hex fold —
+    // so a drift anywhere in the prepare→request→enrich→parse chain
+    // hash-mismatches.
+    GraftQuery(
+      "q41_docling_enrich_stats",
+      (spark, dir) => {
+        val env = eventsAsEnvelope(new Tables(spark, dir))
+        val (valid, _) = graft.stream.FilePipeline.prepare(env)
+        val enriched = graft.stream.FilePipeline.enrich(
+          valid, new graft.enrich.LocalDocling(),
+          graft.stream.PipelineConfig(
+            retry = graft.enrich.RetryPolicy(sleeper = _ => ())))
+        val resultSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("digest",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("pages",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("tables",
+            org.apache.spark.sql.types.LongType)))
+        enriched.toDF()
+          .withColumn("r", from_json(col("doclingResult"), resultSchema))
+          .groupBy(col("r.tables").as("n_tables"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("r.pages")).as("sum_pages"),
+               min(col("r.digest")).as("min_digest"))
+          .orderBy(col("n_tables"))
+      },
+      Some(s"""
+        WITH env AS ($envelopeSql),
+        req AS (
+          SELECT correlationId,
+                 to_json(struct_pack(
+                   source := CONCAT('incoming/', STRFTIME(eventTime, '%Y/%m/%d'), '/', correlationId, '/', fileName),
+                   options := struct_pack(
+                     from_format := 'pdf', to_format := 'json',
+                     ocr := true, table_structure := true))) AS request
+          FROM env),
+        dig AS (SELECT correlationId, sha256(request) AS digest FROM req),
+        parsed AS (
+          SELECT digest,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, 7),
+                i -> CAST(strpos('0123456789abcdef', substr(digest, CAST(i AS INT), 1)) - 1 AS BIGINT))),
+              (a, b) -> a * 16 + b) % 40 + 1 AS pages,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(7, 13),
+                i -> CAST(strpos('0123456789abcdef', substr(digest, CAST(i AS INT), 1)) - 1 AS BIGINT))),
+              (a, b) -> a * 16 + b) % 5 AS tables
+          FROM dig)
+        SELECT tables AS n_tables, COUNT(*) AS n_docs,
+               CAST(SUM(pages) AS BIGINT) AS sum_pages,
+               MIN(digest) AS min_digest
+        FROM parsed
+        GROUP BY tables
+        ORDER BY n_tables""")),
+
+    // ------------------------------------------------------------------
     // q24: keep-first dedup — the deterministic batch analog of the
     // streaming dropDuplicates-with-watermark (north-star dedup op).
     // row_number instead of dropDuplicates because dropDuplicates keeps
