@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/** SQL registration of the engine's native functions, two ways:
+  *
+  *  - `spark.sql.extensions=graft.GraftExtensions` (or
+  *    `builder.withExtensions(new GraftExtensions)`) injects them at
+  *    session build time — the standard extension-library packaging;
+  *  - [[GraftFunctions.registerAll]] adds them to an already-running
+  *    session (tests, notebooks).
+  *
+  * After either, `spark.sql("SELECT poly_hash(text) ...")` uses the same
+  * codegen'd expressions as the Column API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", null, name)
+
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("poly_hash",
+     info("poly_hash", "poly_hash(str) - rolling polynomial hash mod 1e9+7"),
+     (args: Seq[Expression]) => PolyHash(args.head)),
+    ("winnow",
+     info("winnow", "winnow(str, k, w) - winnowing fingerprint hashes"),
+     (args: Seq[Expression]) => Winnow(args.head,
+       args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])),
+    ("simhash64",
+     info("simhash64", "simhash64(str) - 64-bit simhash of whitespace tokens"),
+     (args: Seq[Expression]) => SimHash64(args.head)),
+    ("hashed_shingles",
+     info("hashed_shingles",
+          "hashed_shingles(str, n) - distinct xxhash64'd word n-grams"),
+     (args: Seq[Expression]) => HashedShingles(args.head,
+       args(1).eval().asInstanceOf[Int])),
+    ("minhash_signature",
+     info("minhash_signature",
+          "minhash_signature(hashes, k) - k-permutation minhash"),
+     (args: Seq[Expression]) => MinhashSignature(args.head,
+       args(1).eval().asInstanceOf[Int])))
+
+  /** Register on a live session (temp functions, session-scoped). */
+  def registerAll(spark: SparkSession): Unit =
+    all.foreach { case (name, i, builder) =>
+      org.apache.spark.sql.graft.bridge.registerFunction(spark, name, i, builder)
+    }
+}

@@ -16,7 +16,8 @@ object SparkEntry {
     analytics.PipelineQueries.queries ++
     analytics.ExtQueries.queries ++
     analytics.SketchQueries.queries ++
-    analytics.RangeJoin.queries
+    analytics.RangeJoin.queries ++
+    analytics.SqlSurface.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

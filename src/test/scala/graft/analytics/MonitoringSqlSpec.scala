@@ -1,0 +1,67 @@
+package graft.analytics
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{GraftFunctions, TestSpark}
+
+class MonitoringSqlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("native functions are callable from spark.sql after registration") {
+    GraftFunctions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT poly_hash('hello') AS p, simhash64('hello world') AS s,
+                size(hashed_shingles('a b c d', 3)) AS n""").collect().head
+    assert(row.getAs[Long]("p") == 99162322L)
+    assert(row.getAs[Int]("n") == 2) // "a b c", "b c d"
+    // simhash must equal the Column-API value
+    val viaColumn = Seq("hello world").toDF("t")
+      .select(graft.functions.SketchFns.simhash64(org.apache.spark.sql.functions.col("t")))
+      .collect().head.getLong(0)
+    assert(row.getAs[Long]("s") == viaColumn)
+  }
+
+  test("streaming error-ratio windows compute the alert quantity continuously") {
+    val source = MemoryStream[(Timestamp, Boolean)](spark)
+    val ratio = Monitoring.errorRatio(
+      source.toDF().toDF("ts", "failed"),
+      window_ = "10 minutes", slide = "5 minutes", watermark = "1 minute")
+    val q = ratio.writeStream.format("memory")
+      .queryName("mon_ratio").outputMode("append").start()
+    source.addData(
+      (ts("2024-03-05 07:01:00"), false),
+      (ts("2024-03-05 07:02:00"), true),
+      (ts("2024-03-05 07:03:00"), false),
+      (ts("2024-03-05 07:04:00"), true))
+    q.processAllAvailable()
+    source.addData((ts("2024-03-05 08:00:00"), false)) // close windows
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("mon_ratio").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString,
+                 r.getAs[Long]("n_total"), r.getAs[Double]("error_ratio")))
+    // the 07:00 window saw all 4 events, 2 failed
+    assert(rows.contains(("2024-03-05 07:00:00.0", 4L, 0.5)))
+  }
+
+  test("streaming dlq depth counts per window") {
+    val source = MemoryStream[Timestamp](spark)
+    val depth = Monitoring.dlqDepth(source.toDF().toDF("ts"))
+    val q = depth.writeStream.format("memory")
+      .queryName("mon_dlq").outputMode("append").start()
+    source.addData(ts("2024-03-05 07:01:00"), ts("2024-03-05 07:02:00"))
+    q.processAllAvailable()
+    source.addData(ts("2024-03-05 08:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("mon_dlq").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString,
+                 r.getAs[Long]("dlq_messages")))
+    assert(rows.contains(("2024-03-05 07:00:00.0", 2L)))
+  }
+}
