@@ -36,10 +36,15 @@ object PipelineDemo {
       col("ts").as("eventTime"),
       lit(1).as("deliveryCount"))
 
-    // every ~50th doc fails conversion permanently -> DLQ path
+    // docs with ids ending in 0 (10%) fail conversion permanently -> DLQ.
+    // Breaker volume threshold is raised from the reference's 10: with 32
+    // concurrent workers sharing the breaker, a 10-call window sees
+    // 5-failure bursts from per-document (not service-health) failures
+    // and false-trips; the window must exceed burst x concurrency.
     val docling = new LocalDocling(failSubstring = Some("0.pdf"))
     val metrics = FilePipeline.runBatch(envelope, outDir, docling,
-      PipelineConfig(retry = RetryPolicy(sleeper = _ => ())))
+      PipelineConfig(retry = RetryPolicy(sleeper = _ => ()),
+        breaker = graft.enrich.BreakerConfig(requestVolumeThreshold = 1000)))
     println(s"pipeline metrics: $metrics")
     println(s"output layout under $outDir:")
     val failed = graft.sinks.ObjectStore.readFailedReports(spark, outDir)

@@ -40,8 +40,8 @@ object ObjectStore {
     */
   def writeFailed(reports: DataFrame, baseDir: String): Unit = {
     val counter = PipelineMetrics.dlqCounter(reports.sparkSession)
-    val withBytes = reports.select(
-      col("key"), encode(col("report"), "UTF-8").as("body"))
+    val withBytes = spread(reports.select(
+      col("key"), encode(col("report"), "UTF-8").as("body")))
     withBytes.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val fs = newFs(baseDir)
       it.foreach { row =>
@@ -54,12 +54,24 @@ object ObjectStore {
   }
 
   private def writeBytes(df: DataFrame, baseDir: String): Unit =
-    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+    spread(df).foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val fs = newFs(baseDir)
       it.foreach { row =>
         put(fs, baseDir, row.getString(0), row.getAs[Array[Byte]](1))
       }
     }
+
+  /** Object puts are latency-bound, so write parallelism = partition
+    * count. A streaming source (Kafka) already provides it; a single-file
+    * batch input arrives as ONE partition and would serialize every put —
+    * spread those. The repartition moves (key, body) rows; at scale the
+    * streaming path is the partitioned one, so bodies still never cross a
+    * shuffle there.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   private def newFs(baseDir: String): FileSystem = {
     val fs = FileSystem.get(new Path(baseDir).toUri, new Configuration())

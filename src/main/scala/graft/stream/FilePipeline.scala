@@ -146,7 +146,17 @@ object FilePipeline {
   def runBatch(envelope: DataFrame, outDir: String, client: DoclingClient,
                cfg: PipelineConfig = PipelineConfig()): BatchMetrics = {
     val spark = envelope.sparkSession
-    val (valid, invalid) = prepare(envelope, cfg)
+    // Enrichment (external calls) and object puts are latency-bound: their
+    // parallelism is the partition count. Kafka micro-batches arrive
+    // pre-partitioned; a single-file batch input arrives as one partition
+    // and would serialize the whole pipeline — spread it once, up front
+    // (the only point where bodies may cross an exchange).
+    val target = spark.sparkContext.defaultParallelism
+    val spreadEnv =
+      if (envelope.isStreaming || envelope.rdd.getNumPartitions >= target)
+        envelope
+      else envelope.repartition(target)
+    val (valid, invalid) = prepare(spreadEnv, cfg)
     val validP = valid.persist()
     try {
       // K1: raw payloads to incoming/ (exact deterministic keys).
