@@ -300,6 +300,77 @@ object ExtQueries {
         ORDER BY media_id""")),
 
     // ------------------------------------------------------------------
+    // q43: embedding similar-pairs within IVF cells (the corpus has no
+    // planted near-identical vectors — max same-cell cosine ≈ 0.55 — so
+    // the threshold reports "similar", not "duplicate"; same operator,
+    // same exactness).
+    GraftQuery(
+      "q43_embedding_similar_pairs",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Similarity.cosineNearDupPairs(t.embeddings, threshold = 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH cells AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE)*10000 + 0.5)) AS v,
+                 (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                  + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                  + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+                  + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
+          FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.v, b.v)
+                 / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cosine
+        FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+                / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.5
+        ORDER BY id_a, id_b""")),
+
+    // ------------------------------------------------------------------
+    // q44: dedup clusters — connected components over the Jaccard ≥ 0.8
+    // pairs with canonical (min-id) representatives; the "keep one copy
+    // per near-dup group" operator a curation pipeline actually runs.
+    // Oracle: recursive-CTE transitive closure over the same pairs.
+    GraftQuery(
+      "q44_dedup_clusters",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val pairs = Dedup.minhashPairs(t.documents, col("doc_id"),
+            col("text"), n = 3, threshold = 0.8)
+          .select(col("id_a"), col("id_b"))
+        Dedup.clusters(pairs)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shingles AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS sh FROM words),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shingles),
+        sizes AS (SELECT doc_id, len(sh) AS n FROM shingles),
+        cand AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (
+          SELECT ia AS id_a, ib AS id_b
+          FROM cand JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+          WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(s, d) AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        comp AS (
+          SELECT s AS doc_id, least(s, MIN(d)) AS cluster_id
+          FROM reach GROUP BY s)
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               doc_id = cluster_id AS is_canonical
+        FROM comp
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
     // q36: winnowing fingerprints (k=8 gram, w=4 window minima — the
     // MOSS scheme) — native expression, not SQL-expressible: rows-only
     // check here, golden values pinned in TextAnalysisSpec.

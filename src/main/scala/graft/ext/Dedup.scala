@@ -75,6 +75,50 @@ object Dedup {
               col("size_a"), col("size_b"), col("jaccard"))
   }
 
+  /** Connected components over near-dup pairs → dedup clusters with a
+    * canonical (minimum-id) representative: min-label propagation to a
+    * fixpoint. Labels only decrease, so the sum of labels is a monotone
+    * convergence witness (one cheap aggregate per round, no diff join).
+    * Iteration count is bounded by the cluster diameter — near-dup
+    * clusters are shallow (pairs/triples), so this converges in 1–3
+    * rounds; a web-scale graph would switch to the large-star/small-star
+    * formulation, same DataFrame skeleton.
+    *
+    * Input: (id_a, id_b) pairs. Output: (doc_id, cluster_id,
+    * cluster_size, is_canonical) for every clustered doc.
+    */
+  def clusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
+      .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
+      .persist()
+    var labels = edges.select(col("s").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("d"), col("label")), "d")
+        .select(col("s").as("id"), col("label"))
+      val next = viaNeighbor.union(labels)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .persist()
+      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      iter += 1
+    }
+    edges.unpersist()
+    val w = Window.partitionBy(col("label"))
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+              col("cluster_size"),
+              (col("id") === col("label")).as("is_canonical"))
+  }
+
   /** 64-bit hashes of a shingle array (xxhash64; map-side). */
   private def shingleHashes(sh: Column): Column =
     transform(sh, s => xxhash64(s))
