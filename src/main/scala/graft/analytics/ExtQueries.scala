@@ -308,7 +308,7 @@ object ExtQueries {
       "q43_embedding_similar_pairs",
       (spark, dir) => {
         val t = new Tables(spark, dir)
-        Similarity.cosineNearDupPairs(t.embeddings, threshold = 0.5)
+        Similarity.cosineNearDupPairs(t.embeddings, threshold = 0.4)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""
@@ -325,7 +325,7 @@ object ExtQueries {
                  / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cosine
         FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v)
-                / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.5
+                / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.4
         ORDER BY id_a, id_b""")),
 
     // ------------------------------------------------------------------
