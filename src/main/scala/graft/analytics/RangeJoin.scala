@@ -81,6 +81,69 @@ object RangeJoin {
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
-        ORDER BY returnflag, linestatus"""))
+        ORDER BY returnflag, linestatus""")),
+
+    // ------------------------------------------------------------------
+    // q45: PIVOT — daily event counts spread into one column per event
+    // type (explicit value list, so the plan is a single pass — an
+    // unlisted-values pivot needs an extra distinct job).
+    GraftQuery(
+      "q45_pivot_event_types",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.events
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy(col("day"))
+      },
+      Some("""
+        SELECT STRFTIME(ts, '%Y-%m-%d') AS day,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        FROM events
+        GROUP BY 1
+        ORDER BY day""")),
+
+    // ------------------------------------------------------------------
+    // q46: UNPIVOT (melt) — lineitem money measures to long form, then a
+    // keyed aggregate per measure.
+    GraftQuery(
+      "q46_unpivot_measures",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.lineitem
+          .select(col("l_returnflag"),
+                  col("l_extendedprice").cast("decimal(12,2)").as("price"),
+                  col("l_discount").cast("decimal(12,2)").as("discount"),
+                  col("l_tax").cast("decimal(12,2)").as("tax"))
+          .unpivot(
+            ids = Array(col("l_returnflag")),
+            values = Array(col("price"), col("discount"), col("tax")),
+            variableColumnName = "measure",
+            valueColumnName = "amount")
+          .groupBy(col("l_returnflag"), col("measure"))
+          .agg(sum(col("amount")).cast("double").as("total"),
+               count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"), col("measure"))
+      },
+      Some("""
+        WITH long_form AS (
+          SELECT l_returnflag, 'price' AS measure,
+                 CAST(l_extendedprice AS DECIMAL(12,2)) AS amount FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'discount', CAST(l_discount AS DECIMAL(12,2)) FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'tax', CAST(l_tax AS DECIMAL(12,2)) FROM lineitem)
+        SELECT l_returnflag, measure,
+               CAST(SUM(amount) AS DOUBLE) AS total, COUNT(*) AS n
+        FROM long_form
+        GROUP BY 1, 2
+        ORDER BY l_returnflag, measure"""))
   )
 }

@@ -88,8 +88,12 @@ object Dedup {
     * cluster_size, is_canonical) for every clustered doc.
     */
   def clusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
-      .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
+    // persist the pair set first: the two-direction edge union would
+    // otherwise evaluate the (possibly expensive) pair-generation plan
+    // twice before the edge cache materializes
+    val p = pairs.persist()
+    val edges = p.select(col("id_a").as("s"), col("id_b").as("d"))
+      .union(p.select(col("id_b").as("s"), col("id_a").as("d")))
       .persist()
     var labels = edges.select(col("s").as("id")).distinct()
       .withColumn("label", col("id")).persist()
@@ -111,6 +115,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     val w = Window.partitionBy(col("label"))
     labels
       .withColumn("cluster_size", count(lit(1)).over(w))

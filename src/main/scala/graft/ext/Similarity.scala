@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.SketchFns
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -31,7 +32,9 @@ object Similarity {
 
   /** Exact integer dot product of two quantized vectors (zip_with +
     * aggregate, map-side). |x|≤~2e4 ⇒ 64-dim dot ≤ ~2.6e10 — fits a long
-    * even under ANSI mode.
+    * even under ANSI mode. Column-API form; the hot paths below use the
+    * codegen'd QuantizedCosine kernel on raw float arrays instead
+    * (higher-order lambdas interpret per element).
     */
   def dotQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
@@ -51,11 +54,11 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int)
       : DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
-                           quantize(col("embedding")).as("qv"))
+                           col("embedding").as("qv"))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
-                          quantize(col("embedding")).as("cv"))
+                          col("embedding").as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+      .withColumn("cosine", SketchFns.quantized_cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -85,16 +88,16 @@ object Similarity {
     val masks = (0 until (1 << bits))
       .filter(m => Integer.bitCount(m) <= probeRadius)
     val q = queries.select(col("vec_id").as("query_id"),
-                           quantize(col("embedding")).as("qv"),
+                           col("embedding").as("qv"),
                            ivfCell(col("embedding"), bits).as("qcell"))
       .withColumn("cell",
         explode(array(masks.map(m => col("qcell").bitwiseXOR(lit(m))): _*)))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
-                          quantize(col("embedding")).as("cv"),
+                          col("embedding").as("cv"),
                           ivfCell(col("embedding"), bits).as("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+      .withColumn("cosine", SketchFns.quantized_cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -112,11 +115,11 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
                          bits: Int = 4): DataFrame = {
     val c = corpus.select(col("vec_id").as("id"),
-                          quantize(col("embedding")).as("v"),
+                          col("embedding").as("v"),
                           ivfCell(col("embedding"), bits).as("cell"))
     c.as("a").join(c.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .withColumn("cosine", cosineQ(col("a.v"), col("b.v")))
+      .withColumn("cosine", SketchFns.quantized_cosine(col("a.v"), col("b.v")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }

@@ -99,6 +99,21 @@ object SketchKernels extends Serializable {
     sig
   }
 
+  /** Integer-quantized cosine of two float vectors (see QuantizedCosine). */
+  def quantizedCosine(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      val qa = math.floor(a.getFloat(i).toDouble * 10000d + 0.5d).toLong
+      val qb = math.floor(b.getFloat(i).toDouble * 10000d + 0.5d).toLong
+      dot += qa * qb; na += qa * qa; nb += qb * qb
+      i += 1
+    }
+    dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+  }
+
   /** 64-bit SimHash over whitespace-token hashes of the text. */
   def simhash(text: UTF8String): Long = {
     val words = text.split(UTF8String.fromString(" "), -1)
@@ -192,4 +207,31 @@ object SketchFns {
     bridge.column(MinhashSignature(bridge.expression(hashes), k))
   def simhash64(text: Column): Column =
     bridge.column(SimHash64(bridge.expression(text)))
+  def quantized_cosine(a: Column, b: Column): Column =
+    bridge.column(QuantizedCosine(bridge.expression(a), bridge.expression(b)))
+}
+
+/** quantized_cosine(a, b) over float-array embeddings: floor-quantizes to
+  * integer ten-thousandths, exact integer dot/norms, one deterministic
+  * double division — the native kernel behind graft.ext.Similarity (the
+  * higher-order-function form interpreted per element and re-quantized
+  * both vectors for every candidate pair).
+  */
+case class QuantizedCosine(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quantized_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(SketchKernels.quantizedCosine(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = classOf[SketchKernels.type].getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $k.quantizedCosine($a, $b);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizedCosine =
+    copy(left = newLeft, right = newRight)
 }
