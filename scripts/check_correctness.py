@@ -57,6 +57,17 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns oracle={ora_cols} spark={sp_cols}")
             n_fail += 1
             continue
+        # schema check: DuckDB SUM/COUNT/LENGTH/row_number widen to
+        # HUGEINT/BIGINT and to_json yields JSON — the oracle must cast to
+        # the exact Spark output type or the driver's schema compare fails
+        otypes = dict(zip(ora.columns, [str(t) for t in ora.types]))
+        stypes = dict(zip(spark.columns, [str(t) for t in spark.types]))
+        tdiffs = {c: (otypes[c], stypes[c]) for c in otypes
+                  if otypes[c] != stypes[c]}
+        if tdiffs:
+            print(f"FAIL {name}: column types differ: {tdiffs}")
+            n_fail += 1
+            continue
         if len(ora_rows) != len(sp_rows):
             print(f"FAIL {name}: rows oracle={len(ora_rows)} "
                   f"spark={len(sp_rows)}")

@@ -84,13 +84,13 @@ object PipelineQueries {
       Some(s"""
         WITH env AS ($envelopeSql)
         SELECT correlationId,
-               to_json(struct_pack(
+               CAST(to_json(struct_pack(
                  source := CONCAT('incoming/', STRFTIME(eventTime, '%Y/%m/%d'), '/', correlationId, '/', fileName),
                  options := struct_pack(
                    from_format := 'pdf',
                    to_format := 'json',
                    ocr := true,
-                   table_structure := true))) AS doclingRequest
+                   table_structure := true))) AS VARCHAR) AS doclingRequest
         FROM env
         ORDER BY correlationId""")),
 
@@ -122,7 +122,7 @@ object PipelineQueries {
                          ELSE 'docling: conversion failed' END AS error
           FROM env WHERE fileSize % 7 = 0)
         SELECT correlationId,
-               to_json(struct_pack(
+               CAST(to_json(struct_pack(
                  status := 'FAILED',
                  fileName := fileName,
                  correlationId := correlationId,
@@ -133,7 +133,7 @@ object PipelineQueries {
                  headers := struct_pack(
                    contentType := contentType,
                    fileSize := fileSize,
-                   checksum := checksum))) AS report,
+                   checksum := checksum))) AS VARCHAR) AS report,
                contains(error, 'circuit breaker') AS isBreakerFailure
         FROM failing
         ORDER BY correlationId""")),

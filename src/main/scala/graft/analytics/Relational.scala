@@ -195,7 +195,7 @@ object Relational {
           .orderBy(col("o_custkey"), col("rk"))
       },
       Some("""
-        SELECT o_custkey, rk, o_orderkey, totalprice FROM (
+        SELECT o_custkey, CAST(rk AS INT) AS rk, o_orderkey, totalprice FROM (
           SELECT o_custkey, o_orderkey,
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice,
                  ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -375,7 +375,7 @@ object Relational {
         SELECT o_orderkey,
                UPPER(SUBSTRING(o_orderpriority, 3, 20)) AS prio_upper,
                CONCAT_WS('|', o_orderstatus, o_orderpriority) AS status_prio,
-               LENGTH(o_orderpriority) AS prio_len,
+               CAST(LENGTH(o_orderpriority) AS INT) AS prio_len,
                CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
                CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
                STRFTIME(o_orderdate, '%Y/%m/%d') AS order_ymd,

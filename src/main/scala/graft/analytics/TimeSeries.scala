@@ -226,7 +226,7 @@ object TimeSeries {
           .orderBy(col("user_id"), col("rk"))
       },
       Some("""
-        SELECT user_id, rk, event_id, "value",
+        SELECT user_id, CAST(rk AS INT) AS rk, event_id, "value",
                "value" / user_total AS share
         FROM (
           SELECT user_id, event_id,

@@ -213,7 +213,7 @@ object Dedup {
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
     candidates
       .withColumn("intersection",
-        size(array_intersect(col("sh_a"), col("sh_b"))))
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("size_a", size(col("sh_a")))
       .withColumn("size_b", size(col("sh_b")))
       .withColumn("jaccard",
