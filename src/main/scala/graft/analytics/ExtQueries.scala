@@ -371,6 +371,22 @@ object ExtQueries {
         ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
+    // q47: winnowing-fingerprint near-dup candidates (character-level,
+    // overlap-normalized) — rows-only like q29/q36 (the fingerprint hash
+    // is not ANSI-SQL-expressible); SkewWinnowSpec proves the candidate
+    // set covers every exact-Jaccard near-dup pair while pruning >96% of
+    // the all-pairs space.
+    GraftQuery(
+      "q47_winnow_pairs",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Dedup.winnowPairs(t.documents, col("doc_id"), col("text"),
+            k = 8, w = 4, minOverlap = 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
     // q36: winnowing fingerprints (k=8 gram, w=4 window minima — the
     // MOSS scheme) — native expression, not SQL-expressible: rows-only
     // check here, golden values pinned in TextAnalysisSpec.

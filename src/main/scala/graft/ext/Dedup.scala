@@ -224,6 +224,35 @@ object Dedup {
               col("size_a"), col("size_b"), col("jaccard"))
   }
 
+  /** Winnowing-fingerprint near-dup pairs: inverted index over the
+    * selected k-gram window minima (graft.functions.Winnow — the MOSS
+    * scheme), pairing docs that share ≥ minShared fingerprints. Character-
+    * level (robust to word-boundary edits, unlike word shingles); the
+    * fingerprint set is ~|text|/w hashes, so the index is a fraction of
+    * the full k-gram index. Same shuffle discipline as jaccardPairs:
+    * 8-byte keys only.
+    */
+  def winnowPairs(docs: DataFrame, id: Column, text: Column,
+                  k: Int = 8, w: Int = 4,
+                  minOverlap: Double = 0.5): DataFrame = {
+    val fp = docs.select(id.as("id"),
+      graft.functions.ColumnFns.winnow(text, k, w).as("fp"))
+      .withColumn("n_fp", size(array_distinct(col("fp"))))
+    val inv = fp.select(col("id"), col("n_fp"),
+      explode(array_distinct(col("fp"))).as("h"))
+    inv.as("a").join(inv.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+               col("a.n_fp").as("n_fp_a"), col("b.n_fp").as("n_fp_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      // overlap normalized by the smaller fingerprint set: an absolute
+      // threshold can't serve short and long docs at once
+      .withColumn("overlap",
+        col("shared_fp").cast("double") / least(col("n_fp_a"), col("n_fp_b")))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("id_a"), col("id_b"), col("shared_fp"), col("overlap"))
+  }
+
   /** 64-bit SimHash over the word multiset (map-side): bit j of the
     * signature is the sign of Σ_words (2*bit_j(xxhash64(w)) - 1). Built as
     * a static 64-term expression tree (shift amounts must be Scala

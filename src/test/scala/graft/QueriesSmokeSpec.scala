@@ -17,7 +17,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     // rows-only checks are the documented exceptions (hash-function- or
     // approximation-dependent results)
     assert(noOracle == Set("q29_simhash_pairs", "q36_winnow_fingerprints",
-                           "q37_approx_sketches"))
+                           "q37_approx_sketches", "q47_winnow_pairs"))
   }
 
   test("entry() returns rows (driver smoke contract)") {

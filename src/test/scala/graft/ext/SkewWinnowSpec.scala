@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SkewWinnowSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("salted aggregation equals the unsalted aggregate on a skewed key") {
+    // 90% of rows share one hot key
+    val skewed = spark.range(10000)
+      .select(when(col("id") % 10 < 9, "hot").otherwise("cold").as("k"),
+              col("id").as("v"))
+    val plain = skewed.groupBy("k")
+      .agg(sum("v").as("total"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedAgg(skewed, Seq(col("k")), salts = 8)(
+        firstPhase = Seq(sum("v").as("total"), count(lit(1)).as("n")),
+        secondPhase = Seq(sum("total").as("total"), sum("n").as("n")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("salted join equals the plain join on a skewed key") {
+    val left = spark.range(5000)
+      .select(when(col("id") % 5 < 4, 1L).otherwise(col("id") % 50).as("k"),
+              col("id").as("v"))
+    val right = spark.range(50).select(col("id").as("rk"),
+      concat(lit("dim"), col("id")).as("name"))
+    val plain = left.join(right, col("k") === col("rk"))
+      .select("v", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val salted = Skew.saltedJoin(left, right, col("k"), col("rk"), salts = 8)
+      .select("v", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(salted == plain)
+  }
+
+  test("winnow-fingerprint pairs find the planted near-dup documents") {
+    val jacc = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val win = Dedup.winnowPairs(docs, col("doc_id"), col("text"),
+        k = 8, w = 4, minOverlap = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jacc.nonEmpty)
+    // character-level fingerprints must recover the word-level near-dups
+    assert(jacc.subsetOf(win),
+      s"missed: ${jacc.diff(win)}; winnow found ${win.size}")
+    // and it prunes: far fewer pairs than all-pairs (500 docs -> 124750)
+    assert(win.size < 5000, s"winnow candidates not selective: ${win.size}")
+  }
+}
