@@ -41,6 +41,18 @@ object Monitoring {
            count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("p95_ms"), col("n"))
 
+  /** Attach in-flight counters to a (batch or streaming) DataFrame with
+    * `Dataset.observe` — zero-cost accumulator-backed metrics evaluated
+    * inside the existing plan, surfaced per micro-batch in
+    * StreamingQueryProgress.observedMetrics (captured by
+    * [[graft.sinks.PipelineListener]]). The K5 counter surface without a
+    * separate aggregation job.
+    */
+  def withPipelineObservations(df: DataFrame, name: String = "pipeline"): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("rows"),
+      sum(when(col("failed"), 1L).otherwise(0L)).as("failed_rows"))
+
   /** DLQ depth per window (alerts.yaml:40-49: depth > 10 for 10 m). */
   def dlqDepth(dlq: DataFrame, window_ : String = "10 minutes",
                watermark: String = "1 minute"): DataFrame =

@@ -17,7 +17,8 @@ final class PipelineListener extends StreamingQueryListener {
       batchId: Long,
       numInputRows: Long,
       inputRowsPerSecond: Double,
-      batchDurationMs: Long)
+      batchDurationMs: Long,
+      observed: Map[String, Map[String, Long]] = Map.empty)
 
   private val snaps =
     new java.util.concurrent.ConcurrentLinkedQueue[BatchSnapshot]
@@ -42,12 +43,29 @@ final class PipelineListener extends StreamingQueryListener {
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
+    val observed = {
+      val it = p.observedMetrics.entrySet().iterator()
+      val b = Map.newBuilder[String, Map[String, Long]]
+      while (it.hasNext) {
+        val e = it.next()
+        val row = e.getValue
+        b += e.getKey -> row.schema.fieldNames.zipWithIndex.map {
+          case (f, i) => f -> (row.get(i) match {
+            case l: java.lang.Long => l.longValue
+            case n: Number => n.longValue
+            case _ => 0L
+          })
+        }.toMap
+      }
+      b.result()
+    }
     val snap = BatchSnapshot(
       Option(p.name).getOrElse(p.id.toString),
       p.batchId,
       p.numInputRows,
       p.inputRowsPerSecond match { case d if d.isNaN => 0d; case d => d },
-      p.batchDuration)
+      p.batchDuration,
+      observed)
     snaps.add(snap)
     org.apache.logging.log4j.LogManager.getLogger(getClass)
       .info(s"pipeline batch: $snap")

@@ -49,6 +49,30 @@ class MonitoringSqlSpec extends AnyFunSuite {
     assert(rows.contains(("2024-03-05 07:00:00.0", 4L, 0.5)))
   }
 
+  test("observe() metrics flow through the listener per micro-batch") {
+    val listener = new graft.sinks.PipelineListener
+    spark.streams.addListener(listener)
+    try {
+      val source = MemoryStream[(Timestamp, Boolean)](spark)
+      val observed = Monitoring.withPipelineObservations(
+        source.toDF().toDF("ts", "failed"))
+      val q = observed.writeStream.format("memory")
+        .queryName("obs_out").outputMode("append").start()
+      source.addData((ts("2024-03-05 07:01:00"), false),
+                     (ts("2024-03-05 07:02:00"), true),
+                     (ts("2024-03-05 07:03:00"), true))
+      q.processAllAvailable()
+      q.stop()
+      val deadline = System.currentTimeMillis() + 10000
+      def total(k: String) = listener.snapshots
+        .flatMap(_.observed.get("pipeline")).flatMap(_.get(k)).sum
+      while (total("rows") < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(total("rows") == 3)
+      assert(total("failed_rows") == 2)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("streaming dlq depth counts per window") {
     val source = MemoryStream[Timestamp](spark)
     val depth = Monitoring.dlqDepth(source.toDF().toDF("ts"))
