@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
   */
 object Monitoring {
 
+  /** Count of rows whose boolean `failed` column is true (the one
+    * failure-count definition shared by every monitoring aggregate). */
+  private def failedCount = sum(when(col("failed"), 1L).otherwise(0L))
+
   /** Failure ratio over sliding windows (alerts.yaml:28-38: alert when
     * > 10% over 5 m). `events` needs (ts TIMESTAMP, failed BOOLEAN).
     */
@@ -22,7 +26,7 @@ object Monitoring {
     events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_, slide))
       .agg(count(lit(1)).as("n_total"),
-           sum(when(col("failed"), 1L).otherwise(0L)).as("n_failed"))
+           failedCount.as("n_failed"))
       .select(col("window.start").as("window_start"),
               col("n_total"), col("n_failed"),
               (col("n_failed").cast("double") / col("n_total"))
@@ -41,17 +45,23 @@ object Monitoring {
            count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("p95_ms"), col("n"))
 
-  /** Attach in-flight counters to a (batch or streaming) DataFrame with
-    * `Dataset.observe` — zero-cost accumulator-backed metrics evaluated
-    * inside the existing plan, surfaced per micro-batch in
+  /** Attach in-flight counters to a STREAMING DataFrame with
+    * `Dataset.observe` — accumulator-backed metrics evaluated inside the
+    * existing plan, surfaced per micro-batch in
     * StreamingQueryProgress.observedMetrics (captured by
     * [[graft.sinks.PipelineListener]]). The K5 counter surface without a
-    * separate aggregation job.
+    * separate aggregation job. A `failed_rows` counter is added only when
+    * the frame has a boolean `failed` column. Batch plans need a
+    * QueryExecutionListener (or the `Observation` API) to read the values
+    * — this helper is for the streaming path. Observation names must be
+    * unique within one query: pass a distinct `name` per call site.
     */
-  def withPipelineObservations(df: DataFrame, name: String = "pipeline"): DataFrame =
-    df.observe(name,
-      count(lit(1)).as("rows"),
-      sum(when(col("failed"), 1L).otherwise(0L)).as("failed_rows"))
+  def withPipelineObservations(df: DataFrame, name: String = "pipeline"): DataFrame = {
+    val counters = Seq(count(lit(1)).as("rows")) ++
+      (if (df.columns.contains("failed")) Seq(failedCount.as("failed_rows"))
+       else Nil)
+    df.observe(name, counters.head, counters.tail: _*)
+  }
 
   /** DLQ depth per window (alerts.yaml:40-49: depth > 10 for 10 m). */
   def dlqDepth(dlq: DataFrame, window_ : String = "10 minutes",

@@ -18,7 +18,7 @@ final class PipelineListener extends StreamingQueryListener {
       numInputRows: Long,
       inputRowsPerSecond: Double,
       batchDurationMs: Long,
-      observed: Map[String, Map[String, Long]] = Map.empty)
+      observed: Map[String, Map[String, Double]] = Map.empty)
 
   private val snaps =
     new java.util.concurrent.ConcurrentLinkedQueue[BatchSnapshot]
@@ -43,18 +43,20 @@ final class PipelineListener extends StreamingQueryListener {
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
+    // numeric observed metrics only, widened to double (a long-only view
+    // would silently truncate fractional metrics); non-numeric metrics
+    // are skipped, not coerced to a fake zero
     val observed = {
       val it = p.observedMetrics.entrySet().iterator()
-      val b = Map.newBuilder[String, Map[String, Long]]
+      val b = Map.newBuilder[String, Map[String, Double]]
       while (it.hasNext) {
         val e = it.next()
         val row = e.getValue
-        b += e.getKey -> row.schema.fieldNames.zipWithIndex.map {
-          case (f, i) => f -> (row.get(i) match {
-            case l: java.lang.Long => l.longValue
-            case n: Number => n.longValue
-            case _ => 0L
-          })
+        b += e.getKey -> row.schema.fieldNames.zipWithIndex.flatMap {
+          case (f, i) => row.get(i) match {
+            case n: Number => Some(f -> n.doubleValue)
+            case _ => None
+          }
         }.toMap
       }
       b.result()

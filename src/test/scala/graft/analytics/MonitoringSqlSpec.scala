@@ -64,12 +64,12 @@ class MonitoringSqlSpec extends AnyFunSuite {
       q.processAllAvailable()
       q.stop()
       val deadline = System.currentTimeMillis() + 10000
-      def total(k: String) = listener.snapshots
+      def total(k: String): Double = listener.snapshots
         .flatMap(_.observed.get("pipeline")).flatMap(_.get(k)).sum
-      while (total("rows") < 3 && System.currentTimeMillis() < deadline)
+      while (total("rows") < 3.0 && System.currentTimeMillis() < deadline)
         Thread.sleep(50)
-      assert(total("rows") == 3)
-      assert(total("failed_rows") == 2)
+      assert(total("rows") == 3.0)
+      assert(total("failed_rows") == 2.0)
     } finally spark.streams.removeListener(listener)
   }
 
