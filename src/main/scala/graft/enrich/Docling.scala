@@ -183,6 +183,11 @@ final class CircuitBreaker(
 object BreakerRegistry {
   private val breakers =
     scala.collection.concurrent.TrieMap.empty[String, CircuitBreaker]
+  /** Returns the breaker for `name`, creating it with `cfg` on first use.
+    * The name IS the identity: shared state is the point, so a later call
+    * with a different config intentionally keeps the existing breaker —
+    * to reconfigure, use a new name (or [[reset]] in tests).
+    */
   def get(name: String, cfg: BreakerConfig): CircuitBreaker =
     breakers.getOrElseUpdate(name, new CircuitBreaker(cfg))
   /** Test hook. */

@@ -39,9 +39,13 @@ object Dedup {
     */
   def shingles(text: Column, n: Int): Column = {
     val words = split(text, " ")
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(words) - n, lit(0)) ),
-        i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*)))
+    // short-doc guard: ANSI mode makes out-of-bounds element_at throw,
+    // so a doc with < n words gets its whole text as one shingle
+    when(size(words) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))))
+      .otherwise(array(concat_ws(" ", words)))
   }
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold via a shingle inverted
@@ -97,9 +101,14 @@ object Dedup {
       .persist()
     var labels = edges.select(col("s").as("id")).distinct()
       .withColumn("label", col("id")).persist()
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // decimal(38,0) witness: a long sum would overflow under ANSI for
+    // 63-bit hash ids; null (empty input) compares equal -> instant
+    // convergence instead of an NPE
+    def labelSum(df: DataFrame): Any =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().get(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    var converged = false
+    var converged = prevSum == null
     while (!converged && iter < maxIterations) {
       val viaNeighbor = edges
         .join(labels.select(col("id").as("d"), col("label")), "d")
@@ -107,7 +116,7 @@ object Dedup {
       val next = viaNeighbor.union(labels)
         .groupBy("id").agg(min(col("label")).as("label"))
         .persist()
-      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
       converged = nextSum == prevSum
@@ -124,53 +133,6 @@ object Dedup {
               (col("id") === col("label")).as("is_canonical"))
   }
 
-  /** 64-bit hashes of a shingle array (xxhash64; map-side). */
-  private def shingleHashes(sh: Column): Column =
-    transform(sh, s => xxhash64(s))
-
-  /** let-binding for expensive intermediate expressions: Catalyst's
-    * CollapseProject inlines projected columns into every downstream
-    * reference (a signature referenced by 64 band expressions would be
-    * recomputed 64 times). Wrapping the value in a one-element array and
-    * binding it to a lambda variable forces single evaluation.
-    */
-  private def letIn(value: Column, body: Column => Column): Column =
-    element_at(transform(array(value), v => body(v)), 1)
-
-  // Minhash uses (a*h + b) mod p over a Mersenne prime; coefficients are
-  // fixed (derived from splitmix64 of the permutation index) so
-  // signatures are reproducible across runs and engines.
-  private val MinhashPrime = (1L << 61) - 1
-
-  private def splitmix64(i: Long): Long = {
-    var z = i + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
-  /** MinHash signature (numHashes entries) of a shingle array — computed
-    * entirely map-side with higher-order functions: no shuffle, no
-    * explode. h_i = min over shingles of ((a_i * h31(s) + b_i) mod p),
-    * where h31 folds xxhash64 to 31 bits so a_i*h31+b_i stays within a
-    * long (Spark 4 runs ANSI mode — a silent-wrap multiply would throw).
-    */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
-    minhashSignatureFromHashes(shingleHashes(sh), numHashes)
-
-  /** Same, over an already-materialized hash-array column — callers
-    * should precompute the hashes into a column so the ~numHashes
-    * array_min transforms share one hash pass instead of re-hashing
-    * every shingle string numHashes times.
-    */
-  def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column =
-    letIn(hashes, hs => array((0 until numHashes).map { i =>
-      val a = math.floorMod(splitmix64(2L * i), 1L << 29) + 1L
-      val b = math.floorMod(splitmix64(2L * i + 1), MinhashPrime)
-      array_min(transform(hs,
-        h => pmod(pmod(h, lit(1L << 31)) * a + b, lit(MinhashPrime))))
-    }: _*))
-
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification:
     * signature (map-side) → banded bucket keys (map-side) → shuffle on
     * (band, bucket) → candidate pairs (distinct) → verify with exact
@@ -186,8 +148,13 @@ object Dedup {
                    bands: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // persisted: referenced by the banded index and both verification
+    // joins — without the cache the shingle kernel re-scans the corpus
+    // text three times (memory-and-disk; this is the same table a
+    // production run would materialize anyway)
     val sh = docs.select(id.as("id"),
       SketchFns.hashed_shingles(text, n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // banded index carries ONLY (id, band, bucket): the LSH self-join
     // must never shuffle the shingle arrays (64x fan-out times a
     // ~300-element array is the difference between an 8-byte and a
@@ -270,12 +237,15 @@ object Dedup {
                    maxDistance: Int = 3): DataFrame = {
     val chunks = maxDistance + 1
     val bitsPer = 64 / chunks
+    // 1L << 64 wraps to 1; a full-width chunk needs an explicit all-ones
+    // mask (maxDistance=0 -> one 64-bit chunk = the whole signature)
+    val chunkMask = if (bitsPer >= 64) -1L else (1L << bitsPer) - 1
     val sigs = docs.select(id.as("id"), simhash64(text).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
       explode(array((0 until chunks).map(c =>
         struct(lit(c).as("chunk"),
                shiftrightunsigned(col("sig"), c * bitsPer)
-                 .bitwiseAND((1L << bitsPer) - 1).as("v"))): _*)).as("cc"))
+                 .bitwiseAND(chunkMask).as("v"))): _*)).as("cc"))
       .select(col("id"), col("sig"), col("cc.chunk"), col("cc.v"))
     val candidates = chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&

@@ -70,8 +70,11 @@ object TextAnalysis {
       lit(0.1) * (lit(1d) - upperRatio)
     // quantize via floor(x*1e4+0.5) rather than round(x,4): half-up vs
     // half-even tie handling differs across engines at representable
-    // midpoints (e.g. 0.89375), floor doesn't.
-    floor(raw * 10000d + 0.5d) / 10000d
+    // midpoints (e.g. 0.89375), floor doesn't. Empty text scores 0
+    // outright — its ratios would otherwise be 0/0 = NaN, which silently
+    // falls out of every downstream threshold filter.
+    when(nChars === 0, 0d)
+      .otherwise(floor(raw * 10000d + 0.5d) / 10000d)
   }
 
   /** Whitespace token count. */

@@ -10,7 +10,8 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * in-memory for tests/inspection and logged; a production deployment
   * would forward them to its metrics sink from the same hook.
   */
-final class PipelineListener extends StreamingQueryListener {
+final class PipelineListener(maxSnapshots: Int = 10000)
+    extends StreamingQueryListener {
 
   final case class BatchSnapshot(
       queryName: String,
@@ -69,6 +70,9 @@ final class PipelineListener extends StreamingQueryListener {
       p.batchDuration,
       observed)
     snaps.add(snap)
+    // bounded history: a continuous query would otherwise grow the
+    // snapshot queue without limit (and the p95 sort with it)
+    while (snaps.size > maxSnapshots) snaps.poll()
     org.apache.logging.log4j.LogManager.getLogger(getClass)
       .info(s"pipeline batch: $snap")
   }

@@ -156,7 +156,14 @@ object FilePipeline {
       if (envelope.isStreaming || envelope.rdd.getNumPartitions >= target)
         envelope
       else envelope.repartition(target)
-    val (valid, invalid) = prepare(spreadEnv, cfg)
+    // E4: configured expiry routes stale rows to the DLQ branch before
+    // any processing (the broker-expiry analog); they become failure
+    // reports with an "expired" exception.
+    val (liveEnv, expiredEnv) = cfg.expiry match {
+      case Some(age) => splitExpired(spreadEnv, age)
+      case None => (spreadEnv, null)
+    }
+    val (valid, invalid) = prepare(liveEnv, cfg)
     val validP = valid.persist()
     try {
       // K1: raw payloads to incoming/ (exact deterministic keys).
@@ -168,11 +175,28 @@ object FilePipeline {
         graft.sinks.ObjectStore.writeProcessed(ok.toDF(), outDir)
         // DLQ route (3.2): failure reports to failed/, swallow-on-error.
         val failedDf = failed.toDF()
-        val invalidDf = invalid
-        graft.sinks.ObjectStore.writeFailed(
-          dlqReports(failedDf, invalidDf), outDir)
-        BatchMetrics(validP.count(), ok.count(), failed.count(),
-                     invalid.count())
+        // persist: the invalid branch feeds both the DLQ write and the
+        // metrics count — unpersisted it would re-scan the source twice
+        val invalidP = invalid.persist()
+        try {
+          val expired = Option(expiredEnv).map(_.persist())
+          try {
+            val reports = expired match {
+              case Some(e) =>
+                val expiredReports =
+                  Envelope.withObjectKeys(Envelope.withProcessingDate(e))
+                    .select(col("s3FailedKey").as("key"),
+                      Envelope.failureReportJson(
+                        lit(s"expired: exceeded ${cfg.expiry.get}"),
+                        current_timestamp()).as("report"))
+                dlqReports(failedDf, invalidP).unionByName(expiredReports)
+              case None => dlqReports(failedDf, invalidP)
+            }
+            graft.sinks.ObjectStore.writeFailed(reports, outDir)
+            BatchMetrics(validP.count(), ok.count(), failed.count(),
+                         invalidP.count() + expired.map(_.count()).getOrElse(0L))
+          } finally expired.foreach(_.unpersist())
+        } finally invalidP.unpersist()
       } finally enriched.unpersist()
     } finally validP.unpersist()
   }

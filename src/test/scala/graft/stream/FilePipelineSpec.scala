@@ -122,6 +122,25 @@ class FilePipelineSpec extends AnyFunSuite {
     assert(processed == 5)
   }
 
+  test("configured expiry routes stale rows to DLQ reports in runBatch (E4)") {
+    val out = tmp().toString
+    val rows = envelope(Seq(
+      ("old.pdf", "application/pdf", 10L, "t1", "ab" * 32, "c-old",
+       "x".getBytes, Timestamp.valueOf("2024-03-01 00:00:00"), 1),
+      ("new.pdf", "application/pdf", 10L, "t2", "ab" * 32, "c-new",
+       "y".getBytes, Timestamp.valueOf("2024-03-05 00:00:00"), 1)))
+    val m = FilePipeline.runBatch(rows, out, new LocalDocling(),
+      freshCfg().copy(expiry = Some("'2' DAYS")))
+    assert(m == BatchMetrics(1, 1, 0, 1)) // old.pdf counted in the DLQ side
+    val reports = ObjectStore.readFailedReports(spark, out).collect()
+    assert(reports.length == 1)
+    assert(reports.head.getAs[String]("fileName") == "old.pdf")
+    assert(reports.head.getAs[String]("exception").contains("expired"))
+    // the live row was processed normally
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      out, "processed/2024/03/05/c-new/new.pdf.json")))
+  }
+
   test("expiry split routes old rows to the expired branch (E4)") {
     val rows = envelope(Seq(
       ("old.pdf", "application/pdf", 10L, "t1", "ab" * 32, "c1",
