@@ -201,18 +201,29 @@ object Dedup {
     */
   def winnowPairs(docs: DataFrame, id: Column, text: Column,
                   k: Int = 8, w: Int = 4,
-                  minOverlap: Double = 0.5): DataFrame = {
-    val fp = docs.select(id.as("id"),
-      graft.functions.ColumnFns.winnow(text, k, w).as("fp"))
-      .withColumn("n_fp", size(array_distinct(col("fp"))))
-    val inv = fp.select(col("id"), col("n_fp"),
-      explode(array_distinct(col("fp"))).as("h"))
-    inv.as("a").join(inv.as("b"),
+                  minOverlap: Double = 0.5,
+                  maxDocFreq: Int = 64): DataFrame = {
+    val inv0 = docs
+      .select(id.as("id"),
+        explode(array_distinct(
+          graft.functions.ColumnFns.winnow(text, k, w))).as("h"))
+    // boilerplate cap (the MOSS move): a fingerprint present in more than
+    // maxDocFreq docs is uninformative for pairing AND quadratic in the
+    // self-join (one fp shared by f docs contributes f² candidate rows) —
+    // repetitive corpora would otherwise blow the index up
+    val kept = inv0.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("h"))
+    val inv = inv0.join(kept, "h")
+    val sizes = inv.groupBy(col("id")).agg(count(lit(1)).as("n_fp"))
+    val invSized = inv.join(sizes, "id")
+    invSized.as("a").join(invSized.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
                col("a.n_fp").as("n_fp_a"), col("b.n_fp").as("n_fp_b"))
       .agg(count(lit(1)).as("shared_fp"))
-      // overlap normalized by the smaller fingerprint set: an absolute
+      // overlap normalized by the smaller retained set: an absolute
       // threshold can't serve short and long docs at once
       .withColumn("overlap",
         col("shared_fp").cast("double") / least(col("n_fp_a"), col("n_fp_b")))
