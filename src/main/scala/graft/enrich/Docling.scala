@@ -35,8 +35,8 @@ final class LocalDocling(
     scala.collection.concurrent.TrieMap.empty[String, Int]
 
   private def sha(s: String): String =
-    MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+    graft.functions.SketchKernels.hex(
+      MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8")))
 
   override def convert(requestJson: String): String = {
     failSubstring.foreach { frag =>

@@ -65,7 +65,7 @@ object Multimodal {
     media.mapPartitions { it =>
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       it.map { r =>
-        val sha = digest.digest(r.media).map("%02x".format(_)).mkString
+        val sha = graft.functions.SketchKernels.hex(digest.digest(r.media))
         digest.reset()
         try {
           val (w, h, f) = decoder.decode(r.mime, r.media)

@@ -14,11 +14,9 @@ final class BottomKByMd5[IN](k: Int, value: IN => Long)
     extends Aggregator[IN, Seq[(String, Long)], Seq[Long]] {
   require(k > 0)
 
-  private def md5hex(v: Long): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(v.toString.getBytes("UTF-8"))
-    d.map("%02x".format(_)).mkString
-  }
+  private def md5hex(v: Long): String =
+    SketchKernels.hex(java.security.MessageDigest.getInstance("MD5")
+      .digest(v.toString.getBytes("UTF-8")))
 
   private def trim(b: Seq[(String, Long)]): Seq[(String, Long)] =
     b.sortBy(_._1).take(k)

@@ -22,6 +22,23 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SketchKernels extends Serializable {
 
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** Lookup-table hex encoding — "%02x".format per byte costs a full
+    * format-string parse per call and dominates per-row digest work.
+    */
+  def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(2 * i) = hexChars(b >>> 4)
+      out(2 * i + 1) = hexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** xxhash64 (seed 42) of a UTF8String's bytes — same function Spark's
     * xxhash64 SQL expression applies to string input, so results are
     * interchangeable with SQL-computed hashes.
