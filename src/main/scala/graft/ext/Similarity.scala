@@ -106,6 +106,56 @@ object Similarity {
               col("cosine"), col("cell"))
   }
 
+  /** Data-adaptive IVF: coarse cells from MLlib KMeans centroids instead
+    * of axis signs. Each query probes its `probes` nearest centroids —
+    * k-means cells track the data distribution, so recall at equal scan
+    * fraction beats the sign-bit quantizer (measured in the IVF spec).
+    * The centroid set is tiny (nCells × dim) and broadcast; training is
+    * one MLlib fit over the corpus (sampled upstream at real scale).
+    * Seeded, so cell assignment is deterministic per Spark version.
+    */
+  def ivfKmeansTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                    nCells: Int = 16, probes: Int = 3,
+                    seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val train = corpus.select(
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("features").fit(train)
+    val centroids = model.clusterCenters.map(_.toArray)
+    // nearest-centroid ids per vector, computed relationally against the
+    // broadcast centroid array (no second ML pass)
+    def centroidDists(e: Column) = array(centroids.indices.map { ci =>
+      val c = centroids(ci)
+      struct(
+        aggregate(zip_with(e,
+          array(c.map(v => lit(v)): _*),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0d), (acc, v) => acc + v).as("dist"),
+        lit(ci).as("cell"))
+    }: _*)
+    val cOf = (e: Column) => element_at(array_sort(centroidDists(e)), 1)
+      .getField("cell")
+    val probesOf = (e: Column) => slice(
+      transform(array_sort(centroidDists(e)), s => s.getField("cell")),
+      1, probes)
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"),
+        explode(probesOf(col("embedding"))).as("cell"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), cOf(col("embedding")).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", SketchFns.quantized_cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥
     * threshold, bucketed by IVF cell first (near-identical vectors share
     * sign patterns on most axes; with threshold ≥0.95 and well-spread

@@ -73,41 +73,44 @@ object SketchKernels extends Serializable {
     java.util.Arrays.copyOf(out, m)
   }
 
-  private val MinhashPrime = (1L << 61) - 1
-
-  private def splitmix64(i: Long): Long = {
+  private[functions] def splitmix64(i: Long): Long = {
     var z = i + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
 
-  /** Fixed permutation coefficients (same derivation for every run). */
-  def perms(numHashes: Int): (Array[Long], Array[Long]) = {
-    val a = new Array[Long](numHashes)
-    val b = new Array[Long](numHashes)
+  /** Fixed per-permutation seeds (same derivation for every run). */
+  def perms(numHashes: Int): Array[Long] = {
+    val seeds = new Array[Long](numHashes)
     var i = 0
     while (i < numHashes) {
-      a(i) = math.floorMod(splitmix64(2L * i), 1L << 29) + 1L
-      b(i) = math.floorMod(splitmix64(2L * i + 1), MinhashPrime)
+      seeds(i) = splitmix64(0x5eed0000L + i)
       i += 1
     }
-    (a, b)
+    seeds
   }
 
-  /** MinHash signature from hashed shingles: sig_i = min over h of
-    * ((a_i * (h mod 2^31) + b_i) mod p).
+  /** MinHash signature from hashed shingles: sig_i = min over shingles of
+    * splitmix64(h XOR seed_i). splitmix64 is a well-mixed 64-bit
+    * bijection, so each seed induces an (approximately) independent
+    * uniform ordering of the shingle space — the property minhash needs:
+    * P[sig_i(A) == sig_i(B)] = J(A,B). An affine (a*h+b) mod p family
+    * over a domain much smaller than p is monotone in h for most
+    * coefficient draws (no wrap ⇒ every "permutation" selects the same
+    * min shingle), which a sketch-quality property test caught: signature
+    * agreement sat far from the true Jaccard.
     */
-  def minhash(hashes: Array[Long], a: Array[Long], b: Array[Long]): Array[Long] = {
-    val k = a.length
+  def minhash(hashes: Array[Long], seeds: Array[Long]): Array[Long] = {
+    val k = seeds.length
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var j = 0
     while (j < hashes.length) {
-      val h31 = java.lang.Math.floorMod(hashes(j), 1L << 31)
+      val h = hashes(j)
       var i = 0
       while (i < k) {
-        val v = java.lang.Math.floorMod(a(i) * h31 + b(i), MinhashPrime)
+        val v = splitmix64(h ^ seeds(i))
         if (v < sig(i)) sig(i) = v
         i += 1
       }
@@ -182,19 +185,18 @@ case class MinhashSignature(child: Expression, numHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
-  @transient private lazy val (pa, pb) = SketchKernels.perms(numHashes)
+  @transient private lazy val seeds = SketchKernels.perms(numHashes)
 
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(
-      SketchKernels.minhash(input.asInstanceOf[ArrayData].toLongArray(), pa, pb))
+      SketchKernels.minhash(input.asInstanceOf[ArrayData].toLongArray(), seeds))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val k = classOf[SketchKernels.type].getName.stripSuffix("$") + "$.MODULE$"
     val gad = classOf[GenericArrayData].getName
-    val a = ctx.addReferenceObj("minhashA", pa, "long[]")
-    val b = ctx.addReferenceObj("minhashB", pb, "long[]")
+    val sd = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = new $gad($k.minhash($c.toLongArray(), $a, $b));")
+      s"${ev.value} = new $gad($k.minhash($c.toLongArray(), $sd));")
   }
   override protected def withNewChildInternal(c: Expression): MinhashSignature =
     copy(child = c)

@@ -58,6 +58,43 @@ class ExtSpec extends AnyFunSuite {
     assert(r2 >= 0.6, s"radius-2 IVF recall $r2 too low")
   }
 
+  test("k-means IVF beats the sign-bit quantizer at similar probe budget") {
+    val q = embs.filter(col("vec_id") < 50)
+    val bf = Similarity.bruteForceTopK(q, embs, 5).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(bf).size.toDouble / bf.size
+    }
+    // sign-bit: 16 cells, radius-1 probing = 5/16 of the corpus scanned;
+    // k-means: 16 cells, 5 probes = a comparable scan fraction
+    val signBit = recall(Similarity.ivfTopK(q, embs, 5, bits = 4, probeRadius = 1))
+    val kmeans = recall(Similarity.ivfKmeansTopK(q, embs, 5, nCells = 16, probes = 5))
+    assert(kmeans >= signBit,
+      s"kmeans recall $kmeans below sign-bit recall $signBit")
+    assert(kmeans >= 0.5, s"kmeans recall $kmeans too low")
+  }
+
+  test("minhash signature agreement estimates jaccard (sketch quality)") {
+    // for the planted near-dup pairs, the fraction of agreeing signature
+    // positions must approximate the true jaccard within sketch error
+    // (128 hashes -> stderr ~ sqrt(j(1-j)/128) ~ 0.035 at j~0.85)
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.SketchFns.minhash_signature(
+        graft.functions.SketchFns.hashed_shingles(col("text"), 3), 128).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.8)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, j) =>
+      val agree = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 128.0
+      assert(math.abs(agree - j) < 0.15,
+        s"pair ($a,$b): signature agreement $agree vs jaccard $j")
+    }
+  }
+
   test("cosine of a vector with itself is 1.0 (quantized path)") {
     val self = embs.limit(10).select(
       Similarity.cosineQ(Similarity.quantize(col("embedding")),
