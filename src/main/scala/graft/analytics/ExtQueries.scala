@@ -164,6 +164,21 @@ object ExtQueries {
         ORDER BY query_id, rank""")),
 
     // ------------------------------------------------------------------
+    // q48: data-adaptive IVF — MLlib KMeans coarse cells, multi-probe.
+    // Centroids depend on the trained model, not reproducible in ANSI
+    // SQL: rows-only; ExtSpec asserts recall >= the sign-bit quantizer.
+    GraftQuery(
+      "q48_knn_ivf_kmeans",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Similarity.ivfKmeansTopK(
+            t.embeddings.filter(col("vec_id") < 20), t.embeddings,
+            k = 5, nCells = 16, probes = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
     // q32: heuristic language ID (marker-word profiles) with per-language
     // accuracy against the labeled lang column.
     GraftQuery(

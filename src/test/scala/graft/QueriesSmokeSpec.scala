@@ -17,7 +17,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
     // rows-only checks are the documented exceptions (hash-function- or
     // approximation-dependent results)
     assert(noOracle == Set("q29_simhash_pairs", "q36_winnow_fingerprints",
-                           "q37_approx_sketches", "q47_winnow_pairs"))
+                           "q37_approx_sketches", "q47_winnow_pairs",
+                           "q48_knn_ivf_kmeans"))
   }
 
   test("entry() returns rows (driver smoke contract)") {
