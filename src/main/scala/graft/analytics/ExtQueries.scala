@@ -15,8 +15,10 @@ object ExtQueries {
 
   private val shingleOracle = """
         WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        shingles AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
-               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS sh FROM words),
+        shingles AS (SELECT doc_id, CASE WHEN len(w) >= 3
+               THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+                 i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
+               ELSE [array_to_string(w, ' ')] END AS sh FROM words),
         ex AS (SELECT doc_id, unnest(sh) AS s FROM shingles),
         sizes AS (SELECT doc_id, len(sh) AS n FROM shingles),
         pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS inter
@@ -360,8 +362,10 @@ object ExtQueries {
       },
       Some("""
         WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        shingles AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
-               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS sh FROM words),
+        shingles AS (SELECT doc_id, CASE WHEN len(w) >= 3
+               THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+                 i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
+               ELSE [array_to_string(w, ' ')] END AS sh FROM words),
         ex AS (SELECT doc_id, unnest(sh) AS s FROM shingles),
         sizes AS (SELECT doc_id, len(sh) AS n FROM shingles),
         cand AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS inter

@@ -3,7 +3,10 @@ package graft.analytics
 import org.apache.spark.sql.functions._
 import graft.{GraftFunctions, GraftQuery, Tables}
 
-/** The `spark.sql` textual surface: temp views + SQL text + the engine's
+/** The `spark.sql` textual surface (oracle note: the poly_hash oracle
+  * folds per-character ascii() codepoints, equal to the engine's UTF-8
+  * byte fold only for ASCII corpora — which the testdata is; the engine
+  * itself is well-defined on arbitrary UTF-8, see ExtSpec's golden test): temp views + SQL text + the engine's
   * native functions registered into the session FunctionRegistry
   * ([[graft.GraftExtensions]]) — the same codegen'd expressions reachable
   * from SQL as from the Column API.
@@ -31,8 +34,10 @@ object SqlSurface {
                  list_transform(range(1, length(text) + 1),
                    i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
                  (a, b) -> (a * 31 + b) % 1000000007) AS poly_hash,
-               CAST(len(list_distinct(list_transform(generate_series(1, len(w)-2),
-                 i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))) AS INT) AS n_shingles
+               CAST(len(CASE WHEN len(w) >= 3
+                 THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+                   i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
+                 ELSE [array_to_string(w, ' ')] END) AS INT) AS n_shingles
         FROM words
         ORDER BY doc_id"""))
   )

@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -122,7 +123,9 @@ object SketchKernels extends Serializable {
   /** Integer-quantized cosine of two float vectors (see QuantizedCosine). */
   def quantizedCosine(a: org.apache.spark.sql.catalyst.util.ArrayData,
                       b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
-    val n = a.numElements()
+    // bound by the shorter vector: reading past an UnsafeArrayData's
+    // length is an unchecked access returning garbage
+    val n = math.min(a.numElements(), b.numElements())
     var dot = 0L; var na = 0L; var nb = 0L
     var i = 0
     while (i < n) {
@@ -164,6 +167,12 @@ case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hashed_shingles"
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hashed_shingles requires STRING input, got ${other.catalogString}")
+  }
+
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(
       SketchKernels.hashedShingles(input.asInstanceOf[UTF8String], n))
@@ -184,6 +193,12 @@ case class MinhashSignature(child: Expression, numHashes: Int)
   require(numHashes > 0)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature requires ARRAY<BIGINT> input, got ${other.catalogString}")
+  }
 
   @transient private lazy val seeds = SketchKernels.perms(numHashes)
 
@@ -206,6 +221,12 @@ case class MinhashSignature(child: Expression, numHashes: Int)
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires STRING input, got ${other.catalogString}")
+  }
 
   override def nullSafeEval(input: Any): Any =
     java.lang.Long.valueOf(SketchKernels.simhash(input.asInstanceOf[UTF8String]))
@@ -240,6 +261,14 @@ case class QuantizedCosine(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "quantized_cosine"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"quantized_cosine requires two ARRAY<FLOAT> inputs, got ${l.catalogString} and ${r.catalogString}")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Double.valueOf(SketchKernels.quantizedCosine(

@@ -35,8 +35,14 @@ object Envelope {
     StructField("eventTime", TimestampType),
     StructField("deliveryCount", IntegerType)))
 
+  /** Last occurrence of a header (Kafka legally allows repeated keys —
+    * map_from_entries would throw DUPLICATED_MAP_KEY under the default
+    * dedup policy and kill the query for the whole topic).
+    */
   private def header(name: String): Column =
-    element_at(map_from_entries(col("headers")), name).cast("string")
+    try_element_at(
+      filter(col("headers"), h => h.getField("key") === name), lit(-1))
+      .getField("value").cast("string")
 
   /** P1: project the Kafka record into the typed envelope — one `select`
     * replaces the reference's eight setProperty steps
@@ -48,14 +54,17 @@ object Envelope {
     df.select(
       header("fileName").as("fileName"),
       header("contentType").as("contentType"),
-      header("fileSize").cast(LongType).as("fileSize"),
+      // try_cast: a malformed numeric header must become a null (and be
+      // routed to the DLQ by validation), not an ANSI CAST_INVALID_INPUT
+      // that fails the whole stream
+      header("fileSize").try_cast(LongType).as("fileSize"),
       header("transferId").as("transferId"),
       header("checksum").as("checksum"),
       coalesce(header("JMSCorrelationID"), col("key").cast("string"))
         .as("correlationId"),
       col("value").as("body"),
       col("timestamp").as("eventTime"),
-      coalesce(header("JMSXDeliveryCount").cast(IntegerType), lit(1))
+      coalesce(header("JMSXDeliveryCount").try_cast(IntegerType), lit(1))
         .as("deliveryCount"))
 
   /** Ingest validation (absent in the reference — a missing fileName there

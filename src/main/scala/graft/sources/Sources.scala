@@ -81,10 +81,15 @@ object Sources {
     raw.select(
       element_at(split(col("path"), "/"), -1).as("fileName"),
       when(lower(col("path")).endsWith(".pdf"), "application/pdf")
+        .when(lower(col("path")).endsWith(".docx"),
+          "application/vnd.openxmlformats-officedocument.wordprocessingml.document")
         .otherwise("application/octet-stream").as("contentType"),
       col("length").as("fileSize"),
+      // path hash mixed in: mtime alone collides for any batch copy
+      // (1-second filesystems make same-mtime files near-certain)
       concat(lit("GOANYWHERE-"),
-             (unix_millis(col("modificationTime"))).cast("string"))
+             unix_millis(col("modificationTime")).cast("string"),
+             lit("-"), pmod(xxhash64(col("path")), lit(1000000L)))
         .as("transferId"),
       sha2(col("content"), 256).as("checksum"),
       sha2(concat(to_binary(element_at(split(col("path"), "/"), -1),

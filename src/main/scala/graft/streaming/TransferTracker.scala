@@ -60,16 +60,30 @@ object TransferTracker {
             val updated = sorted.foldLeft(prev) { (s, e) =>
               TransferState(s.firstSeenMs, e.status, s.updates + 1)
             }
-            if (updated.lastStatus == "PROCESSED"
-                || updated.lastStatus == "FAILED") {
-              state.remove()
-              val last = sorted.last.eventTime.getTime
-              Iterator.single(TransferUpdate(key, updated.lastStatus,
-                updated.updates, last - updated.firstSeenMs))
-            } else {
-              state.update(updated)
-              state.setTimeoutTimestamp(updated.firstSeenMs + TimeoutMs)
-              Iterator.empty
+            // a terminal status anywhere in the batch completes the
+            // transfer even if a redelivered RECEIVED sorts after it —
+            // otherwise the completion is lost and a spurious STALLED
+            // fires later. (A terminal arriving in a LATER batch than a
+            // replayed RECEIVED still re-creates state: exactly-once
+            // tombstones would need TTL'd terminal markers.)
+            val terminal = sorted.map(_.status)
+              .find(st => st == "PROCESSED" || st == "FAILED")
+            terminal match {
+              case Some(status) =>
+                state.remove()
+                val atMs = sorted.find(e => e.status == status).get
+                  .eventTime.getTime
+                Iterator.single(TransferUpdate(key, status,
+                  updated.updates, atMs - updated.firstSeenMs))
+              case None =>
+                state.update(updated)
+                // never set a timeout at or below the watermark (Spark
+                // rejects it): replayed old events get at least one more
+                // microbatch interval before stalling
+                val wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(
+                  math.max(updated.firstSeenMs + TimeoutMs, wm + 1))
+                Iterator.empty
             }
           }
       }
