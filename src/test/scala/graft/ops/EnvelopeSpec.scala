@@ -51,6 +51,30 @@ class EnvelopeSpec extends AnyFunSuite {
     assert(env.getAs[Int]("deliveryCount") == 2)
   }
 
+  test("repeated Kafka headers take the last occurrence instead of crashing") {
+    val dup = fullHeaders :+ ("fileName" -> "override.pdf")
+    val env = Envelope.fromKafka(kafkaRow(dup)).collect().head
+    assert(env.getAs[String]("fileName") == "override.pdf")
+  }
+
+  test("malformed numeric headers become nulls routed to validation, not ANSI cast crashes") {
+    val bad = fullHeaders.map {
+      case ("fileSize", _) => ("fileSize", "12MB")
+      case kv => kv
+    }
+    val env = Envelope.fromKafka(kafkaRow(bad))
+    val row = Envelope.withValidation(env).collect().head
+    assert(row.get(row.fieldIndex("fileSize")) == null)
+    assert(row.getAs[String]("invalidReason") == "bad fileSize")
+    // malformed deliveryCount falls back to 1
+    val badDc = fullHeaders.map {
+      case ("JMSXDeliveryCount", _) => ("JMSXDeliveryCount", "many")
+      case kv => kv
+    }
+    assert(Envelope.fromKafka(kafkaRow(badDc)).collect().head
+      .getAs[Int]("deliveryCount") == 1)
+  }
+
   test("validation flags contract violations; clean rows pass") {
     val env = Envelope.fromKafka(kafkaRow(fullHeaders))
     assert(Envelope.withValidation(env)
