@@ -109,13 +109,17 @@ object Dedup {
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = prevSum == null
+    // one persisted propagation round per convergence check: composing
+    // unpersisted rounds re-evaluates the inner round once per reference
+    // (the label frame feeds both the join and the union) and costs more
+    // than the saved action
+    def propagate(l: DataFrame): DataFrame = edges
+      .join(l.select(col("id").as("d"), col("label")), "d")
+      .select(col("s").as("id"), col("label"))
+      .union(l)
+      .groupBy("id").agg(min(col("label")).as("label"))
     while (!converged && iter < maxIterations) {
-      val viaNeighbor = edges
-        .join(labels.select(col("id").as("d"), col("label")), "d")
-        .select(col("s").as("id"), col("label"))
-      val next = viaNeighbor.union(labels)
-        .groupBy("id").agg(min(col("label")).as("label"))
-        .persist()
+      val next = propagate(labels).persist()
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
