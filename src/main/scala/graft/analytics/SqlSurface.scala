@@ -39,6 +39,66 @@ object SqlSurface {
                    i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
                  ELSE [array_to_string(w, ' ')] END) AS INT) AS n_shingles
         FROM words
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q49: correlated scalar subquery — customers above their own
+    // nation's average balance. Catalyst decorrelates this into an
+    // aggregate + join; the textual form exercises that rewrite path
+    // (the DataFrame twin would hand-write the join).
+    GraftQuery(
+      "q49_correlated_subquery",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.customer.createOrReplaceTempView("customer_v")
+        spark.sql("""
+          SELECT c_custkey,
+                 c_nationkey,
+                 CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+          FROM customer_v c
+          WHERE CAST(c_acctbal AS DECIMAL(12,2)) >
+                (SELECT AVG(CAST(c2.c_acctbal AS DECIMAL(12,2)))
+                 FROM customer_v c2
+                 WHERE c2.c_nationkey = c.c_nationkey)
+          ORDER BY c_custkey""")
+      },
+      Some("""
+        SELECT c_custkey, c_nationkey,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+        FROM customer c
+        WHERE CAST(c_acctbal AS DECIMAL(12,2)) >
+              (SELECT AVG(CAST(c2.c_acctbal AS DECIMAL(12,2)))
+               FROM customer c2
+               WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // q50: multiset set operations — INTERSECT ALL / EXCEPT ALL keep
+    // duplicate multiplicities (q09 covers the DISTINCT variants).
+    GraftQuery(
+      "q50_set_ops_all",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val highValue = t.orders
+          .filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+        val urgent = t.orders
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
+        val i = highValue.intersectAll(urgent).withColumn("op", lit("intersect_all"))
+        val e = highValue.exceptAll(urgent).withColumn("op", lit("except_all"))
+        i.union(e)
+          .groupBy(col("op"), col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).as("multiplicity"))
+          .orderBy(col("op"), col("custkey"))
+      },
+      Some("""
+        WITH hv AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000),
+             ur AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        SELECT op, custkey, COUNT(*) AS multiplicity FROM (
+          SELECT 'intersect_all' AS op, custkey FROM (SELECT custkey FROM hv INTERSECT ALL SELECT custkey FROM ur)
+          UNION ALL
+          SELECT 'except_all' AS op, custkey FROM (SELECT custkey FROM hv EXCEPT ALL SELECT custkey FROM ur))
+        GROUP BY op, custkey
+        ORDER BY op, custkey"""))
   )
 }
