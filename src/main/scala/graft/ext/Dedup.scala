@@ -50,21 +50,40 @@ object Dedup {
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold via a shingle inverted
     * index: explode shingles → self-join on shingle → count = |A∩B| →
-    * join sizes → filter. Exact (no approximation); the join key is the
-    * shingle, so skew is bounded by the hottest shingle's document
-    * frequency — for natural text apply a document-frequency cap upstream
-    * (stopword shingles) or switch to [[minhashPairs]] at corpus scale.
+    * join sizes → filter. The join key is the shingle, so the self-join
+    * is QUADRATIC in the hottest shingle's document frequency — one
+    * boilerplate shingle shared by f docs contributes f² candidate rows.
+    * `maxDocFreq` caps that (the same MOSS move as [[winnowPairs]]): a
+    * shingle present in more docs is dropped from the index before the
+    * self-join, which bounds the fan-out at f·maxDocFreq. The cap trades
+    * exactness on boilerplate-only overlap for boundedness — a pair whose
+    * ONLY shared shingles are capped ones is missed, and a pair sharing
+    * some capped shingles has its intersection undercounted (so the
+    * reported jaccard is a lower bound). Pick it above the largest
+    * legitimate duplicate-group size; for exhaustive exactness at corpus
+    * scale switch to [[minhashPairs]], which bounds candidates by LSH
+    * bucket instead of shingle frequency.
     * Output: (id_a, id_b, intersection, size_a, size_b, jaccard).
     */
   def jaccardPairs(docs: DataFrame, id: Column, text: Column, n: Int,
-                   threshold: Double): DataFrame = {
+                   threshold: Double, maxDocFreq: Int = 1024): DataFrame = {
     // hashed shingles (native kernel): the inverted index joins on 8-byte
     // keys, never on shingle strings (collision odds across a pair of
     // docs are ~|A||B|/2^64 — vanishing)
     val sh = docs.select(id.as("id"),
         SketchFns.hashed_shingles(text, n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-    val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val inv0 = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    // df census via groupBy (map-side partial agg absorbs hot-shingle
+    // skew, which a window count-over-partition would concentrate into
+    // one task), then a broadcast ANTI join against the — by
+    // construction small — hot set; the keep-side join would shuffle
+    // the whole index a second time
+    val hot = inv0.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("s"))
+    val inv = inv0.join(broadcast(hot), Seq("s"), "left_anti")
     val pairs = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -92,15 +111,25 @@ object Dedup {
     * cluster_size, is_canonical) for every clustered doc.
     */
   def clusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    // persist the pair set first: the two-direction edge union would
-    // otherwise evaluate the (possibly expensive) pair-generation plan
-    // twice before the edge cache materializes
-    val p = pairs.persist()
-    val edges = p.select(col("id_a").as("s"), col("id_b").as("d"))
-      .union(p.select(col("id_b").as("s"), col("id_a").as("d")))
+    // single-read two-direction edge expansion: exploding each pair into
+    // both orientations map-side reads the (possibly expensive) pair
+    // pipeline ONCE — the union-of-two-selects alternative races two
+    // scans of the uncached plan before the cache lands
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("s"), col("id_b").as("d")),
+        struct(col("id_b").as("s"), col("id_a").as("d")))).as("e"))
+      .select(col("e.s"), col("e.d"))
       .persist()
-    var labels = edges.select(col("s").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+    // seed labels with min over {self} ∪ neighbors: one aggregation —
+    // the same shuffle the plain distinct-node scan would cost — that
+    // also IS the first propagation round, so shallow clusters (pairs,
+    // triangles, stars around their min node: the shape near-dup groups
+    // overwhelmingly take) start at their fixpoint and converge on the
+    // first check
+    var labels = edges.groupBy(col("s").as("id"))
+      .agg(min(col("d")).as("min_d"))
+      .select(col("id"), least(col("id"), col("min_d")).as("label"))
+      .persist()
     // decimal(38,0) witness: a long sum would overflow under ANSI for
     // 63-bit hash ids; null (empty input) compares equal -> instant
     // convergence instead of an NPE
@@ -128,7 +157,6 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    p.unpersist()
     val w = Window.partitionBy(col("label"))
     labels
       .withColumn("cluster_size", count(lit(1)).over(w))
@@ -151,37 +179,53 @@ object Dedup {
                    threshold: Double, numHashes: Int = 128,
                    bands: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    // persisted: referenced by the banded index and both verification
-    // joins — without the cache the shingle kernel re-scans the corpus
-    // text three times (memory-and-disk; this is the same table a
-    // production run would materialize anyway)
-    val sh = docs.select(id.as("id"),
-      SketchFns.hashed_shingles(text, n).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // banded index carries ONLY (id, band, bucket): the LSH self-join
-    // must never shuffle the shingle arrays (64x fan-out times a
-    // ~300-element array is the difference between an 8-byte and a
-    // multi-KB exchange row)
-    val bandStructs = (0 until bands).map(b =>
-      struct(lit(b).as("band"),
-             xxhash64(lit(b), slice(col("sig"), b * r + 1, r))
-               .as("bucket")))
-    val banded = sh
+    // No persist anywhere: the shingle+signature kernels are codegen'd
+    // map-side work over the text scan (measured at well under a second
+    // per corpus pass at sf0.1), so recomputing them for the two verify
+    // joins is cheaper — and leak-free — compared to caching multi-KB
+    // shingle arrays for the session lifetime. At real corpus scale the
+    // signature table would be written out once (columnar, partitioned)
+    // and every stage below would read that — same plan shape.
+    val sigs = docs.select(id.as("id"),
+      SketchFns.minhash_signature(
+        SketchFns.hashed_shingles(text, n), numHashes).as("sig"))
+    // banded index carries ONLY (id, band, bucket): nothing below this
+    // point ever shuffles a shingle array or the signature itself —
+    // band_buckets collapses the signature to `bands` 8-byte keys in one
+    // native pass
+    val banded = sigs
       .select(col("id"),
-              SketchFns.minhash_signature(col("sh"), numHashes).as("sig"))
-      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val candidateIds = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        posexplode(SketchFns.band_buckets(col("sig"), bands))
+          .as(Seq("band", "bucket")))
+    // candidate generation by groupBy + intra-bucket expansion: ONE
+    // shuffle of the 8-byte-key index (a self-join costs two plus the
+    // join), then pairs are emitted map-side from each bucket's sorted id
+    // list. A bucket of f co-hashed docs emits f(f-1)/2 pairs — the same
+    // output the self-join would produce, without materializing the probe
+    // side twice. Pathological mega-buckets come from exact-identical
+    // docs; run [[exact]] dedup upstream, where they belong.
+    val buckets = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    // pair expansion over the (rare) multi-occupant buckets; interpreted
+    // lambdas are fine here — the row count is already the candidate
+    // count, there is no per-corpus-element work left
+    val pairExpr = flatten(transform(
+      sequence(lit(1), size(col("ids")) - 1),
+      i => transform(slice(col("ids"), i + 1, size(col("ids")) - i),
+        j => struct(element_at(col("ids"), i).as("id_a"), j.as("id_b")))))
+    val candidateIds = buckets
+      .select(explode(pairExpr).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
-    // shingle arrays re-enter only for the candidate set
+    // shingle arrays enter only for the candidate set: each verify join
+    // recomputes the (cheap) shingle kernel over a fresh pruned scan
+    val shOf = (idAlias: String, shAlias: String) => docs.select(
+      id.as(idAlias), SketchFns.hashed_shingles(text, n).as(shAlias))
     val candidates = candidateIds
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(shOf("id_a", "sh_a"), "id_a")
+      .join(shOf("id_b", "sh_b"), "id_b")
     candidates
       .withColumn("intersection",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))

@@ -134,7 +134,36 @@ object SketchKernels extends Serializable {
       dot += qa * qb; na += qa * qa; nb += qb * qb
       i += 1
     }
-    dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+    // zero-norm guard: 0/0 would be NaN, and Spark sorts NaN LARGEST, so a
+    // zero vector would rank as everyone's best neighbor under
+    // orderBy(cosine.desc) and pass every >= threshold filter
+    if (na == 0L || nb == 0L) 0d
+    else dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+  }
+
+  /** LSH band buckets of a minhash signature: bucket_b = xxhash64 chain
+    * over rows [b*r, (b+1)*r) seeded by the band index (r = len/bands).
+    * One pass, no per-band array slicing — replaces `bands` separate
+    * xxhash64(slice(sig, ...)) expressions.
+    */
+  def bandBuckets(sig: ArrayData, bands: Int): Array[Long] = {
+    val len = sig.numElements()
+    val r = len / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = b.toLong
+      var i = b * r
+      val end = i + r
+      while (i < end) {
+        h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(sig.getLong(i), h)
+        i += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    out
   }
 
   /** 64-bit SimHash over whitespace-token hashes of the text. */
@@ -239,6 +268,32 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** band_buckets(sig, bands): per-band LSH bucket hashes (ARRAY<BIGINT>). */
+case class BandBuckets(child: Expression, bands: Int) extends UnaryExpression {
+  require(bands > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"band_buckets requires ARRAY<BIGINT> input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      SketchKernels.bandBuckets(input.asInstanceOf[ArrayData], bands))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = classOf[SketchKernels.type].getName.stripSuffix("$") + "$.MODULE$"
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new $gad($k.bandBuckets($c, $bands));")
+  }
+  override protected def withNewChildInternal(c: Expression): BandBuckets =
+    copy(child = c)
+}
+
 object SketchFns {
   import org.apache.spark.sql.graft.bridge
   def hashed_shingles(text: Column, n: Int): Column =
@@ -249,6 +304,8 @@ object SketchFns {
     bridge.column(SimHash64(bridge.expression(text)))
   def quantized_cosine(a: Column, b: Column): Column =
     bridge.column(QuantizedCosine(bridge.expression(a), bridge.expression(b)))
+  def band_buckets(sig: Column, bands: Int): Column =
+    bridge.column(BandBuckets(bridge.expression(sig), bands))
 }
 
 /** quantized_cosine(a, b) over float-array embeddings: floor-quantizes to
