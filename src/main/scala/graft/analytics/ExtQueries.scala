@@ -317,10 +317,13 @@ object ExtQueries {
         ORDER BY media_id""")),
 
     // ------------------------------------------------------------------
-    // q43: embedding similar-pairs within IVF cells (the corpus has no
-    // planted near-identical vectors — max same-cell cosine ≈ 0.55 — so
-    // the threshold reports "similar", not "duplicate"; same operator,
-    // same exactness).
+    // q43: embedding similar-pairs via banded sign-bit hyperplane LSH
+    // (32 band tables of 4 bits over the 64-dim sign word) with exact
+    // quantized-cosine verification. The corpus has no planted
+    // near-identical vectors (max cosine ≈ 0.51), so threshold 0.4
+    // reports "similar", not "duplicate" — the hard regime for LSH, and
+    // the measured recall is still 1.0 vs brute force (ExtSpec). The
+    // oracle mirrors the deterministic bucketing bit for bit.
     GraftQuery(
       "q43_embedding_similar_pairs",
       (spark, dir) => {
@@ -329,20 +332,34 @@ object ExtQueries {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""
-        WITH cells AS (
+        WITH sgn AS (
           SELECT vec_id,
-                 list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE)*10000 + 0.5)) AS v,
-                 (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-                  + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-                  + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
-                  + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
-          FROM embeddings)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               list_dot_product(a.v, b.v)
-                 / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cosine
-        FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v)
-                / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.4
+                 list_transform(embedding, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS s,
+                 list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE)*10000 + 0.5)) AS v
+          FROM embeddings),
+        banded AS (
+          SELECT vec_id,
+                 struct_extract(bb, 'band') AS band,
+                 struct_extract(bb, 'bucket') AS bucket
+          FROM (SELECT vec_id, unnest(list_transform(range(0, 32), b -> struct_pack(
+                  band := b,
+                  bucket := CASE WHEN b < 16
+                    THEN s[4*b+1] + 2*s[4*b+2] + 4*s[4*b+3] + 8*s[4*b+4]
+                    ELSE s[((4*(b-16)+2) % 64)+1] + 2*s[((4*(b-16)+3) % 64)+1]
+                         + 4*s[((4*(b-16)+4) % 64)+1] + 8*s[((4*(b-16)+5) % 64)+1]
+                    END))) AS bb
+                FROM sgn)),
+        cand AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+          GROUP BY 1, 2)
+        SELECT ia AS id_a, ib AS id_b,
+               list_dot_product(sa.v, sb.v)
+                 / sqrt(list_dot_product(sa.v, sa.v) * list_dot_product(sb.v, sb.v)) AS cosine
+        FROM cand JOIN sgn sa ON ia = sa.vec_id JOIN sgn sb ON ib = sb.vec_id
+        WHERE list_dot_product(sa.v, sb.v)
+                / sqrt(list_dot_product(sa.v, sa.v) * list_dot_product(sb.v, sb.v)) >= 0.4
         ORDER BY id_a, id_b""")),
 
     // ------------------------------------------------------------------

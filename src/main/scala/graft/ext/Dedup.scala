@@ -197,28 +197,11 @@ object Dedup {
       .select(col("id"),
         posexplode(SketchFns.band_buckets(col("sig"), bands))
           .as(Seq("band", "bucket")))
-    // candidate generation by groupBy + intra-bucket expansion: ONE
-    // shuffle of the 8-byte-key index (a self-join costs two plus the
-    // join), then pairs are emitted map-side from each bucket's sorted id
-    // list. A bucket of f co-hashed docs emits f(f-1)/2 pairs — the same
-    // output the self-join would produce, without materializing the probe
-    // side twice. Pathological mega-buckets come from exact-identical
-    // docs; run [[exact]] dedup upstream, where they belong.
-    val buckets = banded
-      .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    // pair expansion over the (rare) multi-occupant buckets; interpreted
-    // lambdas are fine here — the row count is already the candidate
-    // count, there is no per-corpus-element work left
-    val pairExpr = flatten(transform(
-      sequence(lit(1), size(col("ids")) - 1),
-      i => transform(slice(col("ids"), i + 1, size(col("ids")) - i),
-        j => struct(element_at(col("ids"), i).as("id_a"), j.as("id_b")))))
-    val candidateIds = buckets
-      .select(explode(pairExpr).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // candidate generation via the shared one-shuffle groupBy+expand core
+    // (see [[Lsh.bucketPairs]]); pathological mega-buckets come from
+    // exact-identical docs — run [[exact]] dedup upstream, where they
+    // belong
+    val candidateIds = Lsh.bucketPairs(banded)
     // shingle arrays enter only for the candidate set: each verify join
     // recomputes the (cheap) shingle kernel over a fresh pruned scan
     val shOf = (idAlias: String, shAlias: String) => docs.select(

@@ -106,46 +106,56 @@ object Similarity {
               col("cosine"), col("cell"))
   }
 
-  /** Data-adaptive IVF: coarse cells from MLlib KMeans centroids instead
-    * of axis signs. Each query probes its `probes` nearest centroids —
+  /** Data-adaptive IVF: coarse cells from k-means centroids instead of
+    * axis signs. Each query probes its `probes` nearest centroids —
     * k-means cells track the data distribution, so recall at equal scan
     * fraction beats the sign-bit quantizer (measured in the IVF spec).
-    * The centroid set is tiny (nCells × dim) and broadcast; training is
-    * one MLlib fit over the corpus (sampled upstream at real scale).
-    * Seeded, so cell assignment is deterministic per Spark version.
+    *
+    * Scale discipline: training fits on a DETERMINISTIC bounded sample
+    * (the `maxTrainRows` ids with the smallest md5 — [[graft.functions
+    * .BottomKByMd5]], mergeable and replayable), never the full corpus;
+    * the fitted centroid set (nCells × dim doubles) rides into a native
+    * codegen'd kernel ([[graft.functions.NearestCentroids]]) that
+    * assigns cells in one fused pass — the interpreted
+    * aggregate/zip_with form it replaces re-evaluated a boxed lambda per
+    * centroid per row, and the in-query full-corpus MLlib fit it
+    * replaces re-trained on every invocation. Fully deterministic: the
+    * sample, the init, and the tie-breaks are all content-addressed.
     */
   def ivfKmeansTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                     nCells: Int = 16, probes: Int = 3,
-                    seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+                    maxTrainRows: Int = 2048): DataFrame = {
     val spark = corpus.sparkSession
-    val train = corpus.select(
-      array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(seed)
-      .setFeaturesCol("features").fit(train)
-    val centroids = model.clusterCenters.map(_.toArray)
-    // nearest-centroid ids per vector, computed relationally against the
-    // broadcast centroid array (no second ML pass)
-    def centroidDists(e: Column) = array(centroids.indices.map { ci =>
-      val c = centroids(ci)
-      struct(
-        aggregate(zip_with(e,
-          array(c.map(v => lit(v)): _*),
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0d), (acc, v) => acc + v).as("dist"),
-        lit(ci).as("cell"))
-    }: _*)
-    val cOf = (e: Column) => element_at(array_sort(centroidDists(e)), 1)
-      .getField("cell")
-    val probesOf = (e: Column) => slice(
-      transform(array_sort(centroidDists(e)), s => s.getField("cell")),
-      1, probes)
+    import spark.implicits._
+    // bottom-k-by-md5 sample: order-independent, so the training set (and
+    // therefore the model) is identical no matter how the corpus is
+    // partitioned or how large it grows — and bounded, so collecting it
+    // to the driver for local Lloyd iterations is scale-safe by
+    // construction (maxTrainRows × dim doubles). Distributed k-means over
+    // a driver-sized sample would pay one Spark job PER ITERATION in
+    // scheduling alone; locally the whole fit is sub-millisecond.
+    val sampler = new graft.functions.BottomKByMd5[Long](maxTrainRows, identity)
+    val sampleIds = corpus.select(col("vec_id")).as[Long]
+      .select(sampler.toColumn).head().toSet
+    val sample = corpus
+      .filter(col("vec_id").isInCollection(sampleIds))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      // md5-of-id order: a pseudo-random, partition-independent shuffle,
+      // which makes "first nCells points" a valid random init
+      .sortBy(r => graft.functions.SketchKernels.hex(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(r.getLong(0).toString.getBytes("UTF-8"))))
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val centroids = lloyd(sample, nCells, iterations = 8)
     val q = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("qv"),
-        explode(probesOf(col("embedding"))).as("cell"))
+        explode(SketchFns.nearest_centroids(col("embedding"), centroids,
+          probes)).as("cell"))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("cv"), cOf(col("embedding")).as("cell"))
+        col("embedding").as("cv"),
+        element_at(SketchFns.nearest_centroids(col("embedding"), centroids,
+          1), 1).as("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", SketchFns.quantized_cosine(col("qv"), col("cv")))
@@ -156,21 +166,90 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** Embedding near-duplicate pairs: all corpus pairs with cosine ≥
-    * threshold, bucketed by IVF cell first (near-identical vectors share
-    * sign patterns on most axes; with threshold ≥0.95 and well-spread
-    * data the same-cell assumption is the standard approximation —
-    * verified exactly within each candidate pair).
+  /** Plain deterministic Lloyd iterations over a local sample: init from
+    * the first k points (the caller hands the sample in md5-shuffled
+    * order), assign by squared L2 with ties to the lower index — the same
+    * rule as [[graft.functions.NearestCentroids]] — and keep a centroid
+    * unchanged if its cell empties.
+    */
+  private def lloyd(points: Array[Array[Double]], k: Int,
+                    iterations: Int): Array[Array[Double]] = {
+    require(points.nonEmpty, "empty training sample")
+    val dim = points.head.length
+    var centroids = points.take(k).map(_.clone())
+    val kk = centroids.length
+    var it = 0
+    while (it < iterations) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      points.foreach { p =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var d = 0d
+          var i = 0
+          while (i < dim) {
+            val diff = p(i) - centroids(c)(i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** Embedding similar/near-duplicate pairs: every corpus pair with
+    * cosine ≥ threshold that shares at least one sign-bit LSH band
+    * bucket, verified with the exact quantized cosine.
+    *
+    * Candidate generation is banded random-hyperplane LSH over the
+    * 64-bit axis-sign word: 64/bandBits contiguous band tables plus the
+    * same windows offset by bandBits/2 (2·64/bandBits tables total,
+    * 2^bandBits buckets each — [[graft.functions.SignBandBuckets]]).
+    * P[two vectors agree on one sign bit] = 1 − θ/π, so `bandBits` is
+    * the precision/recall knob: at near-dup thresholds (≥0.9, bit-agree
+    * ≈0.86) wide bands prune almost everything; at weak thresholds like
+    * 0.4 (bit-agree ≈0.64) candidate pruning is information-theoretically
+    * thin — the offset tables are what carry measured recall to 1.0 on
+    * the test corpus (see ExtSpec) while still scanning strictly less
+    * than all pairs. The fixed-16-cell all-pairs form this replaces was
+    * N²/16 regardless of threshold; here candidate volume tracks the
+    * actual collision probability and shrinks exponentially in bandBits.
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
-                         bits: Int = 4): DataFrame = {
-    val c = corpus.select(col("vec_id").as("id"),
-                          col("embedding").as("v"),
-                          ivfCell(col("embedding"), bits).as("cell"))
-    c.as("a").join(c.as("b"),
-        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .withColumn("cosine", SketchFns.quantized_cosine(col("a.v"), col("b.v")))
+                         bandBits: Int = 4): DataFrame = {
+    val banded = corpus.select(col("vec_id").as("id"),
+      posexplode(SketchFns.sign_band_buckets(col("embedding"), bandBits))
+        .as(Seq("band", "bucket")))
+    // verify BEFORE cross-band dedup: the cosine is one fused kernel call,
+    // so re-verifying a pair once per colliding band is cheaper than
+    // pushing the full multi-band candidate stream through a distinct
+    // first — dedup then touches only the (few) threshold survivors, and
+    // duplicates produce bit-identical cosines, so keep-any is
+    // deterministic. The vector-fetch joins are left to the optimizer: a
+    // small corpus broadcasts (no exchange at all); a corpus-scale run
+    // shuffles candidate volume through the join either way, and
+    // band-collision multiplicity concentrates on true near-dups — the
+    // pairs that survive — so the pre-dedup this skips would mostly
+    // shuffle rows the verifier is about to keep.
+    val verified = Lsh.bucketPairsRaw(banded)
+      .join(corpus.select(col("vec_id").as("id_a"),
+        col("embedding").as("va")), "id_a")
+      .join(corpus.select(col("vec_id").as("id_b"),
+        col("embedding").as("vb")), "id_b")
+      .withColumn("cosine", SketchFns.quantized_cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+    Lsh.dedup(verified)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

@@ -141,6 +141,94 @@ object SketchKernels extends Serializable {
     else dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
   }
 
+  /** Sign-bit band buckets for cosine LSH: bit i of a 64-bit word is
+    * sign(vec[i] >= 0); buckets are `bandBits`-wide windows of that word —
+    * the contiguous bands first, then the same windows over the word
+    * rotated by bandBits/2 (offset bands double the table count, which is
+    * what pushes weak-threshold recall to 1; see Similarity scaladoc).
+    * Bucket b (contiguous): bits [b*bandBits, (b+1)*bandBits);
+    * bucket B+b (offset): bits [(b*bandBits + bandBits/2) mod 64, ...).
+    */
+  def signBandBuckets(vec: ArrayData, bandBits: Int): Array[Long] = {
+    val n = math.min(64, vec.numElements())
+    var word = 0L
+    var i = 0
+    while (i < n) {
+      if (vec.getFloat(i) >= 0f) word |= (1L << i)
+      i += 1
+    }
+    val nb = 64 / bandBits
+    val mask = if (bandBits >= 64) -1L else (1L << bandBits) - 1
+    val rot = java.lang.Long.rotateRight(word, bandBits / 2)
+    val out = new Array[Long](2 * nb)
+    var b = 0
+    while (b < nb) {
+      out(b) = (word >>> (b * bandBits)) & mask
+      out(nb + b) = (rot >>> (b * bandBits)) & mask
+      b += 1
+    }
+    out
+  }
+
+  /** Indices of the `probes` nearest centroids (squared L2, ties by
+    * centroid index) for a float vector. `centroids` is row-major
+    * (nCells × dim). Insertion sort over a probes-sized window — probes
+    * is tiny (1..8).
+    */
+  def nearestCentroids(vec: ArrayData, centroids: Array[Double], dim: Int,
+                       probes: Int): Array[Int] = {
+    val nCells = centroids.length / dim
+    val n = math.min(dim, vec.numElements())
+    val p = math.min(probes, nCells)
+    val bestD = new Array[Double](p)
+    val bestI = new Array[Int](p)
+    java.util.Arrays.fill(bestD, Double.MaxValue)
+    java.util.Arrays.fill(bestI, Int.MaxValue)
+    var c = 0
+    while (c < nCells) {
+      var d = 0d
+      var i = 0
+      val off = c * dim
+      while (i < n) {
+        val diff = vec.getFloat(i).toDouble - centroids(off + i)
+        d += diff * diff
+        i += 1
+      }
+      // strict < keeps the smallest index on exact distance ties
+      if (d < bestD(p - 1)) {
+        var j = p - 1
+        while (j > 0 && bestD(j - 1) > d) {
+          bestD(j) = bestD(j - 1); bestI(j) = bestI(j - 1); j -= 1
+        }
+        bestD(j) = d; bestI(j) = c
+      }
+      c += 1
+    }
+    java.util.Arrays.copyOf(bestI, p)
+  }
+
+  /** All C(f,2) ordered pairs of a sorted id array, as struct rows —
+    * native replacement for the nested transform/slice lambda form,
+    * whose per-element boxing dominates on dense LSH buckets.
+    */
+  def pairStructs(ids: ArrayData): ArrayData = {
+    val f = ids.numElements()
+    val out = new Array[Any](f * (f - 1) / 2)
+    var m = 0
+    var i = 0
+    while (i < f) {
+      val a = ids.getLong(i)
+      var j = i + 1
+      while (j < f) {
+        out(m) = org.apache.spark.sql.catalyst.InternalRow(a, ids.getLong(j))
+        m += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** LSH band buckets of a minhash signature: bucket_b = xxhash64 chain
     * over rows [b*r, (b+1)*r) seeded by the band index (r = len/bands).
     * One pass, no per-band array slicing — replaces `bands` separate
@@ -294,6 +382,94 @@ case class BandBuckets(child: Expression, bands: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** pair_structs(sortedIds): all C(f,2) (id_a, id_b) pairs of a bucket's
+  * sorted occupant list.
+  */
+case class PairStructs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("id_a", LongType, nullable = false),
+                   StructField("id_b", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "pair_structs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pair_structs requires ARRAY<BIGINT> input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.pairStructs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = classOf[SketchKernels.type].getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $k.pairStructs($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): PairStructs =
+    copy(child = c)
+}
+
+/** sign_band_buckets(vec, bandBits): cosine-LSH band buckets over the
+  * 64-bit axis-sign word (contiguous + half-band-offset band tables).
+  */
+case class SignBandBuckets(child: Expression, bandBits: Int)
+    extends UnaryExpression {
+  require(bandBits > 0 && 64 % bandBits == 0, "bandBits must divide 64")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_band_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_band_buckets requires ARRAY<FLOAT> input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      SketchKernels.signBandBuckets(input.asInstanceOf[ArrayData], bandBits))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = classOf[SketchKernels.type].getName.stripSuffix("$") + "$.MODULE$"
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new $gad($k.signBandBuckets($c, $bandBits));")
+  }
+  override protected def withNewChildInternal(c: Expression): SignBandBuckets =
+    copy(child = c)
+}
+
+/** nearest_centroids(vec, probes): indices of the `probes` nearest
+  * broadcast centroids by squared L2 (row-major flattened centroid
+  * matrix rides along as a codegen reference object — the centroid set
+  * is nCells × dim doubles, tiny by construction).
+  */
+case class NearestCentroids(child: Expression, centroids: Array[Double],
+                            dim: Int, probes: Int) extends UnaryExpression {
+  require(dim > 0 && probes > 0 && centroids.length % dim == 0)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroids requires ARRAY<FLOAT> input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(SketchKernels.nearestCentroids(
+      input.asInstanceOf[ArrayData], centroids, dim, probes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = classOf[SketchKernels.type].getName.stripSuffix("$") + "$.MODULE$"
+    val gad = classOf[GenericArrayData].getName
+    val cen = ctx.addReferenceObj("centroids", centroids, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new $gad($k.nearestCentroids($c, $cen, $dim, $probes));")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroids =
+    copy(child = c)
+}
+
 object SketchFns {
   import org.apache.spark.sql.graft.bridge
   def hashed_shingles(text: Column, n: Int): Column =
@@ -306,6 +482,16 @@ object SketchFns {
     bridge.column(QuantizedCosine(bridge.expression(a), bridge.expression(b)))
   def band_buckets(sig: Column, bands: Int): Column =
     bridge.column(BandBuckets(bridge.expression(sig), bands))
+  def pair_structs(sortedIds: Column): Column =
+    bridge.column(PairStructs(bridge.expression(sortedIds)))
+  def sign_band_buckets(vec: Column, bandBits: Int): Column =
+    bridge.column(SignBandBuckets(bridge.expression(vec), bandBits))
+  def nearest_centroids(vec: Column, centroids: Array[Array[Double]],
+                        probes: Int): Column = {
+    val dim = centroids.head.length
+    bridge.column(NearestCentroids(bridge.expression(vec),
+      centroids.flatten, dim, probes))
+  }
 }
 
 /** quantized_cosine(a, b) over float-array embeddings: floor-quantizes to

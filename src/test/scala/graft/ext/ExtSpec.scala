@@ -76,6 +76,26 @@ class ExtSpec extends AnyFunSuite {
     assert(kmeans >= 0.5, s"kmeans recall $kmeans too low")
   }
 
+  test("cosine LSH pairs: recall 1.0 vs brute force at threshold 0.4") {
+    import graft.functions.SketchFns
+    // ground truth: all pairs with exact quantized cosine >= 0.4
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val truth = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine",
+        SketchFns.quantized_cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.cosineNearDupPairs(embs, threshold = 0.4)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    // exact verify => no false positives; banded LSH => (measured) no misses
+    assert(got == truth,
+      s"missed=${(truth -- got).size} extra=${(got -- truth).size} of ${truth.size}")
+  }
+
   test("minhash signature agreement estimates jaccard (sketch quality)") {
     // for the planted near-dup pairs, the fraction of agreeing signature
     // positions must approximate the true jaccard within sketch error
@@ -93,6 +113,40 @@ class ExtSpec extends AnyFunSuite {
       assert(math.abs(agree - j) < 0.15,
         s"pair ($a,$b): signature agreement $agree vs jaccard $j")
     }
+  }
+
+  test("jaccard df cap kills planted hot-shingle candidate inflation, keeps true pairs") {
+    import org.scalacheck.{Gen, rng}
+    val word = Gen.choose(0, 499).map(i => s"w$i")
+    def randDoc(seed: Long): String =
+      Gen.listOfN(30, word)
+        .apply(Gen.Parameters.default, rng.Seed(seed)).get.mkString(" ")
+    // 40 distinct docs all ending in the same boilerplate phrase (one hot
+    // shingle with df=42), plus one planted identical pair
+    val planted = randDoc(999L) + " common boilerplate footer"
+    val corpus = ((0 until 40).map(i =>
+        (i.toLong, randDoc(i.toLong) + " common boilerplate footer"))
+      ++ Seq((100L, planted), (101L, planted))).toDF("doc_id", "text")
+    // threshold 0 turns every candidate pair into an output row, making
+    // the inverted index's fan-out directly observable
+    val uncapped = Dedup.jaccardPairs(corpus, col("doc_id"), col("text"),
+      3, 0.0, maxDocFreq = Int.MaxValue).count()
+    val capped = Dedup.jaccardPairs(corpus, col("doc_id"), col("text"),
+      3, 0.0, maxDocFreq = 8).count()
+    // uncapped: the shared boilerplate shingle alone pairs all 42 docs
+    assert(uncapped >= 42L * 41 / 2, s"expected all-pairs inflation, got $uncapped")
+    assert(capped < 100, s"df cap failed to prune hot-shingle candidates: $capped")
+    // the true near-dup pair survives the cap at the real threshold, with
+    // its intersection reduced by exactly the one capped shingle
+    val pair = Dedup.jaccardPairs(corpus, col("doc_id"), col("text"),
+        3, 0.8, maxDocFreq = 8)
+      .filter(col("id_a") === 100 && col("id_b") === 101).collect()
+    assert(pair.length == 1)
+    val full = Dedup.jaccardPairs(corpus, col("doc_id"), col("text"),
+        3, 0.8, maxDocFreq = Int.MaxValue)
+      .filter(col("id_a") === 100 && col("id_b") === 101).collect()
+    assert(pair.head.getAs[Long]("intersection")
+      == full.head.getAs[Long]("intersection") - 1)
   }
 
   test("cosine of a vector with itself is 1.0 (quantized path)") {
