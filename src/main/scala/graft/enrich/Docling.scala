@@ -73,7 +73,10 @@ final case class RetryPolicy(
       (initialDelayMs * math.pow(multiplier, (attempt - 1).toDouble)).toLong)
 
   /** Runs `f` with bounded retry; Right(result, attempts) or
-    * Left(lastError, attempts).
+    * Left(lastError, attempts). A [[CircuitBreakerOpenException]] aborts
+    * the schedule immediately: retrying an OPEN breaker would convert
+    * fail-fast into a full retry-delay crawl per row for the entire
+    * outage — the exact opposite of what the breaker is for.
     */
   def run[A](f: () => A): Either[(String, Int), (A, Int)] = {
     var attempt = 0
@@ -82,6 +85,9 @@ final case class RetryPolicy(
       attempt += 1
       try return Right((f(), attempt))
       catch {
+        case e: CircuitBreakerOpenException =>
+          return Left((Option(e.getMessage).getOrElse("circuit breaker open"),
+                       attempt))
         case scala.util.control.NonFatal(e) =>
           lastErr = Option(e.getMessage).getOrElse(e.getClass.getName)
           if (attempt < maxAttempts) sleeper(delayFor(attempt))
@@ -90,6 +96,13 @@ final case class RetryPolicy(
     Left((lastErr, attempt))
   }
 }
+
+/** Thrown by [[CircuitBreaker.call]] while OPEN; non-retryable by
+  * [[RetryPolicy]]. The message keeps the "circuit breaker" marker the
+  * F2 routing predicate matches on.
+  */
+final class CircuitBreakerOpenException(msg: String)
+    extends RuntimeException(msg)
 
 final case class BreakerConfig(
     failureRatio: Double = 0.5,
@@ -133,7 +146,7 @@ final class CircuitBreaker(
   def call[A](f: () => A): A = {
     state match {
       case Open =>
-        throw new RuntimeException("circuit breaker open: failing fast")
+        throw new CircuitBreakerOpenException("circuit breaker open: failing fast")
       case _ =>
         try { val r = f(); onSuccess(); r }
         catch { case scala.util.control.NonFatal(e) => onFailure(); throw e }

@@ -81,6 +81,10 @@ object Envelope {
               "bad fileSize")
         .when(col("fileSize") > 100L * 1024 * 1024,
               "file exceeds 100MB limit")
+        // a null eventTime would null out the processing date, the object
+        // keys derived from it AND the expiry predicate (dropping the row
+        // from both expiry branches) — route it to the DLQ instead
+        .when(col("eventTime").isNull, "missing eventTime")
         .otherwise(lit(null).cast(StringType)))
 
   /** F3: producer-side file pattern filter (goanywhere-config.md:123). */

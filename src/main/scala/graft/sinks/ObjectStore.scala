@@ -70,7 +70,11 @@ object ObjectStore {
     */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // queryExecution.toRdd: physical partition count without stacking the
+    // row-deserializer lineage `.rdd` would add on top of the plan
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 
   private def newFs(baseDir: String): FileSystem = {
@@ -87,17 +91,50 @@ object ObjectStore {
     try out.write(body) finally out.close()
   }
 
-  /** S4: read raw incoming objects back (binaryFile source); correlationId
-    * recovered from the deterministic key layout.
+  /** S4: read raw incoming objects back (binaryFile source); the full
+    * (processingDate, correlationId, fileName) identity is recovered from
+    * the deterministic key layout — correlationId alone is NOT unique
+    * (several files can share one correlation id, and processing-time
+    * redeliveries of the same file land under different dates).
     */
   def readIncoming(spark: SparkSession, baseDir: String): DataFrame =
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .load(s"$baseDir/incoming")
       .select(
+        regexp_extract(col("path"),
+          "incoming/(\\d{4}/\\d{2}/\\d{2})/[^/]+/[^/]+$", 1)
+          .as("incomingDate"),
         regexp_extract(col("path"), "incoming/\\d{4}/\\d{2}/\\d{2}/([^/]+)/", 1)
           .as("correlationId"),
+        regexp_extract(col("path"),
+          "incoming/\\d{4}/\\d{2}/\\d{2}/[^/]+/([^/]+)$", 1)
+          .as("fileName"),
         col("content").as("body"))
+
+  /** Success-path notifications (the `file-transfer-notifications`
+    * address the reference declares but never feeds —
+    * k8s/amq-address.yaml:50-64; SURVEY.md §2A mirrors it as an optional
+    * topic): one JSON object per processed record under
+    * `notifications/…`. Production would additionally bind the Kafka
+    * writer in [[graft.sources.Sources.kafkaNotificationsWriter]].
+    */
+  def writeNotifications(ok: DataFrame, baseDir: String): Unit =
+    writeBytes(
+      ok.select(
+        concat(concat_ws("/", lit("notifications"), col("processingDate"),
+                         col("correlationId"), col("fileName")),
+               lit(".notification.json")).as("key"),
+        encode(to_json(struct(
+          lit("PROCESSED").as("status"),
+          col("fileName").as("fileName"),
+          col("correlationId").as("correlationId"),
+          col("transferId").as("transferId"),
+          col("s3ProcessedKey").as("s3ProcessedKey"),
+          date_format(current_timestamp(),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("processedTimestamp"))),
+          "UTF-8").as("body")),
+      baseDir)
 
   val failureReportSchema: StructType = StructType(Seq(
     StructField("status", StringType),

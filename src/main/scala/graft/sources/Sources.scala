@@ -44,6 +44,24 @@ object Sources {
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
 
+  /** Success-path notifications producer config (the
+    * `file-transfer-notifications` address the reference declares but
+    * never feeds — k8s/amq-address.yaml:50-64). Config-only like
+    * [[kafkaDlqWriter]]; the object-store mirror
+    * ([[graft.sinks.ObjectStore.writeNotifications]]) is what runs in
+    * broker-less environments.
+    */
+  def kafkaNotificationsWriter(notifications: DataFrame, bootstrap: String,
+                               checkpoint: String,
+                               topic: String = "file-transfer-notifications") =
+    notifications
+      .select(col("correlationId").cast("string").as("key"),
+              col("notification").cast("binary").as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
   /** S5: the file-monitor source — the GoAnywhere directory watch
     * (goanywhere-config.md:111-136) as a streaming binaryFile scan with
     * the producer's pattern filter. maxFilesPerTrigger bounds batch size

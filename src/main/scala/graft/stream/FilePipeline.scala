@@ -56,7 +56,12 @@ final case class PipelineConfig(
       * routed to the expiry branch, mirroring broker message expiry
       * (k8s/amq-broker.yaml:78).
       */
-    expiry: Option[String] = None)
+    expiry: Option[String] = None,
+    /** Success-path notifications mirror (the reference's declared-but-
+      * dead `file-transfer-notifications` address): when true, each
+      * processed record also emits a notification object.
+      */
+    notifications: Boolean = false)
 
 /** The main dataflow (SURVEY.md §3.1), batch-first: every stage is a pure
   * DataFrame/Dataset function; [[runStream]] applies the identical
@@ -132,9 +137,14 @@ object FilePipeline {
     */
   def splitExpired(envelope: DataFrame, expiry: String): (DataFrame, DataFrame) = {
     val maxTs = envelope.select(max(col("eventTime")).as("__maxTs"))
+    // null-safe equality: a null eventTime makes the age predicate null,
+    // which plain filter/!filter would drop from BOTH branches — silent
+    // loss. Such rows stay on the live side, where validation routes
+    // them to the DLQ ("missing eventTime").
     val tagged = envelope.crossJoin(broadcast(maxTs))
       .withColumn("__expired",
-        col("eventTime") < col("__maxTs") - expr(s"INTERVAL $expiry"))
+        (col("eventTime") < col("__maxTs") - expr(s"INTERVAL $expiry"))
+          <=> lit(true))
     (tagged.filter(!col("__expired")).drop("__expired", "__maxTs"),
      tagged.filter(col("__expired")).drop("__expired", "__maxTs"))
   }
@@ -142,18 +152,27 @@ object FilePipeline {
   /** One micro-batch (or one batch job): persist incoming, enrich, write
     * processed + failure reports, return the failed set for the DLQ topic.
     * `outDir` stands in for the S3 bucket (s3a:// in production).
+    *
+    * Metrics ride the existing write actions via `observe()`
+    * (CollectMetrics nodes): a batch costs exactly its writes — no
+    * standalone count() jobs. The same observations surface in streaming
+    * progress events for [[graft.sinks.PipelineListener]].
     */
   def runBatch(envelope: DataFrame, outDir: String, client: DoclingClient,
                cfg: PipelineConfig = PipelineConfig()): BatchMetrics = {
+    import org.apache.spark.sql.Observation
     val spark = envelope.sparkSession
     // Enrichment (external calls) and object puts are latency-bound: their
     // parallelism is the partition count. Kafka micro-batches arrive
     // pre-partitioned; a single-file batch input arrives as one partition
     // and would serialize the whole pipeline — spread it once, up front
     // (the only point where bodies may cross an exchange).
+    // queryExecution.toRdd: partition count without stacking the row-
+    // deserializer lineage `.rdd` would add.
     val target = spark.sparkContext.defaultParallelism
     val spreadEnv =
-      if (envelope.isStreaming || envelope.rdd.getNumPartitions >= target)
+      if (envelope.isStreaming
+          || envelope.queryExecution.toRdd.getNumPartitions >= target)
         envelope
       else envelope.repartition(target)
     // E4: configured expiry routes stale rows to the DLQ branch before
@@ -164,39 +183,51 @@ object FilePipeline {
       case None => (spreadEnv, null)
     }
     val (valid, invalid) = prepare(liveEnv, cfg)
+    val obsIn = Observation(); val obsOk = Observation()
+    val obsFailed = Observation(); val obsInvalid = Observation()
+    val obsExpired = Observation()
+    val nAgg = count(lit(1)).as("n")
+    // blocks until the write action carrying the observed node finishes —
+    // all gets below run after their actions, so this never waits
+    def counted(obs: Observation): Long = obs.get("n").asInstanceOf[Long]
     val validP = valid.persist()
     try {
-      // K1: raw payloads to incoming/ (exact deterministic keys).
-      graft.sinks.ObjectStore.writeIncoming(validP, outDir)
+      // K1: raw payloads to incoming/ (exact deterministic keys). The
+      // observation on top of the cached frame rides this first action.
+      graft.sinks.ObjectStore.writeIncoming(validP.observe(obsIn, nAgg), outDir)
       val enriched = enrich(validP, client, cfg).persist()
       try {
         val (ok, failed) = route(enriched)
         // K2: structured JSON to processed/.
-        graft.sinks.ObjectStore.writeProcessed(ok.toDF(), outDir)
+        val okDf = ok.toDF().observe(obsOk, nAgg)
+        graft.sinks.ObjectStore.writeProcessed(okDf, outDir)
+        // Success-path notifications mirror (reference's declared-but-
+        // dead notifications address), keyed like the processed objects.
+        if (cfg.notifications)
+          graft.sinks.ObjectStore.writeNotifications(ok.toDF(), outDir)
         // DLQ route (3.2): failure reports to failed/, swallow-on-error.
-        val failedDf = failed.toDF()
-        // persist: the invalid branch feeds both the DLQ write and the
-        // metrics count — unpersisted it would re-scan the source twice
-        val invalidP = invalid.persist()
-        try {
-          val expired = Option(expiredEnv).map(_.persist())
-          try {
-            val reports = expired match {
-              case Some(e) =>
-                val expiredReports =
-                  Envelope.withObjectKeys(Envelope.withProcessingDate(e))
-                    .select(col("s3FailedKey").as("key"),
-                      Envelope.failureReportJson(
-                        lit(s"expired: exceeded ${cfg.expiry.get}"),
-                        current_timestamp()).as("report"))
-                dlqReports(failedDf, invalidP).unionByName(expiredReports)
-              case None => dlqReports(failedDf, invalidP)
-            }
-            graft.sinks.ObjectStore.writeFailed(reports, outDir)
-            BatchMetrics(validP.count(), ok.count(), failed.count(),
-                         invalidP.count() + expired.map(_.count()).getOrElse(0L))
-          } finally expired.foreach(_.unpersist())
-        } finally invalidP.unpersist()
+        val failedDf = failed.toDF().observe(obsFailed, nAgg)
+        val invalidO = invalid.observe(obsInvalid, nAgg)
+        val expired = Option(expiredEnv)
+        val reports = expired match {
+          case Some(e) =>
+            val expiredReports =
+              Envelope.withObjectKeys(Envelope.withProcessingDate(
+                  e.observe(obsExpired, nAgg)))
+                .select(col("s3FailedKey").as("key"),
+                  Envelope.failureReportJson(
+                    lit(s"expired: exceeded ${cfg.expiry.get}"),
+                    current_timestamp()).as("report"))
+            dlqReports(failedDf, invalidO).unionByName(expiredReports)
+          case None => dlqReports(failedDf, invalidO)
+        }
+        // one action covers the failed/invalid/expired observations: all
+        // three branches flow into this single write
+        graft.sinks.ObjectStore.writeFailed(reports, outDir)
+        BatchMetrics(
+          counted(obsIn), counted(obsOk), counted(obsFailed),
+          counted(obsInvalid)
+            + expired.map(_ => counted(obsExpired)).getOrElse(0L))
       } finally enriched.unpersist()
     } finally validP.unpersist()
   }
@@ -242,13 +273,26 @@ object FilePipeline {
     */
   def reprocess(spark: SparkSession, outDir: String,
                 correlationId: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val reports = graft.sinks.ObjectStore.readFailedReports(spark, outDir)
     val filtered = correlationId match {
       case Some(id) => reports.filter(col("correlationId") === id)
       case None => reports
     }
+    // join on the full (correlationId, fileName) identity — a correlation
+    // id is NOT unique per file (it comes from JMSCorrelationID or the
+    // Kafka key, and several files can share it), and processing-time-mode
+    // redeliveries store the same file under several dates: keep only the
+    // latest incoming copy per identity so a report re-emits exactly one
+    // body, the newest
+    val latest = Window
+      .partitionBy(col("correlationId"), col("fileName"))
+      .orderBy(col("incomingDate").desc)
     val incoming = graft.sinks.ObjectStore.readIncoming(spark, outDir)
-    filtered.join(incoming, Seq("correlationId"), "inner")
+      .withColumn("__rn", row_number().over(latest))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "incomingDate")
+    filtered.join(incoming, Seq("correlationId", "fileName"), "inner")
       .select(col("fileName"), col("contentType"), col("fileSize"),
               col("checksum"), col("transferId"), col("correlationId"),
               col("body"), current_timestamp().as("eventTime"),

@@ -92,6 +92,22 @@ class RetryBreakerSpec extends AnyFunSuite {
     assert(b.state == b.HalfOpen)
   }
 
+  test("open breaker aborts the retry schedule immediately (no sleeps, no calls)") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val p = RetryPolicy(maxAttempts = 3, sleeper = sleeps.append(_))
+    val b = new CircuitBreaker(
+      BreakerConfig(failureRatio = 0.5, requestVolumeThreshold = 2),
+      () => 0L)
+    failing(b); failing(b)
+    assert(b.state == b.Open)
+    var calls = 0
+    val r = p.run(() => b.call { () => calls += 1; "ok" })
+    assert(r == Left(("circuit breaker open: failing fast", 1)))
+    // fail-fast means fast: the service was never called and the retry
+    // schedule never slept through an open breaker
+    assert(calls == 0 && sleeps.isEmpty)
+  }
+
   test("below the request-volume threshold the breaker never opens") {
     val b = new CircuitBreaker(
       BreakerConfig(failureRatio = 0.5, requestVolumeThreshold = 10),

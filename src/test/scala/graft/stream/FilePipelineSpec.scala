@@ -154,6 +154,76 @@ class FilePipelineSpec extends AnyFunSuite {
       == Set("old.pdf"))
   }
 
+  test("runBatch metrics ride the write actions (observe), not standalone count jobs") {
+    val out = tmp().toString
+    val sc = spark.sparkContext
+    sc.setJobGroup("rb-jobs", "runBatch job count", interruptOnCancel = false)
+    val m =
+      try FilePipeline.runBatch(sampleEnvelope(4), out, new LocalDocling(),
+        freshCfg())
+      finally sc.clearJobGroup()
+    assert(m == BatchMetrics(4, 4, 0, 0))
+    val jobs = sc.statusTracker.getJobIdsForGroup("rb-jobs").length
+    // the batch costs its three writes (incoming/processed/failed) plus at
+    // most AQE shuffle materialization — the four count() actions that
+    // used to follow them are gone
+    assert(jobs <= 5, s"expected metrics to ride the writes, saw $jobs jobs")
+  }
+
+  test("splitExpired keeps null-eventTime rows out of the expired branch; validation DLQs them") {
+    val out = tmp().toString
+    val rows = envelope(Seq(
+      ("nots.pdf", "application/pdf", 10L, "t1", "ab" * 32, "c-null",
+       "x".getBytes, null, 1),
+      ("new.pdf", "application/pdf", 10L, "t2", "ab" * 32, "c-new",
+       "y".getBytes, Timestamp.valueOf("2024-03-05 00:00:00"), 1)))
+    // a null eventTime must land in exactly one branch (live), not vanish
+    val (live, expired) = FilePipeline.splitExpired(rows, "'2' DAYS")
+    assert(expired.count() == 0)
+    assert(live.count() == 2)
+    // ...and end-to-end it becomes a DLQ report, not silent loss
+    val m = FilePipeline.runBatch(rows, out, new LocalDocling(),
+      freshCfg().copy(expiry = Some("'2' DAYS")))
+    assert(m == BatchMetrics(1, 1, 0, 1))
+    val reports = ObjectStore.readFailedReports(spark, out).collect()
+    assert(reports.length == 1)
+    assert(reports.head.getAs[String]("exception") == "missing eventTime")
+  }
+
+  test("notifications mirror: one notification object per processed record (batch)") {
+    val out = tmp().toString
+    val m = FilePipeline.runBatch(sampleEnvelope(3), out,
+      new LocalDocling(failSubstring = Some("doc2.pdf")),
+      freshCfg().copy(notifications = true))
+    assert(m == BatchMetrics(3, 2, 1, 0))
+    val notes = spark.read.option("recursiveFileLookup", "true")
+      .json(s"$out/notifications").collect()
+    assert(notes.length == 2)
+    assert(notes.map(_.getAs[String]("fileName")).toSet
+      == Set("doc1.pdf", "doc3.pdf"))
+    assert(notes.forall(_.getAs[String]("status") == "PROCESSED"))
+    assert(notes.forall(r =>
+      r.getAs[String]("s3ProcessedKey").startsWith("processed/")))
+  }
+
+  test("reprocess resolves the right body when a correlationId spans multiple files") {
+    val out = tmp().toString
+    val ts = Timestamp.valueOf("2024-03-05 07:08:09")
+    val rows = envelope(Seq(
+      ("a.pdf", "application/pdf", 10L, "t1", "ab" * 32, "corr-shared",
+       "body-a".getBytes, ts, 1),
+      ("b.pdf", "application/pdf", 10L, "t2", "ab" * 32, "corr-shared",
+       "body-b".getBytes, ts, 1)))
+    FilePipeline.runBatch(rows, out,
+      new LocalDocling(failSubstring = Some("b.pdf")), freshCfg())
+    val re = FilePipeline.reprocess(spark, out).collect()
+    // the shared correlationId must NOT fan the one report out to both
+    // incoming bodies
+    assert(re.length == 1)
+    assert(re.head.getAs[String]("fileName") == "b.pdf")
+    assert(new String(re.head.getAs[Array[Byte]]("body")) == "body-b")
+  }
+
   test("reprocess (E5) joins failure reports back to incoming payloads and bumps deliveryCount") {
     val out = tmp().toString
     FilePipeline.runBatch(sampleEnvelope(3), out,

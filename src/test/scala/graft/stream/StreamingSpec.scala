@@ -74,6 +74,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(reports.map(_.getAs[String]("fileName")).toSet == Set("doc2.pdf"))
   }
 
+  test("streaming notifications: one notification row per processed record") {
+    val out = Files.createTempDirectory("graft-stream").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val source = MemoryStream[FileTransferEvent](spark)
+    source.addData(event(1), event(2), event(3))
+    val q = FilePipeline.runStream(source.toDF(), out, ckpt,
+      new LocalDocling(failSubstring = Some("doc2.pdf")),
+      freshCfg().copy(notifications = true))
+    q.processAllAvailable()
+    q.stop()
+    val notes = spark.read.option("recursiveFileLookup", "true")
+      .json(s"$out/notifications").collect()
+    // success path only: the failed doc gets a DLQ report, never a
+    // notification
+    assert(notes.map(_.getAs[String]("fileName")).toSet
+      == Set("doc1.pdf", "doc3.pdf"))
+    assert(notes.forall(_.getAs[String]("status") == "PROCESSED"))
+  }
+
   test("watermarked sliding-window aggregation drops late data beyond the watermark") {
     // The §2C monitoring query in true streaming form: 10-minute windows,
     // 5-minute watermark.

@@ -44,6 +44,76 @@ class TrackerSourcesSpec extends AnyFunSuite {
     assert(!out.contains("c9")) // still in flight, no update emitted
   }
 
+  test("soak: 1e5 keys with out-of-order + replayed events — bounded state, exact STALLED set") {
+    val source = MemoryStream[StatusEvent](spark)
+    val tracked = TransferTracker.track(
+      source.toDS().withWatermark("eventTime", "1 minute")
+        .as[StatusEvent])
+    val q = tracked.writeStream.format("memory")
+      .queryName("tracker_soak").outputMode("append").start()
+
+    val nKeys = 100000
+    val t0 = ts("2024-03-05 07:00:00").getTime
+    def at(ms: Long) = new Timestamp(ms)
+    def rcvTime(i: Int) = t0 + (i % 300) * 1000L
+
+    // batch 1: every key RECEIVED; even keys also PROCESSED in the same
+    // batch, with the terminal event EMITTED BEFORE its RECEIVED (arrival
+    // order inverted — the tracker must sort by event time, not arrival)
+    val b1 = (0 until nKeys).flatMap { i =>
+      val rcv = StatusEvent(s"c$i", "RECEIVED", at(rcvTime(i)))
+      if (i % 2 == 0)
+        Seq(StatusEvent(s"c$i", "PROCESSED", at(rcvTime(i) + 90000L)), rcv)
+      else Seq(rcv)
+    }
+    source.addData(b1)
+    q.processAllAvailable()
+
+    // batch 2: redeliver RECEIVED for 10k still-in-flight odd keys and
+    // complete half the odd keys. The terminals are time-stamped BEFORE
+    // the redeliveries, so within the batch a replayed RECEIVED sorts
+    // after the terminal — the order-inversion path. (Rows behind the
+    // watermark never reach the tracker: Spark's stateful operators
+    // filter late input, which is itself part of the contract.)
+    val b2 = (1 until nKeys by 2).flatMap { i =>
+      val replay =
+        if (i < 20000)
+          Seq(StatusEvent(s"c$i", "RECEIVED", at(t0 + 420000L)))
+        else Seq.empty
+      val terminal =
+        if (i % 4 == 1)
+          Seq(StatusEvent(s"c$i", "PROCESSED", at(t0 + 360000L)))
+        else Seq.empty
+      replay ++ terminal
+    }
+    source.addData(b2)
+    q.processAllAvailable()
+
+    // batch 3: advance the watermark far past every pending timeout
+    source.addData(StatusEvent("sentinel", "RECEIVED",
+      at(t0 + 4 * 3600 * 1000L)))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("tracker_soak").as[TransferUpdate].collect()
+    val byStatus = out.groupBy(_.finalStatus).view.mapValues(_.length).toMap
+    // 50k even + 25k odd (i % 4 == 1) processed; the other 25k odd stall
+    assert(byStatus("PROCESSED") == nKeys / 2 + nKeys / 4)
+    assert(byStatus("STALLED") == nKeys / 4)
+    // every key resolves exactly once — replays must not double-emit
+    assert(out.length == out.map(_.correlationId).distinct.length)
+    // replayed keys carry their replay in the update count
+    val replayed = out.filter(u => u.correlationId.drop(1).toIntOption
+      .exists(i => i < 20000 && i % 4 == 1))
+    assert(replayed.nonEmpty && replayed.forall(_.updates == 3))
+    // state stays bounded by the in-flight key count and drains to zero
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal)
+    assert(stateRows.nonEmpty)
+    assert(stateRows.max <= nKeys + 1L)
+    assert(stateRows.last == 1L || stateRows.last == 0L) // sentinel only
+  }
+
   test("file monitor source streams new files through the pattern filter") {
     val dir = Files.createTempDirectory("graft-files")
     Files.write(dir.resolve("a.pdf"), "hello pdf".getBytes)
