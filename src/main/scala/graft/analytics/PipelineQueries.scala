@@ -249,6 +249,89 @@ object PipelineQueries {
                CAST(LENGTH(props) AS INT) AS payload_len
         FROM events
         WHERE event_id % 97 = 0
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ------------------------------------------------------------------
+    // q51: nested-JSON analytics over Docling-style result documents
+    // (SURVEY.md §1.2: the reference stores the converter's JSON verbatim,
+    // camel/file-pipeline.yaml:169-173 — a user analyzing processed docs
+    // parses it back with an explicit schema and explodes the extracted
+    // tables). The result JSON is synthesized deterministically per event
+    // (nested array of table structs, null when no tables), then parsed
+    // with from_json(StructType) + explode — the full nested-parse path,
+    // checked against DuckDB's json_extract on the identically-built JSON.
+    GraftQuery(
+      "q51_nested_json_tables",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val pages = (col("event_id") % 7 + 1).cast("int")
+        val nTab = col("event_id") % 4
+        val stored = t.events.select(col("event_id"), col("ts"),
+          to_json(struct(
+            lit("docling/v1").as("schema"),
+            pages.as("pages"),
+            when(nTab > 0, transform(sequence(lit(1L), nTab),
+              i => struct(
+                ((col("event_id") + i) % (col("event_id") % 7 + 1) + 1)
+                  .cast("int").as("page"),
+                ((col("event_id") * i) % 20 + 1).cast("int").as("nrows"),
+                (i % 6 + 1).cast("int").as("ncols")))).as("tables")))
+            .as("doclingResult"))
+        val resultSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "`schema` STRING, pages INT, " +
+          "tables ARRAY<STRUCT<page: INT, nrows: INT, ncols: INT>>")
+        val parsed = stored.select(col("ts"),
+          from_json(col("doclingResult"), resultSchema).as("doc"))
+        val day = date_format(col("ts"), "yyyy-MM-dd").as("day")
+        val docs = parsed.groupBy(day)
+          .agg(count(lit(1)).as("n_docs"))
+        val tabs = parsed
+          .select(col("ts"), explode(col("doc.tables")).as("tbl"))
+          .groupBy(day)
+          .agg(count(lit(1)).as("n_tables"),
+               sum(col("tbl.nrows")).cast("long").as("sum_rows"),
+               max(col("tbl.ncols")).as("max_cols"))
+        docs.join(tabs, "day")
+          .withColumn("avg_rows_per_table",
+            col("sum_rows").cast("double") / col("n_tables"))
+          .select(col("day"), col("n_docs"), col("n_tables"),
+                  col("sum_rows"), col("max_cols"), col("avg_rows_per_table"))
+          .orderBy(col("day"))
+      },
+      Some("""
+        WITH built AS (
+          SELECT event_id, ts,
+            to_json(struct_pack(
+              "schema" := 'docling/v1',
+              pages := CAST(event_id % 7 + 1 AS INT),
+              tables := CASE WHEN event_id % 4 > 0 THEN
+                list_transform(generate_series(1, event_id % 4),
+                  i -> struct_pack(
+                    page := CAST((event_id + i) % (event_id % 7 + 1) + 1 AS INT),
+                    nrows := CAST((event_id * i) % 20 + 1 AS INT),
+                    ncols := CAST(i % 6 + 1 AS INT)))
+                ELSE NULL END)) AS j
+          FROM events),
+        exploded AS (
+          SELECT event_id, ts,
+            CAST(json_extract(j, '$.pages') AS INT) AS pages,
+            unnest(CAST(json_extract(j, '$.tables')
+              AS STRUCT(page INT, nrows INT, ncols INT)[])) AS tbl
+          FROM built),
+        docs AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_docs
+          FROM built GROUP BY 1),
+        tabs AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day,
+                 COUNT(*) AS n_tables,
+                 CAST(SUM(tbl.nrows) AS BIGINT) AS sum_rows,
+                 CAST(MAX(tbl.ncols) AS INT) AS max_cols
+          FROM exploded GROUP BY 1)
+        SELECT d.day AS day, CAST(d.n_docs AS BIGINT) AS n_docs,
+               CAST(t.n_tables AS BIGINT) AS n_tables, t.sum_rows AS sum_rows,
+               t.max_cols AS max_cols,
+               CAST(t.sum_rows AS DOUBLE) / t.n_tables AS avg_rows_per_table
+        FROM docs d JOIN tabs t ON d.day = t.day
+        ORDER BY day"""))
   )
 }
