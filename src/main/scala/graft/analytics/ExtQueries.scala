@@ -30,6 +30,39 @@ object ExtQueries {
         WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8
         ORDER BY id_a, id_b"""
 
+  /** Recursive-CTE transitive closure over the exact-Jaccard pairs —
+    * shared verdict for both connected-component formulations (q44 label
+    * propagation, q52 large-star/small-star).
+    */
+  private val clusterOracle = """
+        WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shingles AS (SELECT doc_id, CASE WHEN len(w) >= 3
+               THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+                 i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
+               ELSE [array_to_string(w, ' ')] END AS sh FROM words),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shingles),
+        sizes AS (SELECT doc_id, len(sh) AS n FROM shingles),
+        cand AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (
+          SELECT ia AS id_a, ib AS id_b
+          FROM cand JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+          WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(s, d) AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        comp AS (
+          SELECT s AS doc_id, least(s, MIN(d)) AS cluster_id
+          FROM reach GROUP BY s)
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               doc_id = cluster_id AS is_canonical
+        FROM comp
+        ORDER BY doc_id"""
+
   val queries: Seq[GraftQuery] = Seq(
 
     // ------------------------------------------------------------------
@@ -377,34 +410,25 @@ object ExtQueries {
         Dedup.clusters(pairs)
           .orderBy(col("doc_id"))
       },
-      Some("""
-        WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        shingles AS (SELECT doc_id, CASE WHEN len(w) >= 3
-               THEN list_distinct(list_transform(generate_series(1, len(w)-2),
-                 i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
-               ELSE [array_to_string(w, ' ')] END AS sh FROM words),
-        ex AS (SELECT doc_id, unnest(sh) AS s FROM shingles),
-        sizes AS (SELECT doc_id, len(sh) AS n FROM shingles),
-        cand AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS inter
-          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        pairs AS (
-          SELECT ia AS id_a, ib AS id_b
-          FROM cand JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
-          WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8),
-        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
-                  UNION SELECT id_b, id_a FROM pairs),
-        reach(s, d) AS (
-          SELECT s, d FROM edges
-          UNION
-          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
-        comp AS (
-          SELECT s AS doc_id, least(s, MIN(d)) AS cluster_id
-          FROM reach GROUP BY s)
-        SELECT doc_id, cluster_id,
-               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-               doc_id = cluster_id AS is_canonical
-        FROM comp
-        ORDER BY doc_id""")),
+      Some(clusterOracle)),
+
+    // ------------------------------------------------------------------
+    // q52: the same dedup clusters computed by the large-star/small-star
+    // edge-rewriting formulation (O(log²) rounds vs O(diameter) for label
+    // propagation — the deep-graph scale path), against the identical
+    // recursive-CTE oracle: both algorithms must produce the exact same
+    // component structure.
+    GraftQuery(
+      "q52_dedup_clusters_bigstar",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val pairs = Dedup.minhashPairs(t.documents, col("doc_id"),
+            col("text"), n = 3, threshold = 0.8)
+          .select(col("id_a"), col("id_b"))
+        Dedup.clustersBigStar(pairs)
+          .orderBy(col("doc_id"))
+      },
+      Some(clusterOracle)),
 
     // ------------------------------------------------------------------
     // q47: winnowing-fingerprint near-dup candidates (character-level,

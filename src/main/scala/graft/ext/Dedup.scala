@@ -148,7 +148,12 @@ object Dedup {
       .union(l)
       .groupBy("id").agg(min(col("label")).as("label"))
     while (!converged && iter < maxIterations) {
-      val next = propagate(labels).persist()
+      // eager localCheckpoint, not persist: propagate references the
+      // label frame twice, so persisted-but-unlinearized rounds grow the
+      // logical plan ~3× per iteration — harmless for the 1–2 rounds a
+      // shallow graph needs, an exponential analysis blow-up on deep
+      // ones. Checkpointing truncates lineage to the materialized blocks.
+      val next = propagate(labels).localCheckpoint(true)
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
@@ -157,6 +162,97 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    val w = Window.partitionBy(col("label"))
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+              col("cluster_size"),
+              (col("id") === col("label")).as("is_canonical"))
+  }
+
+  /** Connected components via alternating large-star / small-star edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the deep-graph alternative to [[clusters]]'
+    * min-label propagation: O(log²) rounds regardless of component
+    * DIAMETER, where label propagation pays one round per hop. Near-dup
+    * clusters are usually shallow (propagation wins on constants); chains
+    * of drifting near-duplicates or transitive fuzzy matches build long
+    * paths, and this is the formulation that survives them at scale.
+    *
+    * Each round is two groupBy-join passes over the edge set:
+    *   - large-star: every node links its LARGER neighbors to the
+    *     minimum of its neighborhood (incl. itself);
+    *   - small-star: every node links its smaller neighbors AND itself
+    *     to that minimum.
+    * Both strictly shrink Σ(u+v) over edges until the set is a union of
+    * stars centered on component minima; (count, Σ) is the convergence
+    * witness. Same output contract as [[clusters]].
+    */
+  def clustersBigStar(pairs: DataFrame, maxIterations: Int = 30): DataFrame = {
+    var e = pairs
+      .filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+              least(col("id_a"), col("id_b")).as("v"))
+      .dropDuplicates("u", "v")
+      .persist()
+    def adjacency(edges: DataFrame): DataFrame =
+      edges.select(explode(array(
+          struct(col("u").as("x"), col("v").as("y")),
+          struct(col("v").as("x"), col("u").as("y")))).as("e"))
+        .select(col("e.x"), col("e.y"))
+    // m(x) = min(N(x) ∪ {x}); for any neighbor y of x, m(x) <= y
+    def withMin(adj: DataFrame): DataFrame = adj.join(
+      adj.groupBy(col("x")).agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m")),
+      "x")
+    def largeStar(edges: DataFrame): DataFrame = {
+      val a = withMin(adjacency(edges))
+      a.filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .dropDuplicates("u", "v")
+    }
+    def smallStar(edges: DataFrame): DataFrame = {
+      val a = withMin(adjacency(edges))
+      val nbr = a.filter(col("y") < col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+      val self = a.select(col("x").as("u"), col("m").as("v"))
+      nbr.union(self)
+        .filter(col("u") =!= col("v"))
+        .dropDuplicates("u", "v")
+    }
+    // (edge count, Σ(u+v)) as the fixpoint witness; decimal vs ANSI
+    // overflow on 63-bit ids, and both stars only ever shrink the sum
+    def witness(edges: DataFrame): (Any, Any) = {
+      val r = edges.agg(count(lit(1)),
+        sum((col("u") + col("v")).cast("decimal(38,0)"))).head()
+      (r.get(0), r.get(1))
+    }
+    var prev = witness(e)
+    var iter = 0
+    var converged = prev._1 == 0L
+    while (!converged && iter < maxIterations) {
+      // eager localCheckpoint, NOT persist: each star references its
+      // input several times, so the logical plan grows ~6× per round —
+      // persist caches data but keeps the whole lineage, and ten rounds
+      // of that is an exponential plan that OOMs the driver during
+      // analysis. Checkpointing truncates the plan to the materialized
+      // blocks each round.
+      val afterLarge = largeStar(e).localCheckpoint(true)
+      val next = smallStar(afterLarge).localCheckpoint(true)
+      val w = witness(next)
+      e.unpersist()
+      e = next
+      converged = w == prev
+      prev = w
+      iter += 1
+    }
+    // fixpoint = disjoint stars: every non-root u carries exactly one
+    // (u, root) edge; roots appear only on the v side
+    val labels = e.select(col("u").as("id"), col("v").as("label"))
+      .union(e.select(col("v").as("id"), col("v").as("label")))
+      .dropDuplicates("id", "label")
+    e.unpersist()
     val w = Window.partitionBy(col("label"))
     labels
       .withColumn("cluster_size", count(lit(1)).over(w))

@@ -149,6 +149,61 @@ class ExtSpec extends AnyFunSuite {
       == full.head.getAs[Long]("intersection") - 1)
   }
 
+  test("large-star/small-star clusters match union-find on random graphs and deep paths") {
+    import org.scalacheck.{Gen, rng}
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // path-compress to the component min (union by min above)
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(x => x -> find(x)).toMap
+    }
+    def check(edges: Seq[(Long, Long)], label: String): Unit = {
+      val expected = unionFind(edges)
+      val got = Dedup.clustersBigStar(edges.toDF("id_a", "id_b"))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))
+        .toMap
+      assert(got.keySet == expected.keySet, s"$label: node sets differ")
+      expected.foreach { case (node, root) =>
+        assert(got(node)._1 == root,
+          s"$label: node $node got ${got(node)._1}, want $root")
+      }
+      val sizes = expected.groupBy(_._2).view.mapValues(_.size).toMap
+      got.foreach { case (node, (root, size)) =>
+        assert(size == sizes(root), s"$label: size mismatch at $node")
+      }
+    }
+    // deep path: 400 hops with shuffled ids — label propagation would
+    // need ~400 rounds, the star rewrite converges in O(log²)
+    val perm = new scala.util.Random(11).shuffle((0L to 400L).toVector)
+    check(perm.sliding(2).map(p => (p(0), p(1))).toSeq, "path-400")
+    // random graphs (ScalaCheck Gen sampling)
+    val edgeGen = Gen.listOfN(150,
+      Gen.zip(Gen.choose(0L, 99L), Gen.choose(0L, 99L)))
+    (1 to 3).foreach { s =>
+      val edges = edgeGen(Gen.Parameters.default, rng.Seed(s.toLong)).get
+        .filter(e => e._1 != e._2)
+      check(edges, s"random-$s")
+    }
+    // and both formulations agree on the real near-dup pairs
+    val pairs = Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.8)
+      .select("id_a", "id_b")
+    val a = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val b = Dedup.clustersBigStar(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(a == b)
+  }
+
   test("cosine of a vector with itself is 1.0 (quantized path)") {
     val self = embs.limit(10).select(
       Similarity.cosineQ(Similarity.quantize(col("embedding")),
