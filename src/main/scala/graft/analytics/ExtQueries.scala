@@ -431,6 +431,49 @@ object ExtQueries {
       Some(clusterOracle)),
 
     // ------------------------------------------------------------------
+    // q53: Gopher-style within-document repetition metrics — distinct-word
+    // ratio plus top-2-gram / duplicated-3-gram fractions with the
+    // curation-filter verdict. One native kernel pass per document
+    // (functions.RepetitionStats); the oracle recomputes the same n-gram
+    // census relationally in DuckDB.
+    GraftQuery(
+      "q53_repetition_metrics",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        TextAnalysis.withRepetitionStats(t.documents, col("text"))
+          .select(col("doc_id"), col("n_words"), col("distinct_word_ratio"),
+                  col("top_2gram_frac"), col("dup_3gram_frac"),
+                  col("is_repetitive"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+                 i -> concat(w[i], ' ', w[i+1]))) AS g
+               FROM words WHERE len(w) >= 2),
+        g2c AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        g2s AS (SELECT doc_id,
+                       CASE WHEN MAX(c) > 1 THEN MAX(c) ELSE 0 END AS top2,
+                       SUM(c) AS tot2 FROM g2c GROUP BY 1),
+        g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+                 i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS g
+               FROM words WHERE len(w) >= 3),
+        g3c AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+        g3s AS (SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3,
+                       SUM(c) AS tot3 FROM g3c GROUP BY 1)
+        SELECT wd.doc_id AS doc_id,
+               CAST(len(wd.w) AS INT) AS n_words,
+               CAST(len(list_distinct(wd.w)) AS DOUBLE) / len(wd.w) AS distinct_word_ratio,
+               COALESCE(CAST(g2s.top2 AS DOUBLE) / g2s.tot2, 0.0) AS top_2gram_frac,
+               COALESCE(CAST(g3s.dup3 AS DOUBLE) / g3s.tot3, 0.0) AS dup_3gram_frac,
+               (COALESCE(CAST(g2s.top2 AS DOUBLE) / g2s.tot2, 0.0) > 0.18
+                OR COALESCE(CAST(g3s.dup3 AS DOUBLE) / g3s.tot3, 0.0) > 0.30) AS is_repetitive
+        FROM words wd
+        LEFT JOIN g2s ON wd.doc_id = g2s.doc_id
+        LEFT JOIN g3s ON wd.doc_id = g3s.doc_id
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
     // q47: winnowing-fingerprint near-dup candidates (character-level,
     // overlap-normalized) — rows-only like q29/q36 (the fingerprint hash
     // is not ANSI-SQL-expressible); SkewWinnowSpec proves the candidate

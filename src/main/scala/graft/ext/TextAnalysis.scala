@@ -98,4 +98,26 @@ object TextAnalysis {
     df.withColumn("md5_hex", md5(encode(text, "UTF-8")))
       .withColumn("poly_hash", ColumnFns.poly_hash(text))
       .withColumn("winnow_fp", ColumnFns.winnow(text, 8, 4))
+
+  /** Gopher-style within-document repetition signals: distinct-word
+    * ratio, top-2-gram fraction, duplicated-3-gram fraction, and the
+    * threshold verdict a curation filter would act on. One native kernel
+    * pass per document ([[graft.functions.RepetitionStats]]), no shuffle.
+    * (The kernel array is projected twice, so CollapseProject runs it
+    * twice per row — a few µs on a kernel this size, cheaper than
+    * persisting a corpus-wide intermediate to avoid it.)
+    */
+  def withRepetitionStats(df: DataFrame, text: Column,
+                          maxTop2: Double = 0.18,
+                          maxDup3: Double = 0.30): DataFrame = {
+    val words = split(text, " ")
+    val stats = graft.functions.SketchFns.repetition_stats(text)
+    df.withColumn("n_words", size(words))
+      .withColumn("distinct_word_ratio",
+        size(array_distinct(words)).cast("double") / size(words))
+      .withColumn("top_2gram_frac", element_at(stats, 1))
+      .withColumn("dup_3gram_frac", element_at(stats, 2))
+      .withColumn("is_repetitive",
+        col("top_2gram_frac") > maxTop2 || col("dup_3gram_frac") > maxDup3)
+  }
 }

@@ -254,6 +254,60 @@ object SketchKernels extends Serializable {
     out
   }
 
+  /** Within-document repetition stats over word n-grams (the
+    * Gopher/C4-style curation signals): returns
+    * [top-2-gram fraction, duplicated-3-gram fraction]. Counts are keyed
+    * by chained xxhash64 of the word hashes — equal word sequences hash
+    * equal; cross-gram collisions within one document are ~|grams|²/2⁶⁴.
+    */
+  def repetitionStats(text: UTF8String): Array[Double] = {
+    val words = text.split(UTF8String.fromString(" "), -1)
+    val len = words.length
+    val wordHashes = new Array[Long](len)
+    var i = 0
+    while (i < len) { wordHashes(i) = xx64(words(i)); i += 1 }
+    def gramCounts(n: Int): java.util.HashMap[Long, Int] = {
+      val total = len - n + 1
+      val m = new java.util.HashMap[Long, Int](math.max(total, 4) * 2)
+      var i = 0
+      while (i < total) {
+        var h = n.toLong
+        var j = 0
+        while (j < n) {
+          h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashLong(wordHashes(i + j), h)
+          j += 1
+        }
+        m.merge(h, 1, (a, b) => a + b)
+        i += 1
+      }
+      m
+    }
+    val top2 = {
+      val total = len - 1
+      if (total <= 0) 0d
+      else {
+        var top = 0
+        val it = gramCounts(2).values().iterator()
+        while (it.hasNext) { val c = it.next(); if (c > top) top = c }
+        // a gram that occurs once is not repetition: without this guard
+        // every short document scores 1/total and trips the threshold
+        if (top < 2) 0d else top.toDouble / total
+      }
+    }
+    val dup3 = {
+      val total = len - 2
+      if (total <= 0) 0d
+      else {
+        var dup = 0
+        val it = gramCounts(3).values().iterator()
+        while (it.hasNext) { val c = it.next(); if (c > 1) dup += c }
+        dup.toDouble / total
+      }
+    }
+    Array(top2, dup3)
+  }
+
   /** 64-bit SimHash over whitespace-token hashes of the text. */
   def simhash(text: UTF8String): Long = {
     val words = text.split(UTF8String.fromString(" "), -1)
@@ -409,6 +463,34 @@ case class PairStructs(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** repetition_stats(text): [top-2-gram fraction, dup-3-gram fraction]
+  * over whitespace words — the within-document repetition signals a
+  * Gopher-style quality filter thresholds on.
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "repetition_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats requires STRING input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      SketchKernels.repetitionStats(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = classOf[SketchKernels.type].getName.stripSuffix("$") + "$.MODULE$"
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new $gad($k.repetitionStats($c));")
+  }
+  override protected def withNewChildInternal(c: Expression): RepetitionStats =
+    copy(child = c)
+}
+
 /** sign_band_buckets(vec, bandBits): cosine-LSH band buckets over the
   * 64-bit axis-sign word (contiguous + half-band-offset band tables).
   */
@@ -484,6 +566,8 @@ object SketchFns {
     bridge.column(BandBuckets(bridge.expression(sig), bands))
   def pair_structs(sortedIds: Column): Column =
     bridge.column(PairStructs(bridge.expression(sortedIds)))
+  def repetition_stats(text: Column): Column =
+    bridge.column(RepetitionStats(bridge.expression(text)))
   def sign_band_buckets(vec: Column, bandBits: Int): Column =
     bridge.column(SignBandBuckets(bridge.expression(vec), bandBits))
   def nearest_centroids(vec: Column, centroids: Array[Array[Double]],

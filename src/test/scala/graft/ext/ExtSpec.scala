@@ -240,6 +240,27 @@ class ExtSpec extends AnyFunSuite {
     assert(short.isEmpty)
   }
 
+  test("repetition metrics: golden values and threshold verdicts") {
+    val df = Seq(
+      (1L, "a b a b a b"),              // "a b"×3 of 5 two-grams; all 4 three-grams duplicated
+      (2L, "one two three four five"),  // no repetition at all
+      (3L, "x"),                        // too short for any n-gram
+      (4L, "")                          // empty text
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withRepetitionStats(df, col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(math.abs(out(1L).getAs[Double]("top_2gram_frac") - 3.0 / 5) < 1e-15)
+    assert(out(1L).getAs[Double]("dup_3gram_frac") == 1.0)
+    assert(out(1L).getAs[Boolean]("is_repetitive"))
+    assert(out(2L).getAs[Double]("top_2gram_frac") == 0.0)
+    assert(out(2L).getAs[Double]("dup_3gram_frac") == 0.0)
+    assert(!out(2L).getAs[Boolean]("is_repetitive"))
+    assert(out(3L).getAs[Double]("top_2gram_frac") == 0.0)
+    assert(out(4L).getAs[Double]("dup_3gram_frac") == 0.0)
+    assert(!out(4L).getAs[Boolean]("is_repetitive"))
+    assert(out(1L).getAs[Double]("distinct_word_ratio") == 2.0 / 6)
+  }
+
   test("lang id predicts the marker-dominant language") {
     val df = Seq(
       ("d1", "the fast slow the fast"),      // en markers
