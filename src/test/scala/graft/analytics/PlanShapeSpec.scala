@@ -1,0 +1,74 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, TestSpark}
+
+/** Physical-plan shape assertions: the properties that make these queries
+  * scale are load-bearing, so they are pinned here — filter pushdown and
+  * column pruning reaching the parquet scan, dimension joins broadcasting
+  * instead of shuffling, top-k planning as TakeOrderedAndProject, and the
+  * native kernels staying inside whole-stage codegen. A refactor that
+  * silently degrades any of these still passes value-level tests; this
+  * suite is what catches it.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01 scan: filter pushed to parquet, untouched columns pruned") {
+    val plan = executedPlan("q01_pricing_summary")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate filter not pushed:\n$plan")
+    // projection pruning: the scan schema must not include columns the
+    // query never touches
+    assert(!plan.contains("l_comment"), "scan reads an untouched column")
+    assert(!plan.contains("l_partkey"), "scan reads an untouched column")
+  }
+
+  test("dimension joins broadcast; no sort-merge on the dim side") {
+    // q03 joins lineitem (fact) to part (dim): the dim must broadcast
+    val plan = executedPlan("q03_brand_revenue")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension join did not broadcast:\n$plan")
+    // q02's 5-way star: region/nation/customer/supplier are all dims
+    val star = executedPlan("q02_region_revenue")
+    assert(star.contains("BroadcastHashJoin"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    val plan = executedPlan("q08_top10_parts_by_revenue")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"limit+orderBy did not fuse into top-k:\n$plan")
+  }
+
+  test("semi/anti join queries plan as semi/anti, not join+distinct") {
+    assert(executedPlan("q04_priority_with_returns").contains("LeftSemi"))
+    assert(executedPlan("q05_customers_without_orders").contains("LeftAnti"))
+  }
+
+  test("native kernels run inside whole-stage codegen") {
+    // q53's repetition kernel and q34's poly_hash are UnaryExpressions
+    // with doGenCode — they must not break the codegen span around them.
+    // AQE only materializes WholeStageCodegen nodes in the FINAL plan, so
+    // execute first and inspect the finalized plan.
+    def finalPlan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // "*(n)" prefixes mark whole-stage-codegen'd operators in the
+    // simple plan string; the kernel projection must carry one
+    val rep = finalPlan("q53_repetition_metrics")
+    assert(rep.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("repetition_stats")),
+      s"repetition kernel outside codegen:\n$rep")
+    val fp = finalPlan("q34_fingerprints")
+    assert(fp.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("poly_hash")),
+      s"poly_hash outside codegen:\n$fp")
+  }
+}
