@@ -228,20 +228,60 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
                          bandBits: Int = 4): DataFrame = {
+    // physical strategy by banding selectivity (the optimizer move —
+    // same logical op, two plans): an unrelated pair collides in some
+    // band with probability ~1-(1-2^-bandBits)^tables. Narrow bands
+    // (high-recall / weak-threshold configs) collide almost everywhere,
+    // so candidate-id joins would materialize nearly all pairs as rows;
+    // verifying INSIDE each bucket then beats them. Wide bands collide
+    // rarely, and shipping vectors 2·64/bandBits× through the bucket
+    // exchange would cost more than fetching them for the few survivors.
+    val tables = 2.0 * 64 / bandBits
+    val randomCollisionFrac =
+      1.0 - math.pow(1.0 - math.pow(2.0, -bandBits), tables)
+    if (randomCollisionFrac > 0.05)
+      denseNearDupPairs(corpus, threshold, bandBits)
+    else
+      sparseNearDupPairs(corpus, threshold, bandBits)
+  }
+
+  /** Dense-collision plan: (id, vec) ride the ONE bucket exchange
+    * (2·64/bandBits copies of the corpus — linear, never quadratic) and
+    * a native kernel verifies all pairs inside each bucket, emitting
+    * only survivors. Candidate pairs never exist as rows.
+    */
+  private[ext] def denseNearDupPairs(corpus: DataFrame, threshold: Double,
+                                bandBits: Int): DataFrame = {
+    val banded = corpus.select(col("vec_id").as("id"),
+      col("embedding").as("vec"),
+      posexplode(SketchFns.sign_band_buckets(col("embedding"), bandBits))
+        .as(Seq("band", "bucket")))
+    val buckets = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("id"), col("vec"))))
+        .as("entries"))
+      .filter(size(col("entries")) > 1)
+    val survivors = buckets
+      .select(explode(
+        SketchFns.bucket_cosine_pairs(col("entries"), threshold)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.cosine"))
+    // duplicates across bands carry bit-identical cosines → keep-any
+    survivors.dropDuplicates("id_a", "id_b")
+  }
+
+  /** Sparse-collision plan: buckets carry only 8-byte ids; candidate
+    * pairs (few, by the selectivity bound) fetch their vectors back by
+    * id join and verify with the scalar kernel. Verification precedes
+    * the cross-band dedup — re-verifying a pair once per colliding band
+    * is cheaper than pushing the candidate stream through a distinct,
+    * and collision multiplicity concentrates on the pairs that survive
+    * anyway.
+    */
+  private[ext] def sparseNearDupPairs(corpus: DataFrame, threshold: Double,
+                                 bandBits: Int): DataFrame = {
     val banded = corpus.select(col("vec_id").as("id"),
       posexplode(SketchFns.sign_band_buckets(col("embedding"), bandBits))
         .as(Seq("band", "bucket")))
-    // verify BEFORE cross-band dedup: the cosine is one fused kernel call,
-    // so re-verifying a pair once per colliding band is cheaper than
-    // pushing the full multi-band candidate stream through a distinct
-    // first — dedup then touches only the (few) threshold survivors, and
-    // duplicates produce bit-identical cosines, so keep-any is
-    // deterministic. The vector-fetch joins are left to the optimizer: a
-    // small corpus broadcasts (no exchange at all); a corpus-scale run
-    // shuffles candidate volume through the join either way, and
-    // band-collision multiplicity concentrates on true near-dups — the
-    // pairs that survive — so the pre-dedup this skips would mostly
-    // shuffle rows the verifier is about to keep.
     val verified = Lsh.bucketPairsRaw(banded)
       .join(corpus.select(col("vec_id").as("id_a"),
         col("embedding").as("va")), "id_a")

@@ -229,6 +229,56 @@ object SketchKernels extends Serializable {
     new GenericArrayData(out)
   }
 
+  /** All ≥-threshold cosine pairs inside one LSH bucket: ids sorted
+    * ascending, vectors parallel to ids. Quantizes each vector once,
+    * then runs the all-pairs integer dot/norm loop and emits only the
+    * survivors as (id_a, id_b, cosine) rows — candidate pairs never
+    * materialize outside this kernel.
+    */
+  def bucketCosinePairs(entries: ArrayData, threshold: Double): ArrayData = {
+    val f = entries.numElements()
+    val ids = new Array[Long](f)
+    val vecs = new Array[Array[Long]](f)
+    val norms = new Array[Double](f)
+    var i = 0
+    while (i < f) {
+      val row = entries.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      val v = row.getArray(1)
+      val n = v.numElements()
+      val q = new Array[Long](n)
+      var na = 0L
+      var j = 0
+      while (j < n) {
+        val x = math.floor(v.getFloat(j).toDouble * 10000d + 0.5d).toLong
+        q(j) = x; na += x * x; j += 1
+      }
+      vecs(i) = q
+      norms(i) = na.toDouble
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    i = 0
+    while (i < f) {
+      var k = i + 1
+      while (k < f) {
+        val a = vecs(i); val b = vecs(k)
+        val n = math.min(a.length, b.length)
+        var dot = 0L
+        var j = 0
+        while (j < n) { dot += a(j) * b(j); j += 1 }
+        val cos =
+          if (norms(i) == 0d || norms(k) == 0d) 0d
+          else dot.toDouble / math.sqrt(norms(i) * norms(k))
+        if (cos >= threshold)
+          out += org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(k), cos)
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** LSH band buckets of a minhash signature: bucket_b = xxhash64 chain
     * over rows [b*r, (b+1)*r) seeded by the band index (r = len/bands).
     * One pass, no per-band array slicing — replaces `bands` separate
@@ -463,6 +513,41 @@ case class PairStructs(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** bucket_cosine_pairs(entries, threshold): all ≥-threshold cosine pairs
+  * within one LSH bucket's (id, vec) entries — the dense-candidate
+  * verification kernel (see Similarity.cosineNearDupPairs).
+  */
+case class BucketCosinePairs(child: Expression, threshold: Double)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("id_a", LongType, nullable = false),
+                   StructField("id_b", LongType, nullable = false),
+                   StructField("cosine", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "bucket_cosine_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(
+        StructField(_, LongType, _, _),
+        StructField(_, ArrayType(FloatType, _), _, _))), _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      "bucket_cosine_pairs requires ARRAY<STRUCT<BIGINT, ARRAY<FLOAT>>> " +
+        s"input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.bucketCosinePairs(input.asInstanceOf[ArrayData], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = classOf[SketchKernels.type].getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $k.bucketCosinePairs($c, $threshold);")
+  }
+  override protected def withNewChildInternal(c: Expression): BucketCosinePairs =
+    copy(child = c)
+}
+
 /** repetition_stats(text): [top-2-gram fraction, dup-3-gram fraction]
   * over whitespace words — the within-document repetition signals a
   * Gopher-style quality filter thresholds on.
@@ -568,6 +653,8 @@ object SketchFns {
     bridge.column(PairStructs(bridge.expression(sortedIds)))
   def repetition_stats(text: Column): Column =
     bridge.column(RepetitionStats(bridge.expression(text)))
+  def bucket_cosine_pairs(entries: Column, threshold: Double): Column =
+    bridge.column(BucketCosinePairs(bridge.expression(entries), threshold))
   def sign_band_buckets(vec: Column, bandBits: Int): Column =
     bridge.column(SignBandBuckets(bridge.expression(vec), bandBits))
   def nearest_centroids(vec: Column, centroids: Array[Array[Double]],

@@ -96,6 +96,19 @@ class ExtSpec extends AnyFunSuite {
       s"missed=${(truth -- got).size} extra=${(got -- truth).size} of ${truth.size}")
   }
 
+  test("cosine LSH dense and sparse strategies produce identical pairs") {
+    // same logical op, two physical plans — results must be bit-equal
+    // at the same banding, for both a narrow and a wide band width
+    for (bb <- Seq(4, 8)) {
+      val dense = Similarity.denseNearDupPairs(embs, 0.4, bb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val sparse = Similarity.sparseNearDupPairs(embs, 0.4, bb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(dense == sparse, s"bandBits=$bb: strategies diverge")
+      assert(dense.nonEmpty)
+    }
+  }
+
   test("minhash signature agreement estimates jaccard (sketch quality)") {
     // for the planted near-dup pairs, the fraction of agreeing signature
     // positions must approximate the true jaccard within sketch error
