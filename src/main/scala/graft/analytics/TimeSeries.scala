@@ -237,6 +237,42 @@ object TimeSeries {
                                     ORDER BY "value" DESC, event_id) AS rk
           FROM events WHERE event_type = 'purchase')
         WHERE rk <= 3
-        ORDER BY user_id, rk"""))
+        ORDER BY user_id, rk""")),
+
+    // ------------------------------------------------------------------
+    // q54: RANGE-framed window — per-user rolling 1-hour value sum and
+    // event count by EVENT TIME (range frames bound by the ordering
+    // value, not row counts: the frame that ROWS BETWEEN cannot express
+    // when events are irregularly spaced). Epoch seconds as the exact
+    // integer ordering key; cents quantization for exact sums.
+    GraftQuery(
+      "q54_rolling_range_frame",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+          .rangeBetween(-3600L, 0L)
+        t.events
+          .select(col("user_id"), col("event_id"),
+                  unix_timestamp(col("ts")).as("sec"),
+                  floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+          .withColumn("rolling_value_1h",
+            sum(col("cents")).over(w).cast("double") / 100)
+          .withColumn("rolling_events_1h", count(lit(1)).over(w))
+          .select(col("user_id"), col("event_id"),
+                  col("rolling_value_1h"), col("rolling_events_1h"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id,
+                          CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+                          CAST(FLOOR("value"*100 + 0.5) AS BIGINT) AS cents
+                   FROM events)
+        SELECT user_id, event_id,
+               CAST(SUM(cents) OVER w AS DOUBLE) / 100 AS rolling_value_1h,
+               CAST(COUNT(*) OVER w AS BIGINT) AS rolling_events_1h
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id"""))
   )
 }
