@@ -76,14 +76,17 @@ object Dedup {
     val inv0 = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
     // df census via groupBy (map-side partial agg absorbs hot-shingle
     // skew, which a window count-over-partition would concentrate into
-    // one task), then a broadcast ANTI join against the — by
-    // construction small — hot set; the keep-side join would shuffle
-    // the whole index a second time
+    // one task), then an ANTI join against the hot set. Join strategy is
+    // left to the optimizer on purpose: the hot set is usually tiny
+    // (auto-broadcast), but a template-heavy corpus can push millions of
+    // distinct shingles over the cap — a forced broadcast would collect
+    // exactly that to the driver; the fallback shuffle partitions inv0
+    // on s, the same key the self-join below exchanges on anyway
     val hot = inv0.groupBy(col("s"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
       .select(col("s"))
-    val inv = inv0.join(broadcast(hot), Seq("s"), "left_anti")
+    val inv = inv0.join(hot, Seq("s"), "left_anti")
     val pairs = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -162,6 +165,14 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // a partially-propagated labeling splits components silently — wrong
+    // dedup groups with several is_canonical rows per true cluster; fail
+    // loudly instead (deep chains should use clustersBigStar, or raise
+    // maxIterations)
+    if (!converged) throw new IllegalStateException(
+      s"label propagation did not converge in $maxIterations rounds; " +
+        "the pair graph has deeper chains than maxIterations — use " +
+        "clustersBigStar (O(log²) rounds) or raise maxIterations")
     val w = Window.partitionBy(col("label"))
     labels
       .withColumn("cluster_size", count(lit(1)).over(w))
@@ -247,6 +258,11 @@ object Dedup {
       prev = w
       iter += 1
     }
+    // a non-fixpoint edge set is not a union of stars: the label
+    // extraction below would emit conflicting cluster ids per doc
+    if (!converged) throw new IllegalStateException(
+      s"large-star/small-star did not converge in $maxIterations rounds " +
+        "(needs ~log² of the largest component; raise maxIterations)")
     // fixpoint = disjoint stars: every non-root u carries exactly one
     // (u, root) edge; roots appear only on the v side
     val labels = e.select(col("u").as("id"), col("v").as("label"))

@@ -213,7 +213,14 @@ object SketchKernels extends Serializable {
     */
   def pairStructs(ids: ArrayData): ArrayData = {
     val f = ids.numElements()
-    val out = new Array[Any](f * (f - 1) / 2)
+    // Long math: f*(f-1)/2 wraps negative in Int past ~46K occupants, and
+    // a bucket that size means the banding is far too coarse — say so
+    // instead of dying with NegativeArraySizeException inside codegen
+    val nPairs = f.toLong * (f - 1) / 2
+    require(nPairs <= Int.MaxValue,
+      s"LSH bucket with $f co-hashed ids would expand to $nPairs pairs; " +
+        "run exact dedup upstream or widen the bands")
+    val out = new Array[Any](nPairs.toInt)
     var m = 0
     var i = 0
     while (i < f) {
@@ -239,7 +246,11 @@ object SketchKernels extends Serializable {
     val f = entries.numElements()
     val ids = new Array[Long](f)
     val vecs = new Array[Array[Long]](f)
-    val norms = new Array[Double](f)
+    // prefix sums of squares: norm over any shared-length prefix is an
+    // O(1) lookup, so mixed-dimension pairs use EXACTLY the same
+    // min-length semantics as quantizedCosine — the sparse plan must
+    // stay bit-equal to this one
+    val prefixSq = new Array[Array[Double]](f)
     var i = 0
     while (i < f) {
       val row = entries.getStruct(i, 2)
@@ -247,14 +258,15 @@ object SketchKernels extends Serializable {
       val v = row.getArray(1)
       val n = v.numElements()
       val q = new Array[Long](n)
-      var na = 0L
+      val ps = new Array[Double](n + 1)
+      var acc = 0L
       var j = 0
       while (j < n) {
         val x = math.floor(v.getFloat(j).toDouble * 10000d + 0.5d).toLong
-        q(j) = x; na += x * x; j += 1
+        q(j) = x; acc += x * x; ps(j + 1) = acc.toDouble; j += 1
       }
       vecs(i) = q
-      norms(i) = na.toDouble
+      prefixSq(i) = ps
       i += 1
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
@@ -267,9 +279,10 @@ object SketchKernels extends Serializable {
         var dot = 0L
         var j = 0
         while (j < n) { dot += a(j) * b(j); j += 1 }
+        val na = prefixSq(i)(n); val nb = prefixSq(k)(n)
         val cos =
-          if (norms(i) == 0d || norms(k) == 0d) 0d
-          else dot.toDouble / math.sqrt(norms(i) * norms(k))
+          if (na == 0d || nb == 0d) 0d
+          else dot.toDouble / math.sqrt(na * nb)
         if (cos >= threshold)
           out += org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(k), cos)
         k += 1

@@ -70,8 +70,15 @@ object Envelope {
   /** Ingest validation (absent in the reference — a missing fileName there
     * silently yields a null S3 key segment): rows failing the contract get
     * a non-null `invalidReason` and are routed to the DLQ branch.
+    *
+    * `requireEventTime`: in event-time mode a null eventTime would null
+    * out the processing date, the object keys derived from it AND the
+    * expiry predicate — route it to the DLQ. Processing-time mode keys by
+    * current_timestamp instead, so a timestamp-less source stays valid
+    * there (such rows simply never expire).
     */
-  def withValidation(df: DataFrame): DataFrame =
+  def withValidation(df: DataFrame,
+                     requireEventTime: Boolean = true): DataFrame =
     df.withColumn("invalidReason",
       when(col("fileName").isNull || length(col("fileName")) === 0,
            "missing fileName")
@@ -81,10 +88,8 @@ object Envelope {
               "bad fileSize")
         .when(col("fileSize") > 100L * 1024 * 1024,
               "file exceeds 100MB limit")
-        // a null eventTime would null out the processing date, the object
-        // keys derived from it AND the expiry predicate (dropping the row
-        // from both expiry branches) — route it to the DLQ instead
-        .when(col("eventTime").isNull, "missing eventTime")
+        .when(lit(requireEventTime) && col("eventTime").isNull,
+              "missing eventTime")
         .otherwise(lit(null).cast(StringType)))
 
   /** F3: producer-side file pattern filter (goanywhere-config.md:123). */

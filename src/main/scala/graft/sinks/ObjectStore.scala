@@ -112,28 +112,39 @@ object ObjectStore {
           .as("fileName"),
         col("content").as("body"))
 
+  /** Success-path notification rows: (correlationId, key, notification)
+    * per processed record — the ONE payload builder both notification
+    * sinks share, so the object-store mirror and the Kafka topic cannot
+    * diverge.
+    */
+  def notificationRows(ok: DataFrame): DataFrame =
+    ok.select(
+      col("correlationId"),
+      concat(concat_ws("/", lit("notifications"), col("processingDate"),
+                       col("correlationId"), col("fileName")),
+             lit(".notification.json")).as("key"),
+      to_json(struct(
+        lit("PROCESSED").as("status"),
+        col("fileName").as("fileName"),
+        col("correlationId").as("correlationId"),
+        col("transferId").as("transferId"),
+        col("s3ProcessedKey").as("s3ProcessedKey"),
+        date_format(current_timestamp(),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("processedTimestamp")))
+        .as("notification"))
+
   /** Success-path notifications (the `file-transfer-notifications`
     * address the reference declares but never feeds —
     * k8s/amq-address.yaml:50-64; SURVEY.md §2A mirrors it as an optional
     * topic): one JSON object per processed record under
     * `notifications/…`. Production would additionally bind the Kafka
-    * writer in [[graft.sources.Sources.kafkaNotificationsWriter]].
+    * writer in [[graft.sources.Sources.kafkaNotificationsWriter]] over
+    * the same [[notificationRows]].
     */
   def writeNotifications(ok: DataFrame, baseDir: String): Unit =
     writeBytes(
-      ok.select(
-        concat(concat_ws("/", lit("notifications"), col("processingDate"),
-                         col("correlationId"), col("fileName")),
-               lit(".notification.json")).as("key"),
-        encode(to_json(struct(
-          lit("PROCESSED").as("status"),
-          col("fileName").as("fileName"),
-          col("correlationId").as("correlationId"),
-          col("transferId").as("transferId"),
-          col("s3ProcessedKey").as("s3ProcessedKey"),
-          date_format(current_timestamp(),
-            "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("processedTimestamp"))),
-          "UTF-8").as("body")),
+      notificationRows(ok).select(
+        col("key"), encode(col("notification"), "UTF-8").as("body")),
       baseDir)
 
   val failureReportSchema: StructType = StructType(Seq(

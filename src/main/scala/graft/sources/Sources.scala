@@ -46,10 +46,10 @@ object Sources {
 
   /** Success-path notifications producer config (the
     * `file-transfer-notifications` address the reference declares but
-    * never feeds — k8s/amq-address.yaml:50-64). Config-only like
-    * [[kafkaDlqWriter]]; the object-store mirror
-    * ([[graft.sinks.ObjectStore.writeNotifications]]) is what runs in
-    * broker-less environments.
+    * never feeds — k8s/amq-address.yaml:50-64). `notifications` is the
+    * output of [[graft.sinks.ObjectStore.notificationRows]] — the same
+    * builder behind the object-store mirror, so both sinks carry the
+    * identical payload. Config-only like [[kafkaDlqWriter]].
     */
   def kafkaNotificationsWriter(notifications: DataFrame, bootstrap: String,
                                checkpoint: String,

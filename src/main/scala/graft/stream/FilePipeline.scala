@@ -76,7 +76,8 @@ object FilePipeline {
     */
   def prepare(envelope: DataFrame, cfg: PipelineConfig = PipelineConfig())
       : (DataFrame, DataFrame) = {
-    val validated = Envelope.withValidation(envelope)
+    val validated = Envelope.withValidation(envelope,
+      requireEventTime = !cfg.processingTimeMode)
     val invalid = validated.filter(col("invalidReason").isNotNull)
     val valid = Envelope.withDoclingRequest(
       Envelope.withObjectKeys(

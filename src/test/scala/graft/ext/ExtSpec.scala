@@ -98,14 +98,32 @@ class ExtSpec extends AnyFunSuite {
 
   test("cosine LSH dense and sparse strategies produce identical pairs") {
     // same logical op, two physical plans — results must be bit-equal
-    // at the same banding, for both a narrow and a wide band width
+    // at the same banding, for both a narrow and a wide band width, and
+    // including mixed-dimension vectors (min-length prefix semantics)
+    val truncated = embs.limit(3)
+      .select(col("vec_id") + 100000, slice(col("embedding"), 1, 32))
+      .toDF("vec_id", "embedding")
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+      .unionByName(truncated)
     for (bb <- Seq(4, 8)) {
-      val dense = Similarity.denseNearDupPairs(embs, 0.4, bb)
+      val dense = Similarity.denseNearDupPairs(corpus, 0.4, bb)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      val sparse = Similarity.sparseNearDupPairs(embs, 0.4, bb)
+      val sparse = Similarity.sparseNearDupPairs(corpus, 0.4, bb)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(dense == sparse, s"bandBits=$bb: strategies diverge")
       assert(dense.nonEmpty)
+    }
+  }
+
+  test("connected-component loops fail loudly when iterations run out") {
+    val perm = new scala.util.Random(5).shuffle((0L to 120L).toVector)
+    val path = perm.sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.clusters(path, maxIterations = 3).collect()
+    }
+    intercept[IllegalStateException] {
+      Dedup.clustersBigStar(path, maxIterations = 1).collect()
     }
   }
 

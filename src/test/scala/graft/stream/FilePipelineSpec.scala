@@ -190,6 +190,32 @@ class FilePipelineSpec extends AnyFunSuite {
     assert(reports.head.getAs[String]("exception") == "missing eventTime")
   }
 
+  test("processing-time mode accepts rows without an eventTime") {
+    val out = tmp().toString
+    val rows = envelope(Seq(
+      ("nots.pdf", "application/pdf", 10L, "t1", "ab" * 32, "c-null",
+       "x".getBytes, null, 1),
+      ("ok.pdf", "application/pdf", 10L, "t2", "ab" * 32, "c-ok",
+       "y".getBytes, Timestamp.valueOf("2024-03-05 00:00:00"), 1)))
+    // event-time mode DLQs the null-ts row; processing-time mode keys it
+    // by current_timestamp and processes it
+    val m = FilePipeline.runBatch(rows, out, new LocalDocling(),
+      freshCfg().copy(processingTimeMode = true))
+    assert(m == BatchMetrics(2, 2, 0, 0))
+  }
+
+  test("notification rows carry the same payload for both sinks") {
+    val env = sampleEnvelope(2)
+    val (valid, _) = FilePipeline.prepare(env, PipelineConfig())
+    val rows = ObjectStore.notificationRows(
+      valid.withColumn("doclingResult", lit("{}")))
+    assert(rows.columns.toSeq == Seq("correlationId", "key", "notification"))
+    val r = rows.collect().map(x => x.getString(0) -> x).toMap
+    assert(r.keySet == Set("corr-0001", "corr-0002"))
+    assert(r("corr-0001").getString(2).contains("\"status\":\"PROCESSED\""))
+    assert(r("corr-0001").getString(1).endsWith("doc1.pdf.notification.json"))
+  }
+
   test("notifications mirror: one notification object per processed record (batch)") {
     val out = tmp().toString
     val m = FilePipeline.runBatch(sampleEnvelope(3), out,
