@@ -48,7 +48,25 @@ object GraftFunctions {
      info("minhash_signature",
           "minhash_signature(hashes, k) - k-permutation minhash"),
      (args: Seq[Expression]) => MinhashSignature(args.head,
-       args(1).eval().asInstanceOf[Int])))
+       args(1).eval().asInstanceOf[Int])),
+    ("band_buckets",
+     info("band_buckets",
+          "band_buckets(sig, bands) - LSH band bucket hashes of a minhash signature"),
+     (args: Seq[Expression]) => BandBuckets(args.head,
+       args(1).eval().asInstanceOf[Int])),
+    ("sign_band_buckets",
+     info("sign_band_buckets",
+          "sign_band_buckets(vec, bandBits) - cosine-LSH band buckets over axis signs"),
+     (args: Seq[Expression]) => SignBandBuckets(args.head,
+       args(1).eval().asInstanceOf[Int])),
+    ("quantized_cosine",
+     info("quantized_cosine",
+          "quantized_cosine(a, b) - exact-integer quantized cosine of float vectors"),
+     (args: Seq[Expression]) => QuantizedCosine(args.head, args(1))),
+    ("repetition_stats",
+     info("repetition_stats",
+          "repetition_stats(str) - [top-2-gram fraction, dup-3-gram fraction]"),
+     (args: Seq[Expression]) => RepetitionStats(args.head)))
 
   /** Register on a live session (temp functions, session-scoped). */
   def registerAll(spark: SparkSession): Unit =

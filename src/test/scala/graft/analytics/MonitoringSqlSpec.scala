@@ -24,6 +24,17 @@ class MonitoringSqlSpec extends AnyFunSuite {
       .select(graft.functions.SketchFns.simhash64(org.apache.spark.sql.functions.col("t")))
       .collect().head.getLong(0)
     assert(row.getAs[Long]("s") == viaColumn)
+    // round-2 natives: banding, cosine, repetition — all SQL-reachable
+    val r2 = spark.sql(
+      """SELECT size(band_buckets(minhash_signature(hashed_shingles('a b c d e', 3), 128), 64)) AS nb,
+                size(sign_band_buckets(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 4)) AS ns,
+                quantized_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                                 array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
+                repetition_stats('a b a b a b')[0] AS top2""").collect().head
+    assert(r2.getAs[Int]("nb") == 64)
+    assert(r2.getAs[Int]("ns") == 32)
+    assert(r2.getAs[Double]("cos") == 1.0)
+    assert(math.abs(r2.getAs[Double]("top2") - 0.6) < 1e-15)
   }
 
   test("streaming error-ratio windows compute the alert quantity continuously") {

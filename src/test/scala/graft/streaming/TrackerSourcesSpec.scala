@@ -114,6 +114,40 @@ class TrackerSourcesSpec extends AnyFunSuite {
     assert(stateRows.last == 1L || stateRows.last == 0L) // sentinel only
   }
 
+  test("streaming simhash dedup: online hits, cross-chunk dedup, TTL expiry") {
+    import StreamingDedup.{DocEvent, NearDupHit}
+    val source = MemoryStream[DocEvent](spark)
+    val hits = StreamingDedup.detect(source.toDS(),
+        maxDistance = 3, watermarkDelay = "10 minutes",
+        ttlMs = 3600 * 1000L)
+      .dropDuplicates("docId", "matchedId")
+    val q = hits.writeStream.format("memory")
+      .queryName("sdedup_out").outputMode("append").start()
+
+    val far = 0x0F0F0F0F0F0F0F0FL // hamming 32 from 0
+    source.addData(DocEvent(1L, 0L, ts("2024-03-05 07:00:00")))
+    q.processAllAvailable()
+    // d2 one bit from d1; d4 identical to d1 — same batch, ordered
+    source.addData(
+      DocEvent(2L, 1L, ts("2024-03-05 07:01:00")),
+      DocEvent(4L, 0L, ts("2024-03-05 07:01:00")))
+    q.processAllAvailable()
+    // advance the watermark far past every bucket's TTL
+    source.addData(DocEvent(9L, far, ts("2024-03-05 10:00:00")))
+    q.processAllAvailable()
+    // d5 is bit-identical to d1/d4, but their entries are TTL-expired:
+    // purge-on-read must prevent the match even though the bucket keys
+    // collide again
+    source.addData(DocEvent(5L, 0L, ts("2024-03-05 10:01:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    import spark.implicits._
+    val got = spark.table("sdedup_out").as[NearDupHit].collect()
+      .map(h => (h.docId, h.matchedId, h.hamming)).toSet
+    assert(got == Set((2L, 1L, 1), (4L, 1L, 0), (4L, 2L, 1)))
+  }
+
   test("file monitor source streams new files through the pattern filter") {
     val dir = Files.createTempDirectory("graft-files")
     Files.write(dir.resolve("a.pdf"), "hello pdf".getBytes)
