@@ -490,6 +490,38 @@ object ExtQueries {
       None),
 
     // ------------------------------------------------------------------
+    // q55: stratified deterministic sample — per language, the 20 docs
+    // with the smallest md5(doc_id), via the mergeable BottomKByMd5
+    // Aggregator (partial k-element buffers combine map-side; the
+    // shuffle carries at most k rows per group per partition, the
+    // balanced-per-stratum sampling a curation pipeline runs at corpus
+    // scale). Content-addressed, so the sample is stable under
+    // repartitioning and replay.
+    GraftQuery(
+      "q55_stratified_sample",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        import spark.implicits._
+        val bottomK = new graft.functions.BottomKByMd5[(String, Long)](
+          20, _._2)
+        t.documents.select(col("lang"), col("doc_id"))
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .agg(bottomK.toColumn.name("sample"))
+          .toDF("lang", "sample")
+          .select(col("lang"), explode(col("sample")).as("doc_id"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""
+        SELECT lang, doc_id FROM (
+          SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+          FROM documents)
+        WHERE rn <= 20
+        ORDER BY lang, doc_id""")),
+
+    // ------------------------------------------------------------------
     // q36: winnowing fingerprints (k=8 gram, w=4 window minima — the
     // MOSS scheme) — native expression, not SQL-expressible: rows-only
     // check here, golden values pinned in TextAnalysisSpec.
