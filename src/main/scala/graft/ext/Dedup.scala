@@ -168,11 +168,12 @@ object Dedup {
     // a partially-propagated labeling splits components silently — wrong
     // dedup groups with several is_canonical rows per true cluster; fail
     // loudly instead (deep chains should use clustersBigStar, or raise
-    // maxIterations)
-    if (!converged) throw new IllegalStateException(
+    // maxIterations). Release the last round's blocks first — a caller
+    // that catches and retries would otherwise accumulate them.
+    if (!converged) { labels.unpersist(); throw new IllegalStateException(
       s"label propagation did not converge in $maxIterations rounds; " +
         "the pair graph has deeper chains than maxIterations — use " +
-        "clustersBigStar (O(log²) rounds) or raise maxIterations")
+        "clustersBigStar (O(log²) rounds) or raise maxIterations") }
     val w = Window.partitionBy(col("label"))
     labels
       .withColumn("cluster_size", count(lit(1)).over(w))
@@ -259,10 +260,11 @@ object Dedup {
       iter += 1
     }
     // a non-fixpoint edge set is not a union of stars: the label
-    // extraction below would emit conflicting cluster ids per doc
-    if (!converged) throw new IllegalStateException(
+    // extraction below would emit conflicting cluster ids per doc (free
+    // the checkpointed edge blocks before failing)
+    if (!converged) { e.unpersist(); throw new IllegalStateException(
       s"large-star/small-star did not converge in $maxIterations rounds " +
-        "(needs ~log² of the largest component; raise maxIterations)")
+        "(needs ~log² of the largest component; raise maxIterations)") }
     // fixpoint = disjoint stars: every non-root u carries exactly one
     // (u, root) edge; roots appear only on the v side
     val labels = e.select(col("u").as("id"), col("v").as("label"))
@@ -389,17 +391,11 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
                    maxDistance: Int = 3): DataFrame = {
-    val chunks = maxDistance + 1
-    val bitsPer = 64 / chunks
-    // 1L << 64 wraps to 1; a full-width chunk needs an explicit all-ones
-    // mask (maxDistance=0 -> one 64-bit chunk = the whole signature)
-    val chunkMask = if (bitsPer >= 64) -1L else (1L << bitsPer) - 1
     val sigs = docs.select(id.as("id"), simhash64(text).as("sig"))
+    // shared pigeonhole decomposition (SketchFns.simhash_chunks) — the
+    // streaming twin keys its state by the same chunks
     val chunked = sigs.select(col("id"), col("sig"),
-      explode(array((0 until chunks).map(c =>
-        struct(lit(c).as("chunk"),
-               shiftrightunsigned(col("sig"), c * bitsPer)
-                 .bitwiseAND(chunkMask).as("v"))): _*)).as("cc"))
+      explode(SketchFns.simhash_chunks(col("sig"), maxDistance)).as("cc"))
       .select(col("id"), col("sig"), col("cc.chunk"), col("cc.v"))
     val candidates = chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&

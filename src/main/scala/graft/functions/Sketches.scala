@@ -299,6 +299,12 @@ object SketchKernels extends Serializable {
     */
   def bandBuckets(sig: ArrayData, bands: Int): Array[Long] = {
     val len = sig.numElements()
+    // the SQL surface reaches this without minhashPairs' static require:
+    // a non-divisor band count would silently drop the signature tail
+    // (skewed collision probabilities), and bands > len would make every
+    // bucket the constant band index (all documents collide everywhere)
+    require(bands <= len && len % bands == 0,
+      s"bands ($bands) must divide the signature length ($len)")
     val r = len / bands
     val out = new Array[Long](bands)
     var b = 0
@@ -668,6 +674,26 @@ object SketchFns {
     bridge.column(RepetitionStats(bridge.expression(text)))
   def bucket_cosine_pairs(entries: Column, threshold: Double): Column =
     bridge.column(BucketCosinePairs(bridge.expression(entries), threshold))
+
+  /** Pigeonhole chunk structs (chunk, v) of a 64-bit simhash: any pair
+    * within Hamming distance maxDistance agrees on ≥1 of the
+    * maxDistance+1 chunks. The ONE decomposition shared by the batch
+    * ([[graft.ext.Dedup.simhashPairs]]) and streaming
+    * ([[graft.streaming.StreamingDedup]]) near-dup paths — their parity
+    * depends on it being identical.
+    */
+  def simhash_chunks(sig: Column, maxDistance: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val chunks = maxDistance + 1
+    val bitsPer = 64 / chunks
+    // 1L << 64 wraps to 1; a full-width chunk needs an explicit all-ones
+    // mask (maxDistance=0 -> one 64-bit chunk = the whole signature)
+    val mask = if (bitsPer >= 64) -1L else (1L << bitsPer) - 1
+    array((0 until chunks).map(c =>
+      struct(lit(c).as("chunk"),
+             shiftrightunsigned(sig, c * bitsPer)
+               .bitwiseAND(mask).as("v"))): _*)
+  }
   def sign_band_buckets(vec: Column, bandBits: Int): Column =
     bridge.column(SignBandBuckets(bridge.expression(vec), bandBits))
   def nearest_centroids(vec: Column, centroids: Array[Array[Double]],

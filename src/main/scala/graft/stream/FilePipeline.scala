@@ -140,8 +140,10 @@ object FilePipeline {
     val maxTs = envelope.select(max(col("eventTime")).as("__maxTs"))
     // null-safe equality: a null eventTime makes the age predicate null,
     // which plain filter/!filter would drop from BOTH branches — silent
-    // loss. Such rows stay on the live side, where validation routes
-    // them to the DLQ ("missing eventTime").
+    // loss. Such rows stay on the live side; downstream, event-time-mode
+    // validation routes them to the DLQ ("missing eventTime"), while
+    // processing-time mode accepts them (keyed by current_timestamp —
+    // they simply never expire).
     val tagged = envelope.crossJoin(broadcast(maxTs))
       .withColumn("__expired",
         (col("eventTime") < col("__maxTs") - expr(s"INTERVAL $expiry"))

@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.SketchFns
 
 /** Streaming near-duplicate detection — the online twin of
   * [[graft.ext.Dedup.simhashPairs]] for a document STREAM: each arriving
@@ -12,31 +13,40 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * earlier near-duplicate (Hamming distance over 64-bit SimHash ≤
   * maxDistance), without ever re-scanning the corpus.
   *
-  * Same pigeonhole decomposition as the batch operator: the signature
-  * splits into maxDistance+1 chunks, any pair within distance d agrees on
-  * ≥1 chunk, so state is keyed by (chunk, chunkValue) and each document
-  * visits maxDistance+1 buckets. Per-bucket state is a bounded list of
-  * (docId, simhash, lastSeenMs) — ~24 bytes per doc per bucket — scoped
-  * two ways: an event-time timeout removes idle buckets past the TTL, and
-  * the data path purges expired entries before matching (a bucket that
-  * keeps receiving traffic would otherwise never time out and would match
-  * against arbitrarily old documents).
+  * Same pigeonhole decomposition as the batch operator (literally the
+  * same builder — [[graft.functions.SketchFns.simhash_chunks]]): state is
+  * keyed by (chunk, chunkValue) and each document visits maxDistance+1
+  * buckets. Per-bucket state is a bounded list of (docId, simhash,
+  * lastSeenMs) — ~24 bytes per doc per bucket — scoped two ways: an
+  * event-time timeout removes idle buckets once EVERY entry's TTL has
+  * passed, and the data path purges expired entries before matching (a
+  * bucket that keeps receiving traffic would otherwise never time out
+  * and would match against arbitrarily old documents).
   *
-  * A pair can collide in several chunks; complete the pipeline with a
-  * watermarked `dropDuplicates("docId", "matchedId")` downstream.
+  * A pair colliding in several chunks emits one identical hit per
+  * colliding chunk — duplicate-tolerant by contract, like the batch
+  * LSH candidate stream. Consume idempotently on (docId, matchedId),
+  * or dedup in a SEPARATE downstream query (sink the hits, then
+  * `readStream.withWatermark("eventTime", d)
+  * .dropDuplicatesWithinWatermark("docId", "matchedId")`). Do NOT
+  * chain that dedup in the same query: its second watermark node only
+  * advances when hits flow, and the global watermark is the minimum
+  * over all nodes — a quiet period would freeze it and stall this
+  * operator's own TTL cleanup.
   */
 object StreamingDedup {
 
   final case class DocEvent(docId: Long, simhash: Long, eventTime: Timestamp)
 
   final case class KeyedDoc(chunk: Int, bucket: Long, docId: Long,
-                                    simhash: Long, eventTime: Timestamp)
+                            simhash: Long, eventTime: Timestamp)
 
   final case class BucketEntry(docId: Long, simhash: Long, lastMs: Long)
 
   final case class BucketState(entries: List[BucketEntry])
 
-  final case class NearDupHit(docId: Long, matchedId: Long, hamming: Int)
+  final case class NearDupHit(docId: Long, matchedId: Long, hamming: Int,
+                              eventTime: Timestamp)
 
   /** `docs` need not be pre-watermarked; `watermarkDelay` is applied to
     * eventTime after the chunk fan-out. `maxBucketEntries` bounds state
@@ -49,18 +59,11 @@ object StreamingDedup {
              maxBucketEntries: Int = 1024): Dataset[NearDupHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val chunks = maxDistance + 1
-    val bitsPer = 64 / chunks
-    // 1L << 64 wraps; a full-width chunk needs the explicit all-ones mask
-    val mask = if (bitsPer >= 64) -1L else (1L << bitsPer) - 1
-    val chunkStructs = (0 until chunks).map(c =>
-      struct(lit(c).as("chunk"),
-             shiftrightunsigned(col("simhash"), c * bitsPer)
-               .bitwiseAND(mask).as("bucket")))
     val keyed = docs.toDF()
       .select(col("docId"), col("simhash"), col("eventTime"),
-              explode(array(chunkStructs: _*)).as("cc"))
-      .select(col("cc.chunk"), col("cc.bucket"), col("docId"),
+              explode(SketchFns.simhash_chunks(col("simhash"), maxDistance))
+                .as("cc"))
+      .select(col("cc.chunk"), col("cc.v").as("bucket"), col("docId"),
               col("simhash"), col("eventTime"))
       .withWatermark("eventTime", watermarkDelay)
       .as[KeyedDoc]
@@ -86,17 +89,22 @@ object StreamingDedup {
               entries.foreach { e =>
                 if (e.docId != d.docId) {
                   val h = java.lang.Long.bitCount(e.simhash ^ d.simhash)
-                  if (h <= maxDistance) out += NearDupHit(d.docId, e.docId, h)
+                  if (h <= maxDistance)
+                    out += NearDupHit(d.docId, e.docId, h, d.eventTime)
                 }
               }
               entries = (BucketEntry(d.docId, d.simhash, d.eventTime.getTime)
                 :: entries.filterNot(_.docId == d.docId))
                 .take(maxBucketEntries)
             }
-            val lastMs = sorted.last.eventTime.getTime
             state.update(BucketState(entries))
-            // never set a timeout at or below the watermark (rejected)
-            state.setTimeoutTimestamp(math.max(lastMs + ttlMs, wm + 1))
+            // timeout covers the LONGEST-lived kept entry: keying it off
+            // this batch's max alone would let a late (but valid) arrival
+            // shrink the bucket's lifetime and drop earlier entries
+            // before their own TTLs expire. Never at/below the watermark
+            // (Spark rejects that).
+            val maxLast = entries.iterator.map(_.lastMs).max
+            state.setTimeoutTimestamp(math.max(maxLast + ttlMs, wm + 1))
             out.result().iterator
           }
       }

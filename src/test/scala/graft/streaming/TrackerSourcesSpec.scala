@@ -117,10 +117,12 @@ class TrackerSourcesSpec extends AnyFunSuite {
   test("streaming simhash dedup: online hits, cross-chunk dedup, TTL expiry") {
     import StreamingDedup.{DocEvent, NearDupHit}
     val source = MemoryStream[DocEvent](spark)
+    // raw hit stream: duplicate-tolerant by contract (one hit per
+    // colliding chunk) — the collected toSet below is the idempotent
+    // consumption the scaladoc prescribes
     val hits = StreamingDedup.detect(source.toDS(),
         maxDistance = 3, watermarkDelay = "10 minutes",
         ttlMs = 3600 * 1000L)
-      .dropDuplicates("docId", "matchedId")
     val q = hits.writeStream.format("memory")
       .queryName("sdedup_out").outputMode("append").start()
 
