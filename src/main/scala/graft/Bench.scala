@@ -6,11 +6,29 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON metrics line. Results are materialized through the
   * `noop` sink — `count()` would let Catalyst prune every computed column
   * and under-measure; noop computes all output columns without write I/O.
+  *
+  * Methodology (round-3 hardening): each query is timed
+  * SPARK_GRAFT_BENCH_RUNS times (default 3) and the reported figure is
+  * the per-query MINIMUM — the run least polluted by JIT warm-up, GC
+  * pauses, and page-cache misses, i.e. the best estimate of the code's
+  * intrinsic cost on this box (single runs on a shared JVM showed ±40%
+  * swings on sub-5-s queries between byte-identical rounds; minima are
+  * stable). All individual run times are preserved in the JSON file
+  * output (SPARK_GRAFT_BENCH_OUT, default bench_out.json) so
+  * noise-vs-regression questions can be answered from the artifact
+  * itself; stdout still carries the single-line driver contract.
   */
 object Bench {
+
+  private def jnum(d: Double): String =
+    if (d.isNaN || d.isInfinite) "null" else f"$d%.4f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,18 +44,46 @@ object Bench {
         warm.embeddings).foreach {
       _.write.format("noop").mode("overwrite").save()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // run-major order (all queries per pass, `runs` passes): consecutive
+    // same-query runs would share hot caches and understate steady-state
+    // cost; pass-major interleaving also means a transient JVM hiccup
+    // degrades one PASS, not one query's whole sample
+    val times = names.map(_ -> Array.fill(runs)(Double.NaN)).toMap
+    val errors = scala.collection.mutable.Map[String, String]()
+    for (r <- 0 until runs; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        times(name)(r) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name run $r failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def minOf(name: String): Double = {
+      val ok = times(name).filterNot(_.isNaN)
+      if (ok.isEmpty) Double.NaN else ok.min
+    }
+    val qs = names.map(n => "\"" + n + "\":" + jnum(minOf(n)))
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = names.map(minOf).filterNot(_.isNaN).sum
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"aggregation":"min"}"""
+    // file artifact with the full sample, written BEFORE the stdout line
+    // so a truncated/garbled console capture can always be reconstructed
+    val detail = names.map { n =>
+      val all = times(n).map(jnum).mkString("[", ",", "]")
+      val err = errors.get(n)
+        .map(m => ",\"error\":\"" + m.replaceAll("[\"\\\\\n\r]", " ") + "\"")
+        .getOrElse("")
+      "\"" + n + "\":{\"min\":" + jnum(minOf(n)) + ",\"runs\":" + all + err + "}"
+    }.mkString("{", ",", "}")
+    val fileJson =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"aggregation":"min","queries":$qs,"detail":$detail}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fileJson + "\n").getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }

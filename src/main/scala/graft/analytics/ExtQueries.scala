@@ -94,8 +94,10 @@ object ExtQueries {
       "q27_jaccard_pairs",
       (spark, dir) => {
         val t = new Tables(spark, dir)
+        // explicit df cap: the operator's default is exact/uncapped; the
+        // registered query opts into boundedness (the 100 TB posture)
         Dedup.jaccardPairs(t.documents, col("doc_id"), col("text"),
-            n = 3, threshold = 0.8)
+            n = 3, threshold = 0.8, maxDocFreq = 1024)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(shingleOracle)),
@@ -315,38 +317,82 @@ object ExtQueries {
         ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
-    // q35: multimodal metadata extraction — binary media column (events
-    // payloads standing in for image/video bytes), typed per-partition
-    // decode via the stubbed decoder (deterministic dims — see
-    // Multimodal.StubDecoder), schema + plumbing fully real.
+    // q35: multimodal metadata extraction — binary media column with
+    // REAL container-header parsing. Each event synthesizes an actual
+    // PNG / JPEG / GIF header byte layout (magic + dimension fields at
+    // the format's true offsets, dims derived from event_id) entirely
+    // relationally; Multimodal.HeaderDecoder then parses the bytes back
+    // by magic-sniffing + byte slicing, and the oracle asserts the
+    // round trip (parsed dims == the formula that built them). The
+    // video/mp4 rows keep the declared StubDecoder fallback — no codec
+    // exists in this environment. extractMeta's sha256-over-bytes is
+    // NOT in the oracle projection (DuckDB's sha256 is VARCHAR-only, it
+    // cannot hash a built blob); MultimodalSpec pins it golden instead.
     GraftQuery(
       "q35_multimodal_meta",
       (spark, dir) => {
         val t = new Tables(spark, dir)
         import spark.implicits._
-        val media = t.events.select(
+        val w = (col("event_id") % 4000 + 32).cast("int")
+        val h = ((col("event_id") * 13) % 3000 + 32).cast("int")
+        // endian-exact byte fields via hex strings (unhex is case-
+        // insensitive, so Spark's uppercase hex() == DuckDB's lowercase
+        // to_hex() at the byte level)
+        def be4(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c.cast("bigint")), 8, "0"))
+        def be2(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c.cast("bigint")), 4, "0"))
+        def le2(c: org.apache.spark.sql.Column) = {
+          val hx = lpad(hex(c.cast("bigint")), 4, "0")
+          unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+        }
+        val fmt = col("event_id") % 3
+        val media = when(col("event_type") === "purchase",
+            encode(col("props"), "UTF-8")) // opaque "video" payload
+          .when(fmt === 0, concat( // PNG: sig + IHDR len/type + w/h BE32
+            unhex(lit("89504E470D0A1A0A0000000D49484452")),
+            be4(w), be4(h), unhex(lit("0806000000"))))
+          .when(fmt === 1, concat( // JPEG: SOI + APP0/JFIF + SOF0 h/w BE16
+            unhex(lit("FFD8FFE000104A46494600010100000100010000FFC0001108")),
+            be2(h), be2(w), unhex(lit("03012200021101031101"))))
+          .otherwise(concat( // GIF89a: logical screen w/h LE16
+            unhex(lit("474946383961")), le2(w), le2(h), unhex(lit("F70000"))))
+        val src = t.events.select(
             col("event_id").as("media_id"),
             when(col("event_type") === "purchase", "video/mp4")
-              .otherwise("image/png").as("mime"),
-            encode(col("props"), "UTF-8").as("media"))
+              .when(fmt === 0, "image/png")
+              .when(fmt === 1, "image/jpeg")
+              .otherwise("image/gif").as("mime"),
+            media.as("media"))
           .as[Multimodal.MediaRecord]
-        Multimodal.extractMeta(media, new Multimodal.StubDecoder)
+        Multimodal.extractMeta(src, new Multimodal.HeaderDecoder())
           .toDF()
           .select(col("media_id"), col("mime"), col("byteLen"),
-                  col("sha256"), col("width"), col("height"), col("nFrames"))
+                  col("width"), col("height"), col("nFrames"))
           .orderBy(col("media_id"))
       },
       Some("""
+        WITH m AS (
+          SELECT event_id, props,
+                 event_type = 'purchase' AS is_vid,
+                 event_id % 3 AS fmt,
+                 CAST(event_id % 4000 + 32 AS BIGINT) AS w,
+                 CAST((event_id * 13) % 3000 + 32 AS BIGINT) AS h
+          FROM events)
         SELECT event_id AS media_id,
-               CASE WHEN event_type = 'purchase' THEN 'video/mp4'
-                    ELSE 'image/png' END AS mime,
-               CAST(length(props) AS BIGINT) AS byteLen,
-               sha256(props) AS sha256,
-               CAST(64 + (length(props) % 16) * 32 AS INT) AS width,
-               CAST(64 + ((length(props) * 7) % 12) * 32 AS INT) AS height,
-               CAST(CASE WHEN event_type = 'purchase'
-                         THEN 1 + length(props) % 240 ELSE 1 END AS INT) AS nFrames
-        FROM events
+               CASE WHEN is_vid THEN 'video/mp4'
+                    WHEN fmt = 0 THEN 'image/png'
+                    WHEN fmt = 1 THEN 'image/jpeg'
+                    ELSE 'image/gif' END AS mime,
+               CAST(CASE WHEN is_vid THEN length(props)
+                         WHEN fmt = 0 THEN 29
+                         WHEN fmt = 1 THEN 39
+                         ELSE 13 END AS BIGINT) AS byteLen,
+               CAST(CASE WHEN is_vid THEN 64 + (length(props) % 16) * 32
+                         ELSE w END AS INT) AS width,
+               CAST(CASE WHEN is_vid THEN 64 + ((length(props) * 7) % 12) * 32
+                         ELSE h END AS INT) AS height,
+               CAST(CASE WHEN is_vid THEN 1 + length(props) % 240
+                         ELSE 1 END AS INT) AS nFrames
+        FROM m
         ORDER BY media_id""")),
 
     // ------------------------------------------------------------------

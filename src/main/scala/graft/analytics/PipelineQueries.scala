@@ -283,15 +283,20 @@ object PipelineQueries {
         val parsed = stored.select(col("ts"),
           from_json(col("doclingResult"), resultSchema).as("doc"))
         val day = date_format(col("ts"), "yyyy-MM-dd").as("day")
-        val docs = parsed.groupBy(day)
-          .agg(count(lit(1)).as("n_docs"))
-        val tabs = parsed
-          .select(col("ts"), explode(col("doc.tables")).as("tbl"))
-          .groupBy(day)
-          .agg(count(lit(1)).as("n_tables"),
+        // single pass over the (expensive) synthesize→parse chain:
+        // posexplode_outer keeps table-less docs as one (pos=null) row,
+        // so doc and table counts come out of ONE aggregation — the
+        // doc is counted where pos is null-or-0 (exactly once per doc,
+        // no count-distinct Expand), tables where tbl is non-null. The
+        // former docs⋈tabs two-branch form executed the parse twice.
+        val exploded = parsed.select(col("ts"),
+          posexplode_outer(col("doc.tables")).as(Seq("pos", "tbl")))
+        exploded.groupBy(day)
+          .agg(count(when(col("pos").isNull || col("pos") === 0, lit(1)))
+                 .as("n_docs"),
+               count(col("tbl")).as("n_tables"),
                sum(col("tbl.nrows")).cast("long").as("sum_rows"),
                max(col("tbl.ncols")).as("max_cols"))
-        docs.join(tabs, "day")
           .withColumn("avg_rows_per_table",
             col("sum_rows").cast("double") / col("n_tables"))
           .select(col("day"), col("n_docs"), col("n_tables"),

@@ -21,6 +21,25 @@ import graft.functions.SketchFns
   */
 object Dedup {
 
+  /** Release the block store behind a frame, whether it was `persist`ed
+    * or eagerly `localCheckpoint`ed. `Dataset.unpersist` alone is a no-op
+    * on a checkpointed frame: its blocks belong to the checkpointed
+    * internal RDD, which is NOT registered with the cache manager — left
+    * alone they are reclaimed only when the RDD is GC'd (ContextCleaner),
+    * which in a long iterative job means rounds of dead blocks pinning
+    * executor storage memory. Unpersisting the underlying RDD directly
+    * (via the public LogicalRDD leaf the checkpoint plan is made of)
+    * frees them deterministically. Only call this once nothing lazily
+    * derives from the frame — a locally-checkpointed RDD cannot
+    * recompute after its blocks are dropped.
+    */
+  private def release(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+  }
+
   /** Exact dedup: keep the first row per key (deterministic order), with
     * group size. `dropDuplicates` is deliberately avoided — it keeps an
     * arbitrary row per key, which is not replayable.
@@ -59,14 +78,18 @@ object Dedup {
     * exactness on boilerplate-only overlap for boundedness — a pair whose
     * ONLY shared shingles are capped ones is missed, and a pair sharing
     * some capped shingles has its intersection undercounted (so the
-    * reported jaccard is a lower bound). Pick it above the largest
-    * legitimate duplicate-group size; for exhaustive exactness at corpus
-    * scale switch to [[minhashPairs]], which bounds candidates by LSH
-    * bucket instead of shingle frequency.
+    * reported jaccard is a lower bound). Because of that trade the cap is
+    * strictly OPT-IN: the default (Int.MaxValue) preserves the exactness
+    * contract — no census, no anti join, no silently-dropped shingles.
+    * Callers at corpus scale pick a cap above the largest legitimate
+    * duplicate-group size; for exhaustive exactness at corpus scale
+    * switch to [[minhashPairs]], which bounds candidates by LSH bucket
+    * instead of shingle frequency.
     * Output: (id_a, id_b, intersection, size_a, size_b, jaccard).
     */
   def jaccardPairs(docs: DataFrame, id: Column, text: Column, n: Int,
-                   threshold: Double, maxDocFreq: Int = 1024): DataFrame = {
+                   threshold: Double,
+                   maxDocFreq: Int = Int.MaxValue): DataFrame = {
     // hashed shingles (native kernel): the inverted index joins on 8-byte
     // keys, never on shingle strings (collision odds across a pair of
     // docs are ~|A||B|/2^64 — vanishing)
@@ -81,12 +104,18 @@ object Dedup {
     // (auto-broadcast), but a template-heavy corpus can push millions of
     // distinct shingles over the cap — a forced broadcast would collect
     // exactly that to the driver; the fallback shuffle partitions inv0
-    // on s, the same key the self-join below exchanges on anyway
-    val hot = inv0.groupBy(col("s"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDocFreq)
-      .select(col("s"))
-    val inv = inv0.join(hot, Seq("s"), "left_anti")
+    // on s, the same key the self-join below exchanges on anyway.
+    // Uncapped callers skip the census entirely — df > Int.MaxValue is
+    // unsatisfiable, so the extra shuffle would buy nothing.
+    val inv =
+      if (maxDocFreq == Int.MaxValue) inv0
+      else {
+        val hot = inv0.groupBy(col("s"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq)
+          .select(col("s"))
+        inv0.join(hot, Seq("s"), "left_anti")
+      }
     val pairs = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -158,7 +187,7 @@ object Dedup {
       // ones. Checkpointing truncates lineage to the materialized blocks.
       val next = propagate(labels).localCheckpoint(true)
       val nextSum = labelSum(next)
-      labels.unpersist()
+      release(labels)
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
@@ -170,7 +199,7 @@ object Dedup {
     // loudly instead (deep chains should use clustersBigStar, or raise
     // maxIterations). Release the last round's blocks first — a caller
     // that catches and retries would otherwise accumulate them.
-    if (!converged) { labels.unpersist(); throw new IllegalStateException(
+    if (!converged) { release(labels); throw new IllegalStateException(
       s"label propagation did not converge in $maxIterations rounds; " +
         "the pair graph has deeper chains than maxIterations — use " +
         "clustersBigStar (O(log²) rounds) or raise maxIterations") }
@@ -253,7 +282,11 @@ object Dedup {
       val afterLarge = largeStar(e).localCheckpoint(true)
       val next = smallStar(afterLarge).localCheckpoint(true)
       val w = witness(next)
-      e.unpersist()
+      // next is eagerly materialized, so both the previous round's edge
+      // set AND the intermediate large-star checkpoint can be freed —
+      // leaving them to GC would accumulate two block sets per round
+      release(afterLarge)
+      release(e)
       e = next
       converged = w == prev
       prev = w
@@ -262,15 +295,17 @@ object Dedup {
     // a non-fixpoint edge set is not a union of stars: the label
     // extraction below would emit conflicting cluster ids per doc (free
     // the checkpointed edge blocks before failing)
-    if (!converged) { e.unpersist(); throw new IllegalStateException(
+    if (!converged) { release(e); throw new IllegalStateException(
       s"large-star/small-star did not converge in $maxIterations rounds " +
         "(needs ~log² of the largest component; raise maxIterations)") }
     // fixpoint = disjoint stars: every non-root u carries exactly one
-    // (u, root) edge; roots appear only on the v side
+    // (u, root) edge; roots appear only on the v side. The final edge
+    // set's blocks must OUTLIVE this function — the returned frame
+    // lazily derives from them and a freed local checkpoint cannot
+    // recompute — so they are deliberately left for GC-based cleanup.
     val labels = e.select(col("u").as("id"), col("v").as("label"))
       .union(e.select(col("v").as("id"), col("v").as("label")))
       .dropDuplicates("id", "label")
-    e.unpersist()
     val w = Window.partitionBy(col("label"))
     labels
       .withColumn("cluster_size", count(lit(1)).over(w))

@@ -54,6 +54,77 @@ object Multimodal {
     }
   }
 
+  /** REAL container-header parsing for the common still-image formats —
+    * pure byte slicing, no codec: PNG (IHDR width/height, big-endian
+    * 32-bit at offsets 16/20), JPEG (marker-segment scan to the first
+    * SOF frame header; height then width, big-endian 16-bit), and GIF
+    * (logical screen descriptor, little-endian 16-bit at offsets 6/8).
+    * Detection is by MAGIC BYTES, never the caller's mime string —
+    * mislabeled media is the norm in crawled corpora. Anything
+    * unrecognized (video, audio, truncated headers) falls through to
+    * `fallback` (the stub by default), so the codec-free formats stay
+    * stubbed while the three ubiquitous image containers report true
+    * dimensions.
+    */
+  final class HeaderDecoder(fallback: MediaDecoder = new StubDecoder)
+      extends MediaDecoder {
+
+    private def be16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def le16(b: Array[Byte], i: Int): Int =
+      ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+    private def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+    private val pngMagic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+
+    private def png(b: Array[Byte]): Option[(Int, Int)] =
+      // signature(8) + IHDR length(4) + "IHDR"(4) + width(4) + height(4)
+      if (b.length >= 24 && b.startsWith(pngMagic) &&
+          b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+        val w = be32(b, 16); val h = be32(b, 20)
+        if (w > 0 && h > 0) Some((w, h)) else None
+      } else None
+
+    private def jpeg(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      var i = 2
+      while (i + 9 <= b.length) {
+        if ((b(i) & 0xff) != 0xff) return None // lost marker sync
+        var m = b(i + 1) & 0xff
+        // fill bytes: 0xFF may be repeated before the marker code
+        while (m == 0xff && i + 2 < b.length) { i += 1; m = b(i + 1) & 0xff }
+        if (m >= 0xd0 && m <= 0xd9) i += 2 // RSTn/SOI/EOI: no length field
+        else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          // SOFn frame header: len(2) precision(1) height(2) width(2)
+          val h = be16(b, i + 5); val w = be16(b, i + 7)
+          return if (w > 0 && h > 0) Some((w, h)) else None
+        } else {
+          val segLen = be16(b, i + 2)
+          if (segLen < 2) return None
+          i += 2 + segLen
+        }
+      }
+      None
+    }
+
+    private def gif(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+        val w = le16(b, 6); val h = le16(b, 8)
+        if (w > 0 && h > 0) Some((w, h)) else None
+      } else None
+
+    override def decode(mime: String, bytes: Array[Byte]): (Int, Int, Int) =
+      png(bytes).orElse(jpeg(bytes)).orElse(gif(bytes)) match {
+        case Some((w, h)) => (w, h, 1)
+        case None => fallback.decode(mime, bytes)
+      }
+  }
+
   /** Decode/feature-extract stage: typed mapPartitions so the decoder is
     * instantiated once per partition (real decoders are expensive to
     * construct); failures become rows, not task aborts.

@@ -157,9 +157,23 @@ object SketchKernels extends Serializable {
       if (vec.getFloat(i) >= 0f) word |= (1L << i)
       i += 1
     }
-    val nb = 64 / bandBits
     val mask = if (bandBits >= 64) -1L else (1L << bandBits) - 1
-    val rot = java.lang.Long.rotateRight(word, bandBits / 2)
+    // bands must never span beyond the vector's real sign bits: for
+    // dim < 64 the pad bits are constant 0, so a band covering them is a
+    // (near-)constant bucket — the whole corpus collides there and the
+    // banded index silently degenerates into an all-pairs plan. Clamp
+    // the band count to the bits that exist (≥1, so very short vectors
+    // still hash their whole word once) and rotate the offset tables
+    // WITHIN those bits; dim ≥ 64 keeps the original full-word layout
+    // bit-for-bit.
+    val nb = if (n >= 64) 64 / bandBits else math.max(1, n / bandBits)
+    val rot =
+      if (n >= 64) java.lang.Long.rotateRight(word, bandBits / 2)
+      else if (n == 0) 0L
+      else {
+        val s = (bandBits / 2) % n
+        ((word >>> s) | (word << (n - s))) & ((1L << n) - 1)
+      }
     val out = new Array[Long](2 * nb)
     var b = 0
     while (b < nb) {

@@ -50,6 +50,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(executedPlan("q05_customers_without_orders").contains("LeftAnti"))
   }
 
+  test("q51 scans events exactly once (no double synthesize→parse)") {
+    // the JSON build + from_json chain is the expensive part of q51;
+    // the former two-branch (docs ⋈ tabs) form executed it twice. One
+    // file scan in the physical plan pins the single-pass rewrite.
+    val plan = executedPlan("q51_nested_json_tables")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected exactly 1 events scan, found $scans:\n$plan")
+  }
+
   test("native kernels run inside whole-stage codegen") {
     // q53's repetition kernel and q34's poly_hash are UnaryExpressions
     // with doGenCode — they must not break the codegen span around them.

@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Golden tests for [[Multimodal.HeaderDecoder]]: hand-built header
+  * bytes with dimension fields at each format's true offsets, plus the
+  * malformed-input paths that must fall back rather than throw. The
+  * decoder is pure (bytes → dims), so these run without Spark; one
+  * end-to-end case drives extractMeta to pin the sha256 the q35 oracle
+  * can no longer check (DuckDB's sha256 is VARCHAR-only).
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  private val dec = new Multimodal.HeaderDecoder()
+  private def hx(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def be4(v: Int) = f"$v%08X"
+  private def be2(v: Int) = f"$v%04X"
+  private def le2(v: Int) = { val h = f"$v%04X"; h.substring(2) + h.substring(0, 2) }
+
+  test("PNG IHDR: width/height parsed big-endian at offsets 16/20") {
+    val png = hx("89504E470D0A1A0A 0000000D 49484452 " +
+      be4(1920) + be4(1080) + " 0806000000")
+    assert(dec.decode("image/png", png) === ((1920, 1080, 1)))
+    // dimension > 2^15 exercises unsigned-byte assembly
+    val big = hx("89504E470D0A1A0A 0000000D 49484452 " +
+      be4(40000) + be4(3) + " 0806000000")
+    assert(dec.decode("image/png", big) === ((40000, 3, 1)))
+  }
+
+  test("JPEG: marker-segment scan reaches SOF0; height precedes width") {
+    // SOI + APP0(JFIF, len 16) + SOF0(len 17, precision 8, h, w, 3 comps)
+    val jpg = hx("FFD8 FFE00010 4A46494600010100000100010000 FFC00011 08 " +
+      be2(480) + be2(640) + " 03012200021101031101")
+    assert(dec.decode("image/jpeg", jpg) === ((640, 480, 1)))
+    // SOF2 (progressive) is a frame header too
+    val prog = hx("FFD8 FFC20011 08 " + be2(7) + be2(9) +
+      " 03012200021101031101")
+    assert(dec.decode("image/jpeg", prog) === ((9, 7, 1)))
+    // fill bytes before the marker code must be skipped
+    val fill = hx("FFD8 FFFFC00011 08 " + be2(10) + be2(20) +
+      " 03012200021101031101")
+    assert(dec.decode("image/jpeg", fill) === ((20, 10, 1)))
+  }
+
+  test("GIF logical screen descriptor: little-endian at offsets 6/8") {
+    val gif = hx("474946383961 " + le2(320) + le2(200) + " F70000")
+    assert(dec.decode("image/gif", gif) === ((320, 200, 1)))
+    val gif87 = hx("474946383761 " + le2(1) + le2(65535) + " F70000")
+    assert(dec.decode("image/gif", gif87) === ((1, 65535, 1)))
+  }
+
+  test("detection is by magic bytes, not the mime label") {
+    val png = hx("89504E470D0A1A0A 0000000D 49484452 " +
+      be4(12) + be4(34) + " 0806000000")
+    // mislabeled as jpeg: still parsed as the PNG it is
+    assert(dec.decode("image/jpeg", png) === ((12, 34, 1)))
+  }
+
+  test("unknown or truncated bytes fall back to the stub, never throw") {
+    val stub = new Multimodal.StubDecoder
+    val junk = "not an image at all".getBytes("UTF-8")
+    assert(dec.decode("video/mp4", junk) === stub.decode("video/mp4", junk))
+    // valid magic, truncated before the dimension fields
+    val shortPng = hx("89504E470D0A1A0A 0000000D 4948")
+    assert(dec.decode("image/png", shortPng) ===
+      stub.decode("image/png", shortPng))
+    val shortJpg = hx("FFD8 FFE000")
+    assert(dec.decode("image/jpeg", shortJpg) ===
+      stub.decode("image/jpeg", shortJpg))
+    // JPEG with a corrupt segment length must not scan out of bounds
+    val badLen = hx("FFD8 FFE00001 00")
+    assert(dec.decode("image/jpeg", badLen) ===
+      stub.decode("image/jpeg", badLen))
+    // zero-dimension headers are invalid, not 0×0 images
+    val zeroGif = hx("474946383961 0000 0A00 F70000")
+    assert(dec.decode("image/gif", zeroGif) ===
+      stub.decode("image/gif", zeroGif))
+    assert(dec.decode("", Array.emptyByteArray) ===
+      stub.decode("", Array.emptyByteArray))
+  }
+
+  test("extractMeta end-to-end: parsed dims + sha256 over the raw bytes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val png = hx("89504E470D0A1A0A 0000000D 49484452 " +
+      be4(640) + be4(360) + " 0806000000")
+    val media = Seq(Multimodal.MediaRecord(7L, "image/png", png)).toDS()
+    val row = Multimodal.extractMeta(media, dec).collect().head
+    assert(row.width === 640 && row.height === 360 && row.nFrames === 1)
+    assert(row.ok)
+    val expected = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(png).map(b => f"$b%02x").mkString
+    assert(row.sha256 === expected)
+  }
+}
