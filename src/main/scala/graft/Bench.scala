@@ -21,7 +21,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   private def jnum(d: Double): String =
-    if (d.isNaN || d.isInfinite) "null" else f"$d%.4f"
+    // explicit Locale.ROOT: the f-interpolator uses the default locale,
+    // which on a comma-decimal JVM would emit "12,3456" and corrupt the JSON
+    if (d.isNaN || d.isInfinite) "null"
+    else String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -32,12 +32,18 @@ object Dedup {
     * frees them deterministically. Only call this once nothing lazily
     * derives from the frame — a locally-checkpointed RDD cannot
     * recompute after its blocks are dropped.
+    *
+    * Only the plan ROOT is matched: a LogicalRDD found deeper in the tree
+    * belongs to some upstream frame (possibly a caller-supplied checkpoint
+    * we must not free); the frame "is" a checkpoint only when the
+    * checkpointed RDD is the whole plan.
     */
   private def release(df: DataFrame): Unit = {
     df.unpersist()
-    df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach(_.unpersist(blocking = false))
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
   }
 
   /** Exact dedup: keep the first row per key (deterministic order), with

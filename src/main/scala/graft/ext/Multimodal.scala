@@ -97,6 +97,10 @@ object Multimodal {
         var m = b(i + 1) & 0xff
         // fill bytes: 0xFF may be repeated before the marker code
         while (m == 0xff && i + 2 < b.length) { i += 1; m = b(i + 1) & 0xff }
+        // fill bytes advanced i past the loop-entry bound: re-check before
+        // any fixed-offset reads below, else a truncated stream ending in
+        // fill bytes + SOF reads out of bounds
+        if (i + 9 > b.length) return None
         if (m >= 0xd0 && m <= 0xd9) i += 2 // RSTn/SOI/EOI: no length field
         else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
           // SOFn frame header: len(2) precision(1) height(2) width(2)

@@ -57,6 +57,9 @@ object StreamingDedup {
              watermarkDelay: String = "10 minutes",
              ttlMs: Long = 3600 * 1000L,
              maxBucketEntries: Int = 1024): Dataset[NearDupHit] = {
+    // 0 would leave `entries` empty after take() and crash the state
+    // function on entries.max — fail at plan time, not mid-stream
+    require(maxBucketEntries >= 1, "maxBucketEntries must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
     val keyed = docs.toDF()

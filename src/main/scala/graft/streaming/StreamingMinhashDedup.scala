@@ -66,6 +66,9 @@ object StreamingMinhashDedup {
              ttlMs: Long = 3600 * 1000L,
              maxBucketEntries: Int = 256): Dataset[JaccardHit] = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // 0 would leave `entries` empty after take() and crash the state
+    // function on entries.max — fail at plan time, not mid-stream
+    require(maxBucketEntries >= 1, "maxBucketEntries must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
     val keyed = docs.toDF()

@@ -75,6 +75,16 @@ class MultimodalSpec extends AnyFunSuite {
     val badLen = hx("FFD8 FFE00001 00")
     assert(dec.decode("image/jpeg", badLen) ===
       stub.decode("image/jpeg", badLen))
+    // truncated stream ending in 0xFF fill bytes + SOF marker: the
+    // fill-byte loop advances past the loop-entry bound, so the SOF
+    // dimension reads must be re-guarded (falls back, never throws)
+    val fillTrunc = hx("FFD8 FFFFFFFFFFFFFFFFFF C0")
+    assert(dec.decode("image/jpeg", fillTrunc) ===
+      stub.decode("image/jpeg", fillTrunc))
+    // same shape with a non-SOF marker: segment-length read also guarded
+    val fillTruncSeg = hx("FFD8 FFFFFFFFFFFFFFFFFF E0")
+    assert(dec.decode("image/jpeg", fillTruncSeg) ===
+      stub.decode("image/jpeg", fillTruncSeg))
     // zero-dimension headers are invalid, not 0×0 images
     val zeroGif = hx("474946383961 0000 0A00 F70000")
     assert(dec.decode("image/gif", zeroGif) ===

@@ -93,4 +93,20 @@ class StreamingMinhashDedupSpec extends AnyFunSuite {
     assert(stateRows.nonEmpty && stateRows.last <= 32,
       s"state rows not bounded: ${stateRows.mkString(",")}")
   }
+
+  test("invalid parameters fail at plan time, not mid-stream") {
+    val source = MemoryStream[DocText](spark)
+    // maxBucketEntries = 0 would leave empty state and crash the state
+    // function on .max at the first processed batch
+    intercept[IllegalArgumentException] {
+      StreamingMinhashDedup.detect(source.toDS(), maxBucketEntries = 0)
+    }
+    intercept[IllegalArgumentException] {
+      StreamingMinhashDedup.detect(source.toDS(), numHashes = 128, bands = 33)
+    }
+    val simSource = MemoryStream[graft.streaming.StreamingDedup.DocEvent](spark)
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDedup.detect(simSource.toDS(), maxBucketEntries = 0)
+    }
+  }
 }
