@@ -2,7 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{AnnIndex, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** The LLM-data-pipeline extension operators (north star §"beyond the
   * reference"): dedup (exact / n-gram-Jaccard / MinHash-LSH / SimHash),
@@ -580,6 +580,289 @@ object ExtQueries {
                   element_at(col("winnow_fp"), 1).as("first_fp"))
           .orderBy(col("doc_id"))
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // q56: chunk-level (passage) exact dedup — global keep-first over
+    // 8-word chunks, per-doc retention stats + rebuilt-text digest.
+    GraftQuery(
+      "q56_chunk_dedup",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Dedup.chunkDedup(t.documents, col("doc_id"), col("text"),
+            chunkWords = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        chunks AS (
+          SELECT doc_id, CAST(g AS INT) AS idx,
+                 array_to_string(list_slice(w, CAST(g*8+1 AS BIGINT), CAST(g*8+8 AS BIGINT)), ' ') AS chunk
+          FROM words, UNNEST(generate_series(0, CAST(ceil(len(w)/8.0) AS BIGINT) - 1)) AS t(g)),
+        flagged AS (
+          SELECT doc_id, idx, chunk,
+                 ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) = 1 AS kept
+          FROM chunks),
+        agg AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                 CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE kept) AS retained
+          FROM flagged GROUP BY doc_id)
+        SELECT doc_id, n_chunks, n_kept,
+               CAST(n_kept AS DOUBLE) / n_chunks AS retained_ratio,
+               CASE WHEN n_kept = 0 THEN NULL ELSE md5(retained) END AS retained_md5
+        FROM agg
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q57: PII redaction over deterministic contact strings synthesized
+    // from the customer table (the corpus itself carries no PII, so the
+    // query plants emails/IPs/phones from real columns — both engines
+    // build the identical string, then scrub it with the identical
+    // RE2-subset patterns).
+    GraftQuery(
+      "q57_pii_redaction",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val contact = concat(
+          col("c_name"), lit(" <"),
+          lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")),
+          lit("@"), lower(col("c_mktsegment")), lit(".example.com> ip="),
+          (col("c_custkey") % 223 + 1).cast("string"), lit(".0."),
+          (col("c_custkey") % 7).cast("string"), lit("."),
+          (col("c_custkey") % 13 + 1).cast("string"),
+          lit(" phone=+1-555-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+        TextAnalysis.withRedaction(
+            t.customer.withColumn("contact", contact), col("contact"))
+          .select(col("c_custkey"), col("redacted"),
+                  col("n_email"), col("n_phone"), col("n_ipv4"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT c_custkey,
+                 c_name || ' <' || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g'))
+                 || '@' || lower(c_mktsegment) || '.example.com> ip='
+                 || CAST(c_custkey % 223 + 1 AS VARCHAR) || '.0.'
+                 || CAST(c_custkey % 7 AS VARCHAR) || '.'
+                 || CAST(c_custkey % 13 + 1 AS VARCHAR)
+                 || ' phone=+1-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                   AS contact
+          FROM customer)
+        SELECT c_custkey,
+               regexp_replace(regexp_replace(regexp_replace(contact,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\+[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g'),
+                 '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+               CAST(len(regexp_extract_all(contact, '\+[0-9][0-9-]{6,}[0-9]')) AS INT) AS n_phone,
+               CAST(len(regexp_extract_all(contact, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ipv4
+        FROM c
+        ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // q58: exact corpus heavy hitters — top-20 tokens by DOCUMENT
+    // frequency. Per-doc distinct happens map-side (array_distinct before
+    // the explode), the count is a two-phase hash agg (partial combine
+    // absorbs token skew), and the top-k is TakeOrderedAndProject — no
+    // global sort ever materializes, which is the whole 100 TB story for
+    // vocabulary-scale result sets.
+    GraftQuery(
+      "q58_heavy_hitters",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.documents
+          .select(explode(array_distinct(split(col("text"), " "))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("doc_freq"))
+          .orderBy(col("doc_freq").desc, col("token"))
+          .limit(20)
+      },
+      Some("""
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+        FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+              FROM documents)
+        GROUP BY token
+        ORDER BY doc_freq DESC, token
+        LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // q59: benchmark decontamination — 5-gram overlap of the corpus
+    // against a benchmark subset (doc_id % 97 = 0 stands in for the eval
+    // suite). Corpus side never shuffles until the (rare) matches are
+    // counted; the benchmark n-gram set is broadcast.
+    GraftQuery(
+      "q59_contamination",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val docs = t.documents
+        Dedup.contaminationReport(
+            docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+            docs.filter(col("doc_id") % 97 === 0), col("text"), n = 5)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (SELECT doc_id, CASE WHEN len(w) >= 5
+                 THEN list_distinct(list_transform(generate_series(1, len(w)-4),
+                   i -> concat(w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3], ' ', w[i+4])))
+                 ELSE [array_to_string(w, ' ')] END AS sh FROM words),
+        ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+        bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0)
+        SELECT e.doc_id, CAST(e.n AS INT) AS n_shingles,
+               CAST(COUNT(*) AS BIGINT) AS n_shared,
+               CAST(COUNT(*) AS DOUBLE) / e.n AS contamination_ratio
+        FROM ex e JOIN bench b ON e.s = b.s
+        WHERE e.doc_id % 97 <> 0
+        GROUP BY e.doc_id, e.n
+        ORDER BY e.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q60: quality-percentile band filter — keep documents at or above
+    // their language's exact 80th-percentile quality score. The
+    // threshold comes from a per-lang AGGREGATE (then broadcast back),
+    // not a percent_rank window: the aggregate shuffles 5 tiny threshold
+    // rows, a window would globally sort the corpus per language.
+    GraftQuery(
+      "q60_quality_band",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val scored = t.documents.select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        val thr = scored.groupBy(col("lang"))
+          .agg(percentile(col("quality"), lit(0.8)).as("lang_threshold"))
+        scored.join(broadcast(thr), "lang")
+          .filter(col("quality") >= col("lang_threshold"))
+          .select(col("doc_id"), col("lang"), col("quality"),
+                  col("lang_threshold"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH sig AS (
+          SELECT doc_id, lang,
+            CAST(length(text) AS DOUBLE) AS nc,
+            CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+            CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS nstop,
+            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS npunct,
+            CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nupper
+          FROM documents),
+        q AS (
+          SELECT doc_id, lang,
+            floor((0.35 * (CASE WHEN nc BETWEEN 100 AND 10000 THEN 1.0 ELSE 0.3 END)
+                + 0.25 * (CASE WHEN (nc - (nw - 1)) / nw BETWEEN 3 AND 10 THEN 1.0 ELSE 0.4 END)
+                + 0.2 * least((nstop / nw) * 5, 1.0)
+                + 0.1 * (1.0 - npunct / nc)
+                + 0.1 * (1.0 - nupper / nc)) * 10000 + 0.5) / 10000 AS quality
+          FROM sig),
+        thr AS (SELECT lang, quantile_cont(quality, 0.8) AS lang_threshold
+                FROM q GROUP BY lang)
+        SELECT q.doc_id, q.lang, q.quality, t.lang_threshold
+        FROM q JOIN thr t ON q.lang = t.lang
+        WHERE q.quality >= t.lang_threshold
+        ORDER BY q.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q61: deterministic training shards — content-addressed shard
+    // assignment (first two md5 hex chars mod 64) with per-shard stats.
+    // Content addressing makes the sharding replay-stable across reruns
+    // and cluster sizes: no monotonically_increasing_id, no partition-id
+    // dependence, nothing tied to physical layout.
+    GraftQuery(
+      "q61_training_shards",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.documents
+          .withColumn("shard",
+            conv(substring(md5(encode(col("text"), "UTF-8")), 1, 2), 16, 10)
+              .cast("int") % 64)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_chars")).as("total_chars"),
+               min(col("doc_id")).as("min_doc"),
+               max(col("doc_id")).as("max_doc"))
+          .orderBy(col("shard"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT doc_id, n_chars,
+                 CAST(((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) % 64 AS INT) AS shard
+          FROM documents)
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM s GROUP BY shard
+        ORDER BY shard""")),
+
+    // ------------------------------------------------------------------
+    // q63: mergeable distinct-count sketch store — per (day, event_type)
+    // HLL sketches (DataSketches hll_sketch_agg) plus a per-day "ALL"
+    // row from hll_union_agg over the stored sketches. This is the
+    // warehouse pattern at 100 TB: persist small mergeable sketches per
+    // partition, answer cross-partition distinct questions by UNIONING
+    // sketches (never re-scanning raw data). HLL register merges are
+    // order-independent, so the estimates are deterministic; they are
+    // not reproducible in ANSI SQL, so this is rows-only here and
+    // SketchStoreSpec pins accuracy vs exact distincts.
+    GraftQuery(
+      "q63_hll_sketch_store",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val byType = t.events
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val daily = byType.select(col("day"), col("event_type"),
+          hll_sketch_estimate(col("sk")).as("est_users"))
+        val merged = byType.groupBy(col("day"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+          .withColumn("event_type", lit("ALL"))
+          .select(col("day"), col("event_type"), col("est_users"))
+        daily.unionByName(merged)
+          .orderBy(col("day"), col("event_type"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // q64: ANN over the partition-pruned disk index — IDENTICAL
+    // semantics (and oracle) to q31's in-query IVF, but served from the
+    // cell-partitioned parquet layout: the probe set is pushed as a
+    // partition filter and unprobed cells are never read
+    // ([[graft.ext.AnnIndex]]; pruning pinned in AnnIndexSpec).
+    GraftQuery(
+      "q64_ann_index_topk",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val idx = s"${sys.props("java.io.tmpdir")}/graft-ann-${math.abs(dir.hashCode)}"
+        AnnIndex.build(t.embeddings, idx, bits = 4)
+        AnnIndex.topK(spark, idx,
+            t.embeddings.filter(col("vec_id") < 20), k = 5, bits = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH cells AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE)*10000 + 0.5)) AS v,
+                 (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                  + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                  + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+                  + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
+          FROM embeddings),
+        probes AS (
+          SELECT vec_id, v,
+                 unnest([cell, xor(cell, 1), xor(cell, 2), xor(cell, 4), xor(cell, 8)]) AS cell
+          FROM cells WHERE vec_id < 20),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.cell AS cell,
+                 list_dot_product(q.v, c.v)
+                   / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cosine
+          FROM probes q JOIN cells c ON q.cell = c.cell AND q.vec_id != c.vec_id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine,
+               CAST(cell AS INT) AS cell
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank"""))
   )
 }

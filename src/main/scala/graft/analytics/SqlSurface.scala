@@ -99,6 +99,53 @@ object SqlSurface {
           UNION ALL
           SELECT 'except_all' AS op, custkey FROM (SELECT custkey FROM hv EXCEPT ALL SELECT custkey FROM ur))
         GROUP BY op, custkey
-        ORDER BY op, custkey"""))
+        ORDER BY op, custkey""")),
+
+    // ------------------------------------------------------------------
+    // q62: subquery-predicate + lateral breadth — EXISTS and NOT IN
+    // predicates (decorrelated into semi/anti joins by Catalyst) feeding
+    // a correlated LATERAL top-2-per-nation subquery (DecorrelateInnerQuery
+    // turns the correlated sort+limit into a partitioned window). The
+    // oracle runs the same text modulo dialect.
+    GraftQuery(
+      "q62_exists_in_lateral",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.nation.createOrReplaceTempView("nation_v")
+        t.customer.createOrReplaceTempView("customer_v")
+        t.orders.createOrReplaceTempView("orders_v")
+        spark.sql("""
+          SELECT n.n_name, top.c_custkey, top.acctbal
+          FROM nation_v n,
+               LATERAL (
+                 SELECT c.c_custkey,
+                        CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+                 FROM customer_v c
+                 WHERE c.c_nationkey = n.n_nationkey
+                   AND EXISTS (SELECT 1 FROM orders_v o
+                               WHERE o.o_custkey = c.c_custkey)
+                   AND c.c_custkey NOT IN
+                       (SELECT o_custkey FROM orders_v
+                        WHERE o_orderpriority = '5-LOW')
+                 ORDER BY CAST(c.c_acctbal AS DECIMAL(12,2)) DESC, c.c_custkey
+                 LIMIT 2) AS top
+          ORDER BY n.n_name, top.acctbal DESC, top.c_custkey""")
+      },
+      Some("""
+        SELECT n.n_name, top.c_custkey, top.acctbal
+        FROM nation n,
+             LATERAL (
+               SELECT c.c_custkey,
+                      CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+               FROM customer c
+               WHERE c.c_nationkey = n.n_nationkey
+                 AND EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey)
+                 AND c.c_custkey NOT IN
+                     (SELECT o_custkey FROM orders
+                      WHERE o_orderpriority = '5-LOW')
+               ORDER BY CAST(c.c_acctbal AS DECIMAL(12,2)) DESC, c.c_custkey
+               LIMIT 2) AS top
+        ORDER BY n.n_name, top.acctbal DESC, top.c_custkey"""))
   )
 }

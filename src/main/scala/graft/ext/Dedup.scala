@@ -449,4 +449,96 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Chunk-level (passage-level) exact dedup — the sub-document variant
+    * of [[exact]] that corpus-curation pipelines run between document
+    * dedup and near-dup removal (the CCNet/RefinedWeb "drop repeated
+    * paragraphs" pass, adapted to whitespace corpora: documents here
+    * have no newlines, so the passage unit is a fixed run of
+    * `chunkWords` consecutive words).
+    *
+    * Each document is split into consecutive non-overlapping chunks;
+    * across the whole corpus, only the FIRST occurrence of each distinct
+    * chunk is retained, "first" meaning smallest (doc_id, chunk_idx) —
+    * fully deterministic and replay-stable, like every keep-first in this
+    * module. Output is one row per document: chunk counts, retained
+    * ratio, and the md5 of the text rebuilt from the surviving chunks in
+    * original order (the rebuilt body itself stays executor-side; only
+    * the 32-byte digest comes back — at 100 TB the full rebuilt corpus
+    * would be written to parquet by the caller, not returned).
+    *
+    * Shuffle profile: one exchange keyed on the chunk string (the
+    * keep-first window — chunk groups are tiny, bounded by the corpus'
+    * true duplication factor, so no skew mitigation is needed), one on
+    * doc id for the group-back. Document bodies cross the wire chunked
+    * exactly once each; nothing is quadratic.
+    */
+  def chunkDedup(docs: DataFrame, id: Column, text: Column,
+                 chunkWords: Int = 8): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
+    val words = split(text, " ")
+    // ceil(nWords / chunkWords) chunks; split("") yields [""], so every
+    // non-null doc has >= 1 word and the sequence is never empty
+    val nChunks = ceil(size(words).cast("double") / chunkWords).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(words, i * chunkWords + 1, lit(chunkWords))))
+    val exploded = docs.select(id.as("doc_id"),
+        posexplode(chunks).as(Seq("idx", "chunk")))
+    val w = Window.partitionBy(col("chunk"))
+      .orderBy(col("doc_id"), col("idx"))
+    val flagged = exploded
+      .withColumn("kept", row_number().over(w) === 1)
+    val perDoc = flagged.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_chunks"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      // collect_list drops nulls, so non-kept chunks vanish; the struct
+      // sort restores original order before the rebuild
+      sort_array(collect_list(when(col("kept"),
+        struct(col("idx"), col("chunk"))))).as("kept_chunks"))
+    perDoc
+      .withColumn("retained_ratio",
+        col("n_kept").cast("double") / col("n_chunks"))
+      .withColumn("retained_md5",
+        when(col("n_kept") === 0, lit(null).cast("string"))
+          .otherwise(md5(encode(
+            concat_ws(" ", transform(col("kept_chunks"), c => c("chunk"))),
+            "UTF-8"))))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+              col("retained_ratio"), col("retained_md5"))
+  }
+
+  /** Benchmark-contamination report: for every corpus document, how many
+    * of its distinct word `n`-grams also appear in a (small) benchmark
+    * set — the standard decontamination check run before pretraining
+    * (n-gram overlap against eval suites).
+    *
+    * Scale shape: the benchmark side is eval data — megabytes against a
+    * 100 TB corpus — so its distinct n-gram set is aggregated and then
+    * BROADCAST; the corpus side streams through a map-side hash join and
+    * the only corpus-keyed shuffle is the per-document count-up of the
+    * (rare) matches. The corpus is never re-partitioned and never
+    * self-joined. N-grams cross the broadcast as 8-byte hashes
+    * ([[SketchFns.hashed_shingles]]), not strings.
+    *
+    * Output: (doc_id, n_shingles, n_shared, contamination_ratio), one
+    * row per corpus document with at least one shared n-gram.
+    */
+  def contaminationReport(docs: DataFrame, id: Column, text: Column,
+                          benchmark: DataFrame, benchText: Column,
+                          n: Int = 5): DataFrame = {
+    val docSh = docs.select(id.as("doc_id"),
+      SketchFns.hashed_shingles(text, n).as("sh"))
+    val ex = docSh.select(col("doc_id"), size(col("sh")).as("n_shingles"),
+      explode(col("sh")).as("s"))
+    val benchSet = benchmark
+      .select(explode(SketchFns.hashed_shingles(benchText, n)).as("s"))
+      .distinct()
+    ex.join(broadcast(benchSet), "s")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("contamination_ratio",
+        col("n_shared").cast("double") / col("n_shingles"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+              col("contamination_ratio"))
+  }
 }

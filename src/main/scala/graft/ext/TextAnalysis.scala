@@ -91,6 +91,36 @@ object TextAnalysis {
       (acc, t) => acc + when(t.rlike("^[A-Za-z0-9]+$"),
         ceil(length(t) / 4.0).cast("long")).otherwise(lit(1L)))
 
+  /** PII redaction patterns: (name, regex, replacement). The regexes are
+    * deliberately written in the RE2-compatible subset (no backrefs, no
+    * lookaround) so the exact same pattern text runs under Java regex
+    * (Spark) and RE2 (DuckDB oracle / most scrubbing services) with
+    * identical match sets. Order matters: emails are scrubbed before the
+    * bare-number patterns so an address never leaks its digits to a
+    * later, looser pattern.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+[0-9][0-9-]{6,}[0-9]", "<PHONE>"),
+    ("ipv4", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"))
+
+  /** Scrub PII from a text column: applies [[piiPatterns]] sequentially
+    * (each pattern replaces ALL its matches) and reports a per-pattern
+    * match count taken on the ORIGINAL text. Pure per-row expressions —
+    * no shuffle, no UDF; at corpus scale this runs inside the scan
+    * projection.
+    */
+  def withRedaction(df: DataFrame, text: Column): DataFrame = {
+    val redacted = piiPatterns.foldLeft(text) {
+      case (acc, (_, pat, repl)) => regexp_replace(acc, pat, repl)
+    }
+    piiPatterns.foldLeft(df.withColumn("redacted", redacted)) {
+      case (acc, (name, pat, _)) =>
+        acc.withColumn(s"n_$name",
+          size(regexp_extract_all(text, lit(pat), lit(0))))
+    }
+  }
+
   /** Document fingerprints: md5 (exact), poly_hash (codegen'd rolling
     * hash), winnow (MOSS-style k-gram/window minima).
     */

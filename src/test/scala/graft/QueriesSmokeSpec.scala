@@ -18,7 +18,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     // approximation-dependent results)
     assert(noOracle == Set("q29_simhash_pairs", "q36_winnow_fingerprints",
                            "q37_approx_sketches", "q47_winnow_pairs",
-                           "q48_knn_ivf_kmeans"))
+                           "q48_knn_ivf_kmeans", "q63_hll_sketch_store"))
   }
 
   test("entry() returns rows (driver smoke contract)") {

@@ -27,12 +27,18 @@ class MonitoringSqlSpec extends AnyFunSuite {
     // round-2 natives: banding, cosine, repetition — all SQL-reachable
     val r2 = spark.sql(
       """SELECT size(band_buckets(minhash_signature(hashed_shingles('a b c d e', 3), 128), 64)) AS nb,
-                size(sign_band_buckets(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 4)) AS ns,
+                size(sign_band_buckets(transform(sequence(1, 64),
+                  i -> CAST(i - 32.5 AS FLOAT)), 4)) AS ns,
+                size(sign_band_buckets(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 4)) AS ns_clamped,
                 quantized_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
                                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
                 repetition_stats('a b a b a b')[0] AS top2""").collect().head
     assert(r2.getAs[Int]("nb") == 64)
+    // dim >= 64: full layout, 2 * 64/bandBits tables
     assert(r2.getAs[Int]("ns") == 32)
+    // dim < bandBits: band count clamps to the real sign bits (one band,
+    // two tables) instead of hashing constant pad bits
+    assert(r2.getAs[Int]("ns_clamped") == 2)
     assert(r2.getAs[Double]("cos") == 1.0)
     assert(math.abs(r2.getAs[Double]("top2") - 0.6) < 1e-15)
   }

@@ -1,0 +1,158 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Round-4 curation operators: chunk-level dedup, benchmark
+  * contamination, PII redaction, the partition-pruned ANN index, and the
+  * mergeable HLL sketch store.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def wordRun(tag: String, n: Int): String =
+    (0 until n).map(i => s"$tag$i").mkString(" ")
+
+  test("chunkDedup: keep-first by (doc_id, idx), retention stats, rebuilt digest") {
+    val c1 = wordRun("a", 8) // chunk shared by docs 1 and 2
+    val c2 = wordRun("b", 8)
+    val c3 = wordRun("c", 8)
+    val docs = Seq(
+      (1L, s"$c1 $c2"), // both chunks first occurrence
+      (2L, s"$c1 $c3"), // c1 already seen -> only c3 kept
+      (3L, s"$c2 $c1")  // both already seen -> nothing kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, col("doc_id"), col("text"), 8)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 2L, 0L)))
+    assert(out(1).getDouble(3) == 0.5)
+    // doc 2's rebuilt text is exactly its surviving second chunk
+    val md5c3 = java.security.MessageDigest.getInstance("MD5")
+      .digest(c3.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1).getString(4) == md5c3)
+    // fully-duplicated doc: nothing retained, digest is null (not md5(""))
+    assert(out(2).isNullAt(4))
+  }
+
+  test("chunkDedup: trailing partial chunk is its own unit") {
+    val docs = Seq((1L, wordRun("x", 10))).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, col("doc_id"), col("text"), 8).collect()
+    assert(out.head.getLong(1) == 2L) // 8 + 2 words -> 2 chunks
+    assert(out.head.getLong(2) == 2L)
+  }
+
+  test("contaminationReport: counts shared n-grams, benchmark side broadcast") {
+    val benchDoc = wordRun("q", 12)
+    val corpus = Seq(
+      (10L, s"${wordRun("z", 6)} $benchDoc"), // contains benchmark 5-grams
+      (11L, wordRun("w", 20))                 // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1(benchDoc)).toDF("text")
+    val rep = Dedup.contaminationReport(corpus, col("doc_id"), col("text"),
+      bench, col("text"), n = 5)
+    val rows = rep.collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(10L)) // only the planted doc
+    val r = rows.head
+    // doc 10 has 18 words -> 14 distinct 5-grams; the last 8 (those fully
+    // inside benchDoc's 12 words) are shared
+    assert(r.getInt(1) == 14 && r.getLong(2) == 8L)
+    assert(math.abs(r.getDouble(3) - 8.0 / 14.0) < 1e-15)
+    // the benchmark set must ride a broadcast join, never shuffle the corpus
+    rep.collect()
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast join for the benchmark n-gram set:\n$plan")
+  }
+
+  test("redaction: golden scrub + counts; clean text untouched") {
+    val df = Seq(
+      (1L, "reach john.doe+x@mail.example.org or +1-555-123-4567 at 10.0.0.1 ok"),
+      (2L, "no pii here at all")
+    ).toDF("id", "text")
+    val out = TextAnalysis.withRedaction(df, col("text"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("redacted") ==
+      "reach <EMAIL> or <PHONE> at <IP> ok")
+    assert(out(0).getAs[Int]("n_email") == 1)
+    assert(out(0).getAs[Int]("n_phone") == 1)
+    assert(out(0).getAs[Int]("n_ipv4") == 1)
+    assert(out(1).getAs[String]("redacted") == "no pii here at all")
+    assert(out(1).getAs[Int]("n_email") == 0)
+  }
+
+  test("ann index: identical results to in-query IVF, unprobed cells never read") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-ann-spec"
+    AnnIndex.build(embs, dir, bits = 4)
+    val queries = embs.filter(col("vec_id") < 3)
+    val fromIndex = AnnIndex.topK(spark, dir, queries, k = 5, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val inQuery = Similarity.ivfTopK(queries, embs, k = 5, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fromIndex == inQuery)
+    // pruning: a single query probes 5 of the 16 cells; the scan's own
+    // numFiles metric (not inputFiles, which ignores pruning) must show
+    // strictly fewer files opened than the full index holds
+    val all = spark.read.parquet(dir)
+    val one = embs.filter(col("vec_id") === 0)
+      .select(Similarity.ivfCell(col("embedding"), 4).as("c"))
+      .head().getInt(0)
+    val probed = (0 until 16).filter(m => Integer.bitCount(m ^ one) <= 1)
+    val totalFiles = filesRead(all)
+    val prunedFiles = filesRead(all.filter(col("cell").isin(probed: _*)))
+    assert(prunedFiles < totalFiles,
+      s"partition pruning did not reduce files read: $prunedFiles / $totalFiles")
+  }
+
+  /** Files actually opened by the query's parquet scans (post-pruning). */
+  private def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    df.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+  }
+
+  test("hll sketch store: union of stored sketches equals direct aggregation") {
+    val ev = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("b", 2L), ("b", 4L), ("b", 5L)
+    ).toDF("event_type", "user_id")
+    val perType = ev.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = perType
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    val direct = ev
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .head().getLong(0)
+    // register-wise max-merge is exact: union of sketches == sketch of union
+    assert(merged == direct)
+    // small-cardinality estimates are exact in HLL's sparse mode
+    assert(direct == 5L)
+  }
+
+  test("hll sketch store: estimates within tolerance of exact distincts (sf corpus)") {
+    val t = new graft.Tables(spark, sf)
+    val exact = t.events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+    val est = t.events.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+    val joined = exact.join(est, "event_type").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (e, a) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e < 0.05,
+        s"${r.getString(0)}: estimate $a vs exact $e")
+    }
+  }
+}
