@@ -1,8 +1,9 @@
 package graft.analytics
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{GraftQuery, Tables}
-import graft.ext.{AnnIndex, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{AnnIndex, Dedup, Multimodal, Similarity, Skew, TextAnalysis}
 
 /** The LLM-data-pipeline extension operators (north star §"beyond the
   * reference"): dedup (exact / n-gram-Jaccard / MinHash-LSH / SimHash),
@@ -863,6 +864,93 @@ object ExtQueries {
         SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine,
                CAST(cell AS INT) AS cell
         FROM ranked WHERE rank <= 5
-        ORDER BY query_id, rank"""))
+        ORDER BY query_id, rank""")),
+
+    // ------------------------------------------------------------------
+    // q65: unigram-LM perplexity scoring — train on the corpus, score
+    // every doc by mean negative log-probability (integer micro-nat
+    // path, see TextAnalysis.unigramLogPpl for why that's what makes an
+    // LM score oracle-checkable at all).
+    GraftQuery(
+      "q65_unigram_log_ppl",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        TextAnalysis.unigramLogPpl(t.documents, col("doc_id"), col("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                      FROM documents),
+        counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM toks GROUP BY token),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM counts),
+        model AS (SELECT token,
+                    CAST(floor(-ln(CAST(c AS DOUBLE) / total) * 1000000 + 0.5) AS BIGINT) AS lp
+                  FROM counts, tot)
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(m.lp) AS DOUBLE) / 1000000.0 / COUNT(*) AS log_ppl
+        FROM toks t JOIN model m ON t.token = m.token
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q66: analytic-window breadth — lag/lead/first_value/nth_value/
+    // ntile over each customer's order history, one window definition
+    // shared by all five (one exchange + one sort, every function rides
+    // the same WindowExec).
+    GraftQuery(
+      "q66_window_breadth",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t.orders.select(
+            col("o_custkey"), col("o_orderkey"),
+            to_date(col("o_orderdate")).as("order_date"),
+            col("o_totalprice").as("price"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(w).as("next_price"),
+            first(col("o_totalprice")).over(w).as("first_price"),
+            nth_value(col("o_totalprice"), 3).over(w).as("third_price"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS order_date,
+               o_totalprice AS price,
+               lag(o_totalprice, 1) OVER w AS prev_price,
+               lead(o_totalprice, 1) OVER w AS next_price,
+               first_value(o_totalprice) OVER w AS first_price,
+               nth_value(o_totalprice, 3) OVER w AS third_price,
+               CAST(ntile(4) OVER w AS INT) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // q67: two-phase salted aggregation under the oracle gate — the
+    // answer must be IDENTICAL to a plain GROUP BY (that's the whole
+    // point of salting: spread a hot key over `salts` reducers without
+    // changing the result). Exact-decimal sums make the two-phase
+    // re-aggregation bit-equal regardless of how the salt scattered the
+    // rows.
+    GraftQuery(
+      "q67_salted_agg",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Skew.saltedAgg(t.events, Seq(col("event_type")), salts = 16)(
+            Seq(count(lit(1)).as("pc"),
+                sum(col("value").cast("decimal(12,2)")).as("ps")),
+            Seq(sum(col("pc")).as("n_events"),
+                sum(col("ps")).cast("double").as("sum_value")))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }

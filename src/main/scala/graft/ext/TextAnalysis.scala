@@ -121,6 +121,50 @@ object TextAnalysis {
     }
   }
 
+  /** Corpus-trained unigram LM scoring — the CCNet-style perplexity
+    * quality signal with a unigram model standing in for KenLM (the
+    * sandbox has no LM artifacts; the Spark shape — train pass, broadcast
+    * model, score pass — is identical for any n-gram order).
+    *
+    * Scoring is `log_ppl` = mean negative natural log-probability of the
+    * document's tokens under the corpus unigram distribution (this IS
+    * ln(perplexity); exp() is deliberately not applied — see below).
+    * Lower = more typical of the corpus; curation filters drop both
+    * tails.
+    *
+    * Determinism discipline: per-token log-probabilities are quantized
+    * to integer MICRO-nats once, in the (tiny) model table, and each
+    * document sums INTEGERS — so the per-doc reduction is exact and
+    * order-free regardless of partitioning, and the final score is a
+    * fixed sequence of two IEEE divisions. Summing raw double logs
+    * would make the result depend on fold order; applying exp() at the
+    * end would reintroduce a libm whose last-ulp rounding differs
+    * across engines.
+    *
+    * Scale shape: pass 1 trains the model (one shuffle on token,
+    * partial-agg absorbs Zipf skew); the model (vocab-sized — bounded
+    * in practice, cap upstream for open vocabularies) broadcasts into
+    * pass 2, which scores map-side and shuffles only (doc_id, long)
+    * partials. The corpus is never joined shuffle-to-shuffle.
+    */
+  def unigramLogPpl(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      explode(split(text, " ")).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("total"))
+    val model = counts.crossJoin(broadcast(total))
+      .withColumn("lp_micro",
+        floor(log(col("c").cast("double") / col("total")) * -1000000d + 0.5d)
+          .cast("long"))
+      .select(col("token"), col("lp_micro"))
+    toks.join(broadcast(model), "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp_micro")).as("__s"))
+      .withColumn("log_ppl",
+        col("__s").cast("double") / 1000000.0 / col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("log_ppl"))
+  }
+
   /** Document fingerprints: md5 (exact), poly_hash (codegen'd rolling
     * hash), winnow (MOSS-style k-gram/window minima).
     */

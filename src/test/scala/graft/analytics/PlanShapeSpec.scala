@@ -80,4 +80,32 @@ class PlanShapeSpec extends AnyFunSuite {
       l.contains("*(") && l.contains("poly_hash")),
       s"poly_hash outside codegen:\n$fp")
   }
+
+  test("q58 heavy hitters: top-k fuses into TakeOrderedAndProject") {
+    val plan = executedPlan("q58_heavy_hitters")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocabulary top-k fell back to a global sort:\n$plan")
+  }
+
+  test("q59 contamination: benchmark n-gram set broadcasts") {
+    val plan = executedPlan("q59_contamination")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark set did not broadcast — corpus would shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"unexpected sort-merge join in the contamination path:\n$plan")
+  }
+
+  test("q60 quality band: threshold joins back as broadcast, no window sort") {
+    val plan = executedPlan("q60_quality_band")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-lang threshold did not broadcast:\n$plan")
+    assert(!plan.contains("Window"),
+      s"quality band must use an aggregate threshold, not a corpus window:\n$plan")
+  }
+
+  test("q65 unigram model: scoring join is broadcast, corpus side unshuffled") {
+    val plan = executedPlan("q65_unigram_log_ppl")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"unigram model did not broadcast into the scoring pass:\n$plan")
+  }
 }

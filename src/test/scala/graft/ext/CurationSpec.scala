@@ -109,6 +109,40 @@ class CurationSpec extends AnyFunSuite {
       s"partition pruning did not reduce files read: $prunedFiles / $totalFiles")
   }
 
+  test("unigram log-ppl: rare tokens score higher, invariant to partitioning") {
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common common rare1 rare2")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogPpl(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    // corpus: common x6, rare1 x1, rare2 x1 (total 8)
+    val lpCommon = math.floor(-math.log(6.0 / 8) * 1e6 + 0.5)
+    val lpRare = math.floor(-math.log(1.0 / 8) * 1e6 + 0.5)
+    assert(out(0).getLong(1) == 4L)
+    assert(out(0).getDouble(2) == lpCommon * 4 / 1e6 / 4)
+    assert(out(1).getDouble(2) == (lpCommon * 2 + lpRare * 2) / 1e6 / 4)
+    assert(out(1).getDouble(2) > out(0).getDouble(2))
+    // integer micro-nat path: identical bits under a different layout
+    val re = TextAnalysis.unigramLogPpl(docs.repartition(7), col("doc_id"),
+      col("text")).orderBy("doc_id").collect()
+    assert(re.map(_.getDouble(2)).toSeq == out.map(_.getDouble(2)).toSeq)
+  }
+
+  test("saltedAgg: identical to plain groupBy on a hot-key distribution") {
+    val hot = (1 to 5000).map(i => ("hot", i.toDouble % 97)) ++
+      (1 to 50).map(i => ("cold", i.toDouble))
+    val df = hot.toDF("k", "v")
+    val salted = Skew.saltedAgg(df, Seq(col("k")), salts = 8)(
+        Seq(count(lit(1)).as("pc"), sum(col("v").cast("decimal(12,2)")).as("ps")),
+        Seq(sum(col("pc")).as("n"), sum(col("ps")).cast("double").as("s")))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val plain = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(12,2)")).cast("double").as("s"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   /** Files actually opened by the query's parquet scans (post-pruning). */
   private def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
