@@ -951,6 +951,75 @@ object ExtQueries {
                CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // q68: k-NN majority-vote classification over the labeled embeddings
+    // — the embedding-quality eval. Deterministic end to end (quantized
+    // cosine, id tie-breaks, (votes, label) majority tie-breaks), so the
+    // "ML eval" is fully oracle-checkable.
+    GraftQuery(
+      "q68_knn_label_eval",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Similarity.knnClassify(
+            t.embeddings.filter(col("vec_id") < 20), t.embeddings, k = 5)
+          .orderBy(col("query_id"))
+      },
+      Some("""
+        WITH qv AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE)*10000 + 0.5)) AS v
+                    FROM embeddings WHERE vec_id < 20),
+        cv AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE)*10000 + 0.5)) AS v
+               FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nbr_label,
+                 list_dot_product(q.v, c.v)
+                   / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cosine
+          FROM qv q JOIN cv c ON q.vec_id != c.vec_id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank FROM scored),
+        votes AS (SELECT query_id, nbr_label, CAST(COUNT(*) AS BIGINT) AS votes
+                  FROM ranked WHERE rank <= 5 GROUP BY query_id, nbr_label),
+        pred AS (SELECT query_id, nbr_label, votes,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY votes DESC, nbr_label) AS rn FROM votes)
+        SELECT p.query_id, q.label AS true_label, p.nbr_label AS predicted_label,
+               p.votes, (p.nbr_label = q.label) AS correct
+        FROM pred p JOIN qv q ON p.query_id = q.vec_id
+        WHERE p.rn = 1
+        ORDER BY p.query_id""")),
+
+    // ------------------------------------------------------------------
+    // q69: top-3 TF-IDF terms per document — keyword extraction with an
+    // all-integer score (tf × micro-quantized idf), so the ranking is
+    // exact and partitioning-invariant.
+    GraftQuery(
+      "q69_tfidf_top_terms",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        TextAnalysis.tfidfTopTerms(t.documents, col("doc_id"), col("text"),
+            k = 3)
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM toks GROUP BY doc_id, term),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        idf AS (SELECT term,
+                  CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1000000 + 0.5) AS BIGINT) AS idf_micro
+                FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                      FROM tf GROUP BY term), nd),
+        scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+                     tf.tf * idf.idf_micro AS score_micro
+                   FROM tf JOIN idf ON tf.term = idf.term),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY score_micro DESC, term) AS rank FROM scored)
+        SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, score_micro
+        FROM ranked WHERE rank <= 3
+        ORDER BY doc_id, rank"""))
   )
 }

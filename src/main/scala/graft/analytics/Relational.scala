@@ -434,6 +434,40 @@ object Relational {
                CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS error_ratio
         FROM events
         GROUP BY 1
-        ORDER BY day"""))
+        ORDER BY day""")),
+
+    // ------------------------------------------------------------------
+    // q70: full-outer join breadth — customer activity rollup keeping
+    // BOTH unmatched sides (a truncated customer dim makes orphan orders
+    // real). COALESCE folds the two key columns; the left-only rows keep
+    // null order stats, the right-only rows null dim attributes.
+    GraftQuery(
+      "q70_full_outer_activity",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val dim = t.customer.filter(col("c_custkey") <= 400)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val act = t.orders
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+               sum(col("o_totalprice").cast("decimal(12,2)"))
+                 .cast("double").as("total_spend"))
+        dim.join(act, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_mktsegment").as("segment"),
+            col("n_orders"), col("total_spend"))
+          .orderBy(col("custkey"))
+      },
+      Some("""
+        WITH dim AS (SELECT c_custkey, c_mktsegment FROM customer
+                     WHERE c_custkey <= 400),
+        act AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+                FROM orders GROUP BY o_custkey)
+        SELECT COALESCE(d.c_custkey, a.o_custkey) AS custkey,
+               d.c_mktsegment AS segment, a.n_orders, a.total_spend
+        FROM dim d FULL OUTER JOIN act a ON d.c_custkey = a.o_custkey
+        ORDER BY custkey"""))
   )
 }

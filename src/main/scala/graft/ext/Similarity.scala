@@ -66,6 +66,34 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** k-NN majority-vote label classification — the standard
+    * embedding-quality eval (predict each query's label from its k
+    * nearest corpus neighbors, compare to the true label). Fully
+    * deterministic and oracle-checkable: quantized-integer cosine,
+    * neighbor-id tie-breaks in the top-k, and (votes DESC, label ASC)
+    * tie-breaks in the majority. Neighbor labels attach by broadcasting
+    * the (queries × k)-row neighbor table into the corpus scan — the
+    * corpus label column is read, never shuffled.
+    */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val nbrs = bruteForceTopK(queries, corpus, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val labeled = corpus.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nbr_label"))
+      .join(broadcast(nbrs), "neighbor_id")
+    val votes = labeled.groupBy(col("query_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("nbr_label"))
+    votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("label").as("true_label"))), "query_id")
+      .select(col("query_id"), col("true_label"),
+              col("nbr_label").as("predicted_label"), col("votes"),
+              (col("nbr_label") === col("true_label")).as("correct"))
+  }
+
   /** Coarse IVF cell id: sign bits of the first `bits` dimensions
     * (an axis-aligned hyperplane quantizer — deterministic, needs no
     * training pass; swap in k-means centroids for a data-adaptive one).

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.ColumnFns
 
@@ -163,6 +164,42 @@ object TextAnalysis {
       .withColumn("log_ppl",
         col("__s").cast("double") / 1000000.0 / col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("log_ppl"))
+  }
+
+  /** Top-`k` TF-IDF terms per document — the classic keyword/salience
+    * extraction, computed ENTIRELY in integers so it is exact and
+    * order-free: score = tf × floor(ln(N/df)·1e6 + 0.5). The idf factor
+    * is quantized once per vocabulary term (micro-nats, same discipline
+    * as [[unigramLogPpl]]); the per-row multiply is exact long
+    * arithmetic, so no floating-point fold order anywhere.
+    *
+    * Scale shape: tf is one shuffle on (doc, term) with map-side
+    * combine; df aggregates the (already distinct) tf pairs per term
+    * into a vocab-sized table that BROADCASTS back; top-k per doc is a
+    * bounded window over ≤ |doc vocab| rows per partition key. The
+    * corpus crosses the wire once, as (doc_id, term, tf) triples.
+    */
+  def tfidfTopTerms(docs: DataFrame, id: Column, text: Column,
+                    k: Int = 3): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      explode(split(text, " ")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = docs.select(id).agg(count(lit(1)).as("n_docs"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_micro",
+        floor(log(col("n_docs").cast("double") / col("df")) * 1000000d + 0.5d)
+          .cast("long"))
+      .select(col("term"), col("idf_micro"))
+    val scored = tf.join(broadcast(df_), "term")
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+              col("score_micro"))
   }
 
   /** Document fingerprints: md5 (exact), poly_hash (codegen'd rolling

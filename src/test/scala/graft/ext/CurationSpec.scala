@@ -143,6 +143,40 @@ class CurationSpec extends AnyFunSuite {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("knnClassify: planted clusters predict their own label, ties break low") {
+    // two tight clusters in 2-d: label 0 near (1,0), label 1 near (0,1)
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val rows = Seq(
+      (0L, v(1.00, 0.01), 0), (1L, v(0.99, 0.02), 0), (2L, v(0.98, 0.00), 0),
+      (3L, v(0.01, 1.00), 1), (4L, v(0.02, 0.99), 1), (5L, v(0.00, 0.98), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(df, df, k = 2)
+      .orderBy("query_id").collect()
+    assert(out.length == 6)
+    out.foreach { r =>
+      assert(r.getAs[Int]("predicted_label") == r.getAs[Int]("true_label"))
+      assert(r.getAs[Boolean]("correct"))
+    }
+  }
+
+  test("tfidf top terms: corpus-wide terms score zero, ranking is exact") {
+    val docs = Seq(
+      (1L, "shared alpha alpha beta"),
+      (2L, "shared beta"),
+      (3L, "shared gamma")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, col("doc_id"), col("text"), 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(4)))
+    // idf("shared") = ln(3/3) = 0 -> never outranks a distinctive term
+    val idf1 = math.floor(math.log(3.0 / 1) * 1e6 + 0.5).toLong // df=1 terms
+    val idf2 = math.floor(math.log(3.0 / 2) * 1e6 + 0.5).toLong // df=2 terms
+    assert(out.toSeq == Seq(
+      (1L, 1, "alpha", 2 * idf1), (1L, 2, "beta", idf2),
+      (2L, 1, "beta", idf2), (2L, 2, "shared", 0L),
+      (3L, 1, "gamma", idf1), (3L, 2, "shared", 0L)))
+  }
+
   /** Files actually opened by the query's parquet scans (post-pruning). */
   private def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
