@@ -473,17 +473,26 @@ object Dedup {
     * doc id for the group-back. Document bodies cross the wire chunked
     * exactly once each; nothing is quadratic.
     */
-  def chunkDedup(docs: DataFrame, id: Column, text: Column,
-                 chunkWords: Int = 8): DataFrame = {
+  /** Consecutive non-overlapping `chunkWords`-word chunks of a text
+    * column, as an array (map-side only; shared by the batch
+    * [[chunkDedup]] and the streaming twin
+    * [[graft.streaming.StreamingChunkDedup]] so both dedup the SAME
+    * units).
+    */
+  def chunksOf(text: Column, chunkWords: Int): Column = {
     require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
     val words = split(text, " ")
     // ceil(nWords / chunkWords) chunks; split("") yields [""], so every
     // non-null doc has >= 1 word and the sequence is never empty
     val nChunks = ceil(size(words).cast("double") / chunkWords).cast("int")
-    val chunks = transform(sequence(lit(0), nChunks - 1),
+    transform(sequence(lit(0), nChunks - 1),
       i => concat_ws(" ", slice(words, i * chunkWords + 1, lit(chunkWords))))
+  }
+
+  def chunkDedup(docs: DataFrame, id: Column, text: Column,
+                 chunkWords: Int = 8): DataFrame = {
     val exploded = docs.select(id.as("doc_id"),
-        posexplode(chunks).as(Seq("idx", "chunk")))
+        posexplode(chunksOf(text, chunkWords)).as(Seq("idx", "chunk")))
     val w = Window.partitionBy(col("chunk"))
       .orderBy(col("doc_id"), col("idx"))
     val flagged = exploded
