@@ -289,11 +289,12 @@ object ExtQueries {
             CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nupper
           FROM documents)
         SELECT doc_id, n_tokens_ws, n_tokens_bpe,
+          CASE WHEN nc = 0 THEN 0.0 ELSE
           floor((0.35 * (CASE WHEN nc BETWEEN 100 AND 10000 THEN 1.0 ELSE 0.3 END)
               + 0.25 * (CASE WHEN (nc - (nw - 1)) / nw BETWEEN 3 AND 10 THEN 1.0 ELSE 0.4 END)
               + 0.2 * least((nstop / nw) * 5, 1.0)
               + 0.1 * (1.0 - npunct / nc)
-              + 0.1 * (1.0 - nupper / nc)) * 10000 + 0.5) / 10000 AS quality
+              + 0.1 * (1.0 - nupper / nc)) * 10000 + 0.5) / 10000 END AS quality
         FROM sig
         ORDER BY doc_id""")),
 
@@ -751,11 +752,12 @@ object ExtQueries {
           FROM documents),
         q AS (
           SELECT doc_id, lang,
+            CASE WHEN nc = 0 THEN 0.0 ELSE
             floor((0.35 * (CASE WHEN nc BETWEEN 100 AND 10000 THEN 1.0 ELSE 0.3 END)
                 + 0.25 * (CASE WHEN (nc - (nw - 1)) / nw BETWEEN 3 AND 10 THEN 1.0 ELSE 0.4 END)
                 + 0.2 * least((nstop / nw) * 5, 1.0)
                 + 0.1 * (1.0 - npunct / nc)
-                + 0.1 * (1.0 - nupper / nc)) * 10000 + 0.5) / 10000 AS quality
+                + 0.1 * (1.0 - nupper / nc)) * 10000 + 0.5) / 10000 END AS quality
           FROM sig),
         thr AS (SELECT lang, quantile_cont(quality, 0.8) AS lang_threshold
                 FROM q GROUP BY lang)
@@ -798,29 +800,35 @@ object ExtQueries {
         ORDER BY shard""")),
 
     // ------------------------------------------------------------------
-    // q63: mergeable distinct-count sketch store — per (day, event_type)
-    // HLL sketches (DataSketches hll_sketch_agg) plus a per-day "ALL"
-    // row from hll_union_agg over the stored sketches. This is the
-    // warehouse pattern at 100 TB: persist small mergeable sketches per
-    // partition, answer cross-partition distinct questions by UNIONING
-    // sketches (never re-scanning raw data). HLL register merges are
-    // order-independent, so the estimates are deterministic; they are
-    // not reproducible in ANSI SQL, so this is rows-only here and
-    // SketchStoreSpec pins accuracy vs exact distincts.
+    // q63: multi-granularity distinct-count sketches — per (day,
+    // event_type) HLL estimates plus a per-day "ALL" row, in ONE scan
+    // and one aggregation via ROLLUP (a two-branch union would execute
+    // the events scan+shuffle once per branch). The 100 TB warehouse
+    // pattern — persist the small mergeable sketches, answer
+    // cross-partition distinct questions by UNIONING them instead of
+    // re-scanning raw data — rests on union-of-sketches ≡ direct
+    // aggregation, which CurationSpec pins exactly (hll_union_agg over
+    // stored per-type sketches equals the one-shot sketch). HLL register
+    // merges are order-independent, so estimates are deterministic; not
+    // reproducible in ANSI SQL → rows-only, accuracy pinned in
+    // CurationSpec vs exact distincts.
     GraftQuery(
       "q63_hll_sketch_store",
       (spark, dir) => {
         val t = new Tables(spark, dir)
-        val byType = t.events
-          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-          .agg(hll_sketch_agg(col("user_id")).as("sk"))
-        val daily = byType.select(col("day"), col("event_type"),
-          hll_sketch_estimate(col("sk")).as("est_users"))
-        val merged = byType.groupBy(col("day"))
-          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
-          .withColumn("event_type", lit("ALL"))
-          .select(col("day"), col("event_type"), col("est_users"))
-        daily.unionByName(merged)
+        t.events
+          .select(to_date(col("ts")).as("day"), col("event_type"),
+                  col("user_id"))
+          .rollup(col("day"), col("event_type"))
+          .agg(grouping(col("day")).as("__gd"),
+               grouping(col("event_type")).as("__ge"),
+               hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+                 .as("est_users"))
+          .filter(col("__gd") === 0) // keep (day, type) + per-day subtotal
+          .select(col("day"),
+                  when(col("__ge") === 1, lit("ALL"))
+                    .otherwise(col("event_type")).as("event_type"),
+                  col("est_users"))
           .orderBy(col("day"), col("event_type"))
       },
       None),

@@ -1,9 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.SketchFns
 
 /** Disk layout for approximate-nearest-neighbor serving: the corpus is
   * written parquet-PARTITIONED BY its coarse IVF cell, so a query's probe
@@ -45,27 +43,13 @@ object AnnIndex {
     */
   def topK(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
            bits: Int = 4, probeRadius: Int = 1): DataFrame = {
-    val masks = (0 until (1 << bits))
-      .filter(m => Integer.bitCount(m) <= probeRadius)
-    val q = queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("qv"),
-        Similarity.ivfCell(col("embedding"), bits).as("qcell"))
-      .withColumn("cell",
-        explode(array(masks.map(m => col("qcell").bitwiseXOR(lit(m))): _*)))
-    val probedCells = q.select(col("cell")).distinct()
+    val probes = Similarity.probeFanout(queries, bits, probeRadius)
+    val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     val corpus = spark.read.parquet(dir)
       .filter(col("cell").isin(probedCells: _*))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
               col("cell"))
-    val scored = corpus.join(broadcast(q), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", SketchFns.quantized_cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-              col("cosine"), col("cell"))
+    Similarity.probedTopK(probes, corpus, k)
   }
 }

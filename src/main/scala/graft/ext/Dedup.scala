@@ -450,6 +450,22 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Consecutive non-overlapping `chunkWords`-word chunks of a text
+    * column, as an array (map-side only; shared by the batch
+    * [[chunkDedup]] and the streaming twin
+    * [[graft.streaming.StreamingChunkDedup]] so both dedup the SAME
+    * units).
+    */
+  def chunksOf(text: Column, chunkWords: Int): Column = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
+    val words = split(text, " ")
+    // ceil(nWords / chunkWords) chunks; split("") yields [""], so every
+    // non-null doc has >= 1 word and the sequence is never empty
+    val nChunks = ceil(size(words).cast("double") / chunkWords).cast("int")
+    transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(words, i * chunkWords + 1, lit(chunkWords))))
+  }
+
   /** Chunk-level (passage-level) exact dedup — the sub-document variant
     * of [[exact]] that corpus-curation pipelines run between document
     * dedup and near-dup removal (the CCNet/RefinedWeb "drop repeated
@@ -473,22 +489,6 @@ object Dedup {
     * doc id for the group-back. Document bodies cross the wire chunked
     * exactly once each; nothing is quadratic.
     */
-  /** Consecutive non-overlapping `chunkWords`-word chunks of a text
-    * column, as an array (map-side only; shared by the batch
-    * [[chunkDedup]] and the streaming twin
-    * [[graft.streaming.StreamingChunkDedup]] so both dedup the SAME
-    * units).
-    */
-  def chunksOf(text: Column, chunkWords: Int): Column = {
-    require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
-    val words = split(text, " ")
-    // ceil(nWords / chunkWords) chunks; split("") yields [""], so every
-    // non-null doc has >= 1 word and the sequence is never empty
-    val nChunks = ceil(size(words).cast("double") / chunkWords).cast("int")
-    transform(sequence(lit(0), nChunks - 1),
-      i => concat_ws(" ", slice(words, i * chunkWords + 1, lit(chunkWords))))
-  }
-
   def chunkDedup(docs: DataFrame, id: Column, text: Column,
                  chunkWords: Int = 8): DataFrame = {
     val exploded = docs.select(id.as("doc_id"),

@@ -112,18 +112,39 @@ object Similarity {
     * radius-1 multi-probe is the standard fix.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 4,
-              probeRadius: Int = 1): DataFrame = {
+              probeRadius: Int = 1): DataFrame =
+    probedTopK(
+      probeFanout(queries, bits, probeRadius),
+      corpus.select(col("vec_id").as("neighbor_id"),
+                    col("embedding").as("cv"),
+                    ivfCell(col("embedding"), bits).as("cell")),
+      k)
+
+  /** Queries fanned out to their multi-probe cells: one row per
+    * (query, probed cell), columns (query_id, qv, cell). Shared by
+    * [[ivfTopK]] and [[graft.ext.AnnIndex.topK]] so the probe set is
+    * identical by construction, not by parallel code.
+    */
+  private[ext] def probeFanout(queries: DataFrame, bits: Int,
+                               probeRadius: Int): DataFrame = {
     val masks = (0 until (1 << bits))
       .filter(m => Integer.bitCount(m) <= probeRadius)
-    val q = queries.select(col("vec_id").as("query_id"),
-                           col("embedding").as("qv"),
-                           ivfCell(col("embedding"), bits).as("qcell"))
+    queries.select(col("vec_id").as("query_id"),
+                   col("embedding").as("qv"),
+                   ivfCell(col("embedding"), bits).as("qcell"))
       .withColumn("cell",
         explode(array(masks.map(m => col("qcell").bitwiseXOR(lit(m))): _*)))
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-                          col("embedding").as("cv"),
-                          ivfCell(col("embedding"), bits).as("cell"))
-    val scored = c.join(broadcast(q), Seq("cell"))
+      .select(col("query_id"), col("qv"), col("cell"))
+  }
+
+  /** Score a probe fan-out against a celled corpus and take top-k per
+    * query — the one implementation of the IVF tie-break/quantization
+    * contract, regardless of where the corpus cells came from (computed
+    * in-query, or read back from a partition-pruned index layout).
+    */
+  private[ext] def probedTopK(probes: DataFrame, celledCorpus: DataFrame,
+                              k: Int): DataFrame = {
+    val scored = celledCorpus.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", SketchFns.quantized_cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))

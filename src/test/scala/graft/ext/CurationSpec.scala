@@ -64,7 +64,6 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getInt(1) == 14 && r.getLong(2) == 8L)
     assert(math.abs(r.getDouble(3) - 8.0 / 14.0) < 1e-15)
     // the benchmark set must ride a broadcast join, never shuffle the corpus
-    rep.collect()
     val plan = rep.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"expected broadcast join for the benchmark n-gram set:\n$plan")
