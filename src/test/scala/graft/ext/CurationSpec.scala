@@ -40,6 +40,31 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2).isNullAt(4))
   }
 
+  test("chunkDedup invariant: kept chunks across the corpus == distinct chunks") {
+    import org.scalacheck.{Gen, rng}
+    // random corpora from a tiny chunk alphabet force heavy cross-doc
+    // duplication; the keep-first contract implies Σ n_kept over docs
+    // equals the number of DISTINCT chunks, and Σ n_chunks the total
+    val chunkAlphabet = (0 until 6).map(i => wordRun(s"c${i}_", 4)).toVector
+    def corpus(seed: Long, nDocs: Int): Seq[(Long, String)] =
+      (0 until nDocs).map { d =>
+        val picks = Gen.listOfN(4, Gen.choose(0, chunkAlphabet.size - 1))
+          .apply(Gen.Parameters.default, rng.Seed(seed + d)).get
+        (d.toLong, picks.map(chunkAlphabet).mkString(" "))
+      }
+    Seq(7L, 21L).foreach { seed =>
+      val docs = corpus(seed, 12).toDF("doc_id", "text")
+      val out = Dedup.chunkDedup(docs, col("doc_id"), col("text"), 4).collect()
+      val distinctChunks = docs
+        .select(explode(Dedup.chunksOf(col("text"), 4)).as("c"))
+        .distinct().count()
+      val totalChunks = docs
+        .select(explode(Dedup.chunksOf(col("text"), 4)).as("c")).count()
+      assert(out.map(_.getLong(2)).sum == distinctChunks)
+      assert(out.map(_.getLong(1)).sum == totalChunks)
+    }
+  }
+
   test("chunkDedup: trailing partial chunk is its own unit") {
     val docs = Seq((1L, wordRun("x", 10))).toDF("doc_id", "text")
     val out = Dedup.chunkDedup(docs, col("doc_id"), col("text"), 8).collect()
