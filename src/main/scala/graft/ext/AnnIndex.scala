@@ -35,11 +35,19 @@ object AnnIndex {
 
   /** Serve top-k from the index with radius-`probeRadius` multi-probe.
     * Semantics are IDENTICAL to [[Similarity.ivfTopK]] (same cells, same
-    * probes, same quantized-integer cosine, same tie-breaks) — only the
-    * physical access path differs: the probe-cell union is collected
-    * driver-side (≤ 2^bits ints — bounded by construction, and it MUST
-    * be driver-side: partition pruning needs scan-time literals, a join
-    * can't prune directories) and pushed as an `isin` partition filter.
+    * probes, same quantized-integer cosine, same tie-breaks — one shared
+    * implementation, [[Similarity.probedTopK]]) — only the physical
+    * access path differs: the probe-cell union is collected driver-side
+    * (≤ 2^bits ints, bounded by construction) and pushed as an `isin`
+    * partition filter, which prunes unconditionally at plan time.
+    *
+    * The collect is a convenience, not a requirement: joining the index
+    * on its partition column against the broadcast probe fan-out prunes
+    * via DYNAMIC partition pruning instead (the broadcast result is
+    * reused as the partition filter at runtime) — CurationSpec pins that
+    * path reading fewer files too. Literal pruning is the default here
+    * because it is guaranteed by construction, while DPP is subject to
+    * the optimizer's benefit heuristics.
     */
   def topK(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
            bits: Int = 4, probeRadius: Int = 1): DataFrame = {

@@ -215,6 +215,29 @@ class CurationSpec extends AnyFunSuite {
       .map(_.metrics("numFiles").value).sum
   }
 
+  test("ann index: probe join prunes partitions dynamically (no driver collect)") {
+    // the alternative access path to topK's literal isin: join the index
+    // on its partition column against the (filtered, broadcast) probe
+    // fan-out and let dynamic partition pruning derive the partition
+    // filter from the broadcast — the pattern that scales past a
+    // driver-side probe list
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-ann-spec-dpp"
+    AnnIndex.build(embs, dir, bits = 4)
+    val corpus = spark.read.parquet(dir)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+              col("cell"))
+    val probes = Similarity.probeFanout(
+      embs.filter(col("vec_id") === 0), bits = 4, probeRadius = 1)
+    val joined = corpus.join(broadcast(probes), Seq("cell"))
+    val total = filesRead(spark.read.parquet(dir))
+    val pruned = filesRead(joined)
+    assert(joined.queryExecution.executedPlan.toString.toLowerCase
+             .contains("dynamicpruning"),
+      s"no dynamic pruning in plan:\n${joined.queryExecution.executedPlan}")
+    assert(pruned < total,
+      s"dynamic pruning did not reduce files read: $pruned / $total")
+  }
+
   test("hll sketch store: union of stored sketches equals direct aggregation") {
     val ev = Seq(
       ("a", 1L), ("a", 2L), ("a", 3L), ("b", 2L), ("b", 4L), ("b", 5L)
