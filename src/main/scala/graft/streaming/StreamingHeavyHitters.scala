@@ -21,17 +21,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * bucket (≈ 1/nBuckets of the stream), so sharding also TIGHTENS the
   * bound vs one global table — the standard distributed deployment.
   *
-  * Each micro-batch emits a snapshot row per counter UPDATED in that
-  * batch; the current top-k is the latest snapshot per (bucket, token)
-  * ranked by count — a stateless downstream query (kept separate for
-  * the same watermark-chaining reason as the dedup twins). A token
-  * evicted after its last snapshot leaves that row stale rather than
-  * tombstoned; that is safe for top-k consumption because its evictor
-  * carries a strictly larger count, and heavy hitters — the rows this
-  * exists to find — are precisely the ones SpaceSaving never evicts.
+  * Each micro-batch emits a snapshot row per SURVIVING counter updated
+  * in that batch — at most `capacity` rows per bucket per batch, so
+  * emission volume is as structurally bounded as the state (tokens that
+  * churned through a slot and were evicted within the batch emit
+  * nothing). The current view is the max-COUNT snapshot per (bucket,
+  * token): counts are strictly monotonic per token across emissions
+  * (an update increments; re-entry after eviction inherits min+1, and
+  * the bucket minimum never decreases), which makes max-by-count
+  * correct even under out-of-order event times — a stateless downstream
+  * query (kept separate for the same watermark-chaining reason as the
+  * dedup twins). A token evicted after its last snapshot leaves that
+  * row stale rather than tombstoned; safe for top-k consumption because
+  * its evictor carries a strictly larger count, and heavy hitters — the
+  * rows this exists to find — are precisely the ones SpaceSaving never
+  * evicts. No watermark is applied: state needs no TTL (boundedness is
+  * structural), and filtering late events would silently break the
+  * never-undercounts guarantee, so arbitrarily late tokens still count.
   * All replacement decisions are deterministic: batch rows are
-  * processed in (eventTime, token) order and the evicted minimum breaks
-  * ties by (count, err, token).
+  * processed in (eventTime, token) order and eviction takes the minimum
+  * by (count, −err, token) — among equal counts, the MOST overestimated
+  * counter goes first, never a genuine hitter over a tail artifact.
+  * Null tokens are dropped at the plan edge.
   */
 object StreamingHeavyHitters {
 
@@ -45,16 +56,15 @@ object StreamingHeavyHitters {
                                   err: Long, eventTime: Timestamp)
 
   def track(tokens: Dataset[TokenEvent], nBuckets: Int = 16,
-            capacity: Int = 64,
-            watermarkDelay: String = "10 minutes"): Dataset[HitterSnapshot] = {
+            capacity: Int = 64): Dataset[HitterSnapshot] = {
     require(nBuckets >= 1, "nBuckets must be >= 1")
     require(capacity >= 1, "capacity must be >= 1")
     val spark = tokens.sparkSession
     import spark.implicits._
     val keyed = tokens.toDF()
+      .filter(col("token").isNotNull)
       .withColumn("bucket",
         pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int"))
-      .withWatermark("eventTime", watermarkDelay)
       .select(col("bucket"), col("token"), col("eventTime"))
       .as[(Int, String, Timestamp)]
     implicit val eo = Encoders.product[HitterSnapshot]
@@ -65,8 +75,7 @@ object StreamingHeavyHitters {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (bucket, rows, state: GroupState[BucketCounters]) =>
           var counters = state.getOption.map(_.counters).getOrElse(Nil)
-          val touched = scala.collection.mutable.LinkedHashMap
-            .empty[String, (Long, Long, Timestamp)]
+          val touched = scala.collection.mutable.Map.empty[String, Timestamp]
           rows.toSeq.sortBy(r => (r._3.getTime, r._2)).foreach {
             case (_, token, ts) =>
               counters.find(_.token == token) match {
@@ -76,19 +85,22 @@ object StreamingHeavyHitters {
                 case None if counters.length < capacity =>
                   counters = Counter(token, 1L, 0L) :: counters
                 case None =>
-                  // evict the deterministic minimum; the newcomer
-                  // inherits its count as the classic overestimate
-                  val m = counters.minBy(c => (c.count, c.err, c.token))
+                  // evict the deterministic minimum — among equal
+                  // counts, the most overestimated (largest err) first;
+                  // the newcomer inherits the count as the classic
+                  // overestimate
+                  val m = counters.minBy(c => (c.count, -c.err, c.token))
                   counters = Counter(token, m.count + 1, m.count) ::
                     counters.filterNot(_ eq m)
               }
-              val c = counters.head
-              touched.remove(token)
-              touched.update(token, (c.count, c.err, ts))
+              touched.update(token, ts)
           }
           state.update(BucketCounters(counters))
-          touched.iterator.map { case (token, (count, err, ts)) =>
-            HitterSnapshot(bucket, token, count, err, ts)
+          // emit only counters that survived the batch: at most
+          // `capacity` rows, carrying their final (count, err)
+          counters.reverseIterator.flatMap { c =>
+            touched.get(c.token).map(t =>
+              HitterSnapshot(bucket, c.token, c.count, c.err, t))
           }
       }
   }

@@ -13,13 +13,19 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  // the operator's consumption contract: counts are strictly monotonic
+  // per (bucket, token), so the current view is the max-COUNT snapshot
+  // (robust to out-of-order event times, unlike max-by-eventTime)
   private def latest(rows: Seq[HitterSnapshot]): Map[(Int, String), HitterSnapshot] =
     rows.groupBy(h => (h.bucket, h.token))
-      .view.mapValues(_.maxBy(_.eventTime.getTime)).toMap
+      .view.mapValues(_.maxBy(_.count)).toMap
 
   test("hot tokens survive a long tail; SpaceSaving bounds hold; state is capped") {
-    // 1 bucket, capacity 4: three hot tokens (true counts 30/20/10)
-    // interleaved with 40 unique tail tokens competing for one slot
+    // 1 bucket, capacity 16, bucket traffic N = 100: the SpaceSaving
+    // guarantee (error ≤ N/capacity ≈ 6) genuinely covers all three hot
+    // tokens (true counts 30/20/10 > N/capacity), so they must survive
+    // the 40-token unique tail churning the remaining 13 slots — not
+    // merely linger as stale snapshots
     val events = Seq.newBuilder[TokenEvent]
     var t = 0
     def emit(tok: String): Unit = {
@@ -33,7 +39,7 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
 
     val source = MemoryStream[TokenEvent](spark)
     val out = StreamingHeavyHitters.track(source.toDS(),
-      nBuckets = 1, capacity = 4)
+      nBuckets = 1, capacity = 16)
     val q = out.writeStream.format("memory")
       .queryName("hh_out").outputMode("append").start()
     // two micro-batches: state must carry counts across the boundary
@@ -58,9 +64,11 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
     assert(top3 == trueCounts.keySet, s"top-3 was $top3")
   }
 
-  test("eviction golden: newcomer inherits the deterministic minimum's count") {
+  test("eviction golden: newcomer inherits the minimum's count; evicted emit nothing") {
     // capacity 1, one bucket, same event time: processed in token order
-    // a -> (1,0); b evicts a -> (2,1); c evicts b -> (3,2)
+    // a -> (1,0); b evicts a -> (2,1); c evicts b -> (3,2). Only the
+    // surviving counter c snapshots (bounded emission) and its
+    // (count, err) pins the inheritance chain through a and b
     val source = MemoryStream[TokenEvent](spark)
     val out = StreamingHeavyHitters.track(source.toDS(),
       nBuckets = 1, capacity = 1)
@@ -74,6 +82,24 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
     q.stop()
     val snaps = spark.table("hh_cap").as[HitterSnapshot].collect()
       .map(h => (h.token, h.count, h.err)).toSet
-    assert(snaps == Set(("a", 1L, 0L), ("b", 2L, 1L), ("c", 3L, 2L)))
+    assert(snaps == Set(("c", 3L, 2L)))
+  }
+
+  test("arbitrarily late events still count (no watermark, no undercount)") {
+    val source = MemoryStream[TokenEvent](spark)
+    val out = StreamingHeavyHitters.track(source.toDS(),
+      nBuckets = 1, capacity = 4)
+    val q = out.writeStream.format("memory")
+      .queryName("hh_late").outputMode("append").start()
+    source.addData(TokenEvent("x", ts("2024-03-05 12:00:00")))
+    q.processAllAvailable()
+    // hours behind the stream's max event time — a watermarked stateful
+    // op would silently drop this and undercount x forever
+    source.addData(TokenEvent("x", ts("2024-03-05 07:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val best = spark.table("hh_late").as[HitterSnapshot].collect()
+      .filter(_.token == "x").map(_.count).max
+    assert(best == 2L)
   }
 }
