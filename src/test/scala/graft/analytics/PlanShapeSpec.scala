@@ -108,4 +108,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"unigram model did not broadcast into the scoring pass:\n$plan")
   }
+
+  test("AQE re-plans shuffles at runtime (coalesced partition reads)") {
+    // the 100 TB posture leans on adaptive execution (skew splits,
+    // partition coalescing); pin that it is actually active in the final
+    // plan of a shuffling query rather than configured-but-inert
+    val df = graft.SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead"),
+      s"no adaptive shuffle read in the final plan:\n$plan")
+  }
 }
