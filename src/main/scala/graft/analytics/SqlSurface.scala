@@ -146,6 +146,40 @@ object SqlSurface {
                       WHERE o_orderpriority = '5-LOW')
                ORDER BY CAST(c.c_acctbal AS DECIMAL(12,2)) DESC, c.c_custkey
                LIMIT 2) AS top
-        ORDER BY n.n_name, top.acctbal DESC, top.c_custkey"""))
+        ORDER BY n.n_name, top.acctbal DESC, top.c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // q71: recursive CTE (Spark 4's WITH RECURSIVE, UNION ALL form) —
+    // each customer's ancestor chain in the implicit binary-tree
+    // hierarchy custkey → floor(custkey/2). The recursion is a tree
+    // walk (one parent per node), so UNION ALL terminates without the
+    // (unsupported) UNION-distinct fixpoint; the same text runs in
+    // DuckDB. Complements the iterative DataFrame CC operators
+    // (q44/q52): graph reachability declared in SQL, executed by the
+    // engine's recursion machinery.
+    GraftQuery(
+      "q71_recursive_cte",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.customer.createOrReplaceTempView("customer_v")
+        spark.sql("""
+          WITH RECURSIVE anc(custkey, node, depth) AS (
+            SELECT c_custkey, c_custkey, CAST(0 AS INT) FROM customer_v
+            UNION ALL
+            SELECT custkey, CAST(floor(node / 2.0) AS BIGINT), depth + 1
+            FROM anc WHERE node > 1)
+          SELECT custkey, MAX(depth) AS chain_len,
+                 CAST(COUNT(*) AS BIGINT) AS n_nodes
+          FROM anc GROUP BY custkey ORDER BY custkey""")
+      },
+      Some("""
+        WITH RECURSIVE anc(custkey, node, depth) AS (
+          SELECT c_custkey, c_custkey, CAST(0 AS INT) FROM customer
+          UNION ALL
+          SELECT custkey, CAST(floor(node / 2.0) AS BIGINT), depth + 1
+          FROM anc WHERE node > 1)
+        SELECT custkey, MAX(depth) AS chain_len,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM anc GROUP BY custkey ORDER BY custkey"""))
   )
 }
