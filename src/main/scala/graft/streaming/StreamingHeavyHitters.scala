@@ -31,7 +31,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the bucket minimum never decreases), which makes max-by-count
   * correct even under out-of-order event times — a stateless downstream
   * query (kept separate for the same watermark-chaining reason as the
-  * dedup twins). A token evicted after its last snapshot leaves that
+  * dedup twins). (The minimum-never-decreases step holds where it is
+  * needed: evictions happen only at capacity, and at capacity every
+  * replacement installs count = min+1; below capacity a first-seen
+  * token inserts at count 1 and may lower the bucket minimum, but no
+  * eviction — hence no inherited count — occurs there.) A token evicted after its last snapshot leaves that
   * row stale rather than tombstoned; safe for top-k consumption because
   * its evictor carries a strictly larger count, and heavy hitters — the
   * rows this exists to find — are precisely the ones SpaceSaving never
@@ -62,7 +66,7 @@ object StreamingHeavyHitters {
     val spark = tokens.sparkSession
     import spark.implicits._
     val keyed = tokens.toDF()
-      .filter(col("token").isNotNull)
+      .filter(col("token").isNotNull && col("eventTime").isNotNull)
       .withColumn("bucket",
         pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int"))
       .select(col("bucket"), col("token"), col("eventTime"))
