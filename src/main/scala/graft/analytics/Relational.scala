@@ -468,6 +468,48 @@ object Relational {
         SELECT COALESCE(d.c_custkey, a.o_custkey) AS custkey,
                d.c_mktsegment AS segment, a.n_orders, a.total_spend
         FROM dim d FULL OUTER JOIN act a ON d.c_custkey = a.o_custkey
-        ORDER BY custkey"""))
+        ORDER BY custkey""")),
+
+    // ------------------------------------------------------------------
+    // q73: calendar zero-fill — weekly revenue INCLUDING empty weeks.
+    // The week spine is generated with sequence() + explode from the
+    // single-row min/max aggregate (broadcast, ~350 rows at any scale —
+    // a calendar dimension never needs a shuffle), then left-joined to
+    // the weekly rollup. Gap detection over time series is a standard
+    // pipeline-health query the bare groupBy cannot express (absent
+    // weeks produce no group).
+    GraftQuery(
+      "q73_weekly_revenue_calendar",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val o = t.orders.select(
+          date_trunc("week", col("o_orderdate")).cast("date").as("week"),
+          dec2(col("o_totalprice")).as("price"))
+        val weeks = o.agg(min(col("week")).as("wmin"), max(col("week")).as("wmax"))
+          .select(explode(expr("sequence(wmin, wmax, interval 1 week)")).as("week"))
+        val rev = o.groupBy(col("week"))
+          .agg(count(lit(1)).as("n_orders"),
+               sum(col("price")).cast("double").as("revenue"))
+        weeks.join(rev, Seq("week"), "left")
+          .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+                  coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+                  coalesce(col("revenue"), lit(0.0)).as("revenue"))
+          .orderBy(col("week"))
+      },
+      Some("""
+        WITH o AS (SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+                          CAST(o_totalprice AS DECIMAL(12,2)) AS price
+                   FROM orders),
+        b AS (SELECT MIN(week) AS wmin, MAX(week) AS wmax FROM o),
+        weeks AS (SELECT CAST(unnest(generate_series(wmin, wmax, INTERVAL 7 DAY)) AS DATE) AS week
+                  FROM b),
+        rev AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                       CAST(SUM(price) AS DOUBLE) AS revenue
+                FROM o GROUP BY week)
+        SELECT STRFTIME(w.week, '%Y-%m-%d') AS week,
+               COALESCE(r.n_orders, 0) AS n_orders,
+               COALESCE(r.revenue, 0) AS revenue
+        FROM weeks w LEFT JOIN rev r ON w.week = r.week
+        ORDER BY week"""))
   )
 }

@@ -273,6 +273,60 @@ object TimeSeries {
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY sec
                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-        ORDER BY user_id, event_id"""))
+        ORDER BY user_id, event_id""")),
+
+    // ------------------------------------------------------------------
+    // q72: funnel analysis — how far each user progresses through the
+    // view → click → purchase sequence (events must occur in time
+    // order, not merely all exist). ONE shuffle: groupBy(user) collects
+    // the user's (ts, type) events, array_sort puts them in event order,
+    // and a higher-order aggregate() fold advances the stage machine —
+    // no self-joins, no per-stage passes over the fact table. Per-user
+    // state is that user's event list; at 100 TB the same fold runs per
+    // session (q19's session_window keys) to bound it, documented here
+    // rather than hidden. (ts, user_id) is verified unique in the
+    // testdata, so the sort needs no tie-break and "after" is strict.
+    GraftQuery(
+      "q72_funnel_stages",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val perUser = t.events
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .groupBy(col("user_id"))
+          .agg(array_sort(collect_list(struct(col("ts"), col("event_type"))))
+            .as("evs"))
+          .select(col("user_id"), expr(
+            """aggregate(evs, 0,
+                 (stage, e) -> CASE
+                   WHEN stage = 0 AND e.event_type = 'view' THEN 1
+                   WHEN stage = 1 AND e.event_type = 'click' THEN 2
+                   WHEN stage = 2 AND e.event_type = 'purchase' THEN 3
+                   ELSE stage END)""").as("funnel_stage"))
+        perUser.groupBy(col("funnel_stage"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("funnel_stage"))
+      },
+      Some("""
+        WITH fv AS (SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS v
+                    FROM events GROUP BY user_id),
+        fc AS (SELECT f.user_id, MIN(e.ts) AS c
+               FROM events e JOIN fv f ON e.user_id = f.user_id
+               WHERE e.event_type = 'click' AND e.ts > f.v
+               GROUP BY f.user_id),
+        fp AS (SELECT f.user_id, MIN(e.ts) AS p
+               FROM events e JOIN fc f ON e.user_id = f.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > f.c
+               GROUP BY f.user_id),
+        stages AS (SELECT fv.user_id,
+                          CASE WHEN fp.p IS NOT NULL THEN 3
+                               WHEN fc.c IS NOT NULL THEN 2
+                               WHEN fv.v IS NOT NULL THEN 1
+                               ELSE 0 END AS funnel_stage
+                   FROM fv LEFT JOIN fc ON fv.user_id = fc.user_id
+                           LEFT JOIN fp ON fv.user_id = fp.user_id)
+        SELECT CAST(funnel_stage AS INT) AS funnel_stage,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM stages GROUP BY funnel_stage
+        ORDER BY funnel_stage"""))
   )
 }
