@@ -52,6 +52,11 @@ object StreamingChunkDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val keyed = docs.toDF()
+      // plan-edge guard (mirrors StreamingHeavyHitters): a null eventTime
+      // is NOT reliably dropped by the watermark before reaching the state
+      // function, and would NPE the in-batch (eventTime, docId, idx) sort;
+      // null text has no chunks to claim.
+      .filter(col("eventTime").isNotNull && col("text").isNotNull)
       .select(col("docId"), col("eventTime"),
         posexplode(graft.ext.Dedup.chunksOf(col("text"), chunkWords))
           .as(Seq("idx", "chunk")))

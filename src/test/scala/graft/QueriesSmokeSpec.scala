@@ -21,6 +21,19 @@ class QueriesSmokeSpec extends AnyFunSuite {
                            "q48_knn_ivf_kmeans", "q63_hll_sketch_store"))
   }
 
+  test("(user_id, ts) is unique in events — q72's Spark/oracle tie-rule equivalence rests on it") {
+    // With same-timestamp events the Spark fold would tie-break by
+    // array_sort order (event_type name) while the oracle requires
+    // strictly increasing ts; uniqueness makes both orderings identical.
+    // Asserted at the correctness-gate SF (0.01) and the spec SF.
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val e = new Tables(spark, dir).events
+      val total = e.count()
+      val distinct = e.select("user_id", "ts").distinct().count()
+      assert(distinct == total, s"duplicate (user_id, ts) pairs in $dir")
+    }
+  }
+
   test("entry() returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -71,6 +71,25 @@ class StreamingChunkDedupSpec extends AnyFunSuite {
     assert(!loser.kept && loser.ownerDoc == 3L)
   }
 
+  test("null eventTime / null text rows are dropped at the plan edge, not NPE'd") {
+    val v = chunk("v")
+    val source = MemoryStream[DocText](spark)
+    val out = StreamingChunkDedup.dedup(source.toDS())
+    val q = out.writeStream.format("memory")
+      .queryName("chunk_dedup_nulls").outputMode("append").start()
+    // null eventTime reaches the state function unfiltered by the
+    // watermark; without the plan-edge guard the in-batch sort NPEs
+    source.addData(
+      DocText(1L, v, null),
+      DocText(2L, null, ts("2024-03-05 10:00:00")),
+      DocText(3L, v, ts("2024-03-05 10:00:01")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("chunk_dedup_nulls").as[ChunkDecision].collect()
+    assert(rows.map(_.docId).toSet == Set(3L))
+    assert(rows.forall(_.kept))
+  }
+
   test("matches the batch operator's keep-first on a replayed corpus") {
     val a = chunk("a"); val b = chunk("b"); val c = chunk("c")
     val corpus = Seq(
