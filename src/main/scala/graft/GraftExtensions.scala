@@ -66,7 +66,12 @@ object GraftFunctions {
     ("repetition_stats",
      info("repetition_stats",
           "repetition_stats(str) - [top-2-gram fraction, dup-3-gram fraction]"),
-     (args: Seq[Expression]) => RepetitionStats(args.head)))
+     (args: Seq[Expression]) => RepetitionStats(args.head)),
+    ("bloom_might_contain",
+     info("bloom_might_contain",
+          "bloom_might_contain(bits, hash, k) - Bloom-filter membership probe"),
+     (args: Seq[Expression]) => BloomMightContain(args.head, args(1),
+       args(2).eval().asInstanceOf[Int])))
 
   /** Register on a live session (temp functions, session-scoped). */
   def registerAll(spark: SparkSession): Unit =

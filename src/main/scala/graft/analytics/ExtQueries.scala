@@ -733,8 +733,13 @@ object ExtQueries {
         val t = new Tables(spark, dir)
         val scored = t.documents.select(col("doc_id"), col("lang"),
           TextAnalysis.qualityScore(col("text")).as("quality"))
+        // the interpolated percentile is quantized to the quality score's
+        // own 1e-4 grid BEFORE the >= comparison: row-set membership must
+        // not depend on last-ulp differences between Spark's percentile()
+        // and the oracle's quantile_cont() interpolation order
         val thr = scored.groupBy(col("lang"))
-          .agg(percentile(col("quality"), lit(0.8)).as("lang_threshold"))
+          .agg((floor(percentile(col("quality"), lit(0.8)) * 10000 + 0.5) / 10000)
+            .as("lang_threshold"))
         scored.join(broadcast(thr), "lang")
           .filter(col("quality") >= col("lang_threshold"))
           .select(col("doc_id"), col("lang"), col("quality"),
@@ -759,7 +764,9 @@ object ExtQueries {
                 + 0.1 * (1.0 - npunct / nc)
                 + 0.1 * (1.0 - nupper / nc)) * 10000 + 0.5) / 10000 END AS quality
           FROM sig),
-        thr AS (SELECT lang, quantile_cont(quality, 0.8) AS lang_threshold
+        thr AS (SELECT lang,
+                       floor(quantile_cont(quality, 0.8) * 10000 + 0.5) / 10000
+                         AS lang_threshold
                 FROM q GROUP BY lang)
         SELECT q.doc_id, q.lang, q.quality, t.lang_threshold
         FROM q JOIN thr t ON q.lang = t.lang
@@ -843,7 +850,11 @@ object ExtQueries {
       "q64_ann_index_topk",
       (spark, dir) => {
         val t = new Tables(spark, dir)
-        val idx = s"${sys.props("java.io.tmpdir")}/graft-ann-${math.abs(dir.hashCode)}"
+        // floorMod (abs(Int.MinValue) is negative) + per-process suffix so
+        // concurrent runs over the same sf dir (e.g. Bench and Verify)
+        // build disjoint indexes instead of racing one shared layout
+        val idx = s"${sys.props("java.io.tmpdir")}/graft-ann-" +
+          s"${Math.floorMod(dir.hashCode, 1000003)}-p${ProcessHandle.current().pid()}"
         AnnIndex.build(t.embeddings, idx, bits = 4)
         AnnIndex.topK(spark, idx,
             t.embeddings.filter(col("vec_id") < 20), k = 5, bits = 4)
@@ -1028,6 +1039,125 @@ object ExtQueries {
                      ORDER BY score_micro DESC, term) AS rank FROM scored)
         SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, score_micro
         FROM ranked WHERE rank <= 3
-        ORDER BY doc_id, rank"""))
+        ORDER BY doc_id, rank""")),
+
+    // ------------------------------------------------------------------
+    // q74: incremental-ingest dedup — the arriving batch (events on/after
+    // Jan 20) anti-joined against the historical corpus (before Jan 20)
+    // by content fingerprint, through a broadcast Bloom pre-filter
+    // (Dedup.incrementalNew): the filter rules most genuinely-new rows
+    // out map-side, so the exact anti-join shuffle carries only
+    // might-contain candidates. The Bloom changes cost, never the
+    // answer — the oracle is the plain anti join.
+    GraftQuery(
+      "q74_incremental_dedup",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val ev = t.events
+        val fp = md5(encode(
+          concat_ws("|", col("user_id").cast("string"), col("props")),
+          "UTF-8"))
+        val cut = lit("2024-01-20").cast("timestamp")
+        // ~52k distinct historical keys at sf0.1 -> 2^19 bits is ~10
+        // bits/key (64 KB broadcast, <1% FP). At 100 TB the caller sizes
+        // this at 8-10 bits per expected historical key.
+        Dedup.incrementalNew(ev.filter(col("ts") >= cut),
+            ev.filter(col("ts") < cut), fp,
+            numBits = 1 << 19, numHashes = 7)
+          .select(col("event_id"), fp.as("fingerprint"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH hist AS (SELECT DISTINCT md5(concat(user_id, '|', props)) AS fingerprint
+                      FROM events WHERE ts < TIMESTAMP '2024-01-20'),
+        inc AS (SELECT event_id, md5(concat(user_id, '|', props)) AS fingerprint
+                FROM events WHERE ts >= TIMESTAMP '2024-01-20')
+        SELECT inc.event_id, inc.fingerprint
+        FROM inc ANTI JOIN hist USING (fingerprint)
+        ORDER BY inc.event_id""")),
+
+    // ------------------------------------------------------------------
+    // q75: the end product of near-dup dedup — per cluster (q44's
+    // connected components over ≥0.8-Jaccard pairs), keep the
+    // highest-quality member (q60's quantized quality score; ties break
+    // to the lowest doc_id). Singleton docs are their own canonical.
+    // Output is the full curation decision: every doc, its cluster, and
+    // whether it survives.
+    GraftQuery(
+      "q75_dedup_canonical",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val docs = t.documents
+        val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+            n = 3, threshold = 0.8)
+          .select(col("id_a"), col("id_b"))
+        val comp = Dedup.clusters(pairs)
+          .select(col("doc_id"), col("cluster_id"))
+        val scored = docs.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        // clusters() emits only docs with at least one near-dup edge;
+        // everything else is a singleton cluster of itself
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality").desc, col("doc_id").asc)
+        scored.join(comp, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+          .withColumn("canonical_doc", first(col("doc_id")).over(w))
+          .withColumn("kept", col("doc_id") === col("canonical_doc"))
+          .select(col("doc_id"), col("cluster_id"), col("quality"),
+                  col("canonical_doc"), col("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shingles AS (SELECT doc_id, CASE WHEN len(w) >= 3
+               THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+                 i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
+               ELSE [array_to_string(w, ' ')] END AS sh FROM words),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shingles),
+        sizes AS (SELECT doc_id, len(sh) AS n FROM shingles),
+        cand AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (
+          SELECT ia AS id_a, ib AS id_b
+          FROM cand JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+          WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(s, d) AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        comp AS (
+          SELECT s AS doc_id, least(s, MIN(d)) AS cluster_id
+          FROM reach GROUP BY s),
+        sig AS (
+          SELECT doc_id,
+            CAST(length(text) AS DOUBLE) AS nc,
+            CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+            CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS nstop,
+            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS npunct,
+            CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nupper
+          FROM documents),
+        q AS (
+          SELECT doc_id,
+            CASE WHEN nc = 0 THEN 0.0 ELSE
+            floor((0.35 * (CASE WHEN nc BETWEEN 100 AND 10000 THEN 1.0 ELSE 0.3 END)
+                + 0.25 * (CASE WHEN (nc - (nw - 1)) / nw BETWEEN 3 AND 10 THEN 1.0 ELSE 0.4 END)
+                + 0.2 * least((nstop / nw) * 5, 1.0)
+                + 0.1 * (1.0 - npunct / nc)
+                + 0.1 * (1.0 - nupper / nc)) * 10000 + 0.5) / 10000 END AS quality
+          FROM sig),
+        allc AS (
+          SELECT q.doc_id, COALESCE(comp.cluster_id, q.doc_id) AS cluster_id,
+                 q.quality
+          FROM q LEFT JOIN comp ON q.doc_id = comp.doc_id),
+        canon AS (
+          SELECT *, FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+                      ORDER BY quality DESC, doc_id) AS canonical_doc
+          FROM allc)
+        SELECT doc_id, cluster_id, quality, canonical_doc,
+               doc_id = canonical_doc AS kept
+        FROM canon
+        ORDER BY doc_id"""))
   )
 }

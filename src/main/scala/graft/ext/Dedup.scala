@@ -550,4 +550,48 @@ object Dedup {
       .select(col("doc_id"), col("n_shingles"), col("n_shared"),
               col("contamination_ratio"))
   }
+
+  /** Incremental-ingest dedup: rows of `incoming` whose `fingerprint`
+    * does not occur in `historical` — semantically an exact left-anti
+    * join, executed through a broadcast Bloom pre-filter so that at
+    * 100 TB the anti-join shuffle carries only the (small) fraction of
+    * incoming rows the filter cannot rule out.
+    *
+    * Plan shape: (1) the historical side folds xxhash64(fingerprint)
+    * into one `numBits`-bit Bloom filter via a mergeable Aggregator —
+    * map-side partials, one bit-array per task crosses the exchange,
+    * never the keys; (2) the single filter row is broadcast and probed
+    * map-side over `incoming` (codegen'd [[graft.functions.BloomMightContain]]);
+    * (3) rows with `might_contain = false` are DEFINITELY new (Bloom has
+    * no false negatives) and bypass the join; (4) only might-contain
+    * candidates — true duplicates plus ~fpp false positives — take the
+    * exact anti-join against the historical fingerprints. The union of
+    * (3) and (4) is exactly the anti-join result: approximation changes
+    * the cost, never the answer.
+    *
+    * `numBits` is caller-sized (8–10 bits per expected historical key),
+    * deliberately not derived from a `count()` — an extra pass over the
+    * build side costs more than an over-provisioned filter, and a
+    * data-independent size keeps the plan replay-stable.
+    */
+  def incrementalNew(incoming: DataFrame, historical: DataFrame,
+                     fingerprint: Column, numBits: Int,
+                     numHashes: Int = 6): DataFrame = {
+    import graft.functions.BloomAgg
+    val histFp = historical.select(fingerprint.as("__fp"))
+    val bloom = histFp
+      .agg(BloomAgg.build(numBits, numHashes,
+        xxhash64(col("__fp"))).as("__bloom"))
+    val tagged = incoming
+      .withColumn("__fp", fingerprint)
+      .crossJoin(broadcast(bloom))
+      .withColumn("__maybe",
+        SketchFns.bloom_might_contain(col("__bloom"), xxhash64(col("__fp")),
+          numHashes))
+      .drop("__bloom")
+    val definitelyNew = tagged.filter(!col("__maybe"))
+    val checkedNew = tagged.filter(col("__maybe"))
+      .join(histFp.distinct(), Seq("__fp"), "left_anti")
+    definitelyNew.unionByName(checkedNew).drop("__maybe", "__fp")
+  }
 }

@@ -710,6 +710,9 @@ object SketchFns {
   }
   def sign_band_buckets(vec: Column, bandBits: Int): Column =
     bridge.column(SignBandBuckets(bridge.expression(vec), bandBits))
+  def bloom_might_contain(bloom: Column, hash: Column, numHashes: Int): Column =
+    bridge.column(BloomMightContain(bridge.expression(bloom),
+      bridge.expression(hash), numHashes))
   def nearest_centroids(vec: Column, centroids: Array[Array[Double]],
                         probes: Int): Column = {
     val dim = centroids.head.length

@@ -109,6 +109,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unigram model did not broadcast into the scoring pass:\n$plan")
   }
 
+  test("q74 incremental dedup: Bloom probe in plan, anti-join only on candidates") {
+    val plan = executedPlan("q74_incremental_dedup")
+    assert(plan.contains("bloom_might_contain"),
+      s"Bloom pre-filter missing — anti-join would carry every row:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"exact anti-join check missing — result would be approximate:\n$plan")
+    // the historical build side aggregates partially before its exchange:
+    // the shuffle must carry bit-arrays (one per task), never raw keys
+    assert(plan.contains("partial_bloomagg") || plan.contains("ObjectHashAggregate"),
+      s"bloom build lost its partial (map-side) aggregation:\n$plan")
+  }
+
   test("AQE re-plans shuffles at runtime (coalesced partition reads)") {
     // the 100 TB posture leans on adaptive execution (skew splits,
     // partition coalescing); pin that it is actually active in the final
