@@ -1158,6 +1158,60 @@ object ExtQueries {
         SELECT doc_id, cluster_id, quality, canonical_doc,
                doc_id = canonical_doc AS kept
         FROM canon
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q76: BM25 retrieval — top-10 docs for each of three query strings,
+    // Okapi BM25 (k1=1.2, b=0.75) under the micro-nat integer discipline
+    // that keeps log-based scoring oracle-exact (ln quantized to integer
+    // micro-nats, per-(doc,term) scores floored to integers before the
+    // fold-order-free integer sum).
+    GraftQuery(
+      "q76_bm25_topk",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        TextAnalysis.bm25TopK(t.documents, col("doc_id"), col("text"),
+            queries = Seq(
+              "q1" -> Seq("hash", "join", "fast"),
+              "q2" -> Seq("column", "scan", "filter"),
+              "q3" -> Seq("merge", "order", "vector")),
+            k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH qt(query_id, term) AS (VALUES
+          ('q1','hash'),('q1','join'),('q1','fast'),
+          ('q2','column'),('q2','scan'),('q2','filter'),
+          ('q3','merge'),('q3','order'),('q3','vector')),
+        toks AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                        unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+        tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM toks
+               WHERE term IN (SELECT DISTINCT term FROM qt)
+               GROUP BY doc_id, dl, term),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+                  FROM documents),
+        dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        idf AS (SELECT term,
+                  CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1000000 + 0.5) AS BIGINT) AS idf_micro,
+                  CAST(total_tokens AS DOUBLE) / n_docs AS avgdl
+                FROM dft, stats),
+        scored AS (SELECT tf.doc_id, tf.term,
+                     CAST(floor(idf_micro * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                       / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                       + 0.5) AS BIGINT) AS score_micro
+                   FROM tf JOIN idf ON tf.term = idf.term),
+        per_doc AS (SELECT query_id, doc_id,
+                      CAST(SUM(score_micro) AS BIGINT) AS score_micro
+                    FROM scored JOIN qt ON scored.term = qt.term
+                    GROUP BY query_id, doc_id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY score_micro DESC, doc_id) AS rank
+                   FROM per_doc)
+        SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank"""))
   )
 }

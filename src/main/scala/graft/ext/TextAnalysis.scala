@@ -202,6 +202,65 @@ object TextAnalysis {
               col("score_micro"))
   }
 
+  /** BM25 retrieval: top-k documents per query, Okapi BM25 with the
+    * standard k1/b defaults. Built for the "find training docs relevant
+    * to an eval prompt" curation loop — the query side is tiny and
+    * BROADCAST twice (term filter, then query→term map); the 100 TB
+    * corpus is scanned once for tokens (doc length computed map-side on
+    * the same pass, before the term filter drops non-query tokens) and
+    * once for corpus-level length stats — both scans prune to the text
+    * column, and nothing doc-sized ever shuffles: the only corpus-keyed
+    * exchange carries (doc_id, dl, term, tf) for query terms only.
+    *
+    * Scoring is oracle-exact by the micro-nat discipline (see q65): the
+    * only transcendental (idf's ln) is quantized to integer micro-nats;
+    * the tf-saturation factor is IEEE arithmetic over identical inputs
+    * written in identical operation order on both engines; each
+    * (doc, term) score is floored to an integer BEFORE the per-document
+    * sum, so the aggregate is fold-order-free.
+    */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+               queries: Seq[(String, Seq[String])], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val toks = docs.select(id.as("doc_id"),
+        size(split(text, " ")).as("dl"),
+        explode(split(text, " ")).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+    val tf = toks.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(text, " ")).cast("long")).as("total_tokens"))
+    val dfTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_micro",
+        floor(log((col("n_docs") - col("df") + lit(0.5)) /
+                  (col("df") + lit(0.5)) + lit(1.0)) * 1000000d + 0.5d)
+          .cast("long"))
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n_docs"))
+      .select(col("term"), col("idf_micro"), col("avgdl"))
+    val scored = tf.join(broadcast(dfTerm), "term")
+      .withColumn("score_micro",
+        floor(col("idf_micro") *
+          (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+          + lit(0.5)).cast("long"))
+    val qt = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val perDoc = scored.join(broadcast(qt), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score_micro")).as("score_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_micro"))
+  }
+
   /** Document fingerprints: md5 (exact), poly_hash (codegen'd rolling
     * hash), winnow (MOSS-style k-gram/window minima).
     */

@@ -270,4 +270,37 @@ class CurationSpec extends AnyFunSuite {
         s"${r.getString(0)}: estimate $a vs exact $e")
     }
   }
+
+  test("bm25: tf monotone at fixed length, length-normalization penalizes padding") {
+    // same doc length, more query-term occurrences -> strictly higher
+    // score; same tf, longer doc -> strictly lower score (b > 0)
+    val filler = wordRun("x", 20)
+    val docs = Seq(
+      (1L, s"apple $filler"),                       // tf=1, dl=21
+      (2L, s"apple apple ${wordRun("x", 19)}"),     // tf=2, dl=21
+      (3L, s"apple $filler ${wordRun("y", 20)}")    // tf=1, dl=41
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+        queries = Seq("q" -> Seq("apple")), k = 10)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(out(2L) > out(1L), s"tf=2 must outscore tf=1: $out")
+    assert(out(1L) > out(3L), s"shorter doc must outscore padded doc: $out")
+    // rank is dense 1..n with doc_id tie-break determinism
+    val ranks = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+        queries = Seq("q" -> Seq("apple")), k = 10)
+      .orderBy("rank").collect().map(_.getInt(1)).toSeq
+    assert(ranks == Seq(1, 2, 3))
+  }
+
+  test("bm25: docs without any query term never appear; multi-query isolation") {
+    val docs = Seq(
+      (1L, "apple pie recipe"),
+      (2L, "banana bread recipe"),
+      (3L, "no relevant words here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+        queries = Seq("qa" -> Seq("apple"), "qb" -> Seq("banana")), k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(out == Set(("qa", 1L), ("qb", 2L)))
+  }
 }
