@@ -52,6 +52,14 @@ object PipelineDemo {
     failed.show(3, truncate = false)
     val reprocessable = FilePipeline.reprocess(spark, outDir)
     println(s"reprocessable rows: ${reprocessable.count()}")
+
+    // end-of-day compaction: the small-file mitigation for bulk consumers
+    val t0 = System.nanoTime()
+    graft.sinks.ObjectStore.compactIncoming(spark, outDir)
+    val archive = graft.sinks.ObjectStore.readArchive(spark, outDir)
+    println(f"archive: ${archive.count()} objects compacted into " +
+      f"${archive.inputFiles.length} parquet files in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }

@@ -160,6 +160,62 @@ object ObjectStore {
       StructField("fileSize", LongType),
       StructField("checksum", StringType))))))
 
+  /** Small-file mitigation for the 100 TB archive. Per-object puts (K1)
+    * buy exact-key idempotent redelivery, but one object per document is
+    * the classic small-file problem at scale: listings go metadata-bound
+    * and bulk scans seek-bound at millions of objects/day. This
+    * compaction job consolidates a day's incoming objects into a
+    * day-partitioned parquet table `archive/day=yyyy-MM-dd/` of
+    * (key, body) rows: bulk consumers scan large columnar files instead
+    * of objects, while exact-key point lookups stay cheap because the
+    * day partition is derivable FROM the key itself — the lookup prunes
+    * to one partition before touching data
+    * ([[readArchiveObject]]).
+    *
+    * Idempotence: the job rewrites each day it saw via DYNAMIC partition
+    * overwrite (only the days present in this run are replaced, complete
+    * days each time) — re-running compaction for a day is a no-op
+    * rewrite, never an append-duplicate. Run it per closed ingest day,
+    * the way production compaction jobs do.
+    *
+    * `maxRecordsPerFile` bounds file size; rows flow from their source
+    * partitions without a shuffle.
+    */
+  def compactIncoming(spark: SparkSession, baseDir: String,
+                      maxRecordsPerFile: Long = 50000): Unit = {
+    val rows = readIncoming(spark, baseDir).select(
+      concat_ws("/", lit("incoming"), col("incomingDate"),
+                col("correlationId"), col("fileName")).as("key"),
+      col("body"),
+      translate(col("incomingDate"), "/", "-").as("day"))
+    // per-write option, not session conf: scoped to this job, nothing to
+    // restore, concurrent writers unaffected
+    rows.write.mode("overwrite").partitionBy("day")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(s"$baseDir/archive")
+  }
+
+  /** The compacted archive as a table (bulk-scan path). */
+  def readArchive(spark: SparkSession, baseDir: String): DataFrame =
+    spark.read.parquet(s"$baseDir/archive")
+
+  /** Exact-key point lookup against the archive: the day partition is
+    * computed from the key string, so the scan prunes to one partition
+    * (and parquet pushes the key equality into it) instead of reading
+    * the whole archive.
+    */
+  def readArchiveObject(spark: SparkSession, baseDir: String,
+                        key: String): DataFrame = {
+    val day = "(\\d{4})/(\\d{2})/(\\d{2})".r.findFirstMatchIn(key)
+      .map(m => s"${m.group(1)}-${m.group(2)}-${m.group(3)}")
+      .getOrElse(throw new IllegalArgumentException(
+        s"key carries no yyyy/MM/dd segment: $key"))
+    readArchive(spark, baseDir)
+      .filter(col("day") === day && col("key") === key)
+      .select(col("key"), col("body"))
+  }
+
   /** Failure reports back as a flat DataFrame (drives reprocess, E5). */
   def readFailedReports(spark: SparkSession, baseDir: String): DataFrame =
     spark.read.schema(failureReportSchema)

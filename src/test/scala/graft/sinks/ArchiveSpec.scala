@@ -1,0 +1,92 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Compacted-archive sink: small-file consolidation, byte fidelity,
+  * idempotent re-compaction, and point-lookup partition pruning.
+  */
+class ArchiveSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-archive-spec").toString
+
+  /** Seed `n` objects across two ingest days via the exact-key put path. */
+  private def seed(baseDir: String, n: Int): Unit = {
+    val objs = (0 until n).map { i =>
+      val day = if (i % 2 == 0) "2024/03/05" else "2024/03/06"
+      (s"incoming/$day/corr-${i % 7}/doc_$i.pdf",
+        s"body-$i".getBytes("UTF-8"))
+    }.toDF("s3IncomingKey", "body")
+    ObjectStore.writeIncoming(objs, baseDir)
+  }
+
+  test("compaction consolidates objects into few files, bytes survive round-trip") {
+    val dir = freshDir()
+    seed(dir, 120)
+    ObjectStore.compactIncoming(spark, dir)
+    val archived = ObjectStore.readArchive(spark, dir)
+    assert(archived.count() == 120)
+    // consolidation: two day partitions, far fewer parquet files than objects
+    val parquetFiles = archived.inputFiles.length
+    assert(parquetFiles < 30, s"archive still small-file-bound: $parquetFiles files")
+    // byte fidelity through put -> binaryFile read -> parquet
+    val back = ObjectStore
+      .readArchiveObject(spark, dir, "incoming/2024/03/05/corr-0/doc_14.pdf")
+      .collect()
+    assert(back.length == 1)
+    assert(new String(back(0).getAs[Array[Byte]]("body"), "UTF-8") == "body-14")
+  }
+
+  test("re-running compaction is idempotent (dynamic overwrite, no append dups)") {
+    val dir = freshDir()
+    seed(dir, 40)
+    ObjectStore.compactIncoming(spark, dir)
+    ObjectStore.compactIncoming(spark, dir)
+    assert(ObjectStore.readArchive(spark, dir).count() == 40)
+    // overwrite mode is a per-write option; the session conf is untouched
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_ != "dynamic"))
+  }
+
+  test("point lookup prunes to one day partition (numFiles metric)") {
+    val dir = freshDir()
+    seed(dir, 120)
+    ObjectStore.compactIncoming(spark, dir)
+    val all = ObjectStore.readArchive(spark, dir)
+    val total = filesRead(all)
+    val pruned = filesRead(
+      ObjectStore.readArchiveObject(spark, dir,
+        "incoming/2024/03/06/corr-1/doc_15.pdf"))
+    assert(pruned < total,
+      s"lookup did not prune partitions: read $pruned of $total files")
+  }
+
+  test("malformed key (no date segment) fails loudly, not with a full scan") {
+    val dir = freshDir()
+    seed(dir, 4)
+    ObjectStore.compactIncoming(spark, dir)
+    intercept[IllegalArgumentException] {
+      ObjectStore.readArchiveObject(spark, dir, "incoming/not-a-date/x.pdf")
+    }
+  }
+
+  /** Files actually opened by the query's parquet scans (post-pruning). */
+  private def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    df.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+  }
+}
