@@ -1212,6 +1212,39 @@ object ExtQueries {
                    FROM per_doc)
         SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro
         FROM ranked WHERE rank <= 10
-        ORDER BY query_id, rank"""))
+        ORDER BY query_id, rank""")),
+
+    // ------------------------------------------------------------------
+    // q77: bigram-LM log-perplexity (add-½ smoothing) — transition-level
+    // fluency scoring; the scoring join shuffles on the bigram key by
+    // design (a bigram model is O(vocab²) and not broadcastable at 100 TB,
+    // unlike q65's unigram model).
+    GraftQuery(
+      "q77_bigram_log_ppl",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        TextAnalysis.bigramLogPpl(t.documents, col("doc_id"), col("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        bi AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(w)-1),
+                   i -> concat(w[i], ' ', w[i+1]))) AS bigram
+               FROM w WHERE len(w) >= 2),
+        bi2 AS (SELECT doc_id, string_split(bigram, ' ')[1] AS w1, bigram FROM bi),
+        uni AS (SELECT unnest(string_split(text, ' ')) AS w1 FROM documents),
+        unic AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM uni GROUP BY w1),
+        voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM unic),
+        bic AS (SELECT w1, bigram, CAST(COUNT(*) AS BIGINT) AS c12
+                FROM bi2 GROUP BY w1, bigram),
+        model AS (SELECT bigram,
+                    CAST(floor(-ln((c12 + 0.5) / (c1 + 0.5 * v)) * 1000000 + 0.5) AS BIGINT) AS lp
+                  FROM bic JOIN unic USING (w1), voc)
+        SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(m.lp) AS DOUBLE) / 1000000.0 / COUNT(*) AS log_ppl
+        FROM bi2 b JOIN model m USING (bigram)
+        GROUP BY b.doc_id
+        ORDER BY b.doc_id"""))
   )
 }

@@ -166,6 +166,52 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("log_ppl"))
   }
 
+  /** Bigram-LM log-perplexity with add-½ smoothing — the next step up
+    * from [[unigramLogPpl]] in LM-based quality scoring: fluent text has
+    * predictable word-to-word transitions, so a high bigram perplexity
+    * flags shuffled/garbled documents a unigram model scores as normal.
+    * Same micro-nat discipline (the one ln per model row is quantized to
+    * integer micro-nats; per-document sums are exact integer folds).
+    *
+    * Scale shape vs the unigram twin: a bigram model is O(vocab²) rows
+    * in the worst case and does NOT broadcast — the scoring join is a
+    * deliberate shuffle join on the bigram key (both sides hash-
+    * partition; Spark picks broadcast anyway when the model is small
+    * enough). Only the unigram context counts and the vocabulary size —
+    * vocab-bounded — broadcast into the model build.
+    */
+  def bigramLogPpl(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val wArr = split(text, " ")
+    val pairArr = zip_with(
+      slice(wArr, lit(1), size(wArr) - 1),
+      slice(wArr, lit(2), size(wArr) - 1),
+      (x, y) => struct(x.as("w1"), concat(x, lit(" "), y).as("bigram")))
+    val bi = docs.select(id.as("doc_id"),
+        explode(when(size(wArr) >= 2, pairArr)
+          .otherwise(array().cast("array<struct<w1:string,bigram:string>>")))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"),
+              col("bg.bigram").as("bigram"))
+    val uni = docs.select(explode(split(text, " ")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val model = bi.groupBy(col("w1"), col("bigram"))
+      .agg(count(lit(1)).as("c12"))
+      .join(broadcast(uni), "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp_micro",
+        floor(-log((col("c12") + lit(0.5)) /
+                   (col("c1") + lit(0.5) * col("v"))) * 1000000d + 0.5d)
+          .cast("long"))
+      .select(col("bigram"), col("lp_micro"))
+    bi.join(model, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("__s"))
+      .withColumn("log_ppl",
+        col("__s").cast("double") / 1000000.0 / col("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("log_ppl"))
+  }
+
   /** Top-`k` TF-IDF terms per document — the classic keyword/salience
     * extraction, computed ENTIRELY in integers so it is exact and
     * order-free: score = tf × floor(ln(N/df)·1e6 + 0.5). The idf factor

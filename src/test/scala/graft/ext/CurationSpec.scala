@@ -292,6 +292,27 @@ class CurationSpec extends AnyFunSuite {
     assert(ranks == Seq(1, 2, 3))
   }
 
+  test("bigram ppl separates garbled from fluent text where unigram ppl cannot") {
+    // same multiset of words (identical unigram stats), different order:
+    // the fluent doc rides the corpus-dominant a->b transition; the
+    // garbled doc's run-length transitions (a->a, b->b) are rare in the
+    // corpus model -> higher bigram perplexity
+    val fluent = (0 until 10).map(_ => "a b").mkString(" ")          // a b a b ...
+    val garbled = ("a " * 10 + "b " * 10).trim                        // a a ... b b ...
+    val docs = Seq((1L, fluent), (2L, garbled)).toDF("doc_id", "text")
+    val uniPpl = TextAnalysis.unigramLogPpl(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uniPpl(1L) == uniPpl(2L), s"unigram must not separate: $uniPpl")
+    val biPpl = TextAnalysis.bigramLogPpl(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(biPpl(2L) > biPpl(1L), s"bigram must flag the garbled doc: $biPpl")
+    // single-word docs have no bigrams and drop out instead of erroring
+    val tiny = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogPpl(tiny, col("doc_id"), col("text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L))
+  }
+
   test("bm25: docs without any query term never appear; multi-query isolation") {
     val docs = Seq(
       (1L, "apple pie recipe"),
