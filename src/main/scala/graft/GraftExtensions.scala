@@ -67,6 +67,10 @@ object GraftFunctions {
      info("repetition_stats",
           "repetition_stats(str) - [top-2-gram fraction, dup-3-gram fraction]"),
      (args: Seq[Expression]) => RepetitionStats(args.head)),
+    ("normalize_text",
+     info("normalize_text",
+          "normalize_text(str) - NFC + lowercase + punct strip + whitespace collapse"),
+     (args: Seq[Expression]) => NormalizeText(args.head)),
     ("bloom_might_contain",
      info("bloom_might_contain",
           "bloom_might_contain(bits, hash, k) - Bloom-filter membership probe"),

@@ -1245,6 +1245,42 @@ object ExtQueries {
                CAST(SUM(m.lp) AS DOUBLE) / 1000000.0 / COUNT(*) AS log_ppl
         FROM bi2 b JOIN model m USING (bigram)
         GROUP BY b.doc_id
-        ORDER BY b.doc_id"""))
+        ORDER BY b.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q78: text normalization — the codegen'd normalize_text kernel
+    // (NFC → lowercase → punctuation strip → whitespace collapse), the
+    // canonical form normalized dedup keys on, applied per-row with no
+    // shuffle. Run over customer (mixed case + '#' punctuation), with a
+    // changed flag and the normalized fingerprint a dedup pass would use.
+    GraftQuery(
+      "q78_normalize_text",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        import graft.functions.SketchFns.normalize_text
+        t.customer.select(
+            col("c_custkey"),
+            normalize_text(col("c_name")).as("norm_name"),
+            normalize_text(col("c_mktsegment")).as("norm_segment"),
+            (col("c_name") =!= normalize_text(col("c_name")))
+              .as("changed"),
+            md5(encode(normalize_text(col("c_name")), "UTF-8"))
+              .as("norm_fingerprint"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        WITH norm AS (
+          SELECT c_custkey,
+            trim(regexp_replace(regexp_replace(lower(nfc_normalize(c_name)),
+              '[.,;:!?''"()#]', '', 'g'), '\s+', ' ', 'g')) AS norm_name,
+            trim(regexp_replace(regexp_replace(lower(nfc_normalize(c_mktsegment)),
+              '[.,;:!?''"()#]', '', 'g'), '\s+', ' ', 'g')) AS norm_segment,
+            c_name
+          FROM customer)
+        SELECT c_custkey, norm_name, norm_segment,
+               c_name <> norm_name AS changed,
+               md5(norm_name) AS norm_fingerprint
+        FROM norm
+        ORDER BY c_custkey"""))
   )
 }

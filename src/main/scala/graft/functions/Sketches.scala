@@ -40,6 +40,27 @@ object SketchKernels extends Serializable {
     new String(out)
   }
 
+  // precompiled per-JVM: Pattern.compile per row would dominate the
+  // normalization kernel
+  private val punctRun = java.util.regex.Pattern.compile("[.,;:!?'\"()#]")
+  private val spaceRun = java.util.regex.Pattern.compile("\\s+")
+
+  /** Pretraining text normalization: NFC → lowercase (ROOT locale) →
+    * strip sentence punctuation → collapse whitespace runs → trim. The
+    * step order is the contract — the DuckDB oracle twin is
+    * `trim(regexp_replace(regexp_replace(lower(nfc_normalize(x)), punct,
+    * '', 'g'), '\s+', ' ', 'g'))`, byte-identical on ASCII; non-ASCII
+    * lowercasing follows Java's ROOT locale (documented, deterministic).
+    */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFC)
+    val lower = nfc.toLowerCase(java.util.Locale.ROOT)
+    val noPunct = punctRun.matcher(lower).replaceAll("")
+    val collapsed = spaceRun.matcher(noPunct).replaceAll(" ").trim
+    UTF8String.fromString(collapsed)
+  }
+
   /** xxhash64 (seed 42) of a UTF8String's bytes — same function Spark's
     * xxhash64 SQL expression applies to string input, so results are
     * interchangeable with SQL-computed hashes.
@@ -519,6 +540,30 @@ case class BandBuckets(child: Expression, bands: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** normalize_text(str): NFC + lowercase + punctuation strip + whitespace
+  * collapse — the canonical form normalized-dedup keys on.
+  */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"normalize_text requires STRING input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.normalizeText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = classOf[SketchKernels.type].getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $k.normalizeText($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): NormalizeText =
+    copy(child = c)
+}
+
 /** pair_structs(sortedIds): all C(f,2) (id_a, id_b) pairs of a bucket's
   * sorted occupant list.
   */
@@ -710,6 +755,8 @@ object SketchFns {
   }
   def sign_band_buckets(vec: Column, bandBits: Int): Column =
     bridge.column(SignBandBuckets(bridge.expression(vec), bandBits))
+  def normalize_text(text: Column): Column =
+    bridge.column(NormalizeText(bridge.expression(text)))
   def bloom_might_contain(bloom: Column, hash: Column, numHashes: Int): Column =
     bridge.column(BloomMightContain(bridge.expression(bloom),
       bridge.expression(hash), numHashes))

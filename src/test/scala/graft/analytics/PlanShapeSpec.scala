@@ -121,6 +121,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bloom build lost its partial (map-side) aggregation:\n$plan")
   }
 
+  test("q76 BM25: query side broadcasts; corpus never sort-merge joins") {
+    val plan = executedPlan("q76_bm25_topk")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query/term stats did not broadcast into the corpus pass:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side sort-merge join in the BM25 path:\n$plan")
+  }
+
   test("AQE re-plans shuffles at runtime (coalesced partition reads)") {
     // the 100 TB posture leans on adaptive execution (skew splits,
     // partition coalescing); pin that it is actually active in the final

@@ -292,6 +292,27 @@ class CurationSpec extends AnyFunSuite {
     assert(ranks == Seq(1, 2, 3))
   }
 
+  test("normalize_text: golden cases, NFC folding, SQL registration") {
+    graft.GraftFunctions.registerAll(spark)
+    val cases = Seq(
+      ("Hello,  World!", "hello world"),
+      ("  A#B  (c)  ", "ab c"),
+      ("already normal", "already normal"),
+      // NFC: e + combining acute (U+0301) folds to the precomposed é
+      ("Café", "café"),
+      ("", ""))
+    val got = cases.map(_._1).toDF("t")
+      .selectExpr("normalize_text(t) AS n").collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2))
+    // normalized dedup: case/punctuation variants collapse to one key
+    val variants = Seq((1L, "Hello, World!"), (2L, "hello  world"),
+      (3L, "HELLO WORLD."), (4L, "different"))
+      .toDF("id", "t")
+    val distinctNorm = variants
+      .select(graft.functions.SketchFns.normalize_text(col("t"))).distinct().count()
+    assert(distinctNorm == 2)
+  }
+
   test("bigram ppl separates garbled from fluent text where unigram ppl cannot") {
     // same multiset of words (identical unigram stats), different order:
     // the fluent doc rides the corpus-dominant a->b transition; the
