@@ -1281,6 +1281,34 @@ object ExtQueries {
                c_name <> norm_name AS changed,
                md5(norm_name) AS norm_fingerprint
         FROM norm
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // q79: salted join ≡ plain join — the skew-mitigation twin of q67's
+    // salted aggregation: the (potentially hot-keyed) lineitem side gets
+    // a uniform salt, the supplier dim is replicated once per salt, and
+    // one hot supplier key spreads over 8 tasks instead of one straggler.
+    // The oracle is the unsalted join: salting must never change results.
+    GraftQuery(
+      "q79_salted_join",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val revenue = col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(12,2)")
+        Skew.saltedJoin(t.lineitem,
+            t.supplier.select(col("s_suppkey"), col("s_nationkey")),
+            col("l_suppkey"), col("s_suppkey"), salts = 8)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_items"),
+               sum(revenue).cast("double").as("revenue"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some("""
+        SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+        ORDER BY s_nationkey"""))
   )
 }

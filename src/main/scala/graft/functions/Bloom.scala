@@ -71,6 +71,18 @@ object BloomKernels extends Serializable {
     }
     true
   }
+
+  /** Plain-array probe (streaming state path — no InternalRow in sight). */
+  def mightContain(words: Array[Long], hash: Long, numHashes: Int): Boolean = {
+    val h2 = SketchKernels.splitmix64(hash) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val bit = probeIndex(hash, h2, i, words.length * 64)
+      if ((words(bit >>> 6) & (1L << (bit & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
 }
 
 /** Mergeable Bloom-filter build: input rows are 64-bit key hashes
