@@ -3,7 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{GraftQuery, Tables}
-import graft.ext.{AnnIndex, Dedup, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.ext.{AnnIndex, Dedup, Graph, Multimodal, Similarity, Skew, TextAnalysis}
 
 /** The LLM-data-pipeline extension operators (north star §"beyond the
   * reference"): dedup (exact / n-gram-Jaccard / MinHash-LSH / SimHash),
@@ -1309,6 +1309,64 @@ object ExtQueries {
                    * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_nationkey
-        ORDER BY s_nationkey"""))
+        ORDER BY s_nationkey""")),
+
+    // ------------------------------------------------------------------
+    // q80: PageRank (3 iterations, damping 0.85) over the undirected
+    // part↔supplier co-occurrence graph, entirely in BIGINT pico-units
+    // (integer division everywhere) so the iterative scoring is exact,
+    // fold-order-free, and checkable against a 3×-unrolled SQL oracle.
+    // Top-100 nodes by rank.
+    GraftQuery(
+      "q80_pagerank",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val base = t.lineitem
+          .select((col("l_partkey") * 2).as("src"),
+                  (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = base.unionByName(
+          base.select(col("dst").as("src"), col("src").as("dst")))
+        Graph.pageRank(edges, iterations = 3)
+          .select(col("node"),
+            when(col("node") % 2 === 0, "part").otherwise("supplier")
+              .as("node_type"),
+            col("rank_pico"))
+          .orderBy(col("rank_pico").desc, col("node"))
+          .limit(100)
+      },
+      Some("""
+        WITH base AS (SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst
+                      FROM lineitem),
+        edges AS (SELECT src, dst FROM base
+                  UNION ALL SELECT dst, src FROM base),
+        deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+                FROM edges GROUP BY src),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+        r0 AS (SELECT node, 1000000000000 // n AS r FROM deg, nn),
+        s1 AS (SELECT e.dst AS node, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS s
+               FROM edges e JOIN deg d ON e.src = d.node
+               JOIN r0 r ON e.src = r.node GROUP BY e.dst),
+        r1 AS (SELECT deg.node,
+                 (150000000000 // n) + (85 * COALESCE(s1.s, 0)) // 100 AS r
+               FROM deg LEFT JOIN s1 ON deg.node = s1.node, nn),
+        s2 AS (SELECT e.dst AS node, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS s
+               FROM edges e JOIN deg d ON e.src = d.node
+               JOIN r1 r ON e.src = r.node GROUP BY e.dst),
+        r2 AS (SELECT deg.node,
+                 (150000000000 // n) + (85 * COALESCE(s2.s, 0)) // 100 AS r
+               FROM deg LEFT JOIN s2 ON deg.node = s2.node, nn),
+        s3 AS (SELECT e.dst AS node, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS s
+               FROM edges e JOIN deg d ON e.src = d.node
+               JOIN r2 r ON e.src = r.node GROUP BY e.dst),
+        r3 AS (SELECT deg.node,
+                 (150000000000 // n) + (85 * COALESCE(s3.s, 0)) // 100 AS r
+               FROM deg LEFT JOIN s3 ON deg.node = s3.node, nn)
+        SELECT node,
+               CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+               r AS rank_pico
+        FROM r3
+        ORDER BY rank_pico DESC, node
+        LIMIT 100"""))
   )
 }

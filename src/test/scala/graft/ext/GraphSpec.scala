@@ -1,0 +1,43 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def undirected(pairs: (Long, Long)*) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("star graph: the hub outranks every leaf; ranks are deterministic longs") {
+    // hub 0 connected to leaves 1..8
+    val edges = undirected((1L to 8L).map(i => (0L, i)): _*)
+    val ranks = Graph.pageRank(edges, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hub = ranks(0L)
+    assert((1L to 8L).forall(l => ranks(l) < hub),
+      s"a leaf outranks the hub: $ranks")
+    // all leaves are symmetric -> identical integer ranks, no float jitter
+    assert((1L to 8L).map(ranks).distinct.size == 1)
+  }
+
+  test("rank mass is conserved up to integer floor loss") {
+    val edges = undirected((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L))
+    val total = Graph.pageRank(edges, iterations = 4)
+      .agg(sum(col("rank_pico"))).head().getLong(0)
+    val mass = 1000000000000L
+    // floor losses: bounded by (nodes + edges) picos per iteration
+    assert(total <= mass && total > mass - 1000L,
+      s"mass leak beyond floor losses: $total vs $mass")
+  }
+
+  test("results are invariant to input partitioning (integer arithmetic only)") {
+    val edges = undirected((0L until 50L).map(i => (i, (i * 7 + 1) % 50)): _*)
+    def ranksWith(parts: Int) =
+      Graph.pageRank(edges.repartition(parts), iterations = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranksWith(2) == ranksWith(13))
+  }
+}
