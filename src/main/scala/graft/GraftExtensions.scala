@@ -28,6 +28,26 @@ object GraftFunctions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions", null, name)
 
+  /** Evaluate a literal integer argument leniently: SQL integer literals
+    * arrive as Int, but `CAST(4 AS BIGINT)` or a typed long literal is a
+    * perfectly reasonable spelling — accept any integral literal and
+    * fail with the argument name, not a ClassCastException.
+    */
+  private def intArg(args: Seq[Expression], pos: Int, fn: String): Int = {
+    require(args.length > pos,
+      s"$fn expects at least ${pos + 1} arguments, got ${args.length}")
+    val e = args(pos)
+    require(e.foldable, s"$fn argument ${pos + 1} must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => Math.toIntExact(l)
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn argument ${pos + 1} must be an integer literal, got $other")
+    }
+  }
+
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("poly_hash",
      info("poly_hash", "poly_hash(str) - rolling polynomial hash mod 1e9+7"),
@@ -35,7 +55,7 @@ object GraftFunctions {
     ("winnow",
      info("winnow", "winnow(str, k, w) - winnowing fingerprint hashes"),
      (args: Seq[Expression]) => Winnow(args.head,
-       args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])),
+       intArg(args, 1, "winnow"), intArg(args, 2, "winnow"))),
     ("simhash64",
      info("simhash64", "simhash64(str) - 64-bit simhash of whitespace tokens"),
      (args: Seq[Expression]) => SimHash64(args.head)),
@@ -43,22 +63,22 @@ object GraftFunctions {
      info("hashed_shingles",
           "hashed_shingles(str, n) - distinct xxhash64'd word n-grams"),
      (args: Seq[Expression]) => HashedShingles(args.head,
-       args(1).eval().asInstanceOf[Int])),
+       intArg(args, 1, "hashed_shingles"))),
     ("minhash_signature",
      info("minhash_signature",
           "minhash_signature(hashes, k) - k-permutation minhash"),
      (args: Seq[Expression]) => MinhashSignature(args.head,
-       args(1).eval().asInstanceOf[Int])),
+       intArg(args, 1, "minhash_signature"))),
     ("band_buckets",
      info("band_buckets",
           "band_buckets(sig, bands) - LSH band bucket hashes of a minhash signature"),
      (args: Seq[Expression]) => BandBuckets(args.head,
-       args(1).eval().asInstanceOf[Int])),
+       intArg(args, 1, "band_buckets"))),
     ("sign_band_buckets",
      info("sign_band_buckets",
           "sign_band_buckets(vec, bandBits) - cosine-LSH band buckets over axis signs"),
      (args: Seq[Expression]) => SignBandBuckets(args.head,
-       args(1).eval().asInstanceOf[Int])),
+       intArg(args, 1, "sign_band_buckets"))),
     ("quantized_cosine",
      info("quantized_cosine",
           "quantized_cosine(a, b) - exact-integer quantized cosine of float vectors"),
@@ -75,7 +95,7 @@ object GraftFunctions {
      info("bloom_might_contain",
           "bloom_might_contain(bits, hash, k) - Bloom-filter membership probe"),
      (args: Seq[Expression]) => BloomMightContain(args.head, args(1),
-       args(2).eval().asInstanceOf[Int])))
+       intArg(args, 2, "bloom_might_contain"))))
 
   /** Register on a live session (temp functions, session-scoped). */
   def registerAll(spark: SparkSession): Unit =

@@ -585,9 +585,13 @@ object Dedup {
     val tagged = incoming
       .withColumn("__fp", fingerprint)
       .crossJoin(broadcast(bloom))
+      // null fingerprints: the anti-join contract KEEPS them (a null key
+      // matches nothing on the build side), so the probe must coalesce
+      // its null result onto the definitely-new path — not silently drop
+      // the row from both branches
       .withColumn("__maybe",
-        SketchFns.bloom_might_contain(col("__bloom"), xxhash64(col("__fp")),
-          numHashes))
+        coalesce(SketchFns.bloom_might_contain(col("__bloom"),
+          xxhash64(col("__fp")), numHashes), lit(false)))
       .drop("__bloom")
     val definitelyNew = tagged.filter(!col("__maybe"))
     val checkedNew = tagged.filter(col("__maybe"))

@@ -30,7 +30,7 @@ object Graph {
     * directions for an undirected graph). Every node must appear as a
     * `src` at least once (true for undirected graphs by construction);
     * damping 0.85, `iterations` full steps from the uniform vector.
-    * Returns (node, rank_micro) with rank in pico-units.
+    * Returns (node, rank_pico) with rank in pico-units (1e12 = mass 1.0).
     */
   def pageRank(edges: DataFrame, iterations: Int = 3,
                checkpointEvery: Int = 5): DataFrame = {

@@ -175,19 +175,40 @@ object ObjectStore {
     * Idempotence: the job rewrites each day it saw via DYNAMIC partition
     * overwrite (only the days present in this run are replaced, complete
     * days each time) — re-running compaction for a day is a no-op
-    * rewrite, never an append-duplicate. Run it per closed ingest day,
-    * the way production compaction jobs do.
+    * rewrite, never an append-duplicate.
+    *
+    * Pass `day = Some("yyyy/MM/dd")` in production: the listing and read
+    * are then scoped to that day's prefix, so per-closed-day compaction
+    * is O(one day's objects), not O(all history). `day = None` reads the
+    * whole store — the bootstrap/backfill path only.
+    *
+    * The archive key is the object's FULL path suffix (not reassembled
+    * from parsed segments), so fileNames containing '/' keep their exact
+    * key and point lookups never silently miss.
     *
     * `maxRecordsPerFile` bounds file size; rows flow from their source
     * partitions without a shuffle.
     */
   def compactIncoming(spark: SparkSession, baseDir: String,
+                      day: Option[String] = None,
                       maxRecordsPerFile: Long = 50000): Unit = {
-    val rows = readIncoming(spark, baseDir).select(
-      concat_ws("/", lit("incoming"), col("incomingDate"),
-                col("correlationId"), col("fileName")).as("key"),
-      col("body"),
-      translate(col("incomingDate"), "/", "-").as("day"))
+    day.foreach { d =>
+      require(d.matches("\\d{4}/\\d{2}/\\d{2}"), s"day must be yyyy/MM/dd: $d")
+    }
+    val root = day match {
+      case Some(d) => s"$baseDir/incoming/$d"
+      case None => s"$baseDir/incoming"
+    }
+    val rows = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(
+        regexp_extract(col("path"), "(incoming/\\d{4}/\\d{2}/\\d{2}/.+)$", 1)
+          .as("key"),
+        col("content").as("body"))
+      .withColumn("day",
+        translate(regexp_extract(col("key"),
+          "^incoming/(\\d{4}/\\d{2}/\\d{2})/", 1), "/", "-"))
     // per-write option, not session conf: scoped to this job, nothing to
     // restore, concurrent writers unaffected
     rows.write.mode("overwrite").partitionBy("day")
@@ -196,9 +217,16 @@ object ObjectStore {
       .parquet(s"$baseDir/archive")
   }
 
-  /** The compacted archive as a table (bulk-scan path). */
+  /** The compacted archive as a table (bulk-scan path). The partition
+    * column comes back as a plain string — partition-value type
+    * inference would otherwise surface it as DATE, and a schema that
+    * changes with inference settings is not a stable contract.
+    * (The cast sits above the scan, so partition pruning on `day`
+    * literals is unaffected.)
+    */
   def readArchive(spark: SparkSession, baseDir: String): DataFrame =
     spark.read.parquet(s"$baseDir/archive")
+      .withColumn("day", col("day").cast("string"))
 
   /** Exact-key point lookup against the archive: the day partition is
     * computed from the key string, so the scan prunes to one partition

@@ -45,6 +45,11 @@ object StreamingContamination {
       // text has no shingles
       .filter(col("eventTime").isNotNull && col("text").isNotNull)
       .withWatermark("eventTime", watermarkDelay)
+      // at-least-once delivery guard: a redelivered document would count
+      // its shingles twice into the same window (ratio > 1.0); dedup by
+      // docId within the watermark — TTL'd state, sized to the
+      // redelivery horizon, not stream lifetime
+      .dropDuplicatesWithinWatermark("docId")
       .select(col("docId"), col("eventTime"),
         SketchFns.hashed_shingles(col("text"), n).as("sh"))
       .select(col("docId"), col("eventTime"),

@@ -52,6 +52,18 @@ class BloomSpec extends AnyFunSuite {
     assert(plain.nonEmpty && plain.size < 400)
   }
 
+  test("null fingerprints follow the anti-join contract: kept, not silently dropped") {
+    val hist = Seq((1L, "a"), (2L, "b")).toDF("id", "key")
+    val inc = Seq((10L, "a"), (11L, null), (12L, "c")).toDF("id", "key")
+    val viaBloom = Dedup.incrementalNew(inc, hist, col("key"),
+        numBits = 1 << 10, numHashes = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val plain = inc.join(hist.select(col("key")).distinct(), Seq("key"), "left_anti")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(plain == Set(11L, 12L), "sanity: anti join keeps null-keyed rows")
+    assert(viaBloom == plain)
+  }
+
   test("empty historical side: everything is new, no NPE from a null filter row") {
     val hist = Seq.empty[(Long, String)].toDF("id", "key")
     val inc = Seq((1L, "a"), (2L, "b")).toDF("id", "key")

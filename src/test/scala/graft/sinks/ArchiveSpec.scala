@@ -67,6 +67,38 @@ class ArchiveSpec extends AnyFunSuite {
       s"lookup did not prune partitions: read $pruned of $total files")
   }
 
+  test("fileName containing '/' keeps its exact key through the archive") {
+    val dir = freshDir()
+    val objs = Seq(
+      ("incoming/2024/03/05/corr-1/sub/dir/doc.pdf", "nested".getBytes("UTF-8")),
+      ("incoming/2024/03/05/corr-1/doc.pdf", "flat".getBytes("UTF-8")))
+      .toDF("s3IncomingKey", "body")
+    ObjectStore.writeIncoming(objs, dir)
+    ObjectStore.compactIncoming(spark, dir)
+    val nested = ObjectStore.readArchiveObject(spark, dir,
+      "incoming/2024/03/05/corr-1/sub/dir/doc.pdf").collect()
+    assert(nested.length == 1)
+    assert(new String(nested(0).getAs[Array[Byte]]("body"), "UTF-8") == "nested")
+    // the two keys stay distinct — no collapse onto a reassembled key
+    assert(ObjectStore.readArchive(spark, dir).select("key").distinct().count() == 2)
+  }
+
+  test("day-scoped compaction reads and rewrites only that day") {
+    val dir = freshDir()
+    seed(dir, 40) // days 2024/03/05 and 2024/03/06
+    ObjectStore.compactIncoming(spark, dir, day = Some("2024/03/05"))
+    val archived = ObjectStore.readArchive(spark, dir)
+    assert(archived.select("day").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("2024-03-05"))
+    assert(archived.count() == 20)
+    // the other day compacts later without touching the first
+    ObjectStore.compactIncoming(spark, dir, day = Some("2024/03/06"))
+    assert(ObjectStore.readArchive(spark, dir).count() == 40)
+    intercept[IllegalArgumentException] {
+      ObjectStore.compactIncoming(spark, dir, day = Some("2024-03-05"))
+    }
+  }
+
   test("malformed key (no date segment) fails loudly, not with a full scan") {
     val dir = freshDir()
     seed(dir, 4)

@@ -66,6 +66,27 @@ class StreamingContaminationSpec extends AnyFunSuite {
     assert(ids == Set(22L))
   }
 
+  test("redelivered document does not double-count (at-least-once guard)") {
+    val source = MemoryStream[DocText](spark)
+    val out = StreamingContamination.report(source.toDS(), benchDocs,
+      col("bench_text"), n = 5)
+    val q = out.writeStream.format("memory")
+      .queryName("stream_contam_redeliver").outputMode("complete").start()
+    val doc = DocText(40L, words("b", 12), ts("2024-03-05 10:00:00"))
+    source.addData(doc)
+    q.processAllAvailable()
+    source.addData(doc) // redelivery in a later micro-batch
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("stream_contam_redeliver")
+      .select("docId", "n_shingles", "n_shared").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length == 1)
+    val (_, nSh, nShared) = rows.head
+    assert(nShared == nSh.toLong,
+      s"redelivery double-counted: $nShared shared of $nSh shingles")
+  }
+
   test("contamination accumulates across micro-batches into the same window") {
     val source = MemoryStream[DocText](spark)
     val out = StreamingContamination.report(source.toDS(), benchDocs,
