@@ -38,12 +38,19 @@ object Graph {
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
+      .persist()
+    // the per-iteration static input, materialized ONCE: the edge list
+    // with its source out-degree attached. Without this every iteration
+    // re-runs the caller's whole edge pipeline (distinct, union) plus
+    // the degree aggregation — at 3 iterations that tripled the query.
+    val eDeg = e.join(deg.withColumnRenamed("node", "src"), "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .persist()
     val n = deg.agg(count(lit(1)).as("n"))
     var rank = deg.crossJoin(broadcast(n))
       .select(col("node"), expr(s"${TotalMass}L div n").as("r"))
     for (i <- 1 to iterations) {
-      val contrib = e
-        .join(broadcast(deg.withColumnRenamed("node", "src")), "src")
+      val contrib = eDeg
         .join(rank.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("r div outdeg").as("c"))
       val summed = contrib.groupBy(col("node")).agg(sum(col("c")).as("s"))
@@ -56,6 +63,12 @@ object Graph {
       if (i % checkpointEvery == 0 && i < iterations)
         rank = rank.localCheckpoint()
     }
-    rank.select(col("node"), col("r").as("rank_pico"))
+    // eager final materialization so the persisted inputs can be freed
+    // deterministically (same policy as Dedup.clusters)
+    val out = rank.select(col("node"), col("r").as("rank_pico"))
+      .localCheckpoint(true)
+    eDeg.unpersist()
+    deg.unpersist()
+    out
   }
 }
