@@ -39,6 +39,9 @@ object StreamingBloomDedup {
 
   final case class ShardBloom(words: Array[Long])
 
+  final case class RotatingShard(current: Array[Long], previous: Array[Long],
+                                 inserted: Long)
+
   final case class Decision(docId: Long, hash: Long, definitelyNew: Boolean,
                             eventTime: Timestamp)
 
@@ -75,6 +78,65 @@ object StreamingBloomDedup {
               Decision(r.docId, r.hash, definitelyNew = !seen, r.eventTime)
             }
           state.update(ShardBloom(words))
+          out.iterator
+      }
+  }
+
+  /** Generation-rotating variant — the saturation fix [[dedup]]'s
+    * scaladoc prescribes, implemented: each shard keeps TWO filters and
+    * rotates (previous ← current, current ← empty) every
+    * `rotateAfter` distinct insertions, probing both. The guarantee
+    * becomes windowed-by-volume: a key re-sent within the last
+    * `rotateAfter`–`2·rotateAfter` distinct keys is NEVER flagged new;
+    * keys older than two generations may be re-admitted (bounded
+    * forgetting). In exchange the false-positive rate stays bounded
+    * FOREVER — each generation holds ≤ `rotateAfter` keys in
+    * `bitsPerShard` bits, so size the shard at ~10 bits per
+    * `rotateAfter` key and the FP ceiling never climbs past the design
+    * point, no matter how long the stream runs. State is exactly
+    * 2 × bitsPerShard bits + one counter per shard, forever.
+    */
+  def dedupRotating(docs: Dataset[DocKey], shardBits: Int = 4,
+                    bitsPerShard: Int = 1 << 16,
+                    numHashes: Int = 6,
+                    rotateAfter: Long = 8192): Dataset[Decision] = {
+    require(shardBits >= 0 && shardBits <= 16)
+    require(bitsPerShard > 0 && bitsPerShard % 64 == 0)
+    require(rotateAfter > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs
+      .filter(d => d.eventTime != null && d.key != null)
+      .map { d =>
+        val h = SketchKernels.xx64(UTF8String.fromString(d.key))
+        val shard = if (shardBits == 0) 0 else (h >>> (64 - shardBits)).toInt
+        KeyedDoc(shard, h, d.docId, d.eventTime)
+      }
+    implicit val eo = Encoders.product[Decision]
+    implicit val es = Encoders.product[RotatingShard]
+    keyed
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[RotatingShard, Decision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[RotatingShard]) =>
+          val words = bitsPerShard / 64
+          var s = state.getOption.getOrElse(
+            RotatingShard(new Array[Long](words), new Array[Long](words), 0L))
+          val out = rows.toSeq
+            .sortBy(r => (r.eventTime.getTime, r.docId))
+            .map { r =>
+              val seen =
+                BloomKernels.mightContain(s.current, r.hash, numHashes) ||
+                BloomKernels.mightContain(s.previous, r.hash, numHashes)
+              if (!seen) {
+                BloomKernels.set(s.current, r.hash, numHashes)
+                s = s.copy(inserted = s.inserted + 1)
+                if (s.inserted >= rotateAfter)
+                  s = RotatingShard(new Array[Long](words), s.current, 0L)
+              }
+              Decision(r.docId, r.hash, definitelyNew = !seen, r.eventTime)
+            }
+          state.update(s)
           out.iterator
       }
   }

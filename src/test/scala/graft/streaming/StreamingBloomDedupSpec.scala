@@ -52,6 +52,38 @@ class StreamingBloomDedupSpec extends AnyFunSuite {
     assert(out.length == 2000)
   }
 
+  test("rotating variant: recent keys caught, ancient keys forgotten by design") {
+    val source = MemoryStream[DocKey](spark)
+    // shardBits=0 -> one shard, rotateAfter=4 -> tiny generations
+    val q = StreamingBloomDedup.dedupRotating(source.toDS(),
+        shardBits = 0, bitsPerShard = 1 << 10, rotateAfter = 4)
+      .writeStream.format("memory").queryName("bloom_rotating")
+      .outputMode("append").start()
+    // gen fill: a,b,c,d insert (rotation fires at 4), then e,f,g in gen 2
+    source.addData(Seq("a", "b", "c", "d").zipWithIndex.map { case (k, i) =>
+      DocKey(i.toLong, k, ts(t0)) }: _*)
+    q.processAllAvailable()
+    source.addData(Seq("e", "f", "g").zipWithIndex.map { case (k, i) =>
+      DocKey(10L + i, k, ts("2024-03-05 11:00:00")) }: _*)
+    q.processAllAvailable()
+    // "a" lives in the PREVIOUS generation -> still caught
+    source.addData(DocKey(20L, "a", ts("2024-03-05 12:00:00")))
+    q.processAllAvailable()
+    // push two more generations past "a": h (rotates at 4 inserts), then i,j,k,l (rotates again)
+    source.addData(Seq("h", "i", "j", "k", "l").zipWithIndex.map { case (k, i) =>
+      DocKey(30L + i, k, ts("2024-03-05 13:00:00")) }: _*)
+    q.processAllAvailable()
+    // "a" is now older than both generations -> re-admitted as new
+    source.addData(DocKey(40L, "a", ts("2024-03-05 14:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val byDoc = spark.table("bloom_rotating").as[Decision].collect()
+      .map(d => d.docId -> d.definitelyNew).toMap
+    assert(byDoc(20L) == false, "previous-generation key escaped")
+    assert(byDoc(40L) == true, "ancient key was not forgotten")
+    assert((0L to 3L).forall(byDoc(_)) && (10L to 12L).forall(byDoc(_)))
+  }
+
   test("null key / null eventTime rows are dropped, not NPE'd") {
     val out = run("bloom_dedup_nulls")(Seq(Seq(
       DocKey(1L, null, ts(t0)),
