@@ -1367,6 +1367,43 @@ object ExtQueries {
                r AS rank_pico
         FROM r3
         ORDER BY rank_pico DESC, node
-        LIMIT 100"""))
+        LIMIT 100""")),
+
+    // ------------------------------------------------------------------
+    // q81: incremental aggregate maintenance — the 100 TB ETL contract
+    // that history is never recomputed: yesterday's stored rollup state
+    // and the new arrivals' partial merge by re-aggregation (counts and
+    // decimal sums are re-aggregatable; the cut deliberately lands
+    // MID-day so one day genuinely merges two partials). The oracle is
+    // the from-scratch aggregation over everything — incremental must
+    // equal full recompute exactly.
+    GraftQuery(
+      "q81_incremental_agg",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val cut = lit("2024-01-25 12:00:00").cast("timestamp")
+        def partial(df: org.apache.spark.sql.DataFrame) = df
+          .select(to_date(col("ts")).as("day"), col("event_type"),
+                  col("value"))
+          .groupBy(col("day"), col("event_type"))
+          .agg(count(lit(1)).as("pn"),
+               sum(col("value").cast("decimal(12,2)")).as("ps"))
+        val state = partial(t.events.filter(col("ts") < cut))
+        val delta = partial(t.events.filter(col("ts") >= cut))
+        state.unionByName(delta)
+          .groupBy(col("day"), col("event_type"))
+          .agg(sum(col("pn")).as("n_events"),
+               sum(col("ps")).cast("double").as("sum_value"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+                  col("event_type"), col("n_events"), col("sum_value"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""
+        SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY day, event_type"""))
   )
 }
