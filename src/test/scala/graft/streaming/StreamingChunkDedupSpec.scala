@@ -90,6 +90,39 @@ class StreamingChunkDedupSpec extends AnyFunSuite {
     assert(rows.forall(_.kept))
   }
 
+  test("state survives a query restart from checkpoint (fault tolerance)") {
+    // the property checkpointing exists for: an owner claimed BEFORE the
+    // crash still wins against a duplicate arriving AFTER the restart
+    val base = java.nio.file.Files.createTempDirectory("chunk-dedup-restart")
+    val in = s"$base/in"; val chk = s"$base/chk"
+    val v = chunk("v")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[ChunkDecision]()
+    def writeBatch(docs: Seq[DocText]): Unit =
+      docs.toDF().coalesce(1).write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq.empty[DocText].toDF().schema).parquet(in).as[DocText]
+      val q = StreamingChunkDedup.dedup(stream)
+        .writeStream.option("checkpointLocation", chk)
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[ChunkDecision], _: Long) =>
+          df.collect().foreach(got.add)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    writeBatch(Seq(DocText(1L, v, ts("2024-03-05 10:00:00"))))
+    runOnce() // doc 1 claims the chunk, query shuts down
+    writeBatch(Seq(DocText(2L, v, ts("2024-03-05 10:05:00"))))
+    runOnce() // fresh query instance, same checkpoint -> state restored
+    val decisions = got.toArray(Array.empty[ChunkDecision])
+      .map(d => d.docId -> d).toMap
+    assert(decisions(1L).kept)
+    assert(!decisions(2L).kept && decisions(2L).ownerDoc == 1L,
+      s"pre-restart owner lost: ${decisions(2L)}")
+  }
+
   test("matches the batch operator's keep-first on a replayed corpus") {
     val a = chunk("a"); val b = chunk("b"); val c = chunk("c")
     val corpus = Seq(
