@@ -1404,6 +1404,51 @@ object ExtQueries {
                CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1, 2
-        ORDER BY day, event_type"""))
+        ORDER BY day, event_type""")),
+
+    // ------------------------------------------------------------------
+    // q82: deterministic quality-weighted sample (Efraimidis–Spirakis) —
+    // inclusion odds proportional to the q60 quality score, with
+    // content-addressed "randomness" so the sample is replay-stable and
+    // exactly reproducible by the oracle.
+    GraftQuery(
+      "q82_weighted_sample",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val scored = t.documents.select(col("doc_id"), col("text"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        TextAnalysis.weightedSample(scored, col("doc_id"), col("text"),
+          col("q"), k = 100)
+      },
+      Some("""
+        WITH sig AS (
+          SELECT doc_id, text,
+            CAST(length(text) AS DOUBLE) AS nc,
+            CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+            CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS nstop,
+            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS npunct,
+            CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nupper
+          FROM documents),
+        q AS (
+          SELECT doc_id, text,
+            CASE WHEN nc = 0 THEN 0.0 ELSE
+            floor((0.35 * (CASE WHEN nc BETWEEN 100 AND 10000 THEN 1.0 ELSE 0.3 END)
+                + 0.25 * (CASE WHEN (nc - (nw - 1)) / nw BETWEEN 3 AND 10 THEN 1.0 ELSE 0.4 END)
+                + 0.2 * least((nstop / nw) * 5, 1.0)
+                + 0.1 * (1.0 - npunct / nc)
+                + 0.1 * (1.0 - nupper / nc)) * 10000 + 0.5) / 10000 END AS quality
+          FROM sig),
+        pri AS (
+          SELECT doc_id, quality,
+            CAST(floor((-ln((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(1, 13),
+                  i -> CAST(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1 AS BIGINT))),
+                (a, b) -> a * 16 + b) + 1) / 4503599627370496.0)
+              / greatest(quality, 0.0001)) * 1000000 + 0.5) AS BIGINT) AS priority_micro
+          FROM q)
+        SELECT doc_id, quality, priority_micro
+        FROM pri
+        ORDER BY priority_micro, doc_id
+        LIMIT 100"""))
   )
 }

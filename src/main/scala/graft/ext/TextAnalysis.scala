@@ -307,6 +307,33 @@ object TextAnalysis {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_micro"))
   }
 
+  /** Deterministic weighted sample (Efraimidis–Spirakis A-ES): each row
+    * draws priority −ln(u)/w and the k smallest win — inclusion
+    * probability proportional to weight, so quality-weighted corpus
+    * sampling upweights good documents without excluding any. The
+    * "randomness" u is content-addressed (md5 of the text, first 52
+    * bits), making the sample replay-stable, partitioning-independent,
+    * and oracle-checkable: u = (v+1)/2^52 is an exact double (52-bit
+    * mantissa, power-of-two divisor), the one transcendental is
+    * quantized to integer micro-units, ties break on id.
+    *
+    * Scale shape: priorities compute map-side per row; selection is
+    * orderBy+limit, which plans as TakeOrderedAndProject — per-partition
+    * top-k then a k-row merge on the driver, never a global sort.
+    */
+  def weightedSample(docs: DataFrame, id: Column, text: Column,
+                     weight: Column, k: Int): DataFrame = {
+    val v = conv(substring(md5(encode(text, "UTF-8")), 1, 13), 16, 10)
+      .cast("long")
+    val u = (v + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
+    val w = greatest(weight, lit(0.0001))
+    docs.select(id.as("doc_id"), weight.as("quality"),
+        floor((-log(u) / w) * 1000000d + 0.5d).cast("long")
+          .as("priority_micro"))
+      .orderBy(col("priority_micro"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Document fingerprints: md5 (exact), poly_hash (codegen'd rolling
     * hash), winnow (MOSS-style k-gram/window minima).
     */

@@ -129,6 +129,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus-side sort-merge join in the BM25 path:\n$plan")
   }
 
+  test("q77 bigram LM: model build broadcasts its vocab inputs; q78 kernel in codegen") {
+    val plan = executedPlan("q77_bigram_log_ppl")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"unigram context counts did not broadcast into the model build:\n$plan")
+    val df = SparkEntry.queries("q78_normalize_text")(spark, sf)
+    df.collect()
+    val norm = df.queryExecution.executedPlan.toString
+    assert(norm.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("normalize_text")),
+      s"normalize_text outside whole-stage codegen:\n$norm")
+  }
+
   test("AQE re-plans shuffles at runtime (coalesced partition reads)") {
     // the 100 TB posture leans on adaptive execution (skew splits,
     // partition coalescing); pin that it is actually active in the final

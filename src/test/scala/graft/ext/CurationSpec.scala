@@ -292,6 +292,28 @@ class CurationSpec extends AnyFunSuite {
     assert(ranks == Seq(1, 2, 3))
   }
 
+  test("weightedSample: weight-proportional inclusion, partition-invariant") {
+    // 200 docs in two weight classes (0.9 vs 0.1): the heavy class must
+    // dominate a k=50 sample, and no class may be excluded outright
+    val docs = (0 until 200).map { i =>
+      (i.toLong, s"doc body number $i ${wordRun("w", 5)}")
+    }.toDF("doc_id", "text")
+      .withColumn("w", when(col("doc_id") < 100, 0.9).otherwise(0.1))
+    def sample(parts: Int) = TextAnalysis.weightedSample(
+        docs.repartition(parts), col("doc_id"), col("text"), col("w"), k = 50)
+      .collect().map(_.getLong(0)).toSeq
+    val ids = sample(4)
+    val heavy = ids.count(_ < 100)
+    assert(heavy > 30, s"heavy class underrepresented: $heavy of 50")
+    assert(heavy < 50, s"light class fully excluded: $heavy of 50")
+    // content-addressed priorities: identical result from any partitioning
+    assert(sample(11) == ids)
+    // top-k plans as TakeOrderedAndProject, not a global sort
+    val plan = TextAnalysis.weightedSample(docs, col("doc_id"), col("text"),
+      col("w"), k = 50).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort:\n$plan")
+  }
+
   test("normalize_text: golden cases, NFC folding, SQL registration") {
     graft.GraftFunctions.registerAll(spark)
     val cases = Seq(
