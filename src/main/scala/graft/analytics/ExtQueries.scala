@@ -1449,6 +1449,31 @@ object ExtQueries {
         SELECT doc_id, quality, priority_micro
         FROM pri
         ORDER BY priority_micro, doc_id
-        LIMIT 100"""))
+        LIMIT 100""")),
+
+    // ------------------------------------------------------------------
+    // q83: token-budget shard packing — consecutive ~4096-token training
+    // shards via the two-phase distributed prefix sum (the oracle's
+    // SUM OVER (ORDER BY) is a single-partition window; the engine runs
+    // range partitions + broadcast offsets and must agree exactly).
+    GraftQuery(
+      "q83_token_packing",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        TextAnalysis.tokenPacking(t.documents, col("doc_id"), col("text"),
+          budget = 4096L, partitions = 16)
+      },
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM t)
+        SELECT doc_id, n_tokens, cum_tokens,
+               (cum_tokens - n_tokens) // 4096 AS shard
+        FROM c
+        ORDER BY doc_id"""))
   )
 }

@@ -334,6 +334,43 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Token-budget shard packing: assign documents (in id order) to
+    * consecutive training shards of ~`budget` tokens each — shard =
+    * (tokens before this doc) div budget. The interesting part at 100 TB
+    * is the global prefix sum: a naive `SUM OVER (ORDER BY id)` is a
+    * SINGLE-partition window (the whole corpus through one task). This
+    * runs the classic two-phase distributed cumsum instead: range-
+    * partition by id, within-partition running sums, then per-partition
+    * totals (a `numPartitions`-row frame) prefix-summed on one tiny task
+    * and broadcast back as offsets. The result is independent of the
+    * (sample-derived) range boundaries — prefix sums compose — so the
+    * output stays deterministic and oracle-exact.
+    */
+  def tokenPacking(docs: DataFrame, id: Column, text: Column,
+                   budget: Long, partitions: Int = 64): DataFrame = {
+    require(budget > 0 && partitions > 0)
+    val toks = docs.select(id.as("doc_id"),
+      size(split(text, " ")).cast("long").as("n_tokens"))
+    val ranged = toks.repartitionByRange(partitions, col("doc_id"))
+      .withColumn("__b", spark_partition_id())
+    val w = Window.partitionBy(col("__b")).orderBy(col("doc_id"))
+    val inner = ranged.withColumn("__cum_in", sum(col("n_tokens")).over(w))
+    // per-partition totals: numPartitions rows — the single-partition
+    // window below is over THIS bounded frame, never the corpus
+    val offsets = inner.groupBy(col("__b"))
+      .agg(sum(col("n_tokens")).as("__bt"), min(col("doc_id")).as("__mn"))
+      .withColumn("__offset",
+        coalesce(sum(col("__bt")).over(
+          Window.orderBy(col("__mn"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__offset"))
+    inner.join(broadcast(offsets), "__b")
+      .withColumn("cum_tokens", col("__offset") + col("__cum_in"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        expr(s"(cum_tokens - n_tokens) div ${budget}L").as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprints: md5 (exact), poly_hash (codegen'd rolling
     * hash), winnow (MOSS-style k-gram/window minima).
     */

@@ -314,6 +314,27 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"global sort:\n$plan")
   }
 
+  test("tokenPacking: equals the single-window prefix sum, any partition count") {
+    val docs = (0 until 300).map { i =>
+      (i.toLong, wordRun("t", 1 + (i * 37) % 90)) // varied doc lengths
+    }.toDF("doc_id", "text")
+    val naive = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("cum", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    for (parts <- Seq(1, 5, 16)) {
+      val packed = TextAnalysis.tokenPacking(docs, col("doc_id"), col("text"),
+          budget = 256L, partitions = parts)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      assert(packed.map(p => p._1 -> p._2).toMap == naive,
+        s"prefix sum diverges at partitions=$parts")
+      // shard ids are non-decreasing in doc order and start at 0
+      val shards = packed.sortBy(_._1).map(_._3)
+      assert(shards.head == 0L && shards.zip(shards.tail).forall(p => p._1 <= p._2))
+    }
+  }
+
   test("normalize_text: golden cases, NFC folding, SQL registration") {
     graft.GraftFunctions.registerAll(spark)
     val cases = Seq(
