@@ -1054,8 +1054,14 @@ object ExtQueries {
       (spark, dir) => {
         val t = new Tables(spark, dir)
         val ev = t.events
+        // explicit coalesce on BOTH sides (here and in the oracle SQL):
+        // concat_ws drops a NULL field AND its separator while SQL concat
+        // keeps the '|' literal, so without the coalesce the parity
+        // contract would silently hinge on user_id/props never being NULL
         val fp = md5(encode(
-          concat_ws("|", col("user_id").cast("string"), col("props")),
+          concat_ws("|",
+            coalesce(col("user_id").cast("string"), lit("")),
+            coalesce(col("props"), lit(""))),
           "UTF-8"))
         val cut = lit("2024-01-20").cast("timestamp")
         // ~52k distinct historical keys at sf0.1 -> 2^19 bits is ~10
@@ -1068,9 +1074,11 @@ object ExtQueries {
           .orderBy(col("event_id"))
       },
       Some("""
-        WITH hist AS (SELECT DISTINCT md5(concat(user_id, '|', props)) AS fingerprint
+        WITH hist AS (SELECT DISTINCT md5(concat(coalesce(user_id, ''), '|',
+                        coalesce(props, ''))) AS fingerprint
                       FROM events WHERE ts < TIMESTAMP '2024-01-20'),
-        inc AS (SELECT event_id, md5(concat(user_id, '|', props)) AS fingerprint
+        inc AS (SELECT event_id, md5(concat(coalesce(user_id, ''), '|',
+                  coalesce(props, ''))) AS fingerprint
                 FROM events WHERE ts >= TIMESTAMP '2024-01-20')
         SELECT inc.event_id, inc.fingerprint
         FROM inc ANTI JOIN hist USING (fingerprint)

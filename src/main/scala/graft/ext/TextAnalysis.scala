@@ -353,7 +353,11 @@ object TextAnalysis {
       size(split(text, " ")).cast("long").as("n_tokens"))
     val ranged = toks.repartitionByRange(partitions, col("doc_id"))
       .withColumn("__b", spark_partition_id())
+    // explicit ROWS frame: the default RANGE frame includes order-by
+    // peers, so duplicate doc_id values would diverge from the oracle's
+    // ROWS UNBOUNDED PRECEDING cumulative sum
     val w = Window.partitionBy(col("__b")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inner = ranged.withColumn("__cum_in", sum(col("n_tokens")).over(w))
     // per-partition totals: numPartitions rows — the single-partition
     // window below is over THIS bounded frame, never the corpus

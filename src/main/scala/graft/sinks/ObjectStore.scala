@@ -199,11 +199,21 @@ object ObjectStore {
       case Some(d) => s"$baseDir/incoming/$d"
       case None => s"$baseDir/incoming"
     }
+    // a path that doesn't match the incoming/yyyy/MM/dd/... contract
+    // fails the compaction LOUDLY (raise_error inside the row pipeline —
+    // no extra validation job): regexp_extract's silent '' no-match would
+    // otherwise file the object under the null day partition with an
+    // empty key, unreachable by readArchiveObject
+    val rawKey =
+      regexp_extract(col("path"), "(incoming/\\d{4}/\\d{2}/\\d{2}/.+)$", 1)
     val rows = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .load(root)
       .select(
-        regexp_extract(col("path"), "(incoming/\\d{4}/\\d{2}/\\d{2}/.+)$", 1)
+        when(rawKey =!= "", rawKey)
+          .otherwise(raise_error(concat(
+            lit("compactIncoming: non-conforming object path (expected " +
+              "incoming/yyyy/MM/dd/...): "), col("path"))))
           .as("key"),
         col("content").as("body"))
       .withColumn("day",

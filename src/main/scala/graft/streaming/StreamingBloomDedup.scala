@@ -29,6 +29,16 @@ import graft.functions.{BloomKernels, SketchKernels}
   * uniformly across the cluster — there is no hot key by construction,
   * and each shard's decision order is replay-deterministic
   * ((eventTime, docId) sort within the batch).
+  *
+  * Per-shard memory shape: the replay-deterministic sort materializes a
+  * shard's slice of the micro-batch (1/2^shardBits of its rows) in one
+  * task's heap before emitting. `shardBits` therefore trades state size
+  * (2^shardBits × bitsPerShard bits, permanent) against transient batch
+  * buffering (rows per shard per trigger): at 100 TB-scale ingest, size
+  * `shardBits` so micro-batch-rows / 2^shardBits stays comfortably
+  * inside one executor's task heap — the default of 6 (64 shards) keeps
+  * a 10M-row trigger under ~160k buffered rows per task, and larger
+  * triggers should raise it further.
   */
 object StreamingBloomDedup {
 
@@ -45,7 +55,7 @@ object StreamingBloomDedup {
   final case class Decision(docId: Long, hash: Long, definitelyNew: Boolean,
                             eventTime: Timestamp)
 
-  def dedup(docs: Dataset[DocKey], shardBits: Int = 4,
+  def dedup(docs: Dataset[DocKey], shardBits: Int = 6,
             bitsPerShard: Int = 1 << 16,
             numHashes: Int = 6): Dataset[Decision] = {
     require(shardBits >= 0 && shardBits <= 16)
@@ -96,7 +106,7 @@ object StreamingBloomDedup {
     * point, no matter how long the stream runs. State is exactly
     * 2 × bitsPerShard bits + one counter per shard, forever.
     */
-  def dedupRotating(docs: Dataset[DocKey], shardBits: Int = 4,
+  def dedupRotating(docs: Dataset[DocKey], shardBits: Int = 6,
                     bitsPerShard: Int = 1 << 16,
                     numHashes: Int = 6,
                     rotateAfter: Long = 8192): Dataset[Decision] = {

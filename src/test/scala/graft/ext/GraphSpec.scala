@@ -33,6 +33,15 @@ class GraphSpec extends AnyFunSuite {
       s"mass leak beyond floor losses: $total vs $mass")
   }
 
+  test("directed graph with a dangling (dst-only) node is rejected loudly") {
+    // node 2 never appears as src: its incoming mass would silently leak
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRank(edges, iterations = 2)
+    }
+    assert(e.getMessage.contains("dangling"))
+  }
+
   test("results are invariant to input partitioning (integer arithmetic only)") {
     val edges = undirected((0L until 50L).map(i => (i, (i * 7 + 1) % 50)): _*)
     def ranksWith(parts: Int) =

@@ -99,6 +99,25 @@ class ArchiveSpec extends AnyFunSuite {
     }
   }
 
+  test("non-conforming object path fails the compaction, never lands in a null partition") {
+    val dir = freshDir()
+    seed(dir, 4)
+    // plant an object OUTSIDE the incoming/yyyy/MM/dd contract
+    val stray = new java.io.File(s"$dir/incoming/stray/doc.pdf")
+    stray.getParentFile.mkdirs()
+    Files.write(stray.toPath, "stray".getBytes("UTF-8"))
+    val e = intercept[Exception] { ObjectStore.compactIncoming(spark, dir) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("non-conforming object path")),
+      s"expected loud non-conforming-path failure, got: $e")
+    // nothing was silently archived under the default partition
+    val archive = new java.io.File(s"$dir/archive")
+    assert(!archive.exists() ||
+      !archive.listFiles().exists(_.getName.contains("HIVE_DEFAULT")))
+  }
+
   test("malformed key (no date segment) fails loudly, not with a full scan") {
     val dir = freshDir()
     seed(dir, 4)
