@@ -1482,6 +1482,241 @@ object ExtQueries {
         SELECT doc_id, n_tokens, cum_tokens,
                (cum_tokens - n_tokens) // 4096 AS shard
         FROM c
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q84: context-window sequence packing — the step after q83: each
+    // ~4096-token shard's documents concatenated (doc_id order,
+    // '\n'-separated) into one training sequence; the manifest row
+    // carries the content digest, so the oracle pins the exact packed
+    // BYTES, not just the grouping. Per-shard buffering is bounded by
+    // the token budget by construction.
+    GraftQuery(
+      "q84_packed_sequences",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        TextAnalysis.packedSequences(t.documents, col("doc_id"),
+          col("text"), budget = 4096L, partitions = 16)
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, text,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, text, n_tokens,
+                CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM t),
+        s AS (SELECT doc_id, text, n_tokens,
+                (cum - n_tokens) // 4096 AS shard FROM c)
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               md5(string_agg(text, chr(10) ORDER BY doc_id)) AS digest
+        FROM s GROUP BY shard ORDER BY shard""")),
+
+    // ------------------------------------------------------------------
+    // q85: leakage-safe train/eval split — the unit of randomization is
+    // the near-dup CLUSTER (q44's components; singletons are their own
+    // cluster), so no eval doc has a near-duplicate in train. The split
+    // rule (first md5 hex digit of the cluster id ≤ 'd' → train) is one
+    // expression in both engines, keeping the whole operator under the
+    // hash gate.
+    GraftQuery(
+      "q85_leakage_split",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val pairs = Dedup.minhashPairs(t.documents, col("doc_id"),
+            col("text"), n = 3, threshold = 0.8)
+          .select(col("id_a"), col("id_b"))
+        Dedup.leakageSplit(t.documents, col("doc_id"), pairs)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shingles AS (SELECT doc_id, CASE WHEN len(w) >= 3
+               THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+                 i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
+               ELSE [array_to_string(w, ' ')] END AS sh FROM words),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shingles),
+        sizes AS (SELECT doc_id, len(sh) AS n FROM shingles),
+        cand AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (
+          SELECT ia AS id_a, ib AS id_b
+          FROM cand JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+          WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(s, d) AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        comp AS (
+          SELECT s AS doc_id, least(s, MIN(d)) AS cluster_id
+          FROM reach GROUP BY s)
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               CASE WHEN substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id)
+                      AS VARCHAR)), 1, 1) <= 'd'
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+        ORDER BY d.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q86: snapshot diff (CDC classification) — per-user profiles from
+    // two time windows, full-outer-joined and classified
+    // added/removed/changed/unchanged. Profile metrics stay in integer
+    // space (count + floor-micro value sum) so "changed" is an exact
+    // predicate, never a float comparison.
+    GraftQuery(
+      "q86_snapshot_diff",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val ev = t.events.filter(col("value").isNotNull)
+        val cut = lit("2024-01-15").cast("timestamp")
+        def snap(pred: org.apache.spark.sql.Column, tag: String) =
+          ev.filter(pred).groupBy(col("user_id"))
+            .agg(count(lit(1)).as(s"${tag}_n"),
+              sum(floor(col("value") * 1000000d).cast("long"))
+                .as(s"${tag}_sum_micro"))
+        snap(col("ts") < cut, "old")
+          .join(snap(col("ts") >= cut, "new"), Seq("user_id"), "full_outer")
+          .withColumn("status",
+            when(col("old_n").isNull, "added")
+              .when(col("new_n").isNull, "removed")
+              .when(col("old_n") === col("new_n") &&
+                col("old_sum_micro") === col("new_sum_micro"), "unchanged")
+              .otherwise("changed"))
+          .select(col("user_id"), col("status"), col("old_n"), col("new_n"),
+            col("old_sum_micro"), col("new_sum_micro"))
+          .orderBy(col("user_id"), col("status"))
+      },
+      Some("""
+        WITH o AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS old_n,
+                     CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS old_sum_micro
+                   FROM events WHERE value IS NOT NULL
+                     AND ts < TIMESTAMP '2024-01-15' GROUP BY user_id),
+        n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS new_n,
+                CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS new_sum_micro
+              FROM events WHERE value IS NOT NULL
+                AND ts >= TIMESTAMP '2024-01-15' GROUP BY user_id)
+        SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+               CASE WHEN o.old_n IS NULL THEN 'added'
+                    WHEN n.new_n IS NULL THEN 'removed'
+                    WHEN o.old_n = n.new_n
+                      AND o.old_sum_micro = n.new_sum_micro THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               old_n, new_n, old_sum_micro, new_sum_micro
+        FROM o FULL JOIN n ON o.user_id = n.user_id
+        ORDER BY user_id, status""")),
+
+    // ------------------------------------------------------------------
+    // q87: corpus-statistics histogram — fixed-width (32-char) document
+    // length distribution per language. One hash aggregation with
+    // map-side partials; bucket bounds are integer division, so the
+    // bucketing is engine-independent by construction.
+    GraftQuery(
+      "q87_value_histogram",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.documents
+          .groupBy(col("lang"), expr("n_chars div 32").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("lo_chars", col("bucket") * 32)
+          .select(col("lang"), col("bucket"), col("lo_chars"), col("n_docs"))
+          .orderBy(col("lang"), col("bucket"))
+      },
+      Some("""
+        SELECT lang, n_chars // 32 AS bucket,
+               (n_chars // 32) * 32 AS lo_chars,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents
+        GROUP BY lang, bucket
+        ORDER BY lang, bucket""")),
+
+    // ------------------------------------------------------------------
+    // q88: substring-level duplication spans — per document, the count
+    // of word 8-grams shared with ≥1 OTHER document and the longest
+    // consecutive run of such grams (≈ longest copied span; the
+    // Lee-et-al-2021 regime that document-level dedup misses).
+    GraftQuery(
+      "q88_dup_spans",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Dedup.dupSpans(t.documents, col("doc_id"), col("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        p AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 8)) AS pos
+              FROM words WHERE len(w) >= 8),
+        g AS (SELECT doc_id, pos,
+                array_to_string(w[pos + 1:pos + 8], ' ') AS gram FROM p),
+        df AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram),
+        f AS (SELECT g.doc_id, g.pos, (df.df >= 2) AS dup
+              FROM g JOIN df USING (gram)),
+        runs AS (SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                 FROM f WHERE dup),
+        rl AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS rlen
+               FROM runs GROUP BY doc_id, grp),
+        mx AS (SELECT doc_id, MAX(rlen) AS max_dup_run FROM rl GROUP BY doc_id),
+        agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+                FROM f GROUP BY doc_id)
+        SELECT agg.doc_id, n_grams, n_dup,
+               COALESCE(mx.max_dup_run, 0) AS max_dup_run
+        FROM agg LEFT JOIN mx USING (doc_id)
+        ORDER BY agg.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q89: integer-exact second moments — covariance and correlation of
+    // (value, hour-of-day) per event type, with every sum computed in
+    // exact integer space (value floor-quantized to micros, moments as
+    // decimal(38,0) / HUGEINT) and ONE double conversion at the end.
+    // Fold order, partitioning, and engine libm never touch the result.
+    GraftQuery(
+      "q89_exact_moments",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val b = t.events.filter(col("value").isNotNull)
+          .select(col("event_type"),
+            floor(col("value") * 1000000d).cast("decimal(38,0)").as("x"),
+            hour(col("ts")).cast("decimal(38,0)").as("y"))
+        val m = b.groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+        val numer = col("n") * col("sxy") - col("sx") * col("sy")
+        val varx = col("n") * col("sxx") - col("sx") * col("sx")
+        val vary = col("n") * col("syy") - col("sy") * col("sy")
+        m.select(col("event_type"), col("n").cast("long").as("n"),
+            (numer.cast("double") / (col("n") * col("n")).cast("double")
+              / lit(1000000d)).as("cov"),
+            when(varx > 0 && vary > 0,
+              numer.cast("double") /
+                (sqrt(varx.cast("double")) * sqrt(vary.cast("double"))))
+              .as("corr"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH b AS (SELECT event_type,
+                     CAST(floor(value * 1000000) AS HUGEINT) AS x,
+                     CAST(hour(ts) AS HUGEINT) AS y
+                   FROM events WHERE value IS NOT NULL),
+        m AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+                SUM(x*x) AS sxx, SUM(y*y) AS syy
+              FROM b GROUP BY event_type)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*n AS DOUBLE)
+                 / 1000000.0 AS cov,
+               CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                    THEN CAST(n*sxy - sx*sy AS DOUBLE) /
+                         (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                          sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+                    ELSE NULL END AS corr
+        FROM m ORDER BY event_type"""))
   )
 }

@@ -598,4 +598,80 @@ object Dedup {
       .join(histFp.distinct(), Seq("__fp"), "left_anti")
     definitelyNew.unionByName(checkedNew).drop("__maybe", "__fp")
   }
+
+  /** Leakage-safe train/eval split: every member of a near-dup cluster
+    * lands in the SAME split, so no eval document has a near-duplicate in
+    * the training set (the classic contamination mode a per-document
+    * random split invites). Docs outside any pair are their own
+    * singleton cluster (cluster_id = doc_id).
+    *
+    * The assignment is content-free and replay-stable: split =
+    * md5(cluster_id as string) first hex digit ≤ 'd' → train (14/16 =
+    * 87.5%), else eval — the same rule is one expression in any engine,
+    * so the whole operator stays under the oracle gate. Per-cluster (not
+    * per-doc) hashing is the entire point: the unit of randomization is
+    * the deduplication equivalence class.
+    *
+    * Scale shape: one left join of the corpus against the (much smaller)
+    * clustered-doc table; the cluster computation itself is
+    * [[clusters]]' O(diameter) propagation over the pair list.
+    */
+  def leakageSplit(docs: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
+    val cl = clusters(pairs).select(col("doc_id"), col("cluster_id"))
+    docs.select(id.as("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(substring(md5(col("cluster_id").cast("string")), 1, 1) <= "d",
+          "train").otherwise("eval"))
+  }
+
+  /** Substring-level duplication signal (the regime document-level dedup
+    * misses — boilerplate headers, license blocks, templated spans): for
+    * each document, how many of its word 8-grams occur in at least one
+    * OTHER document, and the longest CONSECUTIVE run of such duplicated
+    * 8-grams (≈ the longest copied span, in the spirit of
+    * Lee et al. 2021's duplicated-substring removal).
+    *
+    * Plan shape at scale: positional 8-grams explode map-side (~one row
+    * per word), the document-frequency census is one hash aggregation on
+    * the gram, and the run-length step is a per-document window — keyed
+    * by doc_id, so no global sort and no single-partition window. The
+    * gram census is the natural hot spot; it aggregates (gram → df)
+    * with map-side partial aggregation, so a boilerplate gram appearing
+    * everywhere still arrives at one reducer as partial counts, not raw
+    * rows.
+    *
+    * Output: (doc_id, n_grams, n_dup, max_dup_run) for every doc with
+    * ≥ 8 words. Duplication is counted across DISTINCT documents —
+    * a gram repeated only within one doc is not "duplicated" here
+    * (within-doc repetition is [[TextAnalysis]]'s repetition metrics).
+    */
+  def dupSpans(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val grams = docs
+      .select(id.as("doc_id"), split(text, " ").as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, size(w) - 8), i -> array_join(slice(w, i + 1, 8), ' '))"))
+          .as(Seq("pos", "gram")))
+    val df = grams.groupBy(col("gram"))
+      .agg(count_distinct(col("doc_id")).as("__df"))
+    val flagged = grams.join(df, "gram")
+      .select(col("doc_id"), col("pos"), (col("__df") >= 2).as("dup"))
+    val perDoc = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))
+    // gaps-and-islands: consecutive duplicated positions share
+    // (pos - row_number) within the doc
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = flagged.filter(col("dup"))
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(count(lit(1)).as("__rlen"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("__rlen")).as("max_dup_run"))
+    perDoc.join(runs, Seq("doc_id"), "left")
+      .withColumn("max_dup_run", coalesce(col("max_dup_run"), lit(0L)))
+  }
 }

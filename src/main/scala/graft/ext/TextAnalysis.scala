@@ -375,6 +375,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Context-window sequence packing: the step after [[tokenPacking]] in
+    * a training-data pipeline — concatenate each shard's documents (in
+    * doc_id order, '\n'-separated) into one training sequence and emit
+    * the shard manifest (doc count, token total, content digest).
+    *
+    * Scale shape: the per-shard state is bounded BY CONSTRUCTION — a
+    * shard holds ~`budget` tokens of text, so the `collect_list` below
+    * buffers one context window (kilobytes), never an unbounded group.
+    * Ordering inside the group is made deterministic with `array_sort`
+    * over (doc_id, text) structs (struct ordering is field-order
+    * lexicographic, so doc_id decides), NOT by trusting collect_list's
+    * arrival order, which is partitioning-dependent.
+    */
+  def packedSequences(docs: DataFrame, id: Column, text: Column,
+                      budget: Long, partitions: Int = 64): DataFrame = {
+    val shards = tokenPacking(docs, id, text, budget, partitions)
+    val withText = shards.join(
+      docs.select(id.as("doc_id"), text.as("__text")), "doc_id")
+    withText.groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        md5(encode(array_join(expr(
+            "transform(array_sort(collect_list(struct(doc_id, __text))), x -> x.__text)"),
+          "\n"), "UTF-8")).as("digest"))
+      .orderBy(col("shard"))
+  }
+
   /** Document fingerprints: md5 (exact), poly_hash (codegen'd rolling
     * hash), winnow (MOSS-style k-gram/window minima).
     */

@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Round-6 corpus operators: sequence packing, leakage-safe splits, and
+  * substring-level duplication spans.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def wordRun(tag: String, n: Int): String =
+    (0 until n).map(i => s"$tag$i").mkString(" ")
+
+  // ---------------------------------------------------------------- q84
+
+  test("packedSequences: digests are partitioning-invariant, shards cover every doc") {
+    val docs = (0L until 40L)
+      .map(i => (i, wordRun(s"d$i-", 5 + (i % 7).toInt)))
+      .toDF("doc_id", "text")
+    def run(parts: Int) =
+      TextAnalysis.packedSequences(docs.repartition(parts), col("doc_id"),
+          col("text"), budget = 30L, partitions = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSeq
+    val a = run(1)
+    val b = run(13)
+    // collect_list arrival order must NOT leak into the digest
+    assert(a == b)
+    assert(a.map(_._2).sum == 40L, "every doc packed exactly once")
+    // shards are consecutive from 0
+    assert(a.map(_._1).sorted == (0L until a.length.toLong))
+  }
+
+  test("packedSequences: digest is md5 of the doc_id-ordered concatenation") {
+    val docs = Seq((2L, "bb"), (1L, "aa"), (3L, "cc")).toDF("doc_id", "text")
+    // budget large enough for one shard
+    val out = TextAnalysis.packedSequences(docs, col("doc_id"), col("text"),
+      budget = 100L, partitions = 2).collect()
+    assert(out.length == 1)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("aa\nbb\ncc".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getString(3) == expected)
+  }
+
+  // ---------------------------------------------------------------- q85
+
+  test("leakageSplit: every cluster member shares one split; singletons covered") {
+    // clusters {1,2,3} and {10,11}; 20..24 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = (Seq(1L, 2L, 3L, 10L, 11L) ++ (20L to 24L))
+      .toDF("doc_id")
+    val out = Dedup.leakageSplit(docs, col("doc_id"), pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 10, "every doc gets a split row")
+    val byCluster = out.groupBy(_._2)
+    // one split value per cluster — the leakage guarantee
+    assert(byCluster.values.forall(_.map(_._3).distinct.length == 1))
+    // clustered docs carry the min-id representative
+    assert(out.filter(r => Set(1L, 2L, 3L)(r._1)).forall(_._2 == 1L))
+    assert(out.filter(r => Set(10L, 11L)(r._1)).forall(_._2 == 10L))
+    // singletons are their own cluster
+    assert(out.filter(_._1 >= 20L).forall(r => r._2 == r._1))
+  }
+
+  // ---------------------------------------------------------------- q88
+
+  test("dupSpans: run length counts consecutive cross-doc 8-grams only") {
+    val shared = wordRun("s", 12) // 12 shared words -> 5 shared 8-grams
+    val a = s"$shared ${wordRun("a", 10)}"
+    val b = s"${wordRun("b", 10)} $shared"
+    val c = wordRun("c", 20) // nothing shared
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: 22 words -> 15 grams; the 5 grams fully inside `shared`
+    // (positions 0..4) are duplicated, consecutively
+    assert(out(0) == (1L, 15L, 5L, 5L))
+    // doc 2: same 5 duplicated grams, at the tail (positions 10..14)
+    assert(out(1) == (2L, 15L, 5L, 5L))
+    // doc 3: 20 words -> 13 grams, none duplicated
+    assert(out(2) == (3L, 13L, 0L, 0L))
+  }
+
+  test("dupSpans: within-doc repetition is not duplication; short docs excluded") {
+    val rep = wordRun("r", 8)
+    val docs = Seq(
+      (1L, s"$rep $rep"),   // gram repeats only inside doc 1
+      (2L, wordRun("x", 5)) // < 8 words -> no output row
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, col("doc_id"), col("text")).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 1L)
+    assert(out(0).getLong(2) == 0L, "within-doc repeats must not count as dup")
+  }
+
+  test("dupSpans: a gap splits the run (two islands, max is the longer)") {
+    // doc 1 shares words 0..9 and 20..31 with doc 2, with a unique middle
+    val s1 = wordRun("p", 10) // 3 shared grams
+    val s2 = wordRun("q", 12) // 5 shared grams
+    val docs = Seq(
+      (1L, s"$s1 ${wordRun("u", 10)} $s2"),
+      (2L, s"$s1 ${wordRun("v", 10)} $s2")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    // max run is the 5-gram island from s2, not 3+5
+    assert(out(0).getLong(3) == 5L)
+    assert(out(1).getLong(3) == 5L)
+  }
+}
