@@ -1717,6 +1717,23 @@ object ExtQueries {
                          (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
                           sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
                     ELSE NULL END AS corr
-        FROM m ORDER BY event_type"""))
+        FROM m ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // q94: product-quantization k-NN (ADC + exact re-rank) — the
+    // memory-compression ANN serving path: queries scan 8-byte code
+    // words, never the float corpus. Rows-only by design (the codebooks
+    // are a trained model no ANSI SQL oracle can reproduce); recall vs
+    // brute force and partition-invariance are pinned in ExtSpec.
+    GraftQuery(
+      "q94_knn_pq",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Similarity.pqTopK(
+            t.embeddings.filter(col("vec_id") < 20), t.embeddings,
+            k = 5, subspaces = 16, codebookSize = 16, rerank = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None)
   )
 }

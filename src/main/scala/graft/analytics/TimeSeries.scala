@@ -327,6 +327,177 @@ object TimeSeries {
         SELECT CAST(funnel_stage AS INT) AS funnel_stage,
                CAST(COUNT(*) AS BIGINT) AS n_users
         FROM stages GROUP BY funnel_stage
-        ORDER BY funnel_stage"""))
+        ORDER BY funnel_stage""")),
+
+    // ------------------------------------------------------------------
+    // q90: date-spine gap filling with last-observation-carried-forward —
+    // the standard shape for turning a sparse event series into a dense
+    // reporting series. The spine is GENERATED (sequence of 30 date
+    // literals × 5 types), never scanned; the LOCF window is keyed by
+    // event_type, and its frame is bounded by the spine length by
+    // construction, so nothing here degrades with corpus size. Leading
+    // gaps (before a series' first observation) stay null — LOCF has
+    // nothing to carry.
+    GraftQuery(
+      "q90_gap_fill_locf",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val spine = spark.range(1)
+          .select(explode(sequence(
+            to_date(lit("2024-01-01")), to_date(lit("2024-01-30")),
+            expr("INTERVAL 1 DAY"))).as("day"))
+        val grid = t.events.select(col("event_type")).distinct()
+          .crossJoin(spine)
+        val actual = t.events.filter(col("value") > 300)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 1000000d).cast("long")).as("sum_micro"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(actual, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("n"), lit(0L)).as("n"), col("sum_micro"),
+            last(col("sum_micro"), ignoreNulls = true).over(w)
+              .as("locf_sum_micro"),
+            col("n").isNull.as("is_gap"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""
+        WITH spine AS (SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                         DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day),
+        types AS (SELECT DISTINCT event_type FROM events),
+        grid AS (SELECT event_type, day FROM types CROSS JOIN spine),
+        actual AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro
+                   FROM events WHERE value > 300 GROUP BY 1, 2)
+        SELECT g.event_type, g.day, COALESCE(a.n, 0) AS n, a.sum_micro,
+               last_value(a.sum_micro IGNORE NULLS) OVER (
+                 PARTITION BY g.event_type ORDER BY g.day
+                 ROWS UNBOUNDED PRECEDING) AS locf_sum_micro,
+               (a.n IS NULL) AS is_gap
+        FROM grid g LEFT JOIN actual a
+          ON g.event_type = a.event_type AND g.day = a.day
+        ORDER BY g.event_type, g.day""")),
+
+    // ------------------------------------------------------------------
+    // q91: cumulative distinct users per day — deliberately NOT the
+    // expanding-window COUNT(DISTINCT) (which reprocesses every prior day
+    // per output row: quadratic, and unshardable). The identity
+    // cum_distinct(day) = Σ first-touches ≤ day turns it into one
+    // per-user min, one daily count, and a prefix sum over the 30-row
+    // spine — each step keyed and partial-aggregated; the only
+    // unpartitioned window is over the generated spine, bounded by
+    // construction.
+    GraftQuery(
+      "q91_cumulative_distinct",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val spine = spark.range(1)
+          .select(explode(sequence(
+            to_date(lit("2024-01-01")), to_date(lit("2024-01-30")),
+            expr("INTERVAL 1 DAY"))).as("day"))
+        val firstTouch = t.events
+          .groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("day"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("new_users"))
+        val w = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(firstTouch, Seq("day"), "left")
+          .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+          .withColumn("cum_users", sum(col("new_users")).over(w))
+          .orderBy(col("day"))
+      },
+      Some("""
+        WITH spine AS (SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                         DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day),
+        ft AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+               FROM events GROUP BY user_id),
+        daily AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+                  FROM ft GROUP BY day)
+        SELECT s.day, COALESCE(d.new_users, 0) AS new_users,
+               CAST(SUM(COALESCE(d.new_users, 0)) OVER (ORDER BY s.day
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        FROM spine s LEFT JOIN daily d ON s.day = d.day
+        ORDER BY s.day""")),
+
+    // ------------------------------------------------------------------
+    // q92: weekly retention cohorts — cohort = ISO week of a user's
+    // first event; each (cohort, week-offset) cell counts distinct users
+    // active that week. Classic cohort matrix, all-integer: week
+    // truncation is Monday-aligned in both engines and the offset is an
+    // exact day-difference division (both operands Mondays).
+    GraftQuery(
+      "q92_retention_cohorts",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val ud = t.events
+          .select(col("user_id"),
+            to_date(date_trunc("week", to_date(col("ts")))).as("week"))
+          .distinct()
+        val cohort = ud.groupBy(col("user_id"))
+          .agg(min(col("week")).as("cohort_week"))
+        ud.join(cohort, "user_id")
+          .select(col("cohort_week"),
+            (datediff(col("week"), col("cohort_week")) / 7)
+              .cast("int").as("week_offset"),
+            col("user_id"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(count_distinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""
+        WITH ud AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week
+                    FROM events),
+        cohort AS (SELECT user_id, MIN(week) AS cohort_week
+                   FROM ud GROUP BY user_id)
+        SELECT c.cohort_week,
+               CAST(date_diff('day', c.cohort_week, u.week) // 7 AS INT) AS week_offset,
+               CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users
+        FROM ud u JOIN cohort c ON u.user_id = c.user_id
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+
+    // ------------------------------------------------------------------
+    // q93: event-transition matrix — per-user ordered event_type bigrams
+    // (lag over (ts, event_id) — the id tie-break makes the sequence
+    // deterministic), counted per (prev, next) with the per-prev total
+    // as one additional keyed window; probability is a single double
+    // division at output. The sequencing window is keyed by user_id —
+    // thousands of small independent partitions, no global sort.
+    GraftQuery(
+      "q93_event_transitions",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = t.events
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+        val counts = trans.groupBy(col("prev_type"),
+            col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val wt = Window.partitionBy(col("prev_type"))
+        counts
+          .withColumn("prob",
+            col("n").cast("double") / sum(col("n")).over(wt).cast("double"))
+          .orderBy(col("prev_type"), col("next_type"))
+      },
+      Some("""
+        WITH seq AS (SELECT user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_type
+                     FROM events),
+        counts AS (SELECT prev_type, event_type AS next_type,
+                     CAST(COUNT(*) AS BIGINT) AS n
+                   FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        SELECT prev_type, next_type, n,
+               CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type)
+                 AS DOUBLE) AS prob
+        FROM counts
+        ORDER BY prev_type, next_type"""))
   )
 }

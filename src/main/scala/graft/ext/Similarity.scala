@@ -257,6 +257,123 @@ object Similarity {
     centroids
   }
 
+  /** Product-quantization (PQ) approximate k-NN — the memory-compression
+    * scale path for ANN serving (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): each corpus vector is stored
+    * as `subspaces` small codes plus one exact norm (default 16 codes
+    * over 16-entry codebooks ≈ 16 bytes + 8 vs 256 bytes of floats), and
+    * query scoring reads ONLY the codes through a per-query lookup table
+    * (asymmetric distance computation, ADC).
+    *
+    * Determinism mirrors [[ivfKmeansTopK]]'s contract: a
+    * bottom-k-by-md5 training sample (bounded by construction — the only
+    * collect), one local Lloyd run PER SUBSPACE over the same sample,
+    * centroids quantized to integer ten-thousandths. Encoding, the ADC
+    * lookup tables, and all partial dots/norms are then exact longs; the
+    * single float op is the final cosine division — so codes, scores and
+    * results are partition- and replay-invariant.
+    *
+    * Retrieval quality: ADC ranks candidates, and the top `rerank · k`
+    * per query are re-scored with the EXACT quantized cosine on the
+    * original vectors (one keyed join back to the corpus). The final
+    * ordering among survivors is exact — PQ approximation only decides
+    * which candidates reach the re-rank pool (recall measured in
+    * ExtSpec).
+    *
+    * Scale shape: the corpus is encoded in one map-side pass and scored
+    * as a broadcast join streamed over the CODES — corpus floats never
+    * shuffle; the re-rank join touches rerank·k·|queries| rows. At
+    * 100 TB the coded table (vec_id, 16 bytes of codes, one long norm)
+    * is ~10× smaller than the float corpus and is the only thing the
+    * query path scans.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             subspaces: Int = 16, codebookSize: Int = 16,
+             rerank: Int = 4, maxTrainRows: Int = 2048): DataFrame = {
+    require(k > 0 && subspaces > 0 && codebookSize > 1 && rerank >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sampler = new graft.functions.BottomKByMd5[Long](maxTrainRows, identity)
+    val sampleIds = corpus.select(col("vec_id")).as[Long]
+      .select(sampler.toColumn).head().toSet
+    val sample = corpus.filter(col("vec_id").isInCollection(sampleIds))
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(r => graft.functions.SketchKernels.hex(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(r.getLong(0).toString.getBytes("UTF-8"))))
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val dim = sample.head.length
+    require(dim % subspaces == 0,
+      s"dim $dim not divisible into $subspaces subspaces")
+    val ds = dim / subspaces
+    // independent codebook per subspace, trained on the same sample rows
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(subspaces) {
+      s => lloyd(sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * ds, (s + 1) * ds)),
+        codebookSize, iterations = 8)
+    }
+    // integer ten-thousandths of every centroid
+    val cq: Array[Array[Array[Long]]] =
+      codebooks.map(_.map(_.map(x => math.floor(x * 10000d + 0.5d).toLong)))
+    // encode: per subspace, nearest centroid of the slice (native kernel)
+    val codeCols = (0 until subspaces).map { s =>
+      element_at(SketchFns.nearest_centroids(
+        slice(col("embedding"), s * ds + 1, ds), codebooks(s), 1), 1)
+        .cast("int")
+    }
+    // the stored norm² is EXACT (one long per vector, computed from the
+    // original floats at encode time) — PQ approximation is confined to
+    // the dot product; an approximate norm would additionally distort
+    // every score by the per-vector reconstruction error
+    val vQuant = transform(col("embedding"),
+      x => floor(x.cast("double") * 10000d + 0.5d).cast("long"))
+    val coded = corpus
+      .select(col("vec_id").as("neighbor_id"),
+        array(codeCols: _*).as("codes"),
+        aggregate(transform(vQuant, x => x * x), lit(0L), (a, v) => a + v)
+          .as("cn2"))
+    // query-side ADC lookup table: partial integer dot of each query
+    // slice with every centroid of that subspace (m × codebookSize longs
+    // per query — broadcast with the query set)
+    val qQuant = transform(col("embedding"),
+      x => floor(x.cast("double") * 10000d + 0.5d).cast("long"))
+    val lutCols = (0 until subspaces).map { s =>
+      val qs = slice(qQuant, s * ds + 1, ds)
+      array((0 until codebookSize).map { j =>
+        aggregate(zip_with(qs, typedLit(cq(s)(j).toSeq), (x, y) => x * y),
+          lit(0L), (a, v) => a + v)
+      }: _*)
+    }
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), array(lutCols: _*).as("lut"),
+      aggregate(transform(qQuant, x => x * x), lit(0L), (a, v) => a + v)
+        .as("qn2"))
+    // ADC scoring over codes only; corpus floats are not in this join
+    val scored = coded.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
+        lit(0L), (a, v) => a + v))
+      .withColumn("approx", col("adc").cast("double") /
+        sqrt(col("cn2").cast("double") * col("qn2").cast("double")))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val pool = scored
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= k * rerank)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    // exact re-rank of the survivor pool on the original vectors
+    val withVec = pool.join(
+        corpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cv")), "neighbor_id")
+      .withColumn("cosine", SketchFns.quantized_cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    withVec.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Embedding similar/near-duplicate pairs: every corpus pair with
     * cosine ≥ threshold that shares at least one sign-bit LSH band
     * bucket, verified with the exact quantized cosine.

@@ -18,7 +18,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
     // approximation-dependent results)
     assert(noOracle == Set("q29_simhash_pairs", "q36_winnow_fingerprints",
                            "q37_approx_sketches", "q47_winnow_pairs",
-                           "q48_knn_ivf_kmeans", "q63_hll_sketch_store"))
+                           "q48_knn_ivf_kmeans", "q63_hll_sketch_store",
+                           "q94_knn_pq"))
   }
 
   test("(user_id, ts) is unique in events — q72's Spark/oracle tie-rule equivalence rests on it") {

@@ -76,6 +76,31 @@ class ExtSpec extends AnyFunSuite {
     assert(kmeans >= 0.5, s"kmeans recall $kmeans too low")
   }
 
+  test("PQ ADC + exact re-rank: recall clears the floor and rises with the pool") {
+    val q = embs.filter(col("vec_id") < 50)
+    val bf = Similarity.bruteForceTopK(q, embs, 5).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(rerank: Int) = {
+      val got = Similarity.pqTopK(q, embs, 5, rerank = rerank)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(bf).size.toDouble / bf.size
+    }
+    val r2 = recall(2); val r8 = recall(8)
+    assert(r8 >= r2, s"recall not monotone in rerank pool: $r2 -> $r8")
+    assert(r2 >= 0.5, s"PQ recall@5 (rerank=2) $r2 too low")
+    assert(r8 >= 0.7, s"PQ recall@5 (rerank=8) $r8 too low")
+  }
+
+  test("PQ results are invariant to input partitioning (integer ADC + md5 training)") {
+    val q = embs.filter(col("vec_id") < 20)
+    def rows(qp: Int, cp: Int) =
+      Similarity.pqTopK(q.repartition(qp), embs.repartition(cp), 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(1, 2) == rows(7, 13))
+  }
+
   test("cosine LSH pairs: recall 1.0 vs brute force at threshold 0.4") {
     import graft.functions.SketchFns
     // ground truth: all pairs with exact quantized cosine >= 0.4
