@@ -1734,6 +1734,83 @@ object ExtQueries {
             k = 5, subspaces = 16, codebookSize = 16, rerank = 4)
           .orderBy(col("query_id"), col("rank"))
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // q95: audio (WAV/RIFF) metadata extraction — the audio twin of q35:
+    // canonical 44-byte PCM headers are synthesized relationally from
+    // events (endian-exact via the same hex tricks), parsed back by the
+    // codec-free chunk walker (Multimodal.WavHeader), and the oracle
+    // recomputes every field from the source columns — pinning channel/
+    // rate/bits decoding, blockAlign sample math, and integer-division
+    // duration. 'purchase' rows carry unparseable payloads and must
+    // surface as ok=false zeros, never errors.
+    GraftQuery(
+      "q95_audio_meta",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        import spark.implicits._
+        def le2(c: org.apache.spark.sql.Column) = {
+          val hx = lpad(hex(c.cast("bigint")), 4, "0")
+          unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+        }
+        def le4(c: org.apache.spark.sql.Column) = {
+          val hx = lpad(hex(c.cast("bigint")), 8, "0")
+          unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+            substring(hx, 3, 2), substring(hx, 1, 2)))
+        }
+        val ch = col("event_id") % 2 + 1
+        val rate = when(col("event_id") % 3 === 0, 8000L)
+          .when(col("event_id") % 3 === 1, 16000L).otherwise(44100L)
+        val bits = expr("8 + ((event_id div 2) % 2) * 8")
+        val ba = ch * (bits / lit(8)).cast("bigint")
+        val br = rate * ba
+        val ds = col("event_id") % 100000 + 44
+        val wav = concat(
+          unhex(lit("52494646")), le4(ds + 36), // "RIFF" + riff size
+          unhex(lit("57415645")), // "WAVE"
+          unhex(lit("666D7420")), le4(lit(16L)), le2(lit(1L)), // "fmt ", PCM
+          le2(ch), le4(rate), le4(br), le2(ba), le2(bits),
+          unhex(lit("64617461")), le4(ds)) // "data" + declared size
+        val media = when(col("event_type") === "purchase",
+          encode(col("props"), "UTF-8")).otherwise(wav)
+        val src = t.events.select(
+            col("event_id").as("media_id"),
+            when(col("event_type") === "purchase", "audio/mpeg")
+              .otherwise("audio/wav").as("mime"),
+            media.as("media"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.extractAudioMeta(src)
+          .toDF()
+          .select(col("media_id"), col("mime"), col("byteLen"),
+            col("channels"), col("sampleRate").as("sample_rate"),
+            col("bitsPerSample").as("bits_per_sample"),
+            col("nSamples").as("n_samples"),
+            col("durationMs").as("duration_ms"), col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT event_id,
+                 event_type = 'purchase' AS raw,
+                 length(props) AS plen,
+                 1 + event_id % 2 AS ch,
+                 CASE event_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                   ELSE 44100 END AS rate,
+                 8 + ((event_id // 2) % 2) * 8 AS bits,
+                 event_id % 100000 + 44 AS ds
+          FROM events),
+        c AS (SELECT *, ch * (bits // 8) AS ba,
+                rate * ch * (bits // 8) AS br FROM m)
+        SELECT event_id AS media_id,
+               CASE WHEN raw THEN 'audio/mpeg' ELSE 'audio/wav' END AS mime,
+               CAST(CASE WHEN raw THEN plen ELSE 44 END AS BIGINT) AS byteLen,
+               CAST(CASE WHEN raw THEN 0 ELSE ch END AS INT) AS channels,
+               CAST(CASE WHEN raw THEN 0 ELSE rate END AS INT) AS sample_rate,
+               CAST(CASE WHEN raw THEN 0 ELSE bits END AS INT) AS bits_per_sample,
+               CAST(CASE WHEN raw THEN 0 ELSE ds // ba END AS BIGINT) AS n_samples,
+               CAST(CASE WHEN raw THEN 0 ELSE ds * 1000 // br END AS BIGINT) AS duration_ms,
+               NOT raw AS ok
+        FROM c ORDER BY media_id"""))
   )
 }

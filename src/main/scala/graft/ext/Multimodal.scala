@@ -129,6 +129,96 @@ object Multimodal {
       }
   }
 
+  final case class AudioMeta(
+      media_id: Long,
+      mime: String,
+      byteLen: Long,
+      channels: Int,
+      sampleRate: Int,
+      bitsPerSample: Int,
+      nSamples: Long,
+      durationMs: Long,
+      ok: Boolean,
+      error: Option[String])
+
+  /** RIFF/WAVE container-header parsing — the audio twin of
+    * [[HeaderDecoder]]: pure byte slicing, no codec. Walks the chunk
+    * list ("fmt " → channels/rate/byteRate/bits at fixed little-endian
+    * offsets; "data" → payload size), honoring RIFF word alignment
+    * (odd-sized chunks pad one byte). Works on header-only prefixes —
+    * the declared data size is used, so metadata extraction never needs
+    * the (possibly huge) payload bytes in memory. Detection is by magic
+    * bytes, never the caller's mime string.
+    */
+  object WavHeader {
+    private def le16(b: Array[Byte], i: Int): Int =
+      ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+    private def le32(b: Array[Byte], i: Int): Long =
+      ((b(i + 3) & 0xffL) << 24) | ((b(i + 2) & 0xffL) << 16) |
+        ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+
+    /** (channels, sampleRate, bitsPerSample, nSamples, durationMs), or
+      * None if the bytes are not a parseable RIFF/WAVE header.
+      */
+    def parse(b: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+      if (b.length < 12 ||
+          b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+          b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+        return None
+      var i = 12L
+      var fmt: Option[(Int, Int, Long, Int)] = None
+      var dataSize: Option[Long] = None
+      while (i + 8 <= b.length && (fmt.isEmpty || dataSize.isEmpty)) {
+        val at = i.toInt
+        val id = new String(b, at, 4, "US-ASCII")
+        val size = le32(b, at + 4)
+        if (id == "fmt " && i + 8 + 16 <= b.length) {
+          fmt = Some((le16(b, at + 10), le32(b, at + 12).toInt,
+            le32(b, at + 16), le16(b, at + 22)))
+        } else if (id == "data") {
+          dataSize = Some(size)
+        }
+        i += 8L + size + (size & 1L) // RIFF chunks are word-aligned
+      }
+      for {
+        (ch, rate, byteRate, bits) <- fmt
+        ds <- dataSize
+        if ch > 0 && rate > 0 && byteRate > 0 && bits > 0 && bits % 8 == 0
+      } yield {
+        val blockAlign = ch.toLong * (bits / 8)
+        (ch, rate, bits, ds / blockAlign, ds * 1000L / byteRate)
+      }
+    }
+  }
+
+  /** Audio-metadata extraction stage: same per-partition discipline as
+    * [[extractMeta]]; unparseable payloads become (zeros, ok=false)
+    * rows, exceptions become error rows — never task aborts.
+    */
+  def extractAudioMeta(media: Dataset[MediaRecord]): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          WavHeader.parse(r.media) match {
+            case Some((ch, rate, bits, n, dur)) =>
+              AudioMeta(r.media_id, r.mime, r.media.length.toLong,
+                ch, rate, bits, n, dur, ok = true, None)
+            case None =>
+              AudioMeta(r.media_id, r.mime, r.media.length.toLong,
+                0, 0, 0, 0L, 0L, ok = false, None)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            AudioMeta(r.media_id, r.mime, r.media.length.toLong,
+              0, 0, 0, 0L, 0L, ok = false,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      }
+    }
+  }
+
   /** Decode/feature-extract stage: typed mapPartitions so the decoder is
     * instantiated once per partition (real decoders are expensive to
     * construct); failures become rows, not task aborts.

@@ -93,6 +93,60 @@ class MultimodalSpec extends AnyFunSuite {
       stub.decode("", Array.emptyByteArray))
   }
 
+  private def le4(v: Long) = {
+    val h = f"$v%08X"
+    h.substring(6) + h.substring(4, 6) + h.substring(2, 4) + h.substring(0, 2)
+  }
+
+  /** Canonical 44-byte PCM WAV header (header-only, declared data size). */
+  private def wavHeader(ch: Int, rate: Int, bits: Int, ds: Long,
+                        extraChunk: String = ""): Array[Byte] = {
+    val ba = ch * bits / 8
+    val br = rate.toLong * ba
+    hx("52494646" + le4(36 + ds) + "57415645" + extraChunk +
+      "666D7420" + le4(16) + le2(1) + le2(ch) + le4(rate) + le4(br) +
+      le2(ba) + le2(bits) + "64617461" + le4(ds))
+  }
+
+  test("WAV: fmt/data chunk walk yields channels, rate, bits, samples, duration") {
+    val b = wavHeader(ch = 2, rate = 44100, bits = 16, ds = 441000L)
+    // 441000 bytes / 4-byte frames = 110250 samples; /176400 B/s = 2500 ms
+    assert(Multimodal.WavHeader.parse(b) ===
+      Some((2, 44100, 16, 110250L, 2500L)))
+  }
+
+  test("WAV: unknown chunks are skipped with RIFF word alignment") {
+    // a 3-byte "LIST" chunk before fmt : chunk walk must pad to 4 bytes
+    val list = "4C495354" + le4(3) + "414243" + "00"
+    val b = wavHeader(ch = 1, rate = 8000, bits = 8, ds = 8000L,
+      extraChunk = list)
+    assert(Multimodal.WavHeader.parse(b) === Some((1, 8000, 8, 8000L, 1000L)))
+  }
+
+  test("WAV: non-RIFF, truncated, and zero-field headers parse to None") {
+    assert(Multimodal.WavHeader.parse("not audio".getBytes("UTF-8")).isEmpty)
+    val good = wavHeader(2, 44100, 16, 1000L)
+    // cut inside the fmt chunk: no fields to read
+    assert(Multimodal.WavHeader.parse(good.take(20)).isEmpty)
+    // zero channels is invalid, not a divide-by-zero
+    assert(Multimodal.WavHeader.parse(
+      wavHeader(0, 44100, 16, 1000L)).isEmpty)
+  }
+
+  test("extractAudioMeta: parseable and unparseable rows, never task aborts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio/wav", wavHeader(1, 16000, 16, 32000L)),
+      Multimodal.MediaRecord(2L, "audio/mpeg", "junk".getBytes("UTF-8"))
+    ).toDS()
+    val rows = Multimodal.extractAudioMeta(media).collect()
+      .sortBy(_.media_id)
+    assert(rows(0).ok && rows(0).channels == 1 && rows(0).sampleRate == 16000)
+    assert(rows(0).nSamples == 16000L && rows(0).durationMs == 1000L)
+    assert(!rows(1).ok && rows(1).channels == 0 && rows(1).error.isEmpty)
+  }
+
   test("extractMeta end-to-end: parsed dims + sha256 over the raw bytes") {
     val spark = TestSpark.spark
     import spark.implicits._
