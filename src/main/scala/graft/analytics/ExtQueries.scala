@@ -1811,6 +1811,48 @@ object ExtQueries {
                CAST(CASE WHEN raw THEN 0 ELSE ds // ba END AS BIGINT) AS n_samples,
                CAST(CASE WHEN raw THEN 0 ELSE ds * 1000 // br END AS BIGINT) AS duration_ms,
                NOT raw AS ok
-        FROM c ORDER BY media_id"""))
+        FROM c ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q96: top-k per group via the bounded TopKByScore Aggregator — the
+    // scale path for "top N per group". q06's window formulation
+    // shuffles and sorts every order row; here partial aggregation trims
+    // map-side, so the shuffle carries ≤ k (score, id) pairs per
+    // customer per input partition and no full-group sort exists in the
+    // plan (pinned in CurationSpec). The oracle is the plain
+    // ROW_NUMBER() formulation — both must agree exactly, ties to the
+    // smaller order key.
+    GraftQuery(
+      "q96_topk_aggregator",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        import spark.implicits._
+        // decimal first: o_totalprice is a DOUBLE on disk, and
+        // double*100 truncated to long is off by one ulp on .x5 cents
+        val src = t.orders.select(col("o_custkey"),
+            (col("o_totalprice").cast("decimal(12,2)") * 100)
+              .cast("long").as("score"),
+            col("o_orderkey"))
+          .as[(Long, Long, Long)]
+        val agg = new graft.functions.TopKByScore[(Long, Long, Long)](
+          3, _._2, _._3)
+        src.groupByKey(_._1)
+          .agg(agg.toColumn.name("top"))
+          .toDF("o_custkey", "top")
+          .select(col("o_custkey"), posexplode(col("top")))
+          .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rank"),
+            col("col._2").as("o_orderkey"), col("col._1").as("price_cents"))
+          .orderBy(col("o_custkey"), col("rank"))
+      },
+      Some("""
+        WITH r AS (SELECT o_custkey, o_orderkey,
+                     CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS price_cents,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                   FROM orders)
+        SELECT o_custkey, CAST(rank AS INT) AS rank, o_orderkey, price_cents
+        FROM r WHERE rank <= 3
+        ORDER BY o_custkey, rank"""))
   )
 }

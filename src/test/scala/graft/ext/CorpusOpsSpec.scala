@@ -96,6 +96,52 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(0).getLong(2) == 0L, "within-doc repeats must not count as dup")
   }
 
+  // ---------------------------------------------------------------- q96
+
+  test("TopKByScore: equals the window formulation; plan has no full-group sort") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val src = orders.select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("score"),
+        col("o_orderkey"))
+      .as[(Long, Long, Long)]
+    val agg = new graft.functions.TopKByScore[(Long, Long, Long)](3, _._2, _._3)
+    val viaAgg = src.groupByKey(_._1).agg(agg.toColumn.name("top"))
+      .toDF("cust", "top")
+      .select(col("cust"), posexplode(col("top")))
+      .select(col("cust"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("ok"), col("col._1").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = orders
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("o_custkey").as("cust"), col("rank").cast("long"),
+        col("o_orderkey").as("ok"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(viaAgg) == rows(viaWindow))
+    // the aggregator plan trims map-side: partial ObjectHashAggregate,
+    // and no Window (whose Sort of every group row is what we avoid)
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"no object agg in:\n$plan")
+    assert(!plan.contains("Window"), s"window operator leaked into:\n$plan")
+  }
+
+  test("TopKByScore: amortized trim never loses a top element (adversarial order)") {
+    // feed scores ascending so the best rows arrive LAST, after many trims
+    val n = 500
+    val src = (0 until n).map(i => (1L, i.toLong, (1000 + i).toLong))
+      .toDF("g", "score", "id").as[(Long, Long, Long)]
+    val agg = new graft.functions.TopKByScore[(Long, Long, Long)](4, _._2, _._3)
+    val top = src.repartition(7).groupByKey(_._1)
+      .agg(agg.toColumn.name("top")).collect().head._2
+    assert(top.map(_._1) == Seq(499L, 498L, 497L, 496L))
+  }
+
   test("dupSpans: a gap splits the run (two islands, max is the longer)") {
     // doc 1 shares words 0..9 and 20..31 with doc 2, with a unique middle
     val s1 = wordRun("p", 10) // 3 shared grams
