@@ -1853,6 +1853,33 @@ object ExtQueries {
                    FROM orders)
         SELECT o_custkey, CAST(rank AS INT) AS rank, o_orderkey, price_cents
         FROM r WHERE rank <= 3
-        ORDER BY o_custkey, rank"""))
+        ORDER BY o_custkey, rank""")),
+
+    // ------------------------------------------------------------------
+    // q97: bounded inverted-index build — term → df + first-32 posting
+    // list + truncation flag. Posting lists accumulate through the
+    // bounded TopKByScore aggregator (score = −doc_id), so a stopword
+    // appearing in every document still buffers ≤ 32 ids per partial —
+    // the structural fix for the unbounded collect_list group. The
+    // oracle recomputes df and the id-ascending prefix directly.
+    GraftQuery(
+      "q97_inverted_index",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        TextAnalysis.invertedIndex(t.documents, col("doc_id"), col("text"),
+            maxPostings = 32)
+          .orderBy(col("term"))
+      },
+      Some("""
+        WITH t AS (SELECT DISTINCT doc_id, term FROM (
+                     SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents)
+                   WHERE length(term) > 0),
+        g AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                list_sort(list(doc_id)) AS p
+              FROM t GROUP BY term)
+        SELECT term, df, array_to_string(p[1:32], ',') AS postings,
+               df > 32 AS truncated
+        FROM g ORDER BY term"""))
   )
 }

@@ -403,6 +403,40 @@ object TextAnalysis {
       .orderBy(col("shard"))
   }
 
+  /** Bounded inverted-index build: term → document frequency + the
+    * first `maxPostings` doc_ids (ascending) + a truncation flag — the
+    * text twin of the ANN serving layout ([[AnnIndex]]).
+    *
+    * The posting list is the classic unbounded-group hazard: a stopword
+    * appears in every document, so `collect_list` per term would buffer
+    * an entire corpus' ids in one task. The cap here is structural, not
+    * a post-hoc slice: postings accumulate through the bounded
+    * [[graft.functions.TopKByScore]] aggregator (score = −doc_id keeps
+    * the SMALLEST k ids), so every partial buffer holds ≤ maxPostings
+    * entries no matter how hot the term — while `df` counts the true
+    * total in the same pass and `truncated` records that the list is a
+    * prefix. Postings are emitted as a comma-joined string (scalar,
+    * hash-comparable across engines).
+    */
+  def invertedIndex(docs: DataFrame, id: Column, text: Column,
+                    maxPostings: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = docs
+      .select(id.as("doc_id"),
+        explode(array_distinct(split(text, " "))).as("term"))
+      .filter(length(col("term")) > 0)
+      .as[(Long, String)]
+    val bottomK = new graft.functions.TopKByScore[(Long, String)](
+      maxPostings, r => -r._1, r => r._1)
+    terms.groupByKey(_._2)
+      .agg(bottomK.toColumn.name("top"), count(lit(1)).as[Long].name("df"))
+      .toDF("term", "top", "df")
+      .select(col("term"), col("df"),
+        array_join(expr("transform(top, x -> x._2)"), ",").as("postings"),
+        (col("df") > maxPostings).as("truncated"))
+  }
+
   /** Document fingerprints: md5 (exact), poly_hash (codegen'd rolling
     * hash), winnow (MOSS-style k-gram/window minima).
     */

@@ -142,6 +142,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(top.map(_._1) == Seq(499L, 498L, 497L, 496L))
   }
 
+  // ---------------------------------------------------------------- q97
+
+  test("invertedIndex: df exact, postings an id-ascending capped prefix") {
+    // "hot" in docs 1..5, "cold" only in doc 3; cap at 3 postings
+    val docs = (1L to 5L).map(i =>
+      (i, if (i == 3L) "hot cold" else "hot")).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(docs.repartition(4),
+        col("doc_id"), col("text"), maxPostings = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getString(2), r.getBoolean(3))).toSeq
+    val hot = out.find(_._1 == "hot").get
+    assert(hot._2 == 5L && hot._3 == "1,2,3" && hot._4,
+      s"hot term wrong: $hot")
+    val cold = out.find(_._1 == "cold").get
+    assert(cold._2 == 1L && cold._3 == "3" && !cold._4)
+  }
+
   test("dupSpans: a gap splits the run (two islands, max is the longer)") {
     // doc 1 shares words 0..9 and 20..31 with doc 2, with a unique middle
     val s1 = wordRun("p", 10) // 3 shared grams
