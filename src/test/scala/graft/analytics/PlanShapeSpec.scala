@@ -50,6 +50,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(executedPlan("q05_customers_without_orders").contains("LeftAnti"))
   }
 
+  test("q94 PQ: query set broadcasts; no cartesian product anywhere") {
+    val plan = executedPlan("q94_knn_pq")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"PQ scoring join did not broadcast the query set:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product leaked into the PQ plan:\n$plan")
+  }
+
+  test("q97 inverted index: bounded ObjectHashAggregate with a partial phase") {
+    // the structural cap only holds if postings aggregate map-side
+    // (partial_topkbyscore) before the exchange — a plan that shuffles
+    // raw (term, doc_id) rows into one big sort/collect has lost it
+    val plan = executedPlan("q97_inverted_index")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"no object aggregation in:\n$plan")
+    assert(plan.toLowerCase.contains("partial_topkbyscore"),
+      s"no partial (map-side) posting aggregation in:\n$plan")
+  }
+
+  test("q88 dup spans: census aggregates partially map-side before its exchange") {
+    val plan = executedPlan("q88_dup_spans")
+    assert(plan.toLowerCase.contains("partial_count"),
+      s"gram census does not partial-aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product leaked into q88:\n$plan")
+  }
+
   test("q51 scans events exactly once (no double synthesize→parse)") {
     // the JSON build + from_json chain is the expensive part of q51;
     // the former two-branch (docs ⋈ tabs) form executed it twice. One
