@@ -1880,6 +1880,36 @@ object ExtQueries {
               FROM t GROUP BY term)
         SELECT term, df, array_to_string(p[1:32], ',') AS postings,
                df > 32 AS truncated
-        FROM g ORDER BY term"""))
+        FROM g ORDER BY term""")),
+
+    // ------------------------------------------------------------------
+    // q98: schema-evolution union — a v1 snapshot (no props/channel
+    // columns) unioned with a v2 snapshot that added them, via
+    // unionByName(allowMissingColumns = true): missing columns null-fill
+    // by NAME, not by position — the operation every long-lived dataset
+    // needs when its schema grows. The oracle aligns the branches
+    // explicitly (same result, spelled out).
+    GraftQuery(
+      "q98_union_by_name",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val ev = t.events
+        val cut = lit("2024-01-15").cast("timestamp")
+        val v1 = ev.filter(col("ts") < cut)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val v2 = ev.filter(col("ts") >= cut)
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("props"), lit("web").as("channel"))
+        v1.unionByName(v2, allowMissingColumns = true)
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, event_type, value,
+               CAST(NULL AS VARCHAR) AS props, CAST(NULL AS VARCHAR) AS channel
+        FROM events WHERE ts < TIMESTAMP '2024-01-15'
+        UNION ALL
+        SELECT event_id, event_type, value, props, 'web' AS channel
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+        ORDER BY event_id"""))
   )
 }

@@ -498,6 +498,63 @@ object TimeSeries {
                CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type)
                  AS DOUBLE) AS prob
         FROM counts
-        ORDER BY prev_type, next_type"""))
+        ORDER BY prev_type, next_type""")),
+
+    // ------------------------------------------------------------------
+    // q99: FORWARD as-of join — each purchase paired with the NEXT click
+    // (at-or-after, ≤24 h), the time-reversed twin of q18. Same
+    // single-pass shape: one union, one keyed window over
+    // (ts, side, id) with a following frame — no join, no per-row probe;
+    // the oracle is the equivalent range join + ROW_NUMBER, which must
+    // agree exactly (first-then-filter ≡ filter-then-first because the
+    // earliest following click inside the horizon is the earliest
+    // overall whenever one exists).
+    GraftQuery(
+      "q99_asof_forward",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val ev = t.events
+        // purchases side=0: a click at the identical timestamp sorts
+        // after its purchase, so the following frame sees it (>= match)
+        val tagged = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(0).as("side"),
+            col("event_id"),
+            lit(null).cast("struct<ts:timestamp,id:bigint>").as("click"))
+          .unionByName(ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), lit(1).as("side"),
+              col("event_id"),
+              struct(col("ts"), col("event_id").as("id")).as("click")))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("side"), col("event_id"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        tagged
+          .withColumn("next_click",
+            first(col("click"), ignoreNulls = true).over(w))
+          .filter(col("side") === 0 && col("next_click").isNotNull &&
+            unix_micros(col("next_click.ts")) - unix_micros(col("ts"))
+              <= 86400000000L)
+          .select(col("event_id").as("purchase_id"),
+            col("user_id"),
+            col("next_click.id").as("next_click_id"),
+            (unix_micros(col("next_click.ts")) - unix_micros(col("ts")))
+              .as("gap_us"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("""
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+        c AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'),
+        j AS (SELECT p.event_id AS purchase_id, p.user_id,
+                c.event_id AS next_click_id,
+                date_diff('microseconds', p.ts, c.ts) AS gap_us,
+                ROW_NUMBER() OVER (PARTITION BY p.event_id
+                  ORDER BY c.ts, c.event_id) AS rn
+              FROM p JOIN c ON p.user_id = c.user_id
+                AND c.ts >= p.ts
+                AND date_diff('microseconds', p.ts, c.ts) <= 86400000000)
+        SELECT purchase_id, user_id, next_click_id, CAST(gap_us AS BIGINT) AS gap_us
+        FROM j WHERE rn = 1
+        ORDER BY purchase_id"""))
   )
 }
