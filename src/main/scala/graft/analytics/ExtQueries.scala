@@ -1910,6 +1910,93 @@ object ExtQueries {
         UNION ALL
         SELECT event_id, event_type, value, props, 'web' AS channel
         FROM events WHERE ts >= TIMESTAMP '2024-01-15'
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ------------------------------------------------------------------
+    // q100: the composite curation pipeline — the library's operators
+    // chained end-to-end the way a real training-data run uses them:
+    // near-dup clusters (q44) → canonical-only survivors → quality
+    // filter (q60's score, fixed 0.86 band) → token-budget packing with
+    // content digests (q84). One declarative plan; every stage is
+    // individually oracle-proven and the COMPOSITE must still hash-match
+    // an independently-written SQL pipeline end-to-end — the strongest
+    // composability statement the gate can make. Composite cost
+    // (recomputes the q44 cluster pass) is documented in BASELINE.md
+    // alongside q75/q85.
+    GraftQuery(
+      "q100_curation_pipeline",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val docs = t.documents
+        val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+            n = 3, threshold = 0.8)
+          .select(col("id_a"), col("id_b"))
+        val cl = Dedup.clusters(pairs)
+          .select(col("doc_id"), col("is_canonical"))
+        val canon = docs.join(cl, Seq("doc_id"), "left")
+          .filter(col("is_canonical").isNull || col("is_canonical"))
+        val kept = canon
+          .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+          .filter(col("quality") >= 0.86)
+        TextAnalysis.packedSequences(kept, col("doc_id"), col("text"),
+          budget = 4096L, partitions = 16)
+      },
+      Some("""
+        WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shingles AS (SELECT doc_id, CASE WHEN len(w) >= 3
+               THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+                 i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
+               ELSE [array_to_string(w, ' ')] END AS sh FROM words),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shingles),
+        sizes AS (SELECT doc_id, len(sh) AS n FROM shingles),
+        cand AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        prs AS (
+          SELECT ia AS id_a, ib AS id_b
+          FROM cand JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+          WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8),
+        edges AS (SELECT id_a AS s, id_b AS d FROM prs
+                  UNION SELECT id_b, id_a FROM prs),
+        reach(s, d) AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        comp AS (
+          SELECT s AS doc_id, least(s, MIN(d)) AS cluster_id
+          FROM reach GROUP BY s),
+        canon AS (
+          SELECT d.doc_id, d.text FROM documents d LEFT JOIN comp c USING (doc_id)
+          WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id),
+        sig AS (
+          SELECT doc_id, text,
+            CAST(length(text) AS DOUBLE) AS nc,
+            CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+            CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS nstop,
+            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS npunct,
+            CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS nupper
+          FROM canon),
+        q AS (
+          SELECT doc_id, text,
+            CASE WHEN nc = 0 THEN 0.0 ELSE
+            floor((0.35 * (CASE WHEN nc BETWEEN 100 AND 10000 THEN 1.0 ELSE 0.3 END)
+                + 0.25 * (CASE WHEN (nc - (nw - 1)) / nw BETWEEN 3 AND 10 THEN 1.0 ELSE 0.4 END)
+                + 0.2 * least((nstop / nw) * 5, 1.0)
+                + 0.1 * (1.0 - npunct / nc)
+                + 0.1 * (1.0 - nupper / nc)) * 10000 + 0.5) / 10000 END AS quality
+          FROM sig),
+        kept AS (SELECT doc_id, text FROM q WHERE quality >= 0.86),
+        toks AS (SELECT doc_id, text,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM kept),
+        cum AS (SELECT doc_id, text, n_tokens,
+                  CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+                FROM toks),
+        shards AS (SELECT doc_id, text, n_tokens,
+                     (c - n_tokens) // 4096 AS shard FROM cum)
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               md5(string_agg(text, chr(10) ORDER BY doc_id)) AS digest
+        FROM shards GROUP BY shard ORDER BY shard"""))
   )
 }
