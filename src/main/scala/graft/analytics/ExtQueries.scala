@@ -1335,7 +1335,10 @@ object ExtQueries {
           .distinct()
         val edges = base.unionByName(
           base.select(col("dst").as("src"), col("src").as("dst")))
-        Graph.pageRank(edges, iterations = 3)
+        // validate=false: `edges` is the explicit two-direction union
+        // right above — every dst IS a src by construction, so the
+        // dangling-node pass would only re-prove the construction
+        Graph.pageRank(edges, iterations = 3, validate = false)
           .select(col("node"),
             when(col("node") % 2 === 0, "part").otherwise("supplier")
               .as("node_type"),

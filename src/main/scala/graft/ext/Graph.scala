@@ -29,28 +29,36 @@ object Graph {
   /** PageRank over an edge list `(src, dst)` (directed; pass both
     * directions for an undirected graph). Every node must appear as a
     * `src` at least once (true for undirected graphs by construction) —
-    * VALIDATED, not assumed: a dangling (dst-only) node would silently
-    * drop from the rank vector and leak its incoming mass every
+    * VALIDATED by default, not assumed: a dangling (dst-only) node would
+    * silently drop from the rank vector and leak its incoming mass every
     * iteration, so the precondition is checked with one node-sized
-    * anti-join up front and violations fail loudly. Damping 0.85,
-    * `iterations` full steps from the uniform vector.
+    * anti-join up front and violations fail loudly. A caller whose edge
+    * list is two-directional by construction may pass `validate = false`
+    * to skip that pass. Damping 0.85, `iterations` full steps from the
+    * uniform vector.
     * Returns (node, rank_pico) with rank in pico-units (1e12 = mass 1.0).
     */
   def pageRank(edges: DataFrame, iterations: Int = 3,
-               checkpointEvery: Int = 5): DataFrame = {
+               checkpointEvery: Int = 5,
+               validate: Boolean = true): DataFrame = {
     require(iterations >= 1)
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
-    // one cheap job (node-sized distinct + broadcast-able anti join,
-    // early-out via isEmpty's limit-1) — the price of never returning a
-    // subtly smaller, mass-leaking result on a directed graph
-    val dangling = e.select(col("dst").as("node")).distinct()
-      .join(deg.select(col("node")), Seq("node"), "left_anti")
-    require(dangling.isEmpty,
-      "pageRank: edge list has dst-only (dangling) node(s); every node " +
-        "must appear as src at least once — pass both directions for " +
-        "undirected graphs, or add self-loops / drop dangling edges")
+    if (validate) {
+      // one extra job (node-sized distinct + anti join, early-out via
+      // isEmpty's limit-1) — the price of never returning a subtly
+      // smaller, mass-leaking result on a directed graph. A caller whose
+      // edges are two-directional BY CONSTRUCTION (so every dst is also
+      // a src) may pass validate = false and skip the pass; the default
+      // stays safe.
+      val dangling = e.select(col("dst").as("node")).distinct()
+        .join(deg.select(col("node")), Seq("node"), "left_anti")
+      require(dangling.isEmpty,
+        "pageRank: edge list has dst-only (dangling) node(s); every node " +
+          "must appear as src at least once — pass both directions for " +
+          "undirected graphs, or add self-loops / drop dangling edges")
+    }
     val n = deg.agg(count(lit(1)).as("n"))
     var rank = deg.crossJoin(broadcast(n))
       .select(col("node"), expr(s"${TotalMass}L div n").as("r"))
