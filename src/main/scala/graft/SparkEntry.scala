@@ -17,7 +17,8 @@ object SparkEntry {
     analytics.ExtQueries.queries ++
     analytics.SketchQueries.queries ++
     analytics.RangeJoin.queries ++
-    analytics.SqlSurface.queries
+    analytics.SqlSurface.queries ++
+    analytics.SurfaceQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

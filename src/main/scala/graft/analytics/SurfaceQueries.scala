@@ -1,0 +1,210 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.ext.Similarity
+
+/** Round-6 widening of the declarative operator surface: statistical
+  * aggregates (corr / covar / regr_* / median), array higher-order
+  * functions as a *query* surface (filter / exists / forall / sort /
+  * slice — the building blocks [[graft.ext.Similarity]] uses
+  * internally), ordered-set percentiles (`WITHIN GROUP`), a blocked
+  * fuzzy self-join on edit distance, and map construction/consumption.
+  * All oracle-checkable in DuckDB.
+  *
+  * Float-vs-oracle discipline: native one-pass moment aggregates
+  * (corr, covar, regr_*) accumulate in a different fold order per
+  * engine, so results agree only to ~1e-11 relative; every such output
+  * is rounded to a precision whose step dwarfs that error but still
+  * pins the statistic (the same trade q17 makes for percentiles).
+  * Integer-exact outputs (counts, edit distances, quantized sums) are
+  * emitted unrounded.
+  */
+object SurfaceQueries {
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // q101: the statistical-aggregate surface — correlation, sample and
+    // population covariance, variance/stddev, least-squares regression
+    // (slope/intercept/r2/count) and exact median, grouped. One pass,
+    // map-side partial aggregation; no shuffle beyond the final 3-group
+    // exchange, so it scales like q01.
+    GraftQuery(
+      "q101_stats_aggs",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.lineitem.groupBy(col("l_returnflag")).agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 1)
+            .as("covar_s"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 1)
+            .as("covar_p"),
+          round(var_pop(col("l_quantity")), 6).as("var_qty"),
+          round(stddev_samp(col("l_extendedprice")), 3).as("sd_price"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 5)
+            .as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 3)
+            .as("icept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n_pairs"),
+          round(median(col("l_extendedprice")), 4).as("med_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 1) AS covar_s,
+               round(covar_pop(l_quantity, l_extendedprice), 1) AS covar_p,
+               round(var_pop(l_quantity), 6) AS var_qty,
+               round(stddev_samp(l_extendedprice), 3) AS sd_price,
+               round(regr_slope(l_extendedprice, l_quantity), 5) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 3) AS icept,
+               round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS med_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // q102: array higher-order functions as query surface — filter,
+    // exists, forall, aggregate, array_sort, slice over the quantized
+    // embedding (integer-exact, so no rounding anywhere). Everything is
+    // per-row map work: zero shuffles, scales embarrassingly.
+    GraftQuery(
+      "q102_array_hof",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val q = Similarity.quantize(col("embedding"))
+        val desc = reverse(array_sort(q))
+        t.embeddings.select(
+          col("vec_id"),
+          size(filter(q, x => x > 0)).as("n_pos"),
+          aggregate(q, lit(0L), (a, x) => a + abs(x)).as("l1"),
+          Similarity.dotQ(q, q).as("self_dot"),
+          element_at(desc, 1).as("top1"),
+          element_at(desc, 2).as("top2"),
+          element_at(desc, 3).as("top3"),
+          exists(q, x => abs(x) >= lit(3000L)).as("any_big"),
+          forall(q, x => abs(x) <= lit(20000L)).as("all_small"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH qv AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS q
+          FROM embeddings),
+        s AS (SELECT vec_id, q, list_sort(q, 'DESC') AS d FROM qv)
+        SELECT vec_id,
+               CAST(len(list_filter(q, x -> x > 0)) AS INT) AS n_pos,
+               CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS l1,
+               CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS self_dot,
+               d[1] AS top1, d[2] AS top2, d[3] AS top3,
+               len(list_filter(q, x -> abs(x) >= 3000)) > 0 AS any_big,
+               len(list_filter(q, x -> abs(x) > 20000)) = 0 AS all_small
+        FROM s ORDER BY vec_id""")),
+
+    // q103: ordered-set aggregates — percentile_cont WITHIN GROUP, the
+    // ANSI inverse-distribution syntax (exact interpolated quantiles,
+    // vs q17's approx_percentile sketch). Exact percentiles need the
+    // group's values together — fine at a handful of groups; at
+    // high-cardinality grouping the q17 sketch is the scale path.
+    GraftQuery(
+      "q103_percentile_cont",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.orders.createOrReplaceTempView("orders_v")
+        spark.sql("""
+          SELECT o_orderpriority,
+                 round(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p25,
+                 round(percentile_cont(0.50) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
+                 round(percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p75,
+                 round(percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p95
+          FROM orders_v GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+               round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+               round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // q104: blocked fuzzy self-join — similar part names by
+    // Levenshtein distance ≤ 3 (the corpus vocabulary has no closer
+    // non-identical pairs), candidate pairs blocked on (p_type,
+    // first letter). Blocking is the standard scale move for edit-
+    // distance joins (the all-pairs form is quadratic in the name
+    // count); the documented trade is that pairs differing in their
+    // first character are out of scope. Name sets are deduplicated
+    // BEFORE pairing, so the join is quadratic in DISTINCT names per
+    // block, not rows.
+    GraftQuery(
+      "q104_fuzzy_name_pairs",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val names = t.part.select(col("p_type"), col("p_name")).distinct()
+          .withColumn("blk", substring(col("p_name"), 1, 1))
+        val a = names.select(col("p_type"), col("blk"),
+          col("p_name").as("name_a"))
+        val b = names.select(col("p_type"), col("blk"),
+          col("p_name").as("name_b"))
+        a.join(b, Seq("p_type", "blk"))
+          .filter(col("name_a") < col("name_b"))
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+          .filter(col("dist") <= 3)
+          .select(col("p_type"), col("name_a"), col("name_b"), col("dist"))
+          .orderBy(col("p_type"), col("name_a"), col("name_b"))
+      },
+      Some("""
+        WITH names AS (
+          SELECT DISTINCT p_type, p_name, substring(p_name, 1, 1) AS blk
+          FROM part)
+        SELECT a.p_type, a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        FROM names a JOIN names b
+          ON a.p_type = b.p_type AND a.blk = b.blk AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+        ORDER BY a.p_type, name_a, name_b""")),
+
+    // q105: map construction and consumption — per-user event-type
+    // histogram as a MAP column (map_from_entries over a sorted entry
+    // list, so map order — and therefore map_keys output — is
+    // deterministic), then map_filter / map_values / element_at /
+    // size consumed back down to scalars. One groupBy cascade, no
+    // extra exchange for the map step itself.
+    GraftQuery(
+      "q105_map_ops",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val kv = t.events.groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val hot = map_filter(col("m"), (_, v) => v >= 10L)
+        kv.groupBy(col("user_id"))
+          .agg(map_from_entries(
+            sort_array(collect_list(struct(col("event_type"), col("cnt")))))
+            .as("m"))
+          .select(
+            col("user_id"),
+            size(col("m")).as("n_types"),
+            coalesce(element_at(col("m"), "purchase"), lit(0L))
+              .as("purchases"),
+            aggregate(map_values(col("m")), lit(0L), (a, x) => a + x)
+              .as("total"),
+            size(hot).as("hot_types"),
+            concat_ws(",", map_keys(hot)).as("hot_keys"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH kv AS (
+          SELECT user_id, event_type, count(*) AS cnt
+          FROM events GROUP BY 1, 2)
+        SELECT user_id,
+               CAST(count(*) AS INT) AS n_types,
+               CAST(coalesce(sum(cnt) FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS purchases,
+               CAST(sum(cnt) AS BIGINT) AS total,
+               CAST(count(*) FILTER (WHERE cnt >= 10) AS INT) AS hot_types,
+               coalesce(string_agg(CASE WHEN cnt >= 10 THEN event_type END, ','
+                 ORDER BY event_type), '') AS hot_keys
+        FROM kv GROUP BY user_id ORDER BY user_id""")))
+}
