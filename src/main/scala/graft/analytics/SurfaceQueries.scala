@@ -2,7 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
-import graft.ext.Similarity
+import graft.ext.{Multimodal, Similarity}
 
 /** Round-6 widening of the declarative operator surface: statistical
   * aggregates (corr / covar / regr_* / median), array higher-order
@@ -206,5 +206,76 @@ object SurfaceQueries {
                CAST(count(*) FILTER (WHERE cnt >= 10) AS INT) AS hot_types,
                coalesce(string_agg(CASE WHEN cnt >= 10 THEN event_type END, ','
                  ORDER BY event_type), '') AS hot_keys
-        FROM kv GROUP BY user_id ORDER BY user_id""")))
+        FROM kv GROUP BY user_id ORDER BY user_id""")),
+
+    // q106: video (MP4/ISO-BMFF) metadata extraction — completes the
+    // image (q35) / audio (q95) / video modality triad. The binary
+    // column is synthesized per row from events columns (a real MP4
+    // header byte layout: ftyp + moov[mvhd + trak[tkhd]]), so the
+    // oracle recomputes every field from the source columns — pinning
+    // the big-endian box walk, 16.16 fixed-point dimension decode, and
+    // integer-division duration math. 'view' rows carry unparseable
+    // payloads and must surface as ok=false zeros, never errors.
+    GraftQuery(
+      "q106_video_meta",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        import spark.implicits._
+        def h4(c: org.apache.spark.sql.Column) =
+          lpad(hex(c.cast("bigint")), 8, "0")
+        val ts = when(col("event_id") % 3 === 0, 600L)
+          .when(col("event_id") % 3 === 1, 1000L).otherwise(90000L)
+        val dur = col("event_id") % 1000000L
+        val w = lit(320L) + (col("event_id") % 5) * 160L
+        val h = lit(240L) + (col("event_id") % 3) * 120L
+        val matrix = "000100000000000000000000" +
+          "000000000001000000000000" + "000000000000000040000000"
+        val mp4hex = concat(
+          lit("000000146674797069736F6D000002006D703431"), // ftyp isom mp41
+          lit("000000D86D6F6F76"), // moov (216)
+          lit("0000006C6D766864000000000000000000000000"), // mvhd v0
+          h4(ts), h4(dur),
+          lit("0001000001000000" + ("00" * 8) + matrix + ("00" * 24)
+            + "00000001"), // rate, volume, matrix, next_track
+          lit("000000647472616B"), // trak (100)
+          lit("0000005C746B68640000000700000000000000000000000100000000"),
+          h4(dur), lit(("00" * 16) + matrix),
+          h4(w * 65536L), h4(h * 65536L))
+        val media = when(col("event_type") === "view",
+          encode(col("props"), "UTF-8")).otherwise(unhex(mp4hex))
+        val src = t.events.select(
+            col("event_id").as("media_id"),
+            when(col("event_type") === "view", "application/json")
+              .otherwise("video/mp4").as("mime"),
+            media.as("media"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.extractVideoMeta(src)
+          .toDF()
+          .select(col("media_id"), col("mime"), col("byteLen").as("byte_len"),
+            col("brand"), col("timescale"),
+            col("durationTicks").as("duration_ticks"),
+            col("durationMs").as("duration_ms"),
+            col("width"), col("height"), col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT event_id, event_type = 'view' AS raw, length(props) AS plen,
+                 CASE event_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                   ELSE 90000 END AS ts,
+                 event_id % 1000000 AS dur,
+                 320 + (event_id % 5) * 160 AS w,
+                 240 + (event_id % 3) * 120 AS h
+          FROM events)
+        SELECT event_id AS media_id,
+               CASE WHEN raw THEN 'application/json' ELSE 'video/mp4' END AS mime,
+               CAST(CASE WHEN raw THEN plen ELSE 236 END AS BIGINT) AS byte_len,
+               CASE WHEN raw THEN '' ELSE 'isom' END AS brand,
+               CAST(CASE WHEN raw THEN 0 ELSE ts END AS INT) AS timescale,
+               CAST(CASE WHEN raw THEN 0 ELSE dur END AS BIGINT) AS duration_ticks,
+               CAST(CASE WHEN raw THEN 0 ELSE dur * 1000 // ts END AS BIGINT) AS duration_ms,
+               CAST(CASE WHEN raw THEN 0 ELSE w END AS INT) AS width,
+               CAST(CASE WHEN raw THEN 0 ELSE h END AS INT) AS height,
+               NOT raw AS ok
+        FROM m ORDER BY media_id""")))
 }

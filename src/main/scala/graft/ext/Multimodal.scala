@@ -219,6 +219,111 @@ object Multimodal {
     }
   }
 
+  final case class VideoMeta(
+      media_id: Long,
+      mime: String,
+      byteLen: Long,
+      brand: String,
+      timescale: Int,
+      durationTicks: Long,
+      durationMs: Long,
+      width: Int,
+      height: Int,
+      ok: Boolean,
+      error: Option[String])
+
+  /** ISO-BMFF (MP4) box-structure parsing — the video twin of
+    * [[WavHeader]]: pure byte slicing over the big-endian box tree
+    * ([size u32][4cc type][payload], containers nest), no codec.
+    * `ftyp` yields the major brand; `moov/mvhd` (version 0) yields
+    * timescale + duration; the first `moov/trak/tkhd` with a nonzero
+    * width yields the 16.16 fixed-point display dimensions. Works on
+    * header-only prefixes — `mdat` (the payload box, possibly huge) is
+    * skipped by its declared size and never needs to be present, so
+    * metadata extraction reads O(header) bytes per file. Detection is
+    * structural, never the caller's mime string. 64-bit largesize
+    * boxes (size==1) and to-end boxes (size==0, legal only as the last
+    * top-level box) terminate the walk — header metadata precedes them
+    * in every normal writer layout.
+    */
+  object Mp4Header {
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def fourcc(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, "US-ASCII")
+
+    /** (brand, timescale, durationTicks, width, height), or None if the
+      * bytes are not a parseable MP4 header (no ftyp+mvhd).
+      */
+    def parse(b: Array[Byte]): Option[(String, Int, Long, Int, Int)] = {
+      if (b.length < 8 || fourcc(b, 4) != "ftyp") return None
+      var brand: Option[String] = None
+      var mvhd: Option[(Int, Long)] = None
+      var dims: Option[(Int, Int)] = None
+
+      def walk(from: Long, to: Long, depth: Int): Unit = {
+        var i = from
+        while (i + 8 <= to && depth < 8) {
+          val at = i.toInt
+          val size = be32(b, at)
+          val typ = fourcc(b, at + 4)
+          if (size < 8) return // largesize/to-end/corrupt: stop the walk
+          val end = math.min(i + size, to)
+          typ match {
+            case "ftyp" if i + 12 <= to =>
+              brand = Some(fourcc(b, at + 8))
+            case "mvhd" if b(at + 8) == 0 && i + 28 <= to =>
+              // version 0: ver/flags(4) ctime(4) mtime(4) ts(4) dur(4)
+              mvhd = Some((be32(b, at + 20).toInt, be32(b, at + 24)))
+            case "tkhd" if b(at + 8) == 0 && i + 92 <= to
+                && dims.isEmpty =>
+              // version 0: width/height are 16.16 fixed at offsets 84/88
+              val w = (be32(b, at + 84) >> 16).toInt
+              val h = (be32(b, at + 88) >> 16).toInt
+              if (w > 0 && h > 0) dims = Some((w, h))
+            case "moov" | "trak" => walk(i + 8, end, depth + 1)
+            case _ => // skip (mdat, free, udta, …) by declared size
+          }
+          i += size
+        }
+      }
+      walk(0L, b.length.toLong, 0)
+      for ((ts, dur) <- mvhd if ts > 0) yield {
+        val (w, h) = dims.getOrElse((0, 0))
+        (brand.getOrElse(""), ts, dur, w, h)
+      }
+    }
+  }
+
+  /** Video-metadata extraction stage: same per-partition discipline as
+    * [[extractAudioMeta]]; unparseable payloads become (zeros, ok=false)
+    * rows, exceptions become error rows — never task aborts.
+    */
+  def extractVideoMeta(media: Dataset[MediaRecord]): Dataset[VideoMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          Mp4Header.parse(r.media) match {
+            case Some((brand, ts, dur, w, h)) =>
+              VideoMeta(r.media_id, r.mime, r.media.length.toLong, brand,
+                ts, dur, dur * 1000L / ts, w, h, ok = true, None)
+            case None =>
+              VideoMeta(r.media_id, r.mime, r.media.length.toLong, "",
+                0, 0L, 0L, 0, 0, ok = false, None)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            VideoMeta(r.media_id, r.mime, r.media.length.toLong, "",
+              0, 0L, 0L, 0, 0, ok = false,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      }
+    }
+  }
+
   /** Decode/feature-extract stage: typed mapPartitions so the decoder is
     * instantiated once per partition (real decoders are expensive to
     * construct); failures become rows, not task aborts.

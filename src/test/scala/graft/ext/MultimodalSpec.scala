@@ -160,4 +160,63 @@ class MultimodalSpec extends AnyFunSuite {
       .digest(png).map(b => f"$b%02x").mkString
     assert(row.sha256 === expected)
   }
+
+  private val mp4Matrix = "000100000000000000000000" +
+    "000000000001000000000000" + "000000000000000040000000"
+
+  /** Canonical 236-byte MP4 header: ftyp + moov[mvhd + trak[tkhd]] —
+    * the same layout q106 synthesizes. `between` injects extra
+    * top-level boxes (e.g. a declared-size mdat) before moov.
+    */
+  private def mp4Bytes(ts: Long, dur: Long, w: Long, h: Long,
+                       between: String = ""): Array[Byte] =
+    hx("000000146674797069736F6D000002006D703431" + between +
+      "000000D86D6F6F76" +
+      "0000006C6D766864000000000000000000000000" +
+      f"$ts%08X" + f"$dur%08X" +
+      "0001000001000000" + ("00" * 8) + mp4Matrix + ("00" * 24) +
+      "00000001" +
+      "000000647472616B" +
+      "0000005C746B68640000000700000000000000000000000100000000" +
+      f"$dur%08X" + ("00" * 16) + mp4Matrix +
+      f"${w * 65536}%08X" + f"${h * 65536}%08X")
+
+  test("MP4: box walk yields brand, timescale, duration, 16.16 dims") {
+    val b = mp4Bytes(ts = 90000L, dur = 450000L, w = 1280L, h = 720L)
+    assert(b.length === 236)
+    assert(Multimodal.Mp4Header.parse(b) ===
+      Some(("isom", 90000, 450000L, 1280, 720)))
+  }
+
+  test("MP4: a declared-size payload box before moov is skipped, not read") {
+    // 16-byte mdat between ftyp and moov: the walk must hop it by size
+    val mdat = "000000106D646174" + ("AB" * 8)
+    val b = mp4Bytes(600L, 1200L, 320L, 240L, between = mdat)
+    assert(Multimodal.Mp4Header.parse(b) ===
+      Some(("isom", 600, 1200L, 320, 240)))
+  }
+
+  test("MP4: non-ftyp, truncated, and versioned headers parse to None") {
+    assert(Multimodal.Mp4Header.parse("not video".getBytes("UTF-8")).isEmpty)
+    val good = mp4Bytes(1000L, 5000L, 640L, 480L)
+    // cut inside mvhd: no duration to read
+    assert(Multimodal.Mp4Header.parse(good.take(40)).isEmpty)
+    // version-1 (64-bit) mvhd is out of scope -> unparseable, not garbage
+    val v1 = good.clone(); v1(20 + 8 + 8) = 1 // mvhd version byte
+    assert(Multimodal.Mp4Header.parse(v1).isEmpty)
+  }
+
+  test("extractVideoMeta: parseable and unparseable rows, never task aborts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video/mp4", mp4Bytes(600L, 1500L, 320L, 240L)),
+      Multimodal.MediaRecord(2L, "application/json", "{}".getBytes("UTF-8"))
+    ).toDS()
+    val rows = Multimodal.extractVideoMeta(media).collect().sortBy(_.media_id)
+    assert(rows(0).ok && rows(0).brand == "isom" && rows(0).timescale == 600)
+    assert(rows(0).durationTicks == 1500L && rows(0).durationMs == 2500L)
+    assert(rows(0).width == 320 && rows(0).height == 240)
+    assert(!rows(1).ok && rows(1).width == 0 && rows(1).error.isEmpty)
+  }
 }
