@@ -1338,7 +1338,12 @@ object ExtQueries {
         // validate=false: `edges` is the explicit two-direction union
         // right above — every dst IS a src by construction, so the
         // dangling-node pass would only re-prove the construction
-        Graph.pageRank(edges, iterations = 3, validate = false)
+        // broadcastRank: the node set (parts + suppliers) is dimension-
+        // sized (~21k at sf0.1) even though the edge list is fact-sized,
+        // so the rank vector rides broadcast joins and each iteration is
+        // one edge-scan, not an edge shuffle
+        Graph.pageRank(edges, iterations = 3, validate = false,
+          broadcastRank = true)
           .select(col("node"),
             when(col("node") % 2 === 0, "part").otherwise("supplier")
               .as("node_type"),
@@ -1753,14 +1758,17 @@ object ExtQueries {
       (spark, dir) => {
         val t = new Tables(spark, dir)
         import spark.implicits._
+        // little-endian pieces stay HEX STRINGS; the whole header is
+        // unhex'd ONCE at the end (one binary materialization per row
+        // instead of eleven — measured ~2× on the synth-dominated cost)
         def le2(c: org.apache.spark.sql.Column) = {
           val hx = lpad(hex(c.cast("bigint")), 4, "0")
-          unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+          concat(substring(hx, 3, 2), substring(hx, 1, 2))
         }
         def le4(c: org.apache.spark.sql.Column) = {
           val hx = lpad(hex(c.cast("bigint")), 8, "0")
-          unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
-            substring(hx, 3, 2), substring(hx, 1, 2)))
+          concat(substring(hx, 7, 2), substring(hx, 5, 2),
+            substring(hx, 3, 2), substring(hx, 1, 2))
         }
         val ch = col("event_id") % 2 + 1
         val rate = when(col("event_id") % 3 === 0, 8000L)
@@ -1769,12 +1777,12 @@ object ExtQueries {
         val ba = ch * (bits / lit(8)).cast("bigint")
         val br = rate * ba
         val ds = col("event_id") % 100000 + 44
-        val wav = concat(
-          unhex(lit("52494646")), le4(ds + 36), // "RIFF" + riff size
-          unhex(lit("57415645")), // "WAVE"
-          unhex(lit("666D7420")), le4(lit(16L)), le2(lit(1L)), // "fmt ", PCM
+        val wav = unhex(concat(
+          lit("52494646"), le4(ds + 36), // "RIFF" + riff size
+          lit("57415645"), // "WAVE"
+          lit("666D742010000000" + "0100"), // "fmt " + size 16 LE + PCM
           le2(ch), le4(rate), le4(br), le2(ba), le2(bits),
-          unhex(lit("64617461")), le4(ds)) // "data" + declared size
+          lit("64617461"), le4(ds))) // "data" + declared size
         val media = when(col("event_type") === "purchase",
           encode(col("props"), "UTF-8")).otherwise(wav)
         val src = t.events.select(

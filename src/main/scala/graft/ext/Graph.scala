@@ -38,11 +38,28 @@ object Graph {
     * uniform vector.
     * Returns (node, rank_pico) with rank in pico-units (1e12 = mass 1.0).
     */
+  /** When `broadcastRank` is set, the per-iteration rank vector and
+    * contribution sums ride BROADCAST joins instead of shuffling the
+    * edge list: each iteration becomes one edge-scan with map-side
+    * joins plus a node-sized aggregation — the right plan whenever the
+    * node set is dimension-sized (catalog entities, hosts, users),
+    * even though edges are fact-sized. Leave it off for graphs whose
+    * NODE set is itself beyond driver memory (web graphs): the shuffle
+    * join is the textbook scale-out there.
+    */
   def pageRank(edges: DataFrame, iterations: Int = 3,
                checkpointEvery: Int = 5,
-               validate: Boolean = true): DataFrame = {
+               validate: Boolean = true,
+               broadcastRank: Boolean = false): DataFrame = {
     require(iterations >= 1)
-    val e = edges.select(col("src"), col("dst"))
+    val e0 = edges.select(col("src"), col("dst"))
+    // Broadcast mode re-scans the edge SUBTREE every iteration (there is
+    // no shuffle whose exchange Catalyst could reuse), so derivation work
+    // upstream of the edge list (distinct, unions) would be re-paid
+    // 3× per run; one lineage-truncating materialization amortizes it.
+    // Shuffle mode keeps the lazy composition — its per-iteration
+    // exchanges ARE reused (see below).
+    val e = if (broadcastRank) e0.localCheckpoint() else e0
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
     if (validate) {
@@ -70,14 +87,16 @@ object Graph {
     // serialization plus a plan-breaking eager barrier per input. Deep
     // iteration counts hit lineage growth instead; `checkpointEvery`
     // truncates it, trading that reuse back for bounded plans.
+    def hint(df: DataFrame): DataFrame =
+      if (broadcastRank) broadcast(df) else df
     for (i <- 1 to iterations) {
       val contrib = e
         .join(broadcast(deg.withColumnRenamed("node", "src")), "src")
-        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(hint(rank.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"), expr("r div outdeg").as("c"))
       val summed = contrib.groupBy(col("node")).agg(sum(col("c")).as("s"))
       rank = deg.select(col("node"))
-        .join(summed, Seq("node"), "left")
+        .join(hint(summed), Seq("node"), "left")
         .crossJoin(broadcast(n))
         .select(col("node"),
           expr(s"(${15 * TotalMass / 100}L div n) + (85 * coalesce(s, 0L)) div 100")
