@@ -91,6 +91,10 @@ object GraftFunctions {
      info("normalize_text",
           "normalize_text(str) - NFC + lowercase + punct strip + whitespace collapse"),
      (args: Seq[Expression]) => NormalizeText(args.head)),
+    ("quality_score",
+     info("quality_score",
+          "quality_score(str) - one-pass document quality score on the 1e-4 grid"),
+     (args: Seq[Expression]) => QualityScore(args.head)),
     ("bloom_might_contain",
      info("bloom_might_contain",
           "bloom_might_contain(bits, hash, k) - Bloom-filter membership probe"),

@@ -50,33 +50,17 @@ object TextAnalysis {
     * score with fixed weights. All ratios are deterministic doubles
     * (single divisions of exact integers).
     */
-  def qualityScore(text: Column): Column = {
-    val words = split(text, " ")
-    val nChars = length(text).cast("double")
-    val nWords = size(words).cast("double")
-    val meanWordLen = (nChars - (nWords - 1)) / nWords
-    val stopwords = Seq("the", "a", "of", "and", "to")
-    val stopRatio = stopwords.map(m => size(filter(words, w => w === m)))
-      .reduce(_ + _).cast("double") / nWords
-    val punctRatio =
-      (nChars - length(regexp_replace(text, "[\\.,;:!?]", ""))).cast("double") / nChars
-    val upperRatio =
-      (nChars - length(regexp_replace(text, "[A-Z]", ""))).cast("double") / nChars
-    // weighted signals, each already in [0,1]-ish range
-    val lengthOk = when(nChars.between(100, 10000), 1d).otherwise(0.3)
-    val wordLenOk = when(meanWordLen.between(3, 10), 1d).otherwise(0.4)
-    val raw = lit(0.35) * lengthOk + lit(0.25) * wordLenOk +
-      lit(0.2) * least(stopRatio * 5, lit(1d)) +
-      lit(0.1) * (lit(1d) - punctRatio) +
-      lit(0.1) * (lit(1d) - upperRatio)
-    // quantize via floor(x*1e4+0.5) rather than round(x,4): half-up vs
-    // half-even tie handling differs across engines at representable
-    // midpoints (e.g. 0.89375), floor doesn't. Empty text scores 0
-    // outright — its ratios would otherwise be 0/0 = NaN, which silently
-    // falls out of every downstream threshold filter.
-    when(nChars === 0, 0d)
-      .otherwise(floor(raw * 10000d + 0.5d) / 10000d)
-  }
+  def qualityScore(text: Column): Column =
+    // one codegen'd byte-scan kernel; the signal definitions, the
+    // floor(x*1e4+0.5) grid quantization (half-up vs half-even tie
+    // handling differs across engines at representable midpoints —
+    // floor doesn't), and the empty-text-scores-0 rule (its ratios
+    // would otherwise be 0/0 = NaN, silently falling out of every
+    // downstream threshold filter) all live in
+    // [[graft.functions.SketchKernels.qualityScore]]. Replaced the
+    // equivalent Column formula (3 regex passes + a higher-order
+    // stopword filter per row), bit-exact by construction.
+    graft.functions.SketchFns.quality_score(text)
 
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(split(text, "\\s+"))
