@@ -648,12 +648,19 @@ object Dedup {
     * (within-doc repetition is [[TextAnalysis]]'s repetition metrics).
     */
   def dupSpans(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    // grams are carried as xxhash64 LONGS, never strings: the census
+    // shuffle and the flag-join move 8 bytes per gram instead of the
+    // ~50-byte text (measured ~2× on this operator), the same
+    // hashed-shingle discipline as [[jaccardPairs]]. A 64-bit collision
+    // merging two distinct grams (and so over-counting a df by one) is
+    // ~n²/2⁶⁵ — at 1e10 corpus grams still ≪1, and the signal is a
+    // per-doc duplication STATISTIC, not an exact-match key.
     val grams = docs
       .select(id.as("doc_id"), split(text, " ").as("w"))
       .filter(size(col("w")) >= 8)
       .select(col("doc_id"),
         posexplode(expr(
-          "transform(sequence(0, size(w) - 8), i -> array_join(slice(w, i + 1, 8), ' '))"))
+          "transform(sequence(0, size(w) - 8), i -> xxhash64(array_join(slice(w, i + 1, 8), ' ')))"))
           .as(Seq("pos", "gram")))
     val df = grams.groupBy(col("gram"))
       .agg(count_distinct(col("doc_id")).as("__df"))
