@@ -351,9 +351,7 @@ object Similarity {
     // ADC scoring over codes only; corpus floats are not in this join
     val scored = coded.join(broadcast(q),
         col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", aggregate(
-        zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
-        lit(0L), (a, v) => a + v))
+      .withColumn("adc", SketchFns.adc_dot(col("codes"), col("lut")))
       .withColumn("approx", col("adc").cast("double") /
         sqrt(col("cn2").cast("double") * col("qn2").cast("double")))
     val wA = Window.partitionBy(col("query_id"))

@@ -212,6 +212,19 @@ object SketchKernels extends Serializable {
     else dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
   }
 
+  /** PQ asymmetric-distance lookup: Σ_s lut[s][codes[s]] (0-based). */
+  def adcDot(codes: org.apache.spark.sql.catalyst.util.ArrayData,
+             lut: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = math.min(codes.numElements(), lut.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += lut.getArray(i).getLong(codes.getInt(i))
+      i += 1
+    }
+    s
+  }
+
   /** Sign-bit band buckets for cosine LSH: bit i of a 64-bit word is
     * sign(vec[i] >= 0); buckets are `bandBits`-wide windows of that word —
     * the contiguous bands first, then the same windows over the word
@@ -834,6 +847,8 @@ object SketchFns {
     bridge.column(NormalizeText(bridge.expression(text)))
   def quality_score(text: Column): Column =
     bridge.column(QualityScore(bridge.expression(text)))
+  def adc_dot(codes: Column, lut: Column): Column =
+    bridge.column(AdcDot(bridge.expression(codes), bridge.expression(lut)))
   def bloom_might_contain(bloom: Column, hash: Column, numHashes: Int): Column =
     bridge.column(BloomMightContain(bridge.expression(bloom),
       bridge.expression(hash), numHashes))
@@ -851,6 +866,40 @@ object SketchFns {
   * higher-order-function form interpreted per element and re-quantized
   * both vectors for every candidate pair).
   */
+/** adc_dot(codes, lut): product-quantization asymmetric-distance lookup —
+  * Σ_s lut[s][codes[s]]. The native form of
+  * `aggregate(zip_with(codes, lut, (c, l) -> l[c+1]), 0, +)`, which
+  * interprets two lambdas per element on the ANN serving path's hottest
+  * loop (|corpus| · |queries| evaluations).
+  */
+case class AdcDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "adc_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(LongType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "adc_dot requires ARRAY<INT> codes and ARRAY<ARRAY<BIGINT>> lut, " +
+          s"got ${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(SketchKernels.adcDot(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = classOf[SketchKernels.type].getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $k.adcDot($a, $b);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcDot =
+    copy(left = newLeft, right = newRight)
+}
+
 case class QuantizedCosine(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
