@@ -2,7 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
-import graft.ext.{Multimodal, Similarity}
+import graft.ext.{Layout, Multimodal, Similarity}
 
 /** Round-6 widening of the declarative operator surface: statistical
   * aggregates (corr / covar / regr_* / median), array higher-order
@@ -277,5 +277,43 @@ object SurfaceQueries {
                CAST(CASE WHEN raw THEN 0 ELSE w END AS INT) AS width,
                CAST(CASE WHEN raw THEN 0 ELSE h END AS INT) AS height,
                NOT raw AS ok
-        FROM m ORDER BY media_id""")))
+        FROM m ORDER BY media_id""")),
+
+    // q107: Z-order layout audit — Morton codes over (l_partkey,
+    // l_suppkey), grouped into 256 contiguous z-spans (the file groups a
+    // zorder-clustered write would produce), reporting each span's
+    // bounding rectangle. Keys ride an 8-bit grid (mod 256) so the
+    // span population is scale-invariant across test SFs. The interleaved-bit math is pure integer
+    // bit-ops, so the oracle reproduces it exactly; the CLUSTERING
+    // property (tight per-span extents -> parquet min/max pruning on
+    // both key columns) is asserted in LayoutSpec, the code math here.
+    GraftQuery(
+      "q107_zorder_spans",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.lineitem
+          .select(col("l_partkey"), col("l_suppkey"),
+            Layout.morton(col("l_partkey") % 256, col("l_suppkey") % 256, 8)
+              .as("z"))
+          .withColumn("zspan", shiftrightunsigned(col("z"), 8))
+          .groupBy(col("zspan"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_partkey")).as("min_part"),
+            max(col("l_partkey")).as("max_part"),
+            min(col("l_suppkey")).as("min_supp"),
+            max(col("l_suppkey")).as("max_supp"))
+          .orderBy(col("zspan"))
+      },
+      Some("""
+        WITH z AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(list_sum(list_transform(range(0, 8), i ->
+                   ((((l_partkey % 256) >> i) & 1) << (2*i))
+                 + ((((l_suppkey % 256) >> i) & 1) << (2*i+1)))) AS BIGINT) AS z
+          FROM lineitem)
+        SELECT z >> 8 AS zspan,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+               min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+        FROM z GROUP BY 1 ORDER BY 1""")))
 }
