@@ -169,6 +169,55 @@ class PlanShapeSpec extends AnyFunSuite {
       s"normalize_text outside whole-stage codegen:\n$norm")
   }
 
+  test("q80 PageRank: rank vector rides broadcast joins, never sort-merge") {
+    // the broadcastRank plan: every per-iteration join (degree table,
+    // rank vector, contribution sums) must be a BroadcastHashJoin; a
+    // SortMergeJoin means an iteration is shuffling the edge list again
+    val plan = executedPlan("q80_pagerank")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"PageRank iteration joins did not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"an edge-list shuffle leaked into the PageRank plan:\n$plan")
+  }
+
+  test("q101 stats aggregates: one partial+final pass, no extra exchange") {
+    // corr/covar/regr/median over 3 groups must partial-aggregate
+    // map-side; a plan without a partial phase ships raw fact rows
+    val plan = executedPlan("q101_stats_aggs")
+    assert(plan.contains("partial_"),
+      s"stats aggregation lost its map-side partial phase:\n$plan")
+  }
+
+  test("q102/q106 per-row surfaces stay exchange-free up to the sort") {
+    // array HOFs (q102) and media header parsing (q106) are pure map
+    // work: the only exchange allowed is the final presentation orderBy
+    for (q <- Seq("q102_array_hof", "q106_video_meta")) {
+      val plan = executedPlan(q)
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      val rangeEx = "rangepartitioning".r
+        .findAllIn(plan.toLowerCase).length
+      assert(exchanges == rangeEx && rangeEx >= 1,
+        s"$q grew a non-sort exchange ($exchanges vs $rangeEx):\n$plan")
+    }
+  }
+
+  test("q104 fuzzy join: deduped name blocks broadcast") {
+    val plan = executedPlan("q104_fuzzy_name_pairs")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"blocked fuzzy self-join did not broadcast:\n$plan")
+  }
+
+  test("q107 zorder spans: morton math in codegen, single agg exchange") {
+    val df = SparkEntry.queries("q107_zorder_spans")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen marker in the finalized plan
+    assert(plan.contains("*("),
+      s"morton expression fell out of codegen:\n$plan")
+    assert(plan.contains("partial_"),
+      s"span aggregation lost its partial phase:\n$plan")
+  }
+
   test("AQE re-plans shuffles at runtime (coalesced partition reads)") {
     // the 100 TB posture leans on adaptive execution (skew splits,
     // partition coalescing); pin that it is actually active in the final
