@@ -315,5 +315,69 @@ object SurfaceQueries {
                CAST(count(*) AS BIGINT) AS n_rows,
                min(l_partkey) AS min_part, max(l_partkey) AS max_part,
                min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
-        FROM z GROUP BY 1 ORDER BY 1""")))
+        FROM z GROUP BY 1 ORDER BY 1""")),
+
+    // q108: SCD2 history build — the warehouse primitive q86's CDC diff
+    // feeds: per-user daily profiles (integer micro-sums, so "changed"
+    // is exact) compressed into validity ranges via gaps-and-islands
+    // (lag to mark change starts, running count to number segments,
+    // lead on segment starts for the exclusive valid_to; open segment =
+    // current). All windows are keyed by user_id — no global sort, no
+    // single-partition window, scales like q07.
+    GraftQuery(
+      "q108_scd2_history",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        import org.apache.spark.sql.expressions.Window
+        val daily = t.events.filter(col("value").isNotNull)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 1000000d).cast("long"))
+            .as("value_micro"))
+        val wDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val seg = daily
+          .withColumn("chg",
+            when(lag(col("value_micro"), 1).over(wDay).isNull
+              || lag(col("value_micro"), 1).over(wDay) =!= col("value_micro"),
+              1L).otherwise(0L))
+          .withColumn("seg", sum(col("chg"))
+            .over(wDay.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+        val spans = seg.groupBy(col("user_id"), col("seg"))
+          .agg(min(col("day")).as("valid_from"),
+            max(col("day")).as("last_day"),
+            first(col("value_micro")).as("value_micro"),
+            count(lit(1)).as("n_days"))
+        val wSeg = Window.partitionBy(col("user_id")).orderBy(col("seg"))
+        spans
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(wSeg))
+          .withColumn("is_current", col("valid_to").isNull)
+          .select(col("user_id"), col("valid_from"), col("valid_to"),
+            col("value_micro"), col("n_days"), col("is_current"))
+          .orderBy(col("user_id"), col("valid_from"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS value_micro
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        seg AS (
+          SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS seg
+          FROM (SELECT *, CASE WHEN lag(value_micro) OVER
+                    (PARTITION BY user_id ORDER BY day) IS DISTINCT FROM
+                    value_micro THEN 1 ELSE 0 END AS chg
+                FROM daily)),
+        spans AS (
+          SELECT user_id, seg, min(day) AS valid_from,
+                 first(value_micro ORDER BY day) AS value_micro,
+                 CAST(count(*) AS BIGINT) AS n_days
+          FROM seg GROUP BY 1, 2)
+        SELECT user_id, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg)
+                 AS valid_to,
+               value_micro, n_days,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg)
+                 IS NULL AS is_current
+        FROM spans ORDER BY user_id, valid_from""")))
 }
