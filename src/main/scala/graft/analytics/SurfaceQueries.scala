@@ -5,7 +5,7 @@ import graft.{GraftQuery, Tables}
 import graft.ext.{Layout, Multimodal, Similarity}
 
 /** Round-6 widening of the declarative operator surface: statistical
-  * aggregates (corr / covar / regr_* / median), array higher-order
+  * aggregates (corr / covar / regr_*), array higher-order
   * functions as a *query* surface (filter / exists / forall / sort /
   * slice — the building blocks [[graft.ext.Similarity]] uses
   * internally), ordered-set percentiles (`WITHIN GROUP`), a blocked
@@ -26,9 +26,14 @@ object SurfaceQueries {
 
     // q101: the statistical-aggregate surface — correlation, sample and
     // population covariance, variance/stddev, least-squares regression
-    // (slope/intercept/r2/count) and exact median, grouped. One pass,
-    // map-side partial aggregation; no shuffle beyond the final 3-group
-    // exchange, so it scales like q01.
+    // (slope/intercept/r2/count), grouped. All moment-based — every
+    // aggregate is a codegen'd DeclarativeAggregate with map-side
+    // partials; no shuffle beyond the final 3-group exchange, so it
+    // scales like q01. (Exact order statistics live in q103: Spark's
+    // exact median/percentile is an ObjectAggregate that buffers group
+    // values — measured 4x this whole query's cost at sf0.1 — so the
+    // moment surface and the sort surface are deliberately separate
+    // queries.)
     GraftQuery(
       "q101_stats_aggs",
       (spark, dir) => {
@@ -48,8 +53,7 @@ object SurfaceQueries {
             .as("icept"),
           round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
             .as("r2"),
-          regr_count(col("l_extendedprice"), col("l_quantity")).as("n_pairs"),
-          round(median(col("l_extendedprice")), 4).as("med_price"))
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n_pairs"))
           .orderBy(col("l_returnflag"))
       },
       Some("""
@@ -62,8 +66,7 @@ object SurfaceQueries {
                round(regr_slope(l_extendedprice, l_quantity), 5) AS slope,
                round(regr_intercept(l_extendedprice, l_quantity), 3) AS icept,
                round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
-               round(quantile_cont(l_extendedprice, 0.5), 4) AS med_price
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // q102: array higher-order functions as query surface — filter,
