@@ -382,5 +382,38 @@ object SurfaceQueries {
                value_micro, n_days,
                lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg)
                  IS NULL AS is_current
-        FROM spans ORDER BY user_id, valid_from""")))
+        FROM spans ORDER BY user_id, valid_from""")),
+
+    // q109: explicit GROUPING SETS + grouping_id — the general form
+    // behind q10's ROLLUP and q40's CUBE (a hand-picked lattice:
+    // (flag, status), (flag), ()). The IDENTICAL SQL text runs in both
+    // engines; grouping_id disambiguates aggregation-NULLs from data
+    // (returnflag/linestatus are non-null here, so the coalesce
+    // labeling is unambiguous). One Expand + one aggregation exchange.
+    GraftQuery(
+      "q109_grouping_sets",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.lineitem.createOrReplaceTempView("lineitem_v")
+        spark.sql("""
+          SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                 coalesce(l_linestatus, 'ALL') AS status,
+                 CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                 count(*) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+          FROM lineitem_v
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                  (l_returnflag), ())
+          ORDER BY gid, flag, status""")
+      },
+      Some("""
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY gid, flag, status""")))
 }
