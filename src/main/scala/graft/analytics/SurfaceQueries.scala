@@ -415,5 +415,49 @@ object SurfaceQueries {
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                 (l_returnflag), ())
-        ORDER BY gid, flag, status""")))
+        ORDER BY gid, flag, status""")),
+
+    // q110: Johnson-Lindenstrauss random projection 64 -> 16 dims — the
+    // dimensionality-reduction preprocessing step ahead of ANN at scale
+    // (scan/index 4x fewer bytes; JL bounds pairwise-distance
+    // distortion). The ±1 projection matrix is a deterministic
+    // arithmetic formula of (i, j) — no stored matrix, no RNG — and the
+    // quantized input keeps every sum integer-exact, so both engines
+    // reproduce the projection bit for bit. (The mod-1009 step breaks
+    // the parity artifact a plain `(i·odd + j·odd) % 2` would have:
+    // that collapses to a checkerboard of (i+j) parity, which is a rank-2
+    // pattern, not a random-like matrix.) Long-format output (vec_id,
+    // dim, y). Per-row map work only; the interpreted nested lambda is
+    // the demo surface — the scale path is a native kernel like adc_dot.
+    GraftQuery(
+      "q110_random_projection",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val q = Similarity.quantize(col("embedding"))
+        val y = transform(sequence(lit(0), lit(15)), j =>
+          aggregate(sequence(lit(1), lit(64)), lit(0L), (acc, i) =>
+            acc + element_at(q, i) *
+              when(((i - 1) * 2654435761L + j * 40503L) % 1009L % 2L === 0L,
+                1L).otherwise(-1L)))
+        t.embeddings
+          .select(col("vec_id"), posexplode(y).as(Seq("dim", "y")))
+          .orderBy(col("vec_id"), col("dim"))
+      },
+      Some("""
+        WITH qv AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS q
+          FROM embeddings),
+        proj AS (
+          SELECT vec_id,
+                 list_transform(range(0, 16), j ->
+                   list_sum(list_transform(range(1, 65), i ->
+                     q[CAST(i AS INT)] * CASE WHEN ((i-1)*2654435761 + j*40503)
+                       % 1009 % 2 = 0 THEN 1 ELSE -1 END))) AS y
+          FROM qv)
+        SELECT vec_id, CAST(t.j AS INT) AS dim,
+               CAST(y[CAST(t.j AS INT) + 1] AS BIGINT) AS y
+        FROM proj, range(0, 16) t(j)
+        ORDER BY vec_id, dim""")))
 }
