@@ -459,5 +459,46 @@ object SurfaceQueries {
         SELECT vec_id, CAST(t.j AS INT) AS dim,
                CAST(y[CAST(t.j AS INT) + 1] AS BIGINT) AS y
         FROM proj, range(0, 16) t(j)
-        ORDER BY vec_id, dim""")))
+        ORDER BY vec_id, dim""")),
+
+    // q111: bitmap + ordered string aggregation — bit_or/bit_and over a
+    // per-type bitmask (the compact "which kinds did this user ever
+    // emit" encoding), bit_count on the result, and listagg DISTINCT
+    // WITHIN GROUP (Spark 4's ANSI listagg; deterministic because the
+    // order is explicit). Identical SQL semantics in the oracle via
+    // string_agg(DISTINCT .. ORDER BY).
+    GraftQuery(
+      "q111_bitmask_listagg",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.events.createOrReplaceTempView("events_v")
+        spark.sql("""
+          WITH m AS (
+            SELECT user_id, event_type,
+                   CASE event_type WHEN 'purchase' THEN 1 WHEN 'click' THEN 2
+                        WHEN 'view' THEN 4 WHEN 'error' THEN 8
+                        ELSE 16 END AS mask
+            FROM events_v)
+          SELECT user_id,
+                 CAST(bit_or(mask) AS BIGINT) AS seen_mask,
+                 CAST(bit_and(mask) AS BIGINT) AS common_mask,
+                 CAST(bit_count(CAST(bit_or(mask) AS BIGINT)) AS INT) AS n_kinds,
+                 listagg(DISTINCT event_type, ',')
+                   WITHIN GROUP (ORDER BY event_type) AS kinds
+          FROM m GROUP BY user_id ORDER BY user_id""")
+      },
+      Some("""
+        WITH m AS (
+          SELECT user_id, event_type,
+                 CASE event_type WHEN 'purchase' THEN 1 WHEN 'click' THEN 2
+                      WHEN 'view' THEN 4 WHEN 'error' THEN 8
+                      ELSE 16 END AS mask
+          FROM events)
+        SELECT user_id,
+               CAST(bit_or(mask) AS BIGINT) AS seen_mask,
+               CAST(bit_and(mask) AS BIGINT) AS common_mask,
+               CAST(bit_count(CAST(bit_or(mask) AS BIGINT)) AS INT) AS n_kinds,
+               string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+                 AS kinds
+        FROM m GROUP BY user_id ORDER BY user_id""")))
 }
