@@ -97,6 +97,24 @@ class StreamingQuotaSpec extends AnyFunSuite {
     assert(got("early.pdf").admitted && !got("late.pdf").admitted)
   }
 
+  test("soak: 1e4 keys x 3 batches; ledger stays exact under RocksDB state") {
+    // the TransferTracker-style scale check for the transformWithState
+    // path: every key's ledger must be exact after three batches, and
+    // per-key retention must hold (3 days < retainDays)
+    val n = 10000
+    def batch(day: Int): Seq[FileEvent] = (0 until n).map(i =>
+      FileEvent(s"sys_$i", s"f$day.pdf", 10L,
+        ts(f"2024-03-0$day%d 01:00:00")))
+    val got = run(25L, 7, batch(1), batch(2), batch(3))
+    assert(got.size == 3 * n)
+    assert(got.forall(_.admitted), "every 10-byte file fits a 25-byte day")
+    val perKeyDays = got.groupBy(_.sourceSystem).view
+      .mapValues(_.map(_.day).toSet.size)
+    assert(perKeyDays.forall(_._2 == 3))
+    // day budgets are independent: usedBytes per (key, day) is exactly 10
+    assert(got.forall(_.usedBytes == 10L))
+  }
+
   test("invalid parameters fail at plan time") {
     val source = MemoryStream[FileEvent](spark)
     intercept[IllegalArgumentException] {
