@@ -433,12 +433,16 @@ object SurfaceQueries {
       "q110_random_projection",
       (spark, dir) => {
         val t = new Tables(spark, dir)
-        val q = Similarity.quantize(col("embedding"))
-        val y = transform(sequence(lit(0), lit(15)), j =>
-          aggregate(sequence(lit(1), lit(64)), lit(0L), (acc, i) =>
-            acc + element_at(q, i) *
-              when(((i - 1) * 2654435761L + j * 40503L) % 1009L % 2L === 0L,
-                1L).otherwise(-1L)))
+        // native kernel (graft.functions.RandomProject): one JIT'd loop
+        // per row. The nested-HOF spelling of the identical math
+        // (aggregate inside transform) interprets two lambdas per
+        // matrix cell — measured 24 s vs ~0.3 s at sf0.1 — and the
+        // statically-unrolled 1024-term expression tree still evaluated
+        // interpreted (too large for whole-stage codegen); this is
+        // exactly the "native Expression beats lambda" rule from the
+        // design notes applied at 16×64 terms.
+        val y = graft.functions.SketchFns.random_project(
+          col("embedding"), 16)
         t.embeddings
           .select(col("vec_id"), posexplode(y).as(Seq("dim", "y")))
           .orderBy(col("vec_id"), col("dim"))

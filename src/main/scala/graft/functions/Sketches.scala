@@ -225,6 +225,37 @@ object SketchKernels extends Serializable {
     s
   }
 
+  /** Deterministic ±1 Johnson-Lindenstrauss projection of a quantized
+    * float vector to `k` dims: y_j = Σ_i q_i · s(i,j), with q_i =
+    * floor(x_i·1e4 + 0.5) and s(i,j) = +1 iff (i·2654435761 + j·40503)
+    * mod 1009 is even — the same arithmetic formula the DuckDB oracle
+    * evaluates, no stored matrix, no RNG.
+    */
+  def randomProject(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+                    k: Int): Array[Long] = {
+    val n = vec.numElements()
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      q(i) = math.floor(vec.getFloat(i).toDouble * 10000d + 0.5d).toLong
+      i += 1
+    }
+    val y = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      var s = 0L
+      i = 0
+      while (i < n) {
+        val pos = (i * 2654435761L + j * 40503L) % 1009L % 2L == 0L
+        s += (if (pos) q(i) else -q(i))
+        i += 1
+      }
+      y(j) = s
+      j += 1
+    }
+    y
+  }
+
   /** Sign-bit band buckets for cosine LSH: bit i of a 64-bit word is
     * sign(vec[i] >= 0); buckets are `bandBits`-wide windows of that word —
     * the contiguous bands first, then the same windows over the word
@@ -603,6 +634,34 @@ case class BandBuckets(child: Expression, bands: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** random_project(vec, k): deterministic ±1 JL projection to k dims —
+  * see [[SketchKernels.randomProject]] for the formula contract.
+  */
+case class RandomProject(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "random_project"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"random_project requires ARRAY<FLOAT> input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(SketchKernels.randomProject(
+      input.asInstanceOf[ArrayData], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k2 = classOf[SketchKernels.type].getName.stripSuffix("$") + "$.MODULE$"
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new $gad($k2.randomProject($c, $k));")
+  }
+  override protected def withNewChildInternal(c: Expression): RandomProject =
+    copy(child = c)
+}
+
 /** quality_score(str): one-pass document quality score in [0,1] on the
   * 1e-4 grid — see [[SketchKernels.qualityScore]] for the contract.
   */
@@ -849,6 +908,8 @@ object SketchFns {
     bridge.column(QualityScore(bridge.expression(text)))
   def adc_dot(codes: Column, lut: Column): Column =
     bridge.column(AdcDot(bridge.expression(codes), bridge.expression(lut)))
+  def random_project(vec: Column, k: Int): Column =
+    bridge.column(RandomProject(bridge.expression(vec), k))
   def bloom_might_contain(bloom: Column, hash: Column, numHashes: Int): Column =
     bridge.column(BloomMightContain(bridge.expression(bloom),
       bridge.expression(hash), numHashes))
