@@ -354,4 +354,45 @@ class ExtSpec extends AnyFunSuite {
     assert(plan.map(_._1).distinct.toSeq == Seq(1L))    // single-frame skipped
     assert(plan.map(_._2).toSeq == Seq(0, 3, 6, 9))     // stride ceil(10/4)=3
   }
+
+  test("random_project kernel matches the reference formula; JL distortion bounded") {
+    // parity: the native kernel must equal a direct JVM evaluation of
+    // the same quantize + ±1-sign arithmetic (the contract the DuckDB
+    // oracle also evaluates)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 24).map(i =>
+      i.toLong -> Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    def refProject(v: Array[Float]): Array[Long] = {
+      val q = v.map(x => math.floor(x.toDouble * 10000d + 0.5d).toLong)
+      Array.tabulate(16)(j => q.indices.map { i =>
+        if ((i * 2654435761L + j * 40503L) % 1009L % 2L == 0L) q(i)
+        else -q(i)
+      }.sum)
+    }
+    val got = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.functions.SketchFns.random_project(col("embedding"), 16)
+          .as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id).sameElements(refProject(v)), s"mismatch for vec $id")
+    }
+    // JL sanity on the planted data: projected squared distances (scaled
+    // by 1/k) approximate original quantized squared distances within a
+    // loose factor for most pairs — the property the operator exists for
+    def qz(v: Array[Float]) =
+      v.map(x => math.floor(x.toDouble * 10000d + 0.5d).toLong)
+    val ratios = for {
+      a <- vecs.take(8); b <- vecs.take(8) if a._1 < b._1
+    } yield {
+      val d0 = qz(a._2).zip(qz(b._2)).map { case (x, y) =>
+        val d = (x - y).toDouble; d * d }.sum
+      val d1 = got(a._1).zip(got(b._1)).map { case (x, y) =>
+        val d = (x - y).toDouble; d * d }.sum / 16d
+      d1 / d0
+    }
+    val within = ratios.count(r => r > 0.4 && r < 2.5)
+    assert(within >= ratios.size * 3 / 4,
+      s"JL distortion off: ${ratios.sorted.mkString(", ")}")
+  }
 }
