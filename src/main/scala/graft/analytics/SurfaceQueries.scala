@@ -504,5 +504,40 @@ object SurfaceQueries {
                CAST(bit_count(CAST(bit_or(mask) AS BIGINT)) AS INT) AS n_kinds,
                string_agg(DISTINCT event_type, ',' ORDER BY event_type)
                  AS kinds
-        FROM m GROUP BY user_id ORDER BY user_id""")))
+        FROM m GROUP BY user_id ORDER BY user_id""")),
+
+    // q112: the ANSI aggregate FILTER clause + boolean aggregates —
+    // conditional aggregation without CASE-WHEN scaffolding. The
+    // IDENTICAL SQL text runs in both engines (FILTER and
+    // bool_or/bool_and are ANSI); the one float output (filtered avg)
+    // gets the magnitude-aware rounding every moment aggregate in this
+    // registry uses.
+    GraftQuery(
+      "q112_filtered_aggs",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.lineitem.createOrReplaceTempView("lineitem_v")
+        spark.sql("""
+          SELECT l_returnflag,
+                 count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+                 CAST(sum(l_quantity) FILTER (WHERE l_tax > 0.04) AS DOUBLE)
+                   AS qty_taxed,
+                 round(avg(l_extendedprice)
+                   FILTER (WHERE l_shipdate >= TIMESTAMP '1998-01-01'), 4)
+                   AS avg_late_price,
+                 bool_or(l_discount > 0.09) AS any_big_disc,
+                 bool_and(l_quantity >= 1) AS all_qty_pos
+          FROM lineitem_v GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""
+        SELECT l_returnflag,
+               count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+               CAST(sum(l_quantity) FILTER (WHERE l_tax > 0.04) AS DOUBLE)
+                 AS qty_taxed,
+               round(avg(l_extendedprice)
+                 FILTER (WHERE l_shipdate >= TIMESTAMP '1998-01-01'), 4)
+                 AS avg_late_price,
+               bool_or(l_discount > 0.09) AS any_big_disc,
+               bool_and(l_quantity >= 1) AS all_qty_pos
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")))
 }
