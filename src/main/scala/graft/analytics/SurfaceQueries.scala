@@ -539,5 +539,34 @@ object SurfaceQueries {
                  AS avg_late_price,
                bool_or(l_discount > 0.09) AS any_big_disc,
                bool_and(l_quantity >= 1) AS all_qty_pos
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // q113: try_* error-safe functions — the ANSI-mode survival kit
+    // (this engine runs Spark 4 with ansi.enabled=true, where /0 and
+    // overflow THROW): try_divide and try_add turn the poison rows into
+    // NULLs instead of failing the 100 TB job at task 31 of 40000, and
+    // try_cast declares the parse-may-fail intent. The oracle spells
+    // the same semantics with guards (DuckDB's integer division and
+    // overflow also raise). Divisors are 0/1/2 by construction, so the
+    // surviving quotients are binary-exact — no rounding needed.
+    GraftQuery(
+      "q113_try_functions",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.events.createOrReplaceTempView("events_try_v")
+        spark.sql("""
+          SELECT event_id,
+                 try_divide(value, CAST(event_id % 3 AS DOUBLE)) AS safe_div,
+                 try_cast(props AS DOUBLE) AS junk_cast,
+                 try_add(9223372036854775807, event_id % 2) AS safe_add
+          FROM events_try_v ORDER BY event_id""")
+      },
+      Some("""
+        SELECT event_id,
+               CASE WHEN event_id % 3 = 0 THEN NULL
+                    ELSE value / (event_id % 3) END AS safe_div,
+               TRY_CAST(props AS DOUBLE) AS junk_cast,
+               CASE WHEN event_id % 2 = 0 THEN 9223372036854775807
+                    ELSE NULL END AS safe_add
+        FROM events ORDER BY event_id""")))
 }
