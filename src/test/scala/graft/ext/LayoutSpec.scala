@@ -59,6 +59,52 @@ class LayoutSpec extends AnyFunSuite {
     assert(rangeOnA.min >= n.toDouble, "range-on-a should keep b global")
   }
 
+  test("zorder write: parquet stats skip data on BOTH predicate columns") {
+    // the property the operator exists for, measured end-to-end: after a
+    // zordered write, a small (a, b) rectangle predicate reads only the
+    // row groups whose footer min/max intersect it — on EITHER column —
+    // while a hash-shuffled layout of the same data reads everything.
+    // File pruning by footer stats doesn't exist in Spark (only
+    // partition pruning); the skip shows up as rows EMITTED by the scan
+    // (row groups surviving the pushed filter), so that is the metric.
+    val n = 128
+    val grid = spark.range(n.toLong * n)
+      .select((col("id") % n).cast("int").as("a"),
+        (col("id") / n).cast("int").as("b"))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-zorder-skip").toString
+    Layout.zorder(grid, col("a"), col("b"), bits = 7, partitions = 16)
+      .drop("__z").write.mode("overwrite").parquet(s"$base/z")
+    grid.repartition(16).write.mode("overwrite").parquet(s"$base/shuf")
+    def scanned(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir)
+        .filter(col("a").between(40, 47) && col("b").between(80, 87))
+      val rows = df.count()
+      (rows, scanOutputRows(df))
+    }
+    val (zRows, zScanned) = scanned(s"$base/z")
+    val (sRows, sScanned) = scanned(s"$base/shuf")
+    assert(zRows == 64 && sRows == 64, "both layouts must return 8x8 rows")
+    assert(sScanned >= n.toLong * n,
+      s"shuffled layout unexpectedly skipped data: $sScanned")
+    assert(zScanned * 4 <= sScanned,
+      s"zorder layout did not skip row groups: $zScanned vs $sScanned")
+  }
+
+  /** Rows emitted by the query's parquet scans (post row-group skip). */
+  private def scanOutputRows(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    df.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .map(_.metrics("numOutputRows").value).sum
+  }
+
   test("morton rejects out-of-contract bit widths") {
     intercept[IllegalArgumentException] {
       Layout.morton(col("a"), col("b"), 0)
