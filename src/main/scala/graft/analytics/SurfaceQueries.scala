@@ -568,5 +568,77 @@ object SurfaceQueries {
                TRY_CAST(props AS DOUBLE) AS junk_cast,
                CASE WHEN event_id % 2 = 0 THEN 9223372036854775807
                     ELSE NULL END AS safe_add
-        FROM events ORDER BY event_id""")))
+        FROM events ORDER BY event_id""")),
+
+    // q114: calendar-function breadth — date_trunc('quarter'),
+    // quarter, last_day, dayofyear, dayofweek, datediff, grouped per
+    // quarter. Engines disagree on dayofweek numbering (Spark
+    // 1=Sunday, DuckDB 0=Sunday) — the oracle spells the +1 explicitly
+    // rather than pretending the functions are identical; everything
+    // else maps one-to-one. Timestamps are cast to DATE at the output
+    // so both engines compare the same type.
+    GraftQuery(
+      "q114_calendar_breadth",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.orders
+          .select(
+            date_trunc("quarter", col("o_orderdate")).cast("date")
+              .as("qstart"),
+            quarter(col("o_orderdate")).as("qn"),
+            last_day(col("o_orderdate")).as("month_end"),
+            dayofyear(col("o_orderdate")).as("doy"),
+            dayofweek(col("o_orderdate")).as("dow"),
+            datediff(lit("1998-01-01").cast("date"),
+              col("o_orderdate").cast("date")).as("days_to_98"))
+          .groupBy(col("qstart"), col("qn"))
+          .agg(count(lit(1)).as("n"),
+            min(col("month_end")).as("first_month_end"),
+            min(col("doy")).as("min_doy"),
+            count_distinct(col("dow")).as("dows_seen"),
+            max(col("days_to_98")).as("max_days_to_98"))
+          .orderBy(col("qstart"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qstart,
+                 CAST(quarter(o_orderdate) AS INT) AS qn,
+                 CAST(last_day(o_orderdate) AS DATE) AS month_end,
+                 CAST(dayofyear(o_orderdate) AS INT) AS doy,
+                 CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+                 CAST(datediff('day', CAST(o_orderdate AS DATE),
+                   DATE '1998-01-01') AS INT) AS days_to_98
+          FROM orders)
+        SELECT qstart, qn, count(*) AS n,
+               min(month_end) AS first_month_end,
+               min(doy) AS min_doy,
+               CAST(count(DISTINCT dow) AS BIGINT) AS dows_seen,
+               max(days_to_98) AS max_days_to_98
+        FROM d GROUP BY 1, 2 ORDER BY qstart""")),
+
+    // q115: generator NULL-preserving semantics — explode_outer keeps a
+    // (doc_id, NULL) row for documents whose long-word array is EMPTY
+    // (106 of 500 docs at sf0.01), where plain explode silently drops
+    // the document from the output — the outer-join-shaped edge every
+    // flatten step in a curation pipeline must decide about. Oracle
+    // spells it as the equivalent LEFT JOIN against the exploded rows.
+    GraftQuery(
+      "q115_explode_outer",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.documents
+          .select(col("doc_id"),
+            explode_outer(filter(split(col("text"), " "),
+              w => length(w) > 6)).as("w"))
+          .orderBy(col("doc_id"), col("w"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '),
+                   x -> length(x) > 6)) AS w
+          FROM documents)
+        SELECT d.doc_id, e.w
+        FROM documents d LEFT JOIN e USING (doc_id)
+        ORDER BY doc_id, w""")))
 }
