@@ -640,5 +640,50 @@ object SurfaceQueries {
           FROM documents)
         SELECT d.doc_id, e.w
         FROM documents d LEFT JOIN e USING (doc_id)
-        ORDER BY doc_id, w""")))
+        ORDER BY doc_id, w""")),
+
+    // q116: GROUP BY ALL / ORDER BY ALL — the modern-SQL shorthand both
+    // engines support with identical text (every non-aggregate output
+    // column becomes a grouping key; the whole select list becomes the
+    // sort key). Decimal-exact sum per the q03 discipline.
+    GraftQuery(
+      "q116_group_by_all",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.lineitem.createOrReplaceTempView("lineitem_gba_v")
+        spark.sql("""
+          SELECT l_returnflag, l_linestatus, count(*) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+          FROM lineitem_gba_v GROUP BY ALL ORDER BY ALL""")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY ALL ORDER BY ALL""")),
+
+    // q117: null-safe equality (IS NOT DISTINCT FROM) as a JOIN key —
+    // the NULL=NULL matching a plain equi-join silently drops. The
+    // nullif-derived key plants a real NULL group; identical SQL text
+    // in both engines. (Spark plans null-safe equality as a hash join
+    // on a wrapped key, not a cartesian filter.)
+    GraftQuery(
+      "q117_null_safe_join",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.events.createOrReplaceTempView("events_nsj_v")
+        spark.sql("""
+          WITH a AS (
+            SELECT nullif(event_type, 'view') AS k, count(*) AS n
+            FROM events_nsj_v GROUP BY 1)
+          SELECT a.k, a.n AS n_a, b.n AS n_b
+          FROM a JOIN a b ON a.k IS NOT DISTINCT FROM b.k
+          ORDER BY a.k""")
+      },
+      Some("""
+        WITH a AS (
+          SELECT nullif(event_type, 'view') AS k, count(*) AS n
+          FROM events GROUP BY 1)
+        SELECT a.k, a.n AS n_a, b.n AS n_b
+        FROM a JOIN a b ON a.k IS NOT DISTINCT FROM b.k
+        ORDER BY a.k""")))
 }
