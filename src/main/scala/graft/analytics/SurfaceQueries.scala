@@ -548,7 +548,9 @@ object SurfaceQueries {
     // try_cast declares the parse-may-fail intent. The oracle spells
     // the same semantics with guards (DuckDB's integer division and
     // overflow also raise). Divisors are 0/1/2 by construction, so the
-    // surviving quotients are binary-exact — no rounding needed.
+    // surviving quotients are binary-exact — no rounding needed. No
+    // ORDER BY: the driver's compare sorts rows itself, and a global
+    // sort of the 1M-row output was the whole query's cost at sf0.1.
     GraftQuery(
       "q113_try_functions",
       (spark, dir) => {
@@ -559,7 +561,7 @@ object SurfaceQueries {
                  try_divide(value, CAST(event_id % 3 AS DOUBLE)) AS safe_div,
                  try_cast(props AS DOUBLE) AS junk_cast,
                  try_add(9223372036854775807, event_id % 2) AS safe_add
-          FROM events_try_v ORDER BY event_id""")
+          FROM events_try_v""")
       },
       Some("""
         SELECT event_id,
@@ -568,7 +570,7 @@ object SurfaceQueries {
                TRY_CAST(props AS DOUBLE) AS junk_cast,
                CASE WHEN event_id % 2 = 0 THEN 9223372036854775807
                     ELSE NULL END AS safe_add
-        FROM events ORDER BY event_id""")),
+        FROM events""")),
 
     // q114: calendar-function breadth — date_trunc('quarter'),
     // quarter, last_day, dayofyear, dayofweek, datediff, grouped per
