@@ -687,5 +687,39 @@ object SurfaceQueries {
           FROM events GROUP BY 1)
         SELECT a.k, a.n AS n_a, b.n AS n_b
         FROM a JOIN a b ON a.k IS NOT DISTINCT FROM b.k
-        ORDER BY a.k""")))
+        ORDER BY a.k""")),
+
+    // q118: string-function breadth on the engine-overlapping subset —
+    // split_part, translate, repeat, reverse, left, ANSI position,
+    // ascii, chr, rpad. (Deliberately omitted: initcap and soundex,
+    // which DuckDB lacks or defines differently — parity claims stop at
+    // functions both engines actually share.) Identical SQL text.
+    GraftQuery(
+      "q118_string_breadth",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.part.createOrReplaceTempView("part_str_v")
+        spark.sql("""
+          SELECT p_partkey,
+                 split_part(p_name, ' ', 1) AS first_word,
+                 translate(p_brand, '#', '_') AS brand_slug,
+                 repeat(left(p_name, 2), 2) AS echo,
+                 reverse(p_type) AS type_rev,
+                 CAST(position('an' IN p_name) AS INT) AS an_pos,
+                 CAST(ascii(p_name) AS INT) AS first_code,
+                 chr(65 + CAST(p_size % 26 AS INT)) AS size_letter,
+                 rpad(p_type, 10, '.') AS type_padded
+          FROM part_str_v ORDER BY p_partkey""")
+      },
+      Some("""
+        SELECT p_partkey,
+               split_part(p_name, ' ', 1) AS first_word,
+               translate(p_brand, '#', '_') AS brand_slug,
+               repeat(left(p_name, 2), 2) AS echo,
+               reverse(p_type) AS type_rev,
+               CAST(position('an' IN p_name) AS INT) AS an_pos,
+               CAST(ascii(p_name) AS INT) AS first_code,
+               chr(65 + CAST(p_size % 26 AS INT)) AS size_letter,
+               rpad(p_type, 10, '.') AS type_padded
+        FROM part ORDER BY p_partkey""")))
 }
