@@ -65,8 +65,10 @@ object StreamingGapFill {
     private def align(ms: Long): Long = Math.floorDiv(ms, tickMs) * tickMs
 
     private def armTimer(at: Long): Unit = {
-      // one timer per key: drop whatever was armed before
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      // one timer per key: drop whatever was armed before (materialize
+      // the listing first — deleting while the iterator is live is
+      // store-implementation-defined)
+      getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
       getHandle.registerTimer(at)
     }
 
