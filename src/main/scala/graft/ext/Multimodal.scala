@@ -273,10 +273,12 @@ object Multimodal {
           typ match {
             case "ftyp" if i + 12 <= to =>
               brand = Some(fourcc(b, at + 8))
-            case "mvhd" if b(at + 8) == 0 && i + 28 <= to =>
+            // length bound FIRST: the version-byte read b(at+8) is only
+            // in bounds once the box is known to fit the buffer
+            case "mvhd" if i + 28 <= to && b(at + 8) == 0 =>
               // version 0: ver/flags(4) ctime(4) mtime(4) ts(4) dur(4)
               mvhd = Some((be32(b, at + 20).toInt, be32(b, at + 24)))
-            case "tkhd" if b(at + 8) == 0 && i + 92 <= to
+            case "tkhd" if i + 92 <= to && b(at + 8) == 0
                 && dims.isEmpty =>
               // version 0: width/height are 16.16 fixed at offsets 84/88
               val w = (be32(b, at + 84) >> 16).toInt

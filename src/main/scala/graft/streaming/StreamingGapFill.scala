@@ -29,9 +29,13 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
   *    silent (no timer re-armed) until a real event revives it —
   *    state stays, emission stops, so a dead fleet can't flood the
   *    sink forever.
-  *  - Within a batch, a key's rows are processed in eventTime order;
-  *    an observed tick overwrites the pending fill for the same grid
-  *    point (observation wins over carry-forward).
+  *  - Exactly ONE row per (key, grid point), ever: the emitted frontier
+  *    (`lastTickMs`) is monotone. Within a batch the latest reading per
+  *    tick window wins; a late reading whose grid point was already
+  *    emitted — observed or filled — is dropped rather than
+  *    contradicted, because Append mode cannot retract. Downstream
+  *    consumers keyed on (key, tickTime) therefore never see
+  *    conflicting rows.
   *  - Ticks are aligned to `floor(eventTime / tick) * tick` — grid
   *    points are absolute, so replays and re-partitions emit identical
   *    grids. Fills are emitted only for ticks strictly at-or-below the
@@ -75,9 +79,23 @@ object StreamingGapFill {
     override def handleInputRows(key: String, rows: Iterator[Reading],
                                  timers: TimerValues): Iterator[Tick] = {
       val out = Seq.newBuilder[Tick]
-      rows.toSeq.sortBy(_.eventTime.getTime).foreach { r =>
-        val tick = align(r.eventTime.getTime)
+      // the emitted frontier: grid points at-or-below it are final
+      // (Append mode cannot retract), so the frontier never moves
+      // backward — a late reading whose tick was already emitted
+      // (observed or filled) is dropped rather than contradicted
+      val floor = if (last.exists()) last.get().lastTickMs else Long.MinValue
+      // one row per grid point per batch: the latest reading within a
+      // tick window wins (it is the freshest observation of that tick)
+      val perTick = rows.toSeq.sortBy(_.eventTime.getTime)
+        .map(r => (align(r.eventTime.getTime), r))
+        .filter { case (tick, _) => tick > floor }
+        .foldLeft(scala.collection.immutable.SortedMap.empty[Long, Reading]) {
+          case (acc, (tick, r)) => acc.updated(tick, r)
+        }
+      perTick.foreach { case (tick, r) =>
         out += Tick(key, new Timestamp(tick), r.value, filled = false)
+      }
+      perTick.lastOption.foreach { case (tick, r) =>
         last.update(Last(tick, r.value, 0))
       }
       if (last.exists()) armTimer(last.get().lastTickMs + tickMs)

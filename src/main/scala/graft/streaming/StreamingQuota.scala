@@ -24,13 +24,17 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
   * serialized whole-ledger blob per event, which is the point of the
   * newer API at scale (per-field state access + native TTL support).
   *
-  * Semantics (deterministic, replay-stable):
+  * Semantics:
   *  - Budget is per (sourceSystem, UTC event-time day): event time, not
-  *    arrival time, so a replayed/out-of-order stream charges the same
-  *    days and reaches the same decisions.
+  *    arrival time, decides which day a file is charged to.
   *  - Within a micro-batch, rows are charged in (eventTime, fileName)
   *    order — a total order, so admission does not depend on shuffle
-  *    arrival order.
+  *    arrival order, and replaying the SAME batches (Spark's
+  *    exactly-once recovery contract) reaches identical decisions.
+  *    Determinism is per-batch, not global: cross-batch arrival order
+  *    is an input to the decision — an early-eventTime file that only
+  *    ARRIVES after a later batch spent the day's budget is denied,
+  *    where a replay that batches it earlier would admit it.
   *  - A file is admitted iff its whole size fits the remaining budget
   *    (no partial admission); denied files consume NO budget, so one
   *    oversized file cannot starve later small ones.
@@ -80,7 +84,11 @@ object StreamingQuota {
         val day = utcDay(e.eventTime)
         val before =
           if (used.containsKey(day)) used.getValue(day) else 0L
-        val fits = e.sizeBytes >= 0 && before + e.sizeBytes <= quotaBytes
+        // overflow-safe: both operands of the subtraction are in
+        // [0, quotaBytes], so `quotaBytes - before` cannot wrap — the
+        // additive form (before + sizeBytes <= quota) would admit an
+        // adversarially huge sizeBytes via Long overflow
+        val fits = e.sizeBytes >= 0 && e.sizeBytes <= quotaBytes - before
         if (fits) used.updateValue(day, before + e.sizeBytes)
         out += Admission(key, day, e.fileName, e.sizeBytes, fits,
           if (fits) before + e.sizeBytes else before)

@@ -206,6 +206,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.Mp4Header.parse(v1).isEmpty)
   }
 
+  test("MP4: buffer ending in a bare mvhd/tkhd box header returns None") {
+    // the last 8 bytes form a complete box HEADER whose declared body
+    // runs past the buffer: the version-byte read must stay behind the
+    // length bound (pre-fix this threw ArrayIndexOutOfBounds from parse)
+    val ftyp = "000000146674797069736F6D000002006D703431"
+    assert(Multimodal.Mp4Header.parse(hx(ftyp + "0000006C6D766864")).isEmpty)
+    assert(Multimodal.Mp4Header.parse(hx(ftyp + "0000005C746B6864")).isEmpty)
+  }
+
   test("extractVideoMeta: parseable and unparseable rows, never task aborts") {
     val spark = TestSpark.spark
     import spark.implicits._

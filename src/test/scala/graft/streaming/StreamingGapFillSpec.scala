@@ -95,6 +95,41 @@ class StreamingGapFillSpec extends AnyFunSuite {
     assert(fills.size == 5, s"fill budget not enforced: ${fills.size}")
   }
 
+  test("an already-emitted grid point is never re-emitted or contradicted") {
+    // 60s grid: an ON-TIME event (10:05:45, above the 10:05:30
+    // watermark) aligns to tick 10:05:00 — a grid point already emitted
+    // as filled. Append mode cannot retract, so the reading must be
+    // dropped and the frontier must not rewind (pre-fix behavior
+    // re-emitted 10:05:00 observed AND repeated 10:05:00.. as fills).
+    val b1 = Seq(
+      Reading("k", ts("2024-03-05 10:00:30"), 1.0),
+      Reading("live", ts("2024-03-05 10:00:30"), 0.0))
+    val b2 = Seq(Reading("live", ts("2024-03-05 10:05:30"), 0.0))
+    val b3 = Seq(
+      Reading("k", ts("2024-03-05 10:05:45"), 99.0),
+      Reading("live", ts("2024-03-05 10:06:30"), 0.0))
+    val got = run(60L, 60, b1, b2, b3)
+    val kTicks = got.filter(_.key == "k")
+    val perGrid = kTicks.groupBy(_.tickTime)
+    assert(perGrid.values.forall(_.size == 1),
+      s"duplicate grid points: ${perGrid.filter(_._2.size > 1)}")
+    assert(!kTicks.exists(_.value == 99.0),
+      "a reading for an already-emitted grid point must be dropped")
+    val at6 = kTicks.find(_.tickTime == ts("2024-03-05 10:06:00"))
+    assert(at6.exists(t => t.filled && t.value == 1.0),
+      s"the grid must continue forward from the frontier: $kTicks")
+  }
+
+  test("two readings in one tick window yield one grid row, latest wins") {
+    val b1 = Seq(
+      Reading("k", ts("2024-03-05 10:00:10"), 1.0),
+      Reading("k", ts("2024-03-05 10:00:40"), 2.0))
+    val got = run(60L, 60, b1)
+    val kTicks = got.filter(_.key == "k")
+    assert(kTicks == Seq(Tick("k", ts("2024-03-05 10:00:00"), 2.0, false)),
+      s"expected one observed row carrying the latest reading: $kTicks")
+  }
+
   test("invalid parameters fail at plan time") {
     val source = MemoryStream[Reading](spark)
     intercept[IllegalArgumentException] {

@@ -115,6 +115,23 @@ class StreamingQuotaSpec extends AnyFunSuite {
     assert(got.forall(_.usedBytes == 10L))
   }
 
+  test("an adversarially huge sizeBytes cannot overflow the budget check") {
+    // pre-fix, before + sizeBytes wrapped negative for sizeBytes near
+    // Long.MaxValue, admitting the oversized file AND corrupting the
+    // ledger so everything after it was admitted too
+    val day = "2024-03-05"
+    val events = Seq(
+      FileEvent("sap", "a.pdf", 60L, ts(s"$day 01:00:00")),
+      FileEvent("sap", "huge.pdf", Long.MaxValue - 10L, ts(s"$day 02:00:00")),
+      FileEvent("sap", "b.pdf", 60L, ts(s"$day 03:00:00")))
+    val got = run(100L, 7, events).map(a => a.fileName -> a).toMap
+    assert(got("a.pdf").admitted && got("a.pdf").usedBytes == 60L)
+    assert(!got("huge.pdf").admitted && got("huge.pdf").usedBytes == 60L,
+      "overflow must not admit an oversized file")
+    assert(!got("b.pdf").admitted && got("b.pdf").usedBytes == 60L,
+      "ledger must stay exact after the oversized denial")
+  }
+
   test("invalid parameters fail at plan time") {
     val source = MemoryStream[FileEvent](spark)
     intercept[IllegalArgumentException] {
