@@ -72,6 +72,22 @@ object BloomKernels extends Serializable {
     true
   }
 
+  /** set() that also records the touched word indices — the streaming
+    * MapState path writes back only dirty words, so insertion cost is
+    * O(numHashes) state writes instead of a whole-filter rewrite.
+    */
+  def setDirty(words: Array[Long], hash: Long, numHashes: Int,
+               dirty: java.util.BitSet): Unit = {
+    val h2 = SketchKernels.splitmix64(hash) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val bit = probeIndex(hash, h2, i, words.length * 64)
+      words(bit >>> 6) |= (1L << (bit & 63))
+      dirty.set(bit >>> 6)
+      i += 1
+    }
+  }
+
   /** Plain-array probe (streaming state path — no InternalRow in sight). */
   def mightContain(words: Array[Long], hash: Long, numHashes: Int): Boolean = {
     val h2 = SketchKernels.splitmix64(hash) | 1L

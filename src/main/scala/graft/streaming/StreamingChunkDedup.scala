@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Streaming chunk-level exact dedup — the online twin of
   * [[graft.ext.Dedup.chunkDedup]]: each arriving document's fixed
@@ -19,12 +20,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * batch operator; the value is a fixed ~24-byte owner record, the key
   * lives in the state store's own hashtable). The first-owner decision
   * within a micro-batch is ordered by (eventTime, docId, idx) — the
-  * same deterministic, replay-stable "first" as the batch window. The
-  * TTL is a DEDUP WINDOW: an owner entry's clock refreshes every time
-  * its chunk is seen again (hot boilerplate stays deduplicated
-  * indefinitely), and idle chunks age out via event-time timeout so
-  * state is bounded by the distinct-chunk traffic of one TTL window,
-  * not by stream lifetime.
+  * same deterministic, replay-stable "first" as the batch window; a
+  * chunk's per-batch occurrence list is the only thing ever buffered,
+  * so per-task memory is bounded by the hottest single chunk, not by a
+  * shard of the trigger. The TTL is a DEDUP WINDOW: an owner entry's
+  * clock refreshes every time its chunk is seen again (hot boilerplate
+  * stays deduplicated indefinitely), and idle chunks age out so state
+  * is bounded by the distinct-chunk traffic of one TTL window, not by
+  * stream lifetime.
+  *
+  * Built on `transformWithState` with event-time timers: each live
+  * chunk arms ONE timer at its owner's expiry (`lastMs + ttlMs`);
+  * keep-alives re-arm it forward, and the expiry callback frees the
+  * state only if the window truly lapsed (purge-on-read additionally
+  * guards the data path, so a hot chunk whose timer lags can never
+  * resurrect an aged-out owner). The native TTLConfig is
+  * processing-time-based, which would break replay determinism — the
+  * event-time window is enforced explicitly instead.
   *
   * Emits one decision per chunk occurrence; reassembling retained text
   * (the batch operator's digest step) is a stateless downstream
@@ -45,6 +57,69 @@ object StreamingChunkDedup {
                                  ownerDoc: Long, ownerIdx: Int,
                                  eventTime: Timestamp)
 
+  private final class ChunkProcessor(ttlMs: Long)
+      extends StatefulProcessor[String, ChunkOccurrence, ChunkDecision] {
+
+    @transient private var owner: ValueState[ChunkOwner] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState[ChunkOwner]("owner",
+        Encoders.product[ChunkOwner], TTLConfig.NONE)
+
+    private def armTimer(at: Long): Unit = {
+      // one timer per chunk: drop whatever was armed before (materialize
+      // the listing first — deleting while the iterator is live is
+      // store-implementation-defined)
+      getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(at)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[ChunkOccurrence],
+                                 timers: TimerValues)
+        : Iterator[ChunkDecision] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      // purge-on-read: an owner past its dedup window must not claim
+      // chunks that arrive after it should have aged out
+      var cur: Option[ChunkOwner] =
+        if (owner.exists()) Some(owner.get()).filter(_.lastMs + ttlMs > wm)
+        else None
+      val sorted = rows.toSeq
+        .sortBy(o => (o.eventTime.getTime, o.docId, o.idx))
+      val out = sorted.map { o =>
+        cur match {
+          case Some(w) =>
+            // keep-alive: every sighting refreshes the window
+            cur = Some(w.copy(lastMs = math.max(w.lastMs, o.eventTime.getTime)))
+            val self = w.docId == o.docId && w.idx == o.idx
+            ChunkDecision(o.docId, o.idx, kept = self,
+              ownerDoc = w.docId, ownerIdx = w.idx, o.eventTime)
+          case None =>
+            cur = Some(ChunkOwner(o.docId, o.idx, o.eventTime.getTime))
+            ChunkDecision(o.docId, o.idx, kept = true,
+              ownerDoc = o.docId, ownerIdx = o.idx, o.eventTime)
+        }
+      }
+      val w = cur.get // sorted is non-empty, so the owner is set
+      owner.update(w)
+      armTimer(w.lastMs + ttlMs)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: String, timers: TimerValues,
+                                    info: ExpiredTimerInfo)
+        : Iterator[ChunkDecision] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      if (owner.exists()) {
+        val w = owner.get()
+        if (w.lastMs + ttlMs <= wm) owner.clear()
+        // a keep-alive moved the window past the armed expiry: re-arm
+        // at the refreshed deadline
+        else armTimer(w.lastMs + ttlMs)
+      }
+      Iterator.empty
+    }
+  }
+
   def dedup(docs: Dataset[DocText], chunkWords: Int = 8,
             watermarkDelay: String = "10 minutes",
             ttlMs: Long = 3600 * 1000L): Dataset[ChunkDecision] = {
@@ -63,43 +138,10 @@ object StreamingChunkDedup {
       .select(col("chunk"), col("docId"), col("idx"), col("eventTime"))
       .withWatermark("eventTime", watermarkDelay)
       .as[ChunkOccurrence]
-    implicit val eo = Encoders.product[ChunkDecision]
-    implicit val es = Encoders.product[ChunkOwner]
+    implicit val eo: Encoder[ChunkDecision] = Encoders.product[ChunkDecision]
     keyed
       .groupByKey(_.chunk)
-      .flatMapGroupsWithState[ChunkOwner, ChunkDecision](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_, rows, state: GroupState[ChunkOwner]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            val wm = state.getCurrentWatermarkMs()
-            // purge-on-read: an owner past its dedup window must not
-            // claim chunks that arrive after it should have aged out
-            var owner = state.getOption.filter(_.lastMs + ttlMs > wm)
-            val sorted = rows.toSeq
-              .sortBy(o => (o.eventTime.getTime, o.docId, o.idx))
-            val out = sorted.map { o =>
-              owner match {
-                case Some(w) =>
-                  // keep-alive: every sighting refreshes the window
-                  owner = Some(w.copy(lastMs = math.max(w.lastMs, o.eventTime.getTime)))
-                  val self = w.docId == o.docId && w.idx == o.idx
-                  ChunkDecision(o.docId, o.idx, kept = self,
-                    ownerDoc = w.docId, ownerIdx = w.idx, o.eventTime)
-                case None =>
-                  owner = Some(ChunkOwner(o.docId, o.idx, o.eventTime.getTime))
-                  ChunkDecision(o.docId, o.idx, kept = true,
-                    ownerDoc = o.docId, ownerIdx = o.idx, o.eventTime)
-              }
-            }
-            val w = owner.get // sorted is non-empty, so owner is set
-            state.update(w)
-            // never at/below the watermark (Spark rejects that)
-            state.setTimeoutTimestamp(math.max(w.lastMs + ttlMs, wm + 1))
-            out.iterator
-          }
-      }
+      .transformWithState(new ChunkProcessor(ttlMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

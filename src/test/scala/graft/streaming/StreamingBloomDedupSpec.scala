@@ -14,15 +14,16 @@ class StreamingBloomDedupSpec extends AnyFunSuite {
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
   private val t0 = "2024-03-05 10:00:00"
 
-  private def run(name: String)(batches: Seq[Seq[DocKey]]): Seq[Decision] = {
-    val source = MemoryStream[DocKey](spark)
-    val q = StreamingBloomDedup.dedup(source.toDS())
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
-    q.stop()
-    spark.table(name).as[Decision].collect().toSeq
-  }
+  private def run(name: String)(batches: Seq[Seq[DocKey]]): Seq[Decision] =
+    RocksDbTestSupport.withRocksDb(spark) {
+      val source = MemoryStream[DocKey](spark)
+      val q = StreamingBloomDedup.dedup(source.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[Decision].collect().toSeq
+    }
 
   test("one-sided error: a re-sent key is NEVER flagged new, across batches") {
     val out = run("bloom_dedup_resend")(Seq(
@@ -53,6 +54,10 @@ class StreamingBloomDedupSpec extends AnyFunSuite {
   }
 
   test("rotating variant: recent keys caught, ancient keys forgotten by design") {
+    RocksDbTestSupport.withRocksDb(spark)(rotatingScenario())
+  }
+
+  private def rotatingScenario(): Unit = {
     val source = MemoryStream[DocKey](spark)
     // shardBits=0 -> one shard, rotateAfter=4 -> tiny generations
     val q = StreamingBloomDedup.dedupRotating(source.toDS(),
@@ -82,6 +87,76 @@ class StreamingBloomDedupSpec extends AnyFunSuite {
     assert(byDoc(20L) == false, "previous-generation key escaped")
     assert(byDoc(40L) == true, "ancient key was not forgotten")
     assert((0L to 3L).forall(byDoc(_)) && (10L to 12L).forall(byDoc(_)))
+  }
+
+  test("champion pass is lazy: 2M rows stream through O(distinct-new) memory") {
+    // the per-shard batch slice is never materialized: feed a 2M-row
+    // LAZY iterator of 100 distinct keys and watch (a) consumption stay
+    // streaming (max in-flight gap between produced and consumed is 1)
+    // and (b) the pending map stay bounded by the distinct-key count —
+    // the old formulation's rows.toSeq.sortBy would have buffered all
+    // 2M rows in heap before emitting anything
+    import scala.collection.mutable
+    val n = 2_000_000
+    var produced = 0L
+    var consumed = 0L
+    var maxGap = 0L
+    val rows = Iterator.tabulate(n) { i =>
+      produced += 1
+      StreamingBloomDedup.KeyedDoc(0, (i % 100).toLong, i.toLong,
+        ts(t0))
+    }
+    val pending = mutable.HashMap.empty[Long, StreamingBloomDedup.KeyedDoc]
+    val out = StreamingBloomDedup.championPass(rows, _ => false, pending)
+    var maxPending = 0
+    while (out.hasNext) {
+      out.next()
+      consumed += 1
+      maxGap = math.max(maxGap, produced - consumed)
+      maxPending = math.max(maxPending, pending.size)
+    }
+    // every non-champion occurrence is emitted (champions are withheld
+    // for the caller's tail pass)
+    assert(consumed == n - 100)
+    assert(pending.size == 100)
+    assert(maxPending <= 100, s"pending grew past distinct keys: $maxPending")
+    // champion stealing buffers at most the withheld champions — the
+    // produced-vs-consumed gap must stay O(distinct), not O(rows)
+    assert(maxGap <= 101, s"pass buffered rows: gap $maxGap")
+  }
+
+  test("soak: heavily duplicated batches are exact and deterministic") {
+    // one shard (worst case concentration): 3 batches x 20k rows over
+    // 1k distinct keys; decision content must be exact — every key new
+    // exactly once (champion = min (eventTime, docId)), all later
+    // occurrences caught
+    val source = MemoryStream[DocKey](spark)
+    val out = RocksDbTestSupport.withRocksDb(spark) {
+      val q = StreamingBloomDedup.dedup(source.toDS(), shardBits = 0,
+          bitsPerShard = 1 << 17)
+        .writeStream.format("memory").queryName("bloom_soak")
+        .outputMode("append").start()
+      (0 until 3).foreach { b =>
+        val rows = (0 until 20000).map { i =>
+          val k = (b * 20000 + i) % 3000  // keys 0..2999, heavy repeats
+          DocKey((b * 20000 + i).toLong, s"key-$k",
+            ts(f"2024-03-05 10:0$b%d:00"))
+        }
+        source.addData(rows: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      spark.table("bloom_soak").as[Decision].collect().toSeq
+    }
+    assert(out.size == 60000)
+    val newOnes = out.filter(_.definitelyNew)
+    // 3000 distinct keys ever -> exactly 3000 new (zero FPs at this fill)
+    assert(newOnes.size == 3000, s"got ${newOnes.size} new")
+    // champion determinism: the flagged docId is the MINIMUM docId among
+    // the key's occurrences in its first batch (eventTime ties there)
+    val champions = newOnes.map(_.docId).toSet
+    val expected = (0 until 3000).map(_.toLong).toSet  // batch 0: docId = i for key i%3000... first occurrence of key k is docId k
+    assert(champions == expected, "champion attribution not deterministic")
   }
 
   test("null key / null eventTime rows are dropped, not NPE'd") {

@@ -24,7 +24,11 @@ class StreamingMinhashDedupSpec extends AnyFunSuite {
     .map(i => if (i == 20) "edited" else s"tok$i").mkString(" ")
   private val unrelated = (0 until 40).map(i => s"zzz$i").mkString(" ")
 
-  test("cross-batch near-dup hits in the jaccard regime; TTL purges old docs") {
+  /** transformWithState needs the RocksDB provider — scope it per test. */
+  private def rtest(name: String)(body: => Any): Unit =
+    test(name)(RocksDbTestSupport.withRocksDb(spark)(body))
+
+  rtest("cross-batch near-dup hits in the jaccard regime; TTL purges old docs") {
     val source = MemoryStream[DocText](spark)
     val hits = StreamingMinhashDedup.detect(source.toDS(),
       n = 3, threshold = 0.7, watermarkDelay = "10 minutes",
@@ -64,7 +68,7 @@ class StreamingMinhashDedupSpec extends AnyFunSuite {
     assert(math.abs(ests.head - 35.0 / 41.0) < 0.12)
   }
 
-  test("bounded state: maxBucketEntries evicts oldest; identical docs estimate 1.0") {
+  rtest("bounded state: maxBucketEntries evicts oldest; identical docs estimate 1.0") {
     val source = MemoryStream[DocText](spark)
     val hits = StreamingMinhashDedup.detect(source.toDS(),
       n = 3, threshold = 0.7, watermarkDelay = "10 minutes",

@@ -114,7 +114,8 @@ class TrackerSourcesSpec extends AnyFunSuite {
     assert(stateRows.last == 1L || stateRows.last == 0L) // sentinel only
   }
 
-  test("streaming simhash dedup: online hits, cross-chunk dedup, TTL expiry") {
+  test("streaming simhash dedup: online hits, cross-chunk dedup, TTL expiry")(
+      RocksDbTestSupport.withRocksDb(spark) {
     import StreamingDedup.{DocEvent, NearDupHit}
     val source = MemoryStream[DocEvent](spark)
     // raw hit stream: duplicate-tolerant by contract (one hit per
@@ -148,7 +149,7 @@ class TrackerSourcesSpec extends AnyFunSuite {
     val got = spark.table("sdedup_out").as[NearDupHit].collect()
       .map(h => (h.docId, h.matchedId, h.hamming)).toSet
     assert(got == Set((2L, 1L, 1), (4L, 1L, 0), (4L, 2L, 1)))
-  }
+  })
 
   test("file monitor source streams new files through the pattern filter") {
     val dir = Files.createTempDirectory("graft-files")
