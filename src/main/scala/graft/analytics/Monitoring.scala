@@ -63,6 +63,50 @@ object Monitoring {
     df.observe(name, counters.head, counters.tail: _*)
   }
 
+  /** The `for:` clause of the reference's alert rules
+    * (k8s/monitoring/alerts.yaml:40-49: "depth > 10 FOR 10 m") as a
+    * batch operator: windowed-aggregate breach runs that held for at
+    * least `holdWindows` CONSECUTIVE windows. Gaps-and-islands on the
+    * integer window index — `widx - row_number()` is constant exactly
+    * while consecutive windows all breach, and an ABSENT window breaks
+    * the run (no data is not evidence of breach). Returns one row per
+    * qualifying island: (key, held_from, held_to, n_windows, peak).
+    *
+    * Scale shape: one shuffle for the windowed aggregate (map-side
+    * partials), one more for the per-(key, breach) window ranking —
+    * both keyed on the alert key, whose cardinality is small by
+    * construction (it is an alert dimension), plus windows are already
+    * 3-4 orders of magnitude fewer than events. The island grouping
+    * never touches raw events.
+    *
+    * `events` needs (key STRING, ts TIMESTAMP, metric DOUBLE);
+    * breach = windowed avg(metric) >= threshold.
+    */
+  def heldFor(events: DataFrame, windowSeconds: Long, threshold: Double,
+              holdWindows: Int): DataFrame = {
+    require(windowSeconds > 0 && holdWindows >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val w = events
+      .groupBy(col("key"),
+        floor(unix_timestamp(col("ts")) / windowSeconds).as("widx"))
+      .agg(avg(col("metric")).as("avg_metric"))
+      .withColumn("breach", col("avg_metric") >= lit(threshold))
+    val run = Window.partitionBy(col("key"), col("breach"))
+      .orderBy(col("widx"))
+    w.withColumn("grp", col("widx") - row_number().over(run))
+      .where(col("breach"))
+      .groupBy(col("key"), col("grp"))
+      .agg(
+        timestamp_seconds(min(col("widx")) * windowSeconds)
+          .as("held_from"),
+        timestamp_seconds((max(col("widx")) + 1) * windowSeconds)
+          .as("held_to"),
+        count(lit(1)).as("n_windows"),
+        round(max(col("avg_metric")), 4).as("peak"))
+      .where(col("n_windows") >= holdWindows)
+      .drop("grp")
+  }
+
   /** DLQ depth per window (alerts.yaml:40-49: depth > 10 for 10 m). */
   def dlqDepth(dlq: DataFrame, window_ : String = "10 minutes",
                watermark: String = "1 minute"): DataFrame =

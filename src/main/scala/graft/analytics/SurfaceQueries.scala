@@ -721,5 +721,47 @@ object SurfaceQueries {
                CAST(ascii(p_name) AS INT) AS first_code,
                chr(65 + CAST(p_size % 26 AS INT)) AS size_letter,
                rpad(p_type, 10, '.') AS type_padded
-        FROM part ORDER BY p_partkey""")))
+        FROM part ORDER BY p_partkey""")),
+
+    // q119: the `for:` clause of the reference's alert rules
+    // (k8s/monitoring/alerts.yaml:40-49 "depth > 10 FOR 10 m") as a
+    // batch operator — breach runs over CONSECUTIVE 15-minute windows
+    // held for >= 2 windows, via gaps-and-islands on the integer window
+    // index (an absent window breaks the run). Two keyed shuffles, both
+    // on the post-aggregation window table (3-4 orders of magnitude
+    // smaller than events); the streaming twin is
+    // [[graft.streaming.StreamingHeldAlert]].
+    GraftQuery(
+      "q119_held_alert",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Monitoring.heldFor(
+            t.events.select(col("event_type").as("key"), col("ts"),
+                            col("value").as("metric")),
+            windowSeconds = 900L, threshold = 55.0, holdWindows = 2)
+          .select(col("key").as("event_type"),
+                  unix_timestamp(col("held_from")).as("held_from_sec"),
+                  unix_timestamp(col("held_to")).as("held_to_sec"),
+                  col("n_windows"), col("peak"))
+          .orderBy(col("event_type"), col("held_from_sec"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT event_type, CAST(FLOOR(epoch(ts)/900) AS BIGINT) AS widx,
+                 avg("value") AS avg_metric
+          FROM events GROUP BY 1, 2),
+        isl AS (
+          SELECT *, (avg_metric >= 55.0) AS breach,
+                 widx - row_number() OVER (
+                   PARTITION BY event_type, (avg_metric >= 55.0)
+                   ORDER BY widx) AS grp
+          FROM w)
+        SELECT event_type,
+               min(widx) * 900 AS held_from_sec,
+               (max(widx) + 1) * 900 AS held_to_sec,
+               count(*) AS n_windows,
+               round(max(avg_metric), 4) AS peak
+        FROM isl WHERE breach GROUP BY event_type, grp
+        HAVING count(*) >= 2
+        ORDER BY event_type, held_from_sec""")))
 }
