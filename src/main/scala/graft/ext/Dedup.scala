@@ -75,7 +75,19 @@ object Dedup {
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold via a shingle inverted
     * index: explode shingles → self-join on shingle → count = |A∩B| →
-    * join sizes → filter. The join key is the shingle, so the self-join
+    * join sizes → filter.
+    *
+    * ==WARNING: the DEFAULT is unbounded==
+    * With no `maxDocFreq` the candidate fan-out is QUADRATIC in the
+    * hottest shingle's document frequency — one boilerplate header
+    * shared by 10^6 docs contributes 10^12 join rows. Do not run the
+    * default on a corpus whose shingle df distribution you have not
+    * checked: set `maxDocFreq` (bounded, slightly conservative
+    * jaccard), or use [[minhashPairs]] (the LSH-bounded scale path).
+    * The unbounded default exists only to preserve the exactness
+    * contract for small or known-clean corpora.
+    *
+    * The join key is the shingle, so the self-join
     * is QUADRATIC in the hottest shingle's document frequency — one
     * boilerplate shingle shared by f docs contributes f² candidate rows.
     * `maxDocFreq` caps that (the same MOSS move as [[winnowPairs]]): a
