@@ -763,5 +763,81 @@ object SurfaceQueries {
                round(max(avg_metric), 4) AS peak
         FROM isl WHERE breach GROUP BY event_type, grp
         HAVING count(*) >= 2
-        ORDER BY event_type, held_from_sec""")))
+        ORDER BY event_type, held_from_sec""")),
+
+    // q120: deterministic hash-bucket train/val/test split — the
+    // at-scale stratified-split operator (salted md5 bucket threshold;
+    // purely map-side, zero shuffle, fractions hold in expectation per
+    // stratum). The leakage-safe cluster-level split is q85; this is
+    // the independent-row split every experiment re-deals with a seed.
+    GraftQuery(
+      "q120_hash_split",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        graft.ext.Dedup.hashSplit(
+            t.documents.select(col("doc_id"), col("lang")), col("doc_id"))
+          .select(col("doc_id"), col("lang"), col("split"),
+                  col("bucket").cast("long").as("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id, lang,
+                 ((strpos('0123456789abcdef', substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) AS bucket
+          FROM documents)
+        SELECT doc_id, lang,
+               CASE WHEN bucket < 52428 THEN 'train'
+                    WHEN bucket < 58982 THEN 'val' ELSE 'test' END AS split,
+               CAST(bucket AS BIGINT) AS bucket
+        FROM h ORDER BY doc_id""")),
+
+    // q121: window-function breadth round 3 — time-INTERVAL RANGE
+    // frames (the frame type q54's numeric epoch range cannot spell)
+    // and IGNORE NULLS navigation: last_value forward-fill (the window
+    // form of LOCF) and first_value-over-following (next non-null).
+    // All keyed windows — no single-partition sort. (ts, user_id) is
+    // unique in the testdata, so the RANGE ordering is deterministic.
+    GraftQuery(
+      "q121_interval_frames",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.events.createOrReplaceTempView("events_ivl_v")
+        spark.sql("""
+          WITH e AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN event_type <> 'view' THEN value END AS metric
+            FROM events_ivl_v)
+          SELECT user_id, event_id,
+                 CAST(count(metric) OVER w1h AS BIGINT) AS n_metric_1h,
+                 round(last_value(metric) IGNORE NULLS OVER wff, 4) AS locf,
+                 round(first_value(metric) IGNORE NULLS OVER wlead, 4) AS next_metric
+          FROM e
+          WINDOW w1h AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+                 wff AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wlead AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+          ORDER BY user_id, event_id""")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN event_type <> 'view' THEN "value" END AS metric
+          FROM events)
+        SELECT user_id, event_id,
+               CAST(count(metric) OVER w1h AS BIGINT) AS n_metric_1h,
+               round(last_value(metric IGNORE NULLS) OVER wff, 4) AS locf,
+               round(first_value(metric IGNORE NULLS) OVER wlead, 4) AS next_metric
+        FROM e
+        WINDOW w1h AS (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+               wff AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wlead AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        ORDER BY user_id, event_id""")))
 }

@@ -638,6 +638,42 @@ object Dedup {
           "train").otherwise("eval"))
   }
 
+  /** Deterministic hash-bucket train/val/test split — the OTHER split
+    * operator next to [[leakageSplit]]: where that one randomizes at
+    * near-dup-cluster granularity (leakage safety), this one assigns
+    * each row independently by a salted md5 bucket, the standard
+    * at-scale stratified split. Purely map-side: no shuffle, no
+    * per-stratum ranking, no driver state — fractions hold in
+    * expectation per stratum because the hash is uniform and
+    * independent of every stratum variable. (An EXACT-count per-stratum
+    * split needs a per-stratum rank — a window sort concentrating each
+    * stratum on one task, the wrong default at 100 TB; this is why
+    * hash-threshold is the production norm.)
+    *
+    * The salt makes splits independent across experiments: a different
+    * `seed` re-deals every row. Buckets are the first 4 hex digits of
+    * md5(seed ":" id) — 65536 cells, thresholds at
+    * floor(trainFrac·65536) and floor((trainFrac+valFrac)·65536).
+    *
+    * Output: input columns + (bucket INT, split STRING).
+    */
+  def hashSplit(docs: DataFrame, id: Column, seed: String = "split1",
+                trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      "fractions must satisfy 0 < train, 0 <= val, train + val < 1")
+    val cells = 65536L
+    val trainCut = (trainFrac * cells).toLong
+    val valCut = ((trainFrac + valFrac) * cells).toLong
+    val bucket =
+      conv(substring(md5(concat(lit(seed + ":"), id.cast("string"))), 1, 4),
+        16, 10).cast("int")
+    docs.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainCut, "train")
+          .when(col("bucket") < valCut, "val")
+          .otherwise("test"))
+  }
+
   /** Substring-level duplication signal (the regime document-level dedup
     * misses — boilerplate headers, license blocks, templated spans): for
     * each document, how many of its word 8-grams occur in at least one

@@ -173,4 +173,41 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(0).getLong(3) == 5L)
     assert(out(1).getLong(3) == 5L)
   }
+
+  // --------------------------------------------------------------- q120
+
+  test("hashSplit: deterministic, partitioning-invariant, fractions in expectation") {
+    val docs = (0L until 4000L).map(i => (i, s"lang${i % 5}"))
+      .toDF("doc_id", "lang")
+    def run(parts: Int) = Dedup.hashSplit(docs.repartition(parts),
+        col("doc_id"))
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = run(1)
+    val b = run(17)
+    // assignment is a pure row function: layout cannot change any split
+    assert(a == b)
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 4000.0)
+    assert(math.abs(frac("train") - 0.8) < 0.03, s"train ${frac("train")}")
+    assert(math.abs(frac("val") - 0.1) < 0.02, s"val ${frac("val")}")
+    assert(math.abs(frac("test") - 0.1) < 0.02, s"test ${frac("test")}")
+    // a different seed re-deals: the two assignments must disagree on a
+    // nontrivial fraction of rows (independence across experiments)
+    val c = Dedup.hashSplit(docs, col("doc_id"), seed = "split2")
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val moved = a.count { case (id, sp) => c(id) != sp }
+    assert(moved > 800, s"only $moved rows re-dealt by a new seed")
+    // per-stratum independence: every lang keeps ~the global fractions
+    val byLang = Dedup.hashSplit(docs, col("doc_id"))
+      .groupBy(col("lang"), col("split")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    (0 until 5).foreach { l =>
+      val tr = byLang.getOrElse((s"lang$l", "train"), 0L)
+      assert(math.abs(tr / 800.0 - 0.8) < 0.05, s"lang$l train $tr/800")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.hashSplit(docs, col("doc_id"), trainFrac = 0.9, valFrac = 0.2)
+    }
+  }
 }
