@@ -839,5 +839,43 @@ object SurfaceQueries {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                wlead AS (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
-        ORDER BY user_id, event_id""")))
+        ORDER BY user_id, event_id""")),
+
+    // q122: per-vertex triangle counts on the part co-purchase graph
+    // (parts sharing an order). The Spark plan uses degree-ordered
+    // orientation (wedge fan-out capped at O(sqrt(m)) per vertex, no
+    // hot-key quadratic blowup — see Graph.triangleCounts scaladoc);
+    // the oracle uses the straightforward u<v three-way join —
+    // orientation changes enumeration, never the answer. Edge build is
+    // a per-order self-join, bounded by order size.
+    GraftQuery(
+      "q122_triangle_counts",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+        val edges = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        // the part co-purchase edge set is dimension-sized (~1M edges
+        // at sf0.1) — broadcast the closing edge set so the O(m^1.5)
+        // wedge stream is filtered map-side instead of shuffled; a
+        // web-scale edge list would leave the default
+        graft.ext.Graph.triangleCounts(edges, broadcastClose = true)
+          .orderBy(col("node"))
+      },
+      Some("""
+        WITH edges AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        tri AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM edges e1
+            JOIN edges e2 ON e1.v = e2.u
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        GROUP BY node ORDER BY node""")))
 }

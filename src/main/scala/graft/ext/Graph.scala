@@ -106,4 +106,95 @@ object Graph {
     }
     rank.select(col("node"), col("r").as("rank_pico"))
   }
+
+  /** Per-vertex triangle counts over an undirected edge list — the
+    * clustering-coefficient numerator, and the third graph primitive
+    * next to PageRank and the [[Dedup]] connected components.
+    *
+    * Skew is the whole problem in distributed triangle counting: the
+    * naive wedge join fans out quadratically in the HOTTEST vertex's
+    * degree (a celebrity hub with degree 10^6 yields 10^12 wedges).
+    * This uses the degree-ordered orientation (the Suri &
+    * Vassilvitskii MapReduce formulation, also Latapy's compact-
+    * forward): orient every edge from its lower (degree, id) endpoint
+    * to the higher, enumerate wedges only at each triangle's
+    * minimum-ordered vertex, and close them with one semi-check
+    * against the oriented edge set. Oriented out-degree is bounded by
+    * O(√m) REGARDLESS of the degree distribution, so wedge fan-out is
+    * O(m^1.5) worst-case with no hot key — each shuffle key's load is
+    * capped by construction, which is exactly the property a 100 TB
+    * graph needs. Joins are all on single vertex keys; nothing is
+    * ever materialized per-pair beyond the wedge stream.
+    *
+    * The orientation changes only the ENUMERATION, not the answer:
+    * the triangle set (and so every per-vertex count) is identical to
+    * the unordered u<v formulation an oracle computes.
+    *
+    * Input: (src, dst) in either or both directions; self-loops and
+    * duplicate edges are removed. Output: (node, n_triangles) for
+    * every vertex in at least one triangle.
+    *
+    * The degree table rides BROADCAST joins unconditionally (it is
+    * node-sized, not edge-sized — same policy as [[pageRank]]'s).
+    * `broadcastClose` additionally broadcasts the ORIENTED EDGE SET to
+    * the wedge-closing semi join, so the wedge stream — the largest
+    * intermediate by an order of magnitude, O(m^1.5) rows — is
+    * filtered map-side and never shuffled. Right whenever the edge
+    * list fits an executor (tens of millions of edges); leave it off
+    * for web-scale edge sets, where the shuffled semi join is the
+    * textbook scale-out.
+    */
+  def triangleCounts(edges: DataFrame,
+                     broadcastClose: Boolean = false): DataFrame = {
+    // canonical undirected edge set (u < v), self-loops dropped
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+              greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") < col("v"))
+      .distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // orient u→v iff (d_u, u) < (d_v, v); carry the head's (d, id) so
+    // the wedge join can order its two heads without re-joining degrees
+    val oriented = und
+      .join(broadcast(deg.withColumnRenamed("node", "u")
+        .withColumnRenamed("d", "du")), "u")
+      .join(broadcast(deg.withColumnRenamed("node", "v")
+        .withColumnRenamed("d", "dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("t"), col("v").as("h"), col("dv").as("dh")))
+          .otherwise(
+            struct(col("v").as("t"), col("u").as("h"), col("du").as("dh")))
+          .as("e"))
+      .select(col("e.t").as("tail"), col("e.h").as("head"),
+              col("e.dh").as("dhead"))
+      // the oriented edge set feeds BOTH wedge sides and the closing
+      // semi join; without truncation the whole edge derivation
+      // (upstream self-joins, distinct, degree census) replays once per
+      // consumer — measured 36 parquet scans and zero exchange reuse on
+      // the co-purchase graph. One materialization, same policy as
+      // [[pageRank]]'s broadcast mode.
+      .localCheckpoint()
+    // wedges at the minimum-ordered vertex: two out-edges (tail→b,
+    // tail→c) with b before c in orientation order — each triangle
+    // produces exactly ONE wedge + one closing edge b→c
+    val closed = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.tail") === col("e2.tail") &&
+          (col("e1.dhead") < col("e2.dhead") ||
+           (col("e1.dhead") === col("e2.dhead") &&
+            col("e1.head") < col("e2.head"))))
+      .select(col("e1.tail").as("a"), col("e1.head").as("b"),
+              col("e2.head").as("c"))
+      .join({
+          val close = oriented.select(col("tail").as("b"), col("head").as("c"))
+          if (broadcastClose) broadcast(close) else close
+        },
+        Seq("b", "c"), "left_semi")
+    closed
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -49,4 +49,44 @@ class GraphSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ranksWith(2) == ranksWith(13))
   }
+
+  // ------------------------------------------------------- triangleCounts
+
+  test("triangleCounts: K4, pendant path, and a triangle-free star") {
+    // K4 on {0,1,2,3}: every vertex is in C(3,2)=3 triangles; vertex 4
+    // hangs off 0 (no triangle); star 10-(11,12,13) is triangle-free
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val edges = undirected(k4 ++ Seq((0L, 4L), (10L, 11L), (10L, 12L),
+      (10L, 13L)): _*)
+    val got = Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+      s"unexpected counts: $got")
+  }
+
+  test("triangleCounts: duplicate edges, self-loops, and one-directional input") {
+    // one-directional edges with duplicates and a self-loop must count
+    // the single triangle {1,2,3} exactly once per vertex
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L), (1L, 3L),
+      (3L, 3L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: hub-heavy graph is exact and partition-invariant") {
+    // wheel graph: hub 0 + cycle 1..12 — the degree-ordered orientation
+    // must not miscount at the hub: every one of the 12 triangles runs
+    // through it, and each rim vertex sits in exactly the 2 triangles
+    // formed with its two cycle neighbours (12 + 12*2 = 3*12 incidences)
+    val rim = (1L to 12L).map(i => (i, if (i == 12L) 1L else i + 1))
+    val spokes = (1L to 12L).map(i => (0L, i))
+    def run(parts: Int) =
+      Graph.triangleCounts(undirected((rim ++ spokes): _*).repartition(parts))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(1)
+    assert(got(0L) == 12L)
+    assert((1L to 12L).forall(i => got(i) == 2L), s"rim counts off: $got")
+    assert(got == run(7))
+  }
 }
