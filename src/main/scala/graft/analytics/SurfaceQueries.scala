@@ -877,5 +877,46 @@ object SurfaceQueries {
           SELECT a AS node FROM tri
           UNION ALL SELECT b FROM tri
           UNION ALL SELECT c FROM tri)
-        GROUP BY node ORDER BY node""")))
+        GROUP BY node ORDER BY node""")),
+
+    // q123: training-mixture resampling — the largest corpus matching a
+    // target source mixture exactly (integer-exact feasibility
+    // T = min_s floor(cnt_s*W/w_s), per-source take of the lowest-md5
+    // needed_s docs). Weights derived from the source id so the mixture
+    // is non-uniform; every step is integer arithmetic, so both engines
+    // agree bit-for-bit. The sibling of q120 (rate-based) and q55
+    // (per-stratum bottom-k sampling).
+    GraftQuery(
+      "q123_mixture_resample",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        graft.ext.TextAnalysis.mixtureTake(
+            t.documents, col("doc_id"), col("source"),
+            substring(col("source"), 4, 10).cast("int") % 4 + 1)
+          .select(col("doc_id"), col("source"), col("rk").cast("long")
+                    .as("rk"), col("needed"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, source,
+                 CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS BIGINT) AS w
+          FROM documents),
+        per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS cnt, min(w) AS w
+          FROM base GROUP BY source),
+        tot AS (SELECT sum(w) AS bigw FROM per),
+        tsel AS (SELECT min((cnt * bigw) // w) AS t FROM per, tot),
+        needs AS (
+          SELECT source, CAST((w * t) // bigw AS BIGINT) AS needed
+          FROM per, tot, tsel),
+        ranked AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM base)
+        SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk, n.needed
+        FROM ranked r JOIN needs n USING (source)
+        WHERE r.rk <= n.needed
+        ORDER BY r.doc_id""")))
 }

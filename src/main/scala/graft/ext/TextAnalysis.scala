@@ -450,4 +450,44 @@ object TextAnalysis {
       .withColumn("is_repetitive",
         col("top_2gram_frac") > maxTop2 || col("dup_3gram_frac") > maxDup3)
   }
+
+  /** Training-mixture resampling: take the LARGEST corpus that matches a
+    * target source mixture exactly, integer-exact and deterministic.
+    * Given per-source weights w_s (unnormalized), the feasible total is
+    * T = min_s floor(count_s * W / w_s) (W = sum of weights) — the size
+    * at which the scarcest source is exhausted — and each source
+    * contributes its needed_s = floor(w_s * T / W) lowest-(md5, id)
+    * documents. All arithmetic is integer (no normalized fractions, no
+    * float thresholds), so the selection is bit-stable across engines
+    * and partitionings; the md5 ranking makes it layout-independent and
+    * re-dealable (salt the id upstream for a different draw).
+    *
+    * Scale shape: one tiny per-source aggregate (broadcast back), one
+    * per-source ranking window. Sources are mixture dimensions —
+    * dozens, not millions — but each source's rows DO sort on one task
+    * here; at corpus scales where a single source outgrows a task, take
+    * the rate-based [[graft.ext.Dedup.hashSplit]]-style threshold
+    * instead (fractions in expectation) or range-partition the rank.
+    *
+    * Output: input columns + (rk, needed) for the selected rows only.
+    */
+  def mixtureTake(docs: DataFrame, id: Column, source: Column,
+                  weight: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(id.as("doc_id"), source.as("source"),
+      weight.cast("long").as("w"))
+    val per = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("cnt"), first(col("w")).as("w"))
+    val w0 = per.agg(sum(col("w")).as("bigw"))
+    val t0 = per.crossJoin(broadcast(w0))
+      .agg(min(expr("(cnt * bigw) div w")).as("t"))
+    val needs = per.crossJoin(broadcast(w0)).crossJoin(broadcast(t0))
+      .select(col("source"), expr("(w * t) div bigw").as("needed"))
+    val rk = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    base.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(rk))
+      .join(broadcast(needs), "source")
+      .where(col("rk") <= col("needed"))
+  }
 }
