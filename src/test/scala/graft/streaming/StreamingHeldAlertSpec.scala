@@ -178,6 +178,38 @@ class StreamingHeldAlertSpec extends AnyFunSuite {
       s"streaming fired $fired, batch islands $batchIslands")
   }
 
+  rtest("soak: 1e4 keys fire and resolve exactly once; state is bounded") {
+    val n = 10000
+    val source = MemoryStream[Eval](spark)
+    val out = StreamingHeldAlert.alerts(source.toDS(), windowSeconds = 60L,
+      threshold = 10.0, holdWindows = 3, resolveAfterWindows = 100,
+      watermarkDelay = Some("0 seconds"))
+    val q = out.writeStream.format("memory")
+      .queryName("held_soak").outputMode("append").start()
+    // three breaching windows for every key (split across two batches,
+    // out of key order), then a clearing window for the even keys
+    source.addData((0 until n).map(k => Eval(s"k$k", w(0), 12.0)): _*)
+    q.processAllAvailable()
+    source.addData((0 until n).flatMap(k =>
+      Seq(Eval(s"k$k", w(1), 12.0), Eval(s"k$k", w(2), 12.0))): _*)
+    q.processAllAvailable()
+    source.addData((0 until n by 2).map(k => Eval(s"k$k", w(3), 1.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("held_soak").as[Transition].collect()
+    val fired = got.filter(_.phase == "FIRING")
+    val resolved = got.filter(_.phase == "RESOLVED")
+    assert(fired.length == n, s"fired ${fired.length}")
+    assert(fired.forall(t => t.since == w(0) && t.at == w(2)))
+    assert(resolved.length == n / 2, s"resolved ${resolved.length}")
+    assert(resolved.forall(t => t.at == w(3) && t.key.drop(1).toInt % 2 == 0))
+    // state: one fixed-size run record per key, nothing per-window
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal)
+    assert(stateRows.nonEmpty && stateRows.max <= n.toLong,
+      s"state not bounded by keys: ${stateRows.max}")
+  }
+
   rtest("invalid parameters fail at plan time") {
     val source = MemoryStream[Eval](spark)
     intercept[IllegalArgumentException] {
