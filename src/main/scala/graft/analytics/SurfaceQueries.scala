@@ -918,5 +918,80 @@ object SurfaceQueries {
         SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk, n.needed
         FROM ranked r JOIN needs n USING (source)
         WHERE r.rk <= n.needed
-        ORDER BY r.doc_id""")))
+        ORDER BY r.doc_id""")),
+
+    // q124: array set algebra as a query surface — intersect, union
+    // (distinct concat), difference via a HOF filter, all explicitly
+    // sorted before emission because set-op result ORDER is
+    // engine-defined. Per-row map work only: zero shuffles.
+    GraftQuery(
+      "q124_array_set_algebra",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.documents.createOrReplaceTempView("documents_arr_v")
+        spark.sql("""
+          WITH t AS (
+            SELECT doc_id,
+                   array_distinct(split(text, ' ')) AS words,
+                   array_distinct(filter(split(text, ' '),
+                     w -> length(w) >= 6)) AS lw,
+                   array_distinct(filter(split(text, ' '),
+                     w -> w LIKE '%e%')) AS ew
+            FROM documents_arr_v)
+          SELECT doc_id,
+                 CAST(size(words) AS BIGINT) AS n_words,
+                 array_sort(array_intersect(lw, ew)) AS long_and_e,
+                 CAST(size(array_distinct(concat(lw, ew))) AS BIGINT)
+                   AS n_union,
+                 slice(array_sort(filter(lw,
+                   w -> NOT array_contains(ew, w))), 1, 5) AS long_not_e5
+          FROM t ORDER BY doc_id""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 list_distinct(string_split(text, ' ')) AS words,
+                 list_distinct(list_filter(string_split(text, ' '),
+                   w -> length(w) >= 6)) AS lw,
+                 list_distinct(list_filter(string_split(text, ' '),
+                   w -> w LIKE '%e%')) AS ew
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               list_sort(list_intersect(lw, ew)) AS long_and_e,
+               CAST(len(list_distinct(list_cat(lw, ew))) AS BIGINT)
+                 AS n_union,
+               list_sort(list_filter(lw,
+                 w -> NOT list_contains(ew, w)))[1:5] AS long_not_e5
+        FROM t ORDER BY doc_id""")),
+
+    // q125: regexp-function breadth — extract-all counts, first-match
+    // group extraction, replace-all, and rlike membership, over the
+    // engine-shared regex subset (character classes + bounded repeats +
+    // alternation — semantics identical between Java regex and RE2 for
+    // this subset, the same discipline as the q57 PII patterns).
+    GraftQuery(
+      "q125_regexp_breadth",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.documents.createOrReplaceTempView("documents_re_v")
+        spark.sql("""
+          SELECT doc_id,
+                 CAST(size(regexp_extract_all(text, '[0-9]+', 0)) AS BIGINT)
+                   AS n_nums,
+                 regexp_extract(text, '([a-z]{7,})', 1) AS first_long_word,
+                 CAST(length(regexp_replace(text, '[aeiou]', '')) AS BIGINT)
+                   AS len_no_vowels,
+                 text RLIKE 'data|model' AS mentions
+          FROM documents_re_v ORDER BY doc_id""")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+                 AS n_nums,
+               regexp_extract(text, '([a-z]{7,})', 1) AS first_long_word,
+               CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+                 AS len_no_vowels,
+               CAST(regexp_matches(text, 'data|model') AS BOOLEAN) AS mentions
+        FROM documents ORDER BY doc_id""")))
 }
