@@ -18,7 +18,8 @@ object SparkEntry {
     analytics.SketchQueries.queries ++
     analytics.RangeJoin.queries ++
     analytics.SqlSurface.queries ++
-    analytics.SurfaceQueries.queries
+    analytics.SurfaceQueries.queries ++
+    analytics.Scd2.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
