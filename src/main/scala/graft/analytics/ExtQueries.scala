@@ -2008,6 +2008,75 @@ object ExtQueries {
         SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                md5(string_agg(text, chr(10) ORDER BY doc_id)) AS digest
-        FROM shards GROUP BY shard ORDER BY shard"""))
+        FROM shards GROUP BY shard ORDER BY shard""")),
+
+    // ------------------------------------------------------------------
+    // q127: ANN serving over an INCREMENTALLY MAINTAINED index — the
+    // q64 layout after a base build (2/3 of the corpus), one insert
+    // batch (the remaining third, gen 1), and one UPSERT batch (every
+    // 7th vector re-appended with its embedding negated, gen 2 — the
+    // negation flips every sign bit, so the update lands in a different
+    // cell than the row it replaces, exercising the tombstone path that
+    // cell-local dedup cannot catch). The oracle runs exact IVF over
+    // the FINAL logical corpus, so a hash match proves the incremental
+    // index serves exactly the current state: inserts visible, stale
+    // cross-cell copies dead ([[graft.ext.AnnIndex.append]]).
+    GraftQuery(
+      "q127_ann_index_upsert",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val idx = s"${sys.props("java.io.tmpdir")}/graft-ann-inc-" +
+          s"${Math.floorMod(dir.hashCode, 1000003)}-p${ProcessHandle.current().pid()}"
+        AnnIndex.build(
+          t.embeddings.filter(col("vec_id") % 3 =!= 0), idx, bits = 4)
+        AnnIndex.append(
+          t.embeddings.filter(col("vec_id") % 3 === 0), idx, gen = 1L)
+        AnnIndex.append(
+          t.embeddings.filter(col("vec_id") % 7 === 0)
+            .withColumn("embedding",
+              transform(col("embedding"), x => -x)),
+          idx, gen = 2L)
+        AnnIndex.topK(spark, idx,
+            t.embeddings.filter(col("vec_id") < 20), k = 5, bits = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 7 = 0
+                      THEN list_transform(embedding, x -> -x)
+                      ELSE embedding END AS embedding
+          FROM embeddings),
+        cells AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE)*10000 + 0.5)) AS v,
+                 (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                  + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                  + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+                  + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
+          FROM corpus),
+        qcells AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE)*10000 + 0.5)) AS v,
+                 (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                  + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                  + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+                  + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
+          FROM embeddings WHERE vec_id < 20),
+        probes AS (
+          SELECT vec_id, v,
+                 unnest([cell, xor(cell, 1), xor(cell, 2), xor(cell, 4), xor(cell, 8)]) AS cell
+          FROM qcells),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.cell AS cell,
+                 list_dot_product(q.v, c.v)
+                   / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cosine
+          FROM probes q JOIN cells c ON q.cell = c.cell AND q.vec_id != c.vec_id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine,
+               CAST(cell AS INT) AS cell
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank"""))
   )
 }

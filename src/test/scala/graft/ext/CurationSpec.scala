@@ -388,4 +388,57 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(2))).toSet
     assert(out == Set(("qa", 1L), ("qb", 2L)))
   }
+
+  private def topKTriples(dir: String, queries: org.apache.spark.sql.DataFrame) =
+    AnnIndex.topK(spark, dir, queries, k = 5, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      .sorted
+
+  test("ann index append: incremental build serves exactly what a rebuild serves") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-ann-spec-inc"
+    val ref = s"${sys.props("java.io.tmpdir")}/graft-ann-spec-inc-ref"
+    val queries = embs.filter(col("vec_id") < 5)
+    // two ingest batches on top of a base build
+    AnnIndex.build(embs.filter(col("vec_id") % 3 === 0), dir, bits = 4)
+    AnnIndex.append(embs.filter(col("vec_id") % 3 === 1), dir, gen = 1L)
+    AnnIndex.append(embs.filter(col("vec_id") % 3 === 2), dir, gen = 2L)
+    AnnIndex.build(embs, ref, bits = 4)
+    assert(topKTriples(dir, queries) == topKTriples(ref, queries))
+    // the pruning pin holds on the appended index, not just a fresh one
+    val one = embs.filter(col("vec_id") === 0)
+      .select(Similarity.ivfCell(col("embedding"), 4).as("c"))
+      .head().getInt(0)
+    val probed = (0 until 16).filter(m => Integer.bitCount(m ^ one) <= 1)
+    val all = spark.read.parquet(dir)
+    assert(filesRead(all.filter(col("cell").isin(probed: _*))) < filesRead(all))
+  }
+
+  test("ann index upsert: a cross-cell update never serves the stale row") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-ann-spec-ups"
+    val ref = s"${sys.props("java.io.tmpdir")}/graft-ann-spec-ups-ref"
+    AnnIndex.build(embs, dir, bits = 4)
+    // negating an embedding flips every sign bit -> the update lands in
+    // a DIFFERENT cell than the original; tombstones must kill the old
+    // copy even when only the old cell is probed
+    val negate = transform(col("embedding"), x => -x)
+    val updates = embs.filter(col("vec_id") % 7 === 0)
+      .withColumn("embedding", negate)
+    AnnIndex.append(updates, dir, gen = 1L)
+    val updatedCorpus = embs.withColumn("embedding",
+      when(col("vec_id") % 7 === 0, negate).otherwise(col("embedding")))
+    AnnIndex.build(updatedCorpus, ref, bits = 4)
+    val queries = embs.filter(col("vec_id") < 5)
+    val got = topKTriples(dir, queries)
+    assert(got == topKTriples(ref, queries))
+    // compaction reclaims the dead rows, drops the tombstone sidecar,
+    // and changes nothing the serving path returns
+    AnnIndex.compact(spark, dir)
+    assert(topKTriples(dir, queries) == got)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_tombstones")))
+    val nVecs = embs.count()
+    assert(spark.read.parquet(dir).count() == nVecs)
+    assert(spark.read.parquet(dir).select("vec_id").distinct().count() == nVecs)
+  }
 }
