@@ -993,5 +993,116 @@ object SurfaceQueries {
                CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
                  AS len_no_vowels,
                CAST(regexp_matches(text, 'data|model') AS BOOLEAN) AS mentions
-        FROM documents ORDER BY doc_id""")))
+        FROM documents ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q128: distribution-shape aggregate surface — skewness, kurtosis,
+    // ANSI percentile_disc WITHIN GROUP, and width_bucket. Spark's
+    // skewness/kurtosis are the POPULATION moments (g1, excess g2);
+    // DuckDB's builtins apply sample corrections, so the oracle computes
+    // the central moments explicitly (two-pass: mean, then averaged
+    // centered powers) — same numbers, engine bias excluded by
+    // construction. percentile_disc likewise goes through its ANSI
+    // definition in the oracle (least value with cume_dist >= p) rather
+    // than DuckDB's quantile_disc, whose floor((n-1)p) index rule picks
+    // a DIFFERENT row than ceil(np) for e.g. p=0.75, n≡3 (mod 4).
+    // Everything here is one map-side-partial agg pass + one 3-group
+    // exchange; the percentile pass adds one per-group sort — the same
+    // scale shape as q101/q103.
+    GraftQuery(
+      "q128_moment_shape",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.lineitem.createOrReplaceTempView("lineitem_mom_v")
+        spark.sql("""
+          SELECT l_returnflag,
+                 round(skewness(l_quantity), 6) AS skew_qty,
+                 round(kurtosis(l_quantity), 6) AS kurt_qty,
+                 round(skewness(l_discount), 6) AS skew_disc,
+                 percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)
+                   AS q25,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+                   AS q50,
+                 percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)
+                   AS q75,
+                 CAST(SUM(CASE WHEN width_bucket(l_quantity, 1.0D, 51.0D, 5)
+                                    = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_mid_bucket
+          FROM lineitem_mom_v
+          GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""
+        WITH mu AS (
+          SELECT l_returnflag, avg(l_quantity) AS mq, avg(l_discount) AS md
+          FROM lineitem GROUP BY 1),
+        mom AS (
+          SELECT l.l_returnflag,
+                 avg(pow(l_quantity - mq, 2)) AS m2q,
+                 avg(pow(l_quantity - mq, 3)) AS m3q,
+                 avg(pow(l_quantity - mq, 4)) AS m4q,
+                 avg(pow(l_discount - md, 2)) AS m2d,
+                 avg(pow(l_discount - md, 3)) AS m3d,
+                 CAST(SUM(CASE WHEN l_quantity >= 21.0 AND l_quantity < 31.0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_mid
+          FROM lineitem l JOIN mu USING (l_returnflag) GROUP BY 1),
+        cd AS (
+          SELECT l_returnflag, l_quantity,
+                 cume_dist() OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_quantity) AS cd
+          FROM lineitem),
+        pd AS (
+          SELECT l_returnflag,
+                 min(CASE WHEN cd >= 0.25 THEN l_quantity END) AS q25,
+                 min(CASE WHEN cd >= 0.5 THEN l_quantity END) AS q50,
+                 min(CASE WHEN cd >= 0.75 THEN l_quantity END) AS q75
+          FROM cd GROUP BY 1)
+        SELECT m.l_returnflag,
+               round(m3q / pow(m2q, 1.5), 6) AS skew_qty,
+               round(m4q / pow(m2q, 2) - 3, 6) AS kurt_qty,
+               round(m3d / pow(m2d, 1.5), 6) AS skew_disc,
+               q25, q50, q75, n_mid AS n_mid_bucket
+        FROM mom m JOIN pd USING (l_returnflag)
+        ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // q129: map-typed column surface — str_to_map parses a key=value
+    // config string, transform_keys/transform_values rewrite it,
+    // map_filter drops a key, map_concat merges a second map, and
+    // map_entries + explode flatten back to rows for a (key, value)
+    // census. The map values never leave the row until the final
+    // per-(key,value) count, so the only shuffle is the small census
+    // exchange. The oracle never builds a map at all — it derives the
+    // same (key, value, n) rows relationally, which is exactly the
+    // point: the map pipeline must agree with the first-principles
+    // answer, not with another map implementation.
+    GraftQuery(
+      "q129_map_functions",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val cfg = concat(
+          lit("prio="), col("o_orderpriority"),
+          lit(";status="), col("o_orderstatus"),
+          lit(";bucket="), pmod(col("o_orderkey"), lit(4)))
+        val parsed = str_to_map(cfg, lit(";"), lit("="))
+        val lowered = transform_values(parsed, (_, v) => lower(v))
+        val kept = map_filter(lowered, (k, _) => k =!= "bucket")
+        val tagged = transform_keys(kept, (k, _) => concat(lit("k_"), k))
+        val full = map_concat(tagged,
+          map(lit("k_month"), date_format(col("o_orderdate"), "yyyy-MM")))
+        t.orders
+          .select(explode(map_entries(full)).as("e"))
+          .select(col("e.key").as("key"), col("e.value").as("value"))
+          .groupBy(col("key"), col("value"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("key"), col("value"))
+      },
+      Some("""
+        WITH kv AS (
+          SELECT 'k_prio' AS key, lower(o_orderpriority) AS value FROM orders
+          UNION ALL
+          SELECT 'k_status', lower(o_orderstatus) FROM orders
+          UNION ALL
+          SELECT 'k_month', strftime(o_orderdate, '%Y-%m') FROM orders)
+        SELECT key, value, CAST(count(*) AS BIGINT) AS n
+        FROM kv GROUP BY key, value ORDER BY key, value""")))
 }
