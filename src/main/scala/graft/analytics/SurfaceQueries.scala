@@ -1104,5 +1104,70 @@ object SurfaceQueries {
           UNION ALL
           SELECT 'k_month', strftime(o_orderdate, '%Y-%m') FROM orders)
         SELECT key, value, CAST(count(*) AS BIGINT) AS n
-        FROM kv GROUP BY key, value ORDER BY key, value""")))
+        FROM kv GROUP BY key, value ORDER BY key, value""")),
+
+    // ------------------------------------------------------------------
+    // q130: semi-structured parsing surface — get_json_object /
+    // from_json over the events table's REAL JSON `props` column, plus
+    // nested-path and array extraction over a JSON document synthesized
+    // in-row, and from_csv over a synthesized CSV line. All parsing is
+    // per-row scan work folded into one small per-type aggregate, so
+    // the output exchange is tiny no matter the corpus size. The oracle
+    // parses `props` with DuckDB's JSON extraction but derives the
+    // synthesized-document answers from the SOURCE columns — the parse
+    // round-trip must agree with the values that went in, which checks
+    // the parser against ground truth instead of against another
+    // parser's quirks.
+    GraftQuery(
+      "q130_json_csv_parse",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val base = t.events.filter(
+          col("value").isNotNull && col("event_type").isNotNull &&
+          col("user_id").isNotNull)
+        val vq = floor(col("value") * 10000d + 0.5d).cast("long")
+        val js = concat(
+          lit("{\"u\":"), col("user_id"),
+          lit(",\"t\":\""), col("event_type"),
+          lit("\",\"m\":{\"v\":"), vq,
+          lit("},\"tags\":[\"a\",\"b\"]}"))
+        val csvLine = concat_ws(",", col("event_id"), col("event_type"),
+          col("user_id"))
+        base.select(
+            col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+            from_json(col("props"),
+                org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+              .getField("k").as("k_schema"),
+            get_json_object(js, "$.m.v").cast("long").as("v_nested"),
+            json_array_length(get_json_object(js, "$.tags")).as("n_tags"),
+            from_csv(csvLine,
+                org.apache.spark.sql.types.StructType.fromDDL(
+                  "a LONG, b STRING, c LONG"),
+                Map.empty[String, String])
+              .getField("c").as("uid_csv"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k_path")).as("sum_k_path"),
+               sum(col("k_schema")).as("sum_k_schema"),
+               sum(col("v_nested")).as("sum_v"),
+               max(col("n_tags")).as("max_tags"),
+               sum(col("uid_csv")).as("sum_uid"),
+               count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS BIGINT) AS sum_k_path,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS BIGINT) AS sum_k_schema,
+               CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT))
+                 AS BIGINT) AS sum_v,
+               CAST(2 AS INT) AS max_tags,
+               CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+          AND user_id IS NOT NULL
+        GROUP BY event_type ORDER BY event_type""")))
 }
