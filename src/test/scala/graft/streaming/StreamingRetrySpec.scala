@@ -108,6 +108,33 @@ class StreamingRetrySpec extends AnyFunSuite {
     assert(elapsed >= 2000L, s"dispatched after only ${elapsed}ms")
   }
 
+  rtest("soak: 1e4 in-flight messages dispatch exactly once, state drains") {
+    // per-key state is one Waiting record + one timer; after dispatch
+    // both clear, so 1e4 concurrent failures must produce exactly 1e4
+    // RETRY rows (no duplicates, no drops) once the watermark passes
+    // every due instant
+    val n = 10000
+    val source = MemoryStream[AttemptResult](spark)
+    val out = StreamingRetry.schedule(source.toDS())
+    val q = out.writeStream.format("memory")
+      .queryName("retry_soak").outputMode("append").start()
+    source.addData((0 until n).map(i =>
+      AttemptResult(s"m$i", s"p$i", 1, failed = true, t0)): _*)
+    q.processAllAvailable()
+    assert(spark.table("retry_soak").count() == 0)
+    source.addData(AttemptResult("zz", "x", 1, failed = false, at(30)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("retry_soak").as[Dispatch].collect()
+      .filter(_.msgId != "zz")
+    assert(got.length == n)
+    assert(got.forall(d => d.kind == "RETRY" && d.attempt == 2 &&
+      d.due == at(5)))
+    assert(got.map(_.msgId).toSet.size == n)
+    // payloads rode along intact
+    assert(got.forall(d => d.payload == s"p${d.msgId.drop(1)}"))
+  }
+
   rtest("invalid parameters fail at plan time") {
     val source = MemoryStream[AttemptResult](spark)
     intercept[IllegalArgumentException] {
