@@ -57,7 +57,7 @@ object Bench {
     for (name <- names)
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     // run-major order (all queries per pass, `runs` passes): consecutive
     // same-query runs would share hot caches and understate steady-state
     // cost; pass-major interleaving also means a transient JVM hiccup

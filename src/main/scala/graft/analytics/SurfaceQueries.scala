@@ -923,7 +923,10 @@ object SurfaceQueries {
     // q124: array set algebra as a query surface — intersect, union
     // (distinct concat), difference via a HOF filter, all explicitly
     // sorted before emission because set-op result ORDER is
-    // engine-defined. Per-row map work only: zero shuffles.
+    // engine-defined. Per-row map work only: zero shuffles. The two
+    // array-valued results are serialized with array_join so the
+    // column is an orderable scalar the correctness harness can sort
+    // and hash (pandas cannot factorize ndarray cells).
     GraftQuery(
       "q124_array_set_algebra",
       (spark, dir) => {
@@ -940,11 +943,13 @@ object SurfaceQueries {
             FROM documents_arr_v)
           SELECT doc_id,
                  CAST(size(words) AS BIGINT) AS n_words,
-                 array_sort(array_intersect(lw, ew)) AS long_and_e,
+                 array_join(array_sort(array_intersect(lw, ew)), ',')
+                   AS long_and_e,
                  CAST(size(array_distinct(concat(lw, ew))) AS BIGINT)
                    AS n_union,
-                 slice(array_sort(filter(lw,
-                   w -> NOT array_contains(ew, w))), 1, 5) AS long_not_e5
+                 array_join(slice(array_sort(filter(lw,
+                   w -> NOT array_contains(ew, w))), 1, 5), ',')
+                   AS long_not_e5
           FROM t ORDER BY doc_id""")
       },
       Some("""
@@ -958,11 +963,14 @@ object SurfaceQueries {
           FROM documents)
         SELECT doc_id,
                CAST(len(words) AS BIGINT) AS n_words,
-               list_sort(list_intersect(lw, ew)) AS long_and_e,
+               coalesce(array_to_string(
+                   list_sort(list_intersect(lw, ew)), ','), '')
+                 AS long_and_e,
                CAST(len(list_distinct(list_cat(lw, ew))) AS BIGINT)
                  AS n_union,
-               list_sort(list_filter(lw,
-                 w -> NOT list_contains(ew, w)))[1:5] AS long_not_e5
+               coalesce(array_to_string(list_sort(list_filter(lw,
+                 w -> NOT list_contains(ew, w)))[1:5], ','), '')
+                 AS long_not_e5
         FROM t ORDER BY doc_id""")),
 
     // q125: regexp-function breadth — extract-all counts, first-match

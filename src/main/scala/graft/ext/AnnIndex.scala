@@ -107,23 +107,36 @@ object AnnIndex {
 
   /** Fold appends and tombstones back into the [[build]] shape: one
     * surviving row per vec_id, gen reset to 0, tombstone sidecar gone.
-    * The rewrite stages into a sibling directory and swaps by rename,
-    * so a concurrent reader sees either the old index or the new one,
-    * never a half-written mix. Serving results are IDENTICAL before and
-    * after — compaction only reclaims dead rows and resets the
-    * tombstone bound (CurationSpec pins both).
+    * The rewrite stages into a sibling directory, parks the live index
+    * aside (`dir.old`), renames staging into place, then deletes the
+    * parked copy — the live path is never absent for longer than the
+    * gap between two renames, and a crash mid-swap leaves a recoverable
+    * full copy at `dir.old` rather than losing the serving index
+    * (stale `.compacting`/`.old` leftovers are reclaimed on the next
+    * run). Note renames on an object store are copies, not metadata
+    * ops — run compaction against a rename-atomic filesystem (HDFS,
+    * or a committer-backed staging layer) for the swap guarantee.
+    * Serving results are IDENTICAL before and after — compaction only
+    * reclaims dead rows and resets the tombstone bound (CurationSpec
+    * pins both).
     */
   def compact(spark: SparkSession, dir: String): Unit = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(dir + ".compacting")
+    val parked = new Path(dir + ".old")
     if (fs.exists(staging)) fs.delete(staging, true)
+    if (fs.exists(parked)) fs.delete(parked, true)
     currentView(spark, dir)
       .withColumn("gen", lit(0L))
       .write.partitionBy("cell").parquet(staging.toString)
-    fs.delete(path, true)
-    if (!fs.rename(staging, path))
+    if (!fs.rename(path, parked))
+      throw new IllegalStateException(s"compact rename failed: $path -> $parked")
+    if (!fs.rename(staging, path)) {
+      fs.rename(parked, path) // restore the old index before failing
       throw new IllegalStateException(s"compact rename failed: $staging -> $path")
+    }
+    fs.delete(parked, true)
   }
 
   /** Serve top-k from the index with radius-`probeRadius` multi-probe.

@@ -469,7 +469,9 @@ object TextAnalysis {
     * the rate-based [[graft.ext.Dedup.hashSplit]]-style threshold
     * instead (fractions in expectation) or range-partition the rank.
     *
-    * Output: input columns + (rk, needed) for the selected rows only.
+    * Output: (doc_id, source, rk, needed) for the selected rows only —
+    * the id/source columns as named here, not the full input row; join
+    * back on doc_id to recover other columns.
     */
   def mixtureTake(docs: DataFrame, id: Column, source: Column,
                   weight: Column): DataFrame = {
