@@ -19,7 +19,8 @@ object SparkEntry {
     analytics.RangeJoin.queries ++
     analytics.SqlSurface.queries ++
     analytics.SurfaceQueries.queries ++
-    analytics.Scd2.queries
+    analytics.Scd2.queries ++
+    analytics.CurationQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
