@@ -20,7 +20,8 @@ object SparkEntry {
     analytics.SqlSurface.queries ++
     analytics.SurfaceQueries.queries ++
     analytics.Scd2.queries ++
-    analytics.CurationQueries.queries
+    analytics.CurationQueries.queries ++
+    analytics.StatQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,243 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.ext.Stats
+
+/** Round-8 widening, part 2: distribution statistics — autocorrelation,
+  * robust (median/MAD) anomaly detection, the exact two-sample KS test
+  * on the decomposed-prefix-sum ECDF ([[graft.ext.Stats]]), and Gini
+  * concentration. The drift/health checks that run BETWEEN pipeline
+  * stages: "is today's corpus shaped like yesterday's".
+  *
+  * Exactness: integer/decimal accumulation everywhere a sum's fold
+  * order could differ between engines, medians relied on as exact
+  * (both engines interpolate identically on the same doubles — the
+  * q101 precedent), and single integer→double divisions at output.
+  */
+object StatQueries {
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // q141: autocorrelation (ACF) of the corpus-wide daily total event
+    // value at lags 1..7 — the seasonality probe. The daily series is
+    // bounded (#days rows: a decade is ~3650), so the lag windows and
+    // the centering mean run on a deliberately tiny single-partition
+    // table — the same "small side" posture as q134's bucket offsets.
+    // Exactness: daily totals quantized to integer CENTS (the only
+    // fold-order-sensitive sums), the center c is the cent-average
+    // rounded to an integer cent (identical single division in both
+    // engines), deviations are exact integers, and num/den are
+    // decimal(38,0) sums of integer products — acf = num/den is one
+    // double division.
+    GraftQuery(
+      "q141_autocorrelation",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val dec = "decimal(38,0)"
+        val daily = t.events
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(floor(sum(col("value")) * 100 + lit(0.5)).cast("long")
+            .as("cents"))
+        val c = daily.agg(
+          floor(sum(col("cents")).cast("double") / count(lit(1L)) + lit(0.5))
+            .cast("long").as("c"),
+          count(lit(1L)).as("n_days"))
+        val dev = daily.crossJoin(broadcast(c))
+          .select(col("day"), (col("cents") - col("c")).as("d"),
+            col("n_days"))
+        val w = Window.orderBy(col("day"))
+        val lagged = (1 to 7).foldLeft(dev) { (df, k) =>
+          df.withColumn(s"d_$k", lag(col("d"), k).over(w))
+        }
+        val den = lagged.agg(sum(col("d").cast(dec) * col("d")).as("den"))
+        val acfs = (1 to 7).map { k =>
+          sum(when(col(s"d_$k").isNotNull,
+            col("d").cast(dec) * col(s"d_$k")).otherwise(lit(0).cast(dec)))
+            .as(s"num_$k")
+        }
+        lagged.groupBy(col("n_days")).agg(acfs.head, acfs.tail: _*)
+          .selectExpr("n_days",
+            s"stack(7, ${(1 to 7).map(k => s"$k, num_$k").mkString(", ")})" +
+              " AS (lag, num)")
+          .crossJoin(broadcast(den))
+          .select(col("lag").cast("int").as("lag"), col("n_days"),
+            (floor(col("num").cast("double") / col("den").cast("double")
+              * lit(1e9) + lit(0.5)) / lit(1e9)).as("acf"))
+          .orderBy(col("lag"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT date_trunc('day', ts) AS day,
+                 CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS cents
+          FROM events GROUP BY date_trunc('day', ts)),
+        c AS (
+          SELECT CAST(floor(CAST(sum(cents) AS DOUBLE) / count(*) + 0.5)
+                   AS BIGINT) AS c,
+                 CAST(count(*) AS BIGINT) AS n_days
+          FROM daily),
+        dev AS (
+          SELECT day, cents - c AS d, n_days FROM daily, c),
+        lagged AS (
+          SELECT day, d, n_days,
+                 lag(d, 1) OVER w AS d_1, lag(d, 2) OVER w AS d_2,
+                 lag(d, 3) OVER w AS d_3, lag(d, 4) OVER w AS d_4,
+                 lag(d, 5) OVER w AS d_5, lag(d, 6) OVER w AS d_6,
+                 lag(d, 7) OVER w AS d_7
+          FROM dev WINDOW w AS (ORDER BY day)),
+        den AS (
+          SELECT sum(CAST(d AS DECIMAL(38,0)) * d) AS den FROM lagged),
+        nums AS (
+          SELECT n_days,
+                 sum(CASE WHEN d_1 IS NOT NULL
+                   THEN CAST(d AS DECIMAL(38,0)) * d_1
+                   ELSE CAST(0 AS DECIMAL(38,0)) END) AS num_1,
+                 sum(CASE WHEN d_2 IS NOT NULL
+                   THEN CAST(d AS DECIMAL(38,0)) * d_2
+                   ELSE CAST(0 AS DECIMAL(38,0)) END) AS num_2,
+                 sum(CASE WHEN d_3 IS NOT NULL
+                   THEN CAST(d AS DECIMAL(38,0)) * d_3
+                   ELSE CAST(0 AS DECIMAL(38,0)) END) AS num_3,
+                 sum(CASE WHEN d_4 IS NOT NULL
+                   THEN CAST(d AS DECIMAL(38,0)) * d_4
+                   ELSE CAST(0 AS DECIMAL(38,0)) END) AS num_4,
+                 sum(CASE WHEN d_5 IS NOT NULL
+                   THEN CAST(d AS DECIMAL(38,0)) * d_5
+                   ELSE CAST(0 AS DECIMAL(38,0)) END) AS num_5,
+                 sum(CASE WHEN d_6 IS NOT NULL
+                   THEN CAST(d AS DECIMAL(38,0)) * d_6
+                   ELSE CAST(0 AS DECIMAL(38,0)) END) AS num_6,
+                 sum(CASE WHEN d_7 IS NOT NULL
+                   THEN CAST(d AS DECIMAL(38,0)) * d_7
+                   ELSE CAST(0 AS DECIMAL(38,0)) END) AS num_7
+          FROM lagged GROUP BY n_days),
+        stacked AS (
+          SELECT 1 AS lag, n_days, num_1 AS num FROM nums
+          UNION ALL SELECT 2, n_days, num_2 FROM nums
+          UNION ALL SELECT 3, n_days, num_3 FROM nums
+          UNION ALL SELECT 4, n_days, num_4 FROM nums
+          UNION ALL SELECT 5, n_days, num_5 FROM nums
+          UNION ALL SELECT 6, n_days, num_6 FROM nums
+          UNION ALL SELECT 7, n_days, num_7 FROM nums)
+        SELECT CAST(lag AS INT) AS lag, n_days,
+               floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                 * 1000000000.0 + 0.5) / 1000000000.0 AS acf
+        FROM stacked, den ORDER BY lag""")),
+
+    // q142: robust per-user anomaly detection — median/MAD, the
+    // outlier rule that doesn't move when the outliers do (unlike
+    // mean/stddev z-scores). Two keyed median aggregations with the
+    // per-user stats broadcast-joined back between them; the flag
+    // compares |x − med| > 3·MAD in exact double space (both engines
+    // interpolate medians identically on the same parquet doubles —
+    // the q101/q103 precedent — and the products mirror op-for-op).
+    GraftQuery(
+      "q142_mad_anomalies",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val ev = t.events.select(col("user_id"), col("value"))
+        val med = ev.groupBy(col("user_id"))
+          .agg(median(col("value")).as("med"), count(lit(1L)).as("n_events"))
+        // per-user stat tables join back on the key the events are
+        // already hashed by; cardinality = #users, so the join method
+        // is AQE's call (broadcast when small, shuffle when not) — no
+        // hint, unlike genuinely tiny broadcast sides
+        val dev = ev.join(med, "user_id")
+          .withColumn("adev", abs(col("value") - col("med")))
+        val mad = dev.groupBy(col("user_id"))
+          .agg(median(col("adev")).as("mad"))
+        dev.join(mad, "user_id")
+          .groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"),
+            max(col("med")).as("med"), max(col("mad")).as("mad"),
+            sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+              .as("n_outliers"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, value FROM events),
+        med AS (
+          SELECT user_id, median(value) AS med,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM ev GROUP BY user_id),
+        dev AS (
+          SELECT ev.user_id, med.n_events, med.med,
+                 abs(ev.value - med.med) AS adev
+          FROM ev JOIN med ON ev.user_id = med.user_id),
+        mad AS (
+          SELECT user_id, median(adev) AS mad FROM dev GROUP BY user_id)
+        SELECT dev.user_id,
+               max(dev.n_events) AS n_events,
+               max(dev.med) AS med, max(mad.mad) AS mad,
+               CAST(sum(CASE WHEN dev.adev > 3.0 * mad.mad
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev JOIN mad ON dev.user_id = mad.user_id
+        GROUP BY dev.user_id ORDER BY dev.user_id""")),
+
+    // q143: exact two-sample KS between click and purchase value
+    // distributions via [[Stats.ksTest]] — the oracle computes the
+    // same ECDFs with ONE global window, pinning the two-phase
+    // decomposition (bucket offsets + local prefixes) to the global
+    // prefix sum on real data.
+    GraftQuery(
+      "q143_ks_test",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Stats.ksTest(t.events, col("value"),
+          col("event_type") === "click", col("event_type") === "purchase")
+      },
+      Some("""
+        WITH pts AS (
+          SELECT value AS v,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+          FROM events
+          WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+        byv AS (
+          SELECT v, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+          FROM pts GROUP BY v),
+        cum AS (
+          SELECT v, sum(ca) OVER w AS cca, sum(cb) OVER w AS ccb
+          FROM byv WINDOW w AS (ORDER BY v)),
+        tot AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+          FROM byv),
+        d AS (
+          SELECT n_a, n_b,
+                 CAST(max(abs(CAST(cca AS DECIMAL(38,0)) * n_b
+                   - CAST(ccb AS DECIMAL(38,0)) * n_a)) AS DOUBLE) AS d_num
+          FROM cum, tot GROUP BY n_a, n_b)
+        SELECT n_a, n_b, d_num,
+               d_num / (CAST(n_a AS DOUBLE) * n_b) AS d
+        FROM d""")),
+
+    // q144: Gini concentration of document length within each source —
+    // "is src3 a few huge pages or many small ones". Keyed rank window
+    // (per-source sort only), decimal-exact rank·length sums, one
+    // double division ([[Stats.gini]]); tie ranks provably don't
+    // affect G, so no quantization is needed anywhere.
+    GraftQuery(
+      "q144_gini_concentration",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Stats.gini(t.documents, col("source"), col("n_chars"), col("doc_id"))
+          .withColumnRenamed("g", "source")
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT source AS g, CAST(n_chars AS BIGINT) AS x,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n_chars ASC, doc_id ASC) AS r
+          FROM documents)
+        SELECT g AS source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS total,
+               CAST(2 * sum(CAST(r AS DECIMAL(38,0)) * x)
+                   - (count(*) + 1) * sum(CAST(x AS DECIMAL(38,0)))
+                 AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+                 AS gini
+        FROM r GROUP BY g ORDER BY source"""))
+  )
+}

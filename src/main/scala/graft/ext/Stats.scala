@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-comparison statistics over full-corpus value columns —
+  * the drift checks a training-data pipeline runs between ingest days
+  * ("did today's source distribution move?") and between corpus slices
+  * ("do click and purchase values follow the same law?"). The
+  * reference's monitoring rules alarm on coarse level thresholds
+  * (`k8s/monitoring/alerts.yaml`); these operators quantify the
+  * distributional version of the same question.
+  *
+  * The common primitive is an exact ECDF, which is a prefix sum over
+  * the ordered value domain — and a single global ORDER BY window is
+  * ONE task, wrong at scale. Prefix sums decompose (the
+  * [[SweepLine]] argument): phase 1 computes per-range-bucket local
+  * cumulative counts in parallel keyed windows; phase 2 computes each
+  * bucket's starting offset as a window over #buckets ROWS (broadcast
+  * back). bucket_offset + local_prefix == global_prefix exactly, and
+  * the registered oracle (one global window in DuckDB) pins that
+  * identity on real data.
+  *
+  * Exactness discipline: all comparisons happen in integer cross-
+  * products (|FA−FB| maximized as |cumA·nB − cumB·nA|, computed in
+  * decimal(38,0) so 1e12-row corpora cannot overflow), with ONE double
+  * conversion at output. No quantization is needed: the final division
+  * is a single IEEE op on integers below 2^53 at any tested scale, and
+  * the oracle mirrors the same two casts.
+  */
+object Stats {
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the rows
+    * selected by `isA` and by `isB` (rows matching neither are
+    * ignored; a row matching both counts in both samples).
+    *
+    * Output (one row): `n_a`, `n_b`, `d_num` = max|cumA·nB − cumB·nA|
+    * (exact, as double — below 2^53 through ~1e8×1e8 corpora), and
+    * `d` = d_num / (nA·nB), the KS statistic in [0,1].
+    *
+    * ECDF convention: F(x) = P(X ≤ x), evaluated after ALL ties at x
+    * are counted — values are pre-aggregated per distinct v, so tie
+    * groups never straddle an evaluation point.
+    *
+    * `buckets` controls phase-1 parallelism of the decomposed prefix
+    * sum; bucket assignment is a pure per-row function of (v, min,
+    * max), so the result is partitioning-invariant by construction.
+    */
+  def ksTest(df: DataFrame, value: Column, isA: Column, isB: Column,
+             buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, "buckets must be positive")
+    val pts = df.select(value.as("v"),
+        when(isA, 1L).otherwise(0L).as("a"),
+        when(isB, 1L).otherwise(0L).as("b"))
+      .filter(col("v").isNotNull && (col("a") + col("b")) > 0)
+    // one row per distinct value: the ECDF's evaluation grid
+    val byV = pts.groupBy(col("v"))
+      .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+    val rng = byV.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val bucketed = byV.crossJoin(broadcast(rng))
+      .withColumn("bkt",
+        when(col("hi") <= col("lo"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((col("v") - col("lo")) / (col("hi") - col("lo"))
+              * buckets).cast("int"))))
+    val local = Window.partitionBy(col("bkt")).orderBy(col("v"))
+    val run = bucketed
+      .withColumn("la", sum(col("ca")).over(local))
+      .withColumn("lb", sum(col("cb")).over(local))
+    val totals = bucketed.groupBy(col("bkt"))
+      .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    val before = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // #buckets rows on one task by design — the tiny side of the split
+    val offsets = totals
+      .withColumn("oa", coalesce(sum(col("ta")).over(before), lit(0L)))
+      .withColumn("ob", coalesce(sum(col("tb")).over(before), lit(0L)))
+      .select(col("bkt"), col("oa"), col("ob"))
+    val tot = byV.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val dec = "decimal(38,0)"
+    run.join(broadcast(offsets), "bkt")
+      .crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        abs((col("oa") + col("la")).cast(dec) * col("n_b") -
+          (col("ob") + col("lb")).cast(dec) * col("n_a")).as("x"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("x")).cast("double").as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        (col("d_num") / (col("n_a").cast("double") * col("n_b")))
+          .as("d"))
+  }
+
+  /** Per-group Gini coefficient of a non-negative integer measure —
+    * concentration of `x` within each `group` (0 = uniform, →1 = one
+    * row holds everything). Rank formulation over the ascending sort:
+    * G = (2·Σ rᵢxᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ), with ranks assigned by a
+    * keyed window (per-group sort only — no global ordering). Ties in
+    * `x` may receive ranks in any order without changing G (swapping
+    * equal x between adjacent ranks leaves Σ r·x unchanged), so the
+    * id-based tie-break exists purely to make the PLAN deterministic.
+    * All sums are decimal(38,0)-exact; one double division at output.
+    *
+    * Output: (group, n, total, gini).
+    */
+  def gini(df: DataFrame, group: Column, x: Column,
+           tieBreak: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(group.as("g"), x.cast("long").as("x"), tieBreak.as("t"))
+    val w = Window.partitionBy(col("g")).orderBy(col("x").asc, col("t").asc)
+    base.withColumn("r", row_number().over(w))
+      .groupBy(col("g"))
+      .agg(count(lit(1L)).as("n"),
+        sum(col("x")).as("total"),
+        sum(col("r").cast(dec) * col("x")).as("srx"),
+        sum(col("x").cast(dec)).as("sx"))
+      .select(col("g"), col("n"), col("total"),
+        ((lit(2).cast(dec) * col("srx") -
+            (col("n") + 1).cast(dec) * col("sx")).cast("double") /
+          (col("n").cast("double") * col("sx").cast("double")))
+          .as("gini"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Semantic pins for [[Stats]]: the KS statistic against hand-checkable
+  * distributions, the two-phase ECDF decomposition against the
+  * single-bucket (global-window-equivalent) configuration, and Gini
+  * boundary/tie behavior.
+  */
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ksTest: identical samples give D = 0") {
+    val df = Seq.tabulate(40)(i => ((i / 2) % 10 * 1.0, if (i % 2 == 0) "a" else "b"))
+      .toDF("v", "g")
+    val r = Stats.ksTest(df, col("v"), col("g") === "a", col("g") === "b")
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 20 && r.getAs[Long]("n_b") == 20)
+    assert(r.getAs[Double]("d") == 0.0)
+  }
+
+  test("ksTest: disjoint supports give D = 1") {
+    val df = (Seq.tabulate(5)(i => (i * 1.0, "a")) ++
+      Seq.tabulate(7)(i => (100.0 + i, "b"))).toDF("v", "g")
+    val row = Stats.ksTest(df, col("v"), col("g") === "a", col("g") === "b")
+      .collect().head
+    assert(row.getAs[Double]("d") == 1.0)
+  }
+
+  test("ksTest: hand-computed D on a small asymmetric case") {
+    // A = {1,2,3,4}, B = {3,4,5,6}: max gap at v=2 — FA=2/4, FB=0 → D=1/2
+    val df = (Seq(1, 2, 3, 4).map(v => (v.toDouble, "a")) ++
+      Seq(3, 4, 5, 6).map(v => (v.toDouble, "b"))).toDF("v", "g")
+    val r = Stats.ksTest(df, col("v"), col("g") === "a", col("g") === "b")
+      .collect().head
+    assert(r.getAs[Double]("d_num") == 8.0) // |2*4 - 0*4|
+    assert(r.getAs[Double]("d") == 0.5)
+  }
+
+  test("ksTest: bucketed decomposition == single-bucket global prefix") {
+    val df = Seq.tabulate(500)(i =>
+      (math.sin(i * 0.7) * 50 + (i % 13), if (i % 3 == 0) "a" else "b"))
+      .toDF("v", "g")
+    val multi = Stats.ksTest(df, col("v"), col("g") === "a", col("g") === "b",
+      buckets = 11).collect().head
+    val single = Stats.ksTest(df, col("v"), col("g") === "a", col("g") === "b",
+      buckets = 1).collect().head
+    assert(multi.getAs[Double]("d_num") == single.getAs[Double]("d_num"))
+    assert(multi.getAs[Double]("d") == single.getAs[Double]("d"))
+  }
+
+  test("ksTest: partitioning-invariant") {
+    val base = Seq.tabulate(300)(i => (i % 37 * 1.0, if (i % 4 == 0) "a" else "b"))
+    val d1 = Stats.ksTest(base.toDF("v", "g").repartition(1),
+      col("v"), col("g") === "a", col("g") === "b").collect().head
+    val d2 = Stats.ksTest(base.toDF("v", "g").repartition(17),
+      col("v"), col("g") === "a", col("g") === "b").collect().head
+    assert(d1.getAs[Double]("d_num") == d2.getAs[Double]("d_num"))
+  }
+
+  test("gini: uniform distribution gives 0, total concentration gives (n-1)/n") {
+    val uniform = Seq.tabulate(8)(i => ("u", 10L, i.toLong))
+      .toDF("src", "x", "id")
+    val gu = Stats.gini(uniform, col("src"), col("x"), col("id"))
+      .collect().head
+    assert(gu.getAs[Double]("gini") == 0.0)
+    val conc = (Seq.tabulate(9)(i => ("c", 0L, i.toLong)) :+ ("c", 100L, 9L))
+      .toDF("src", "x", "id")
+    val gc = Stats.gini(conc, col("src"), col("x"), col("id"))
+      .collect().head
+    assert(gc.getAs[Double]("gini") == 0.9) // (n-1)/n with n=10
+  }
+
+  test("gini: tie order between equal values cannot change the coefficient") {
+    // two tied x=5 rows; force opposite tie orders via the tie-break col
+    val a = Seq(("s", 5L, 1L), ("s", 5L, 2L), ("s", 10L, 3L))
+      .toDF("src", "x", "id")
+    val b = Seq(("s", 5L, 2L), ("s", 5L, 1L), ("s", 10L, 3L))
+      .toDF("src", "x", "id")
+    val ga = Stats.gini(a, col("src"), col("x"), col("id")).collect().head
+    val gb = Stats.gini(b, col("src"), col("x"), negate(col("id")))
+      .collect().head
+    assert(ga.getAs[Double]("gini") == gb.getAs[Double]("gini"))
+  }
+}
