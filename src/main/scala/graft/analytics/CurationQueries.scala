@@ -492,6 +492,176 @@ object CurationQueries {
                CAST(list_sum(list_transform(embedding,
                  x -> CAST(floor(abs(x * scale - floor(x * scale + 0.5))
                    * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS err_micro
-        FROM s ORDER BY vec_id"""))
+        FROM s ORDER BY vec_id""")),
+
+    // q145: point-in-time (temporal) dimension lookup — each purchase
+    // event joined to the SCD2 profile row that was valid at its event
+    // day (q108's history consumed the way a warehouse consumes it:
+    // "what did we believe about this user WHEN the event happened").
+    // Plan shape: equi-join on user_id with the validity range as a
+    // residual predicate — per-user histories are span-sized, so the
+    // hash join carries no range-join blowup; join method is AQE's
+    // call.
+    GraftQuery(
+      "q145_pit_lookup",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val hist = Scd2.build(Scd2.dailyProfiles(t.events))
+        val purchases = t.events
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), to_date(col("ts")).as("day"))
+        purchases.join(hist,
+            purchases("user_id") === hist("user_id") &&
+              col("day") >= col("valid_from") &&
+              (col("valid_to").isNull || col("day") < col("valid_to")))
+          .select(col("event_id"), purchases("user_id"), col("day"),
+            col("value_micro"), col("is_current"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS value_micro
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        seg AS (
+          SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS seg
+          FROM (SELECT *, CASE WHEN lag(value_micro) OVER
+                    (PARTITION BY user_id ORDER BY day) IS DISTINCT FROM
+                    value_micro THEN 1 ELSE 0 END AS chg
+                FROM daily)),
+        spans AS (
+          SELECT user_id, seg, min(day) AS valid_from,
+                 first(value_micro ORDER BY day) AS value_micro,
+                 CAST(count(*) AS BIGINT) AS n_days
+          FROM seg GROUP BY 1, 2),
+        hist AS (
+          SELECT user_id, valid_from,
+                 lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg)
+                   AS valid_to,
+                 value_micro,
+                 lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg)
+                   IS NULL AS is_current
+          FROM spans)
+        SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS day,
+               h.value_micro, h.is_current
+        FROM events e JOIN hist h
+          ON e.user_id = h.user_id
+          AND CAST(e.ts AS DATE) >= h.valid_from
+          AND (h.valid_to IS NULL OR CAST(e.ts AS DATE) < h.valid_to)
+        WHERE e.event_type = 'purchase'
+        ORDER BY e.event_id""")),
+
+    // q146: per-label embedding centroid similarity matrix — "are
+    // sources/classes drifting together". Cosine between centroids is
+    // scale-invariant, so the centroids are never divided: per-dim
+    // INTEGER sums of the 1e4-quantized embeddings (the q30/q43
+    // convention) stand in for the centroids, dot products and norms
+    // fold in decimal(38,0) (exact at any corpus size), and the only
+    // doubles are IEEE-exact sqrt/division mirrored in both engines.
+    // Shuffle shape: posexplode → (label, dim) aggregate (the heavy
+    // exchange), then a label×label join over #labels² tiny rows.
+    GraftQuery(
+      "q146_centroid_cosine",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val dec = "decimal(38,0)"
+        val sums = t.embeddings
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .withColumn("q", floor(col("x").cast("double") * 10000 + lit(0.5))
+            .cast("long"))
+          .groupBy(col("label"), col("pos"))
+          .agg(sum(col("q")).as("s"))
+        val norms = sums.groupBy(col("label"))
+          .agg(sum(col("s").cast(dec) * col("s")).as("nrm"))
+        val a = sums.select(col("label").as("la"), col("pos"), col("s").as("sa"))
+        val b = sums.select(col("label").as("lb"), col("pos"), col("s").as("sb"))
+        a.join(b, Seq("pos")).filter(col("la") < col("lb"))
+          .groupBy(col("la"), col("lb"))
+          .agg(sum(col("sa").cast(dec) * col("sb")).as("dot"))
+          .join(norms.select(col("label").as("la"), col("nrm").as("na")), "la")
+          .join(norms.select(col("label").as("lb"), col("nrm").as("nb")), "lb")
+          .select(col("la"), col("lb"),
+            (col("dot").cast("double") /
+              (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+              .as("cos"))
+          .orderBy(col("la"), col("lb"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT label, g.i AS pos,
+                 CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 10000 + 0.5)
+                   AS BIGINT) AS qv
+          FROM embeddings CROSS JOIN generate_series(1, 64) g(i)),
+        sums AS (
+          SELECT label, pos, CAST(sum(qv) AS BIGINT) AS s
+          FROM q GROUP BY label, pos),
+        norms AS (
+          SELECT label, sum(CAST(s AS DECIMAL(38,0)) * s) AS nrm
+          FROM sums GROUP BY label),
+        dots AS (
+          SELECT a.label AS la, b.label AS lb,
+                 sum(CAST(a.s AS DECIMAL(38,0)) * b.s) AS dot
+          FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label
+          GROUP BY a.label, b.label)
+        SELECT la, lb,
+               CAST(dot AS DOUBLE) /
+                 (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+                 AS cos
+        FROM dots
+        JOIN norms na ON na.label = dots.la
+        JOIN norms nb ON nb.label = dots.lb
+        ORDER BY la, lb""")),
+
+    // q147: n-gram novelty scoring — per document, the fraction of its
+    // distinct word 3-grams never seen in any EARLIER document (doc_id
+    // as ingest order): the freshness signal a dedup-aware sampler
+    // weighs against quality. Grams travel as xxhash64 LONGS (the
+    // q27/q88 census discipline — the oracle groups the gram STRINGS;
+    // a 64-bit collision merging two grams is the accepted
+    // ~2^-40-per-corpus risk, same as q27). min(doc_id) per gram is
+    // one map-side-combined aggregation; the join back is gram-keyed.
+    // The final ratio is one exact-integer IEEE division — no
+    // quantization anywhere.
+    GraftQuery(
+      "q147_ngram_novelty",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val grams = t.documents
+          .select(col("doc_id"),
+            explode(graft.ext.Dedup.shingles(col("text"), 3)).as("g"))
+          .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+        val firstSeen = grams.groupBy(col("gh"))
+          .agg(min(col("doc_id")).as("first_doc"))
+        grams.join(firstSeen, "gh")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1L)).as("n_grams"),
+            sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+              .as("n_seen"))
+          .select(col("doc_id"), col("n_grams"), col("n_seen"),
+            (lit(1.0) - col("n_seen").cast("double") / col("n_grams"))
+              .as("novelty"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        grams AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(words) >= 3
+              THEN list_transform(range(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+              ELSE [array_to_string(words, ' ')] END)) AS g
+          FROM w),
+        fs AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+        SELECT grams.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN fs.first_doc < grams.doc_id
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+               1.0 - CAST(sum(CASE WHEN fs.first_doc < grams.doc_id
+                 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+        FROM grams JOIN fs ON grams.g = fs.g
+        GROUP BY grams.doc_id ORDER BY grams.doc_id"""))
   )
 }
