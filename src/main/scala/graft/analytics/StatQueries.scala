@@ -238,6 +238,98 @@ object StatQueries {
                  AS DOUBLE)
                  / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
                  AS gini
-        FROM r GROUP BY g ORDER BY source"""))
+        FROM r GROUP BY g ORDER BY source""")),
+
+    // q148: Benford first-digit audit of order totals — the classic
+    // fabricated-data screen. The first significant digit comes from
+    // the INTEGER part's decimal string (integer→string is exact in
+    // both engines; double→string formatting is NOT and never touches
+    // this query). Expected Benford mass log10(1+1/d) is floor-
+    // quantized at 1e9 — d is one of nine small integers, so the
+    // values sit far from quantization boundaries in both libms.
+    // One hash aggregate on a 9-value key.
+    GraftQuery(
+      "q148_benford_digits",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val d = t.orders
+          .filter(col("o_totalprice") > 0)
+          .select(substring(floor(col("o_totalprice")).cast("long")
+            .cast("string"), 1, 1).cast("int").as("digit"))
+        val tot = d.agg(count(lit(1L)).as("n_total"))
+        d.groupBy(col("digit")).agg(count(lit(1L)).as("n"))
+          .crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            (col("n").cast("double") / col("n_total")).as("observed"),
+            (floor(log(10.0, lit(1.0) + lit(1.0) / col("digit"))
+              * lit(1e9) + lit(0.5)) / lit(1e9)).as("benford"))
+          .orderBy(col("digit"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM orders WHERE o_totalprice > 0),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d)
+        SELECT digit, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) AS DOUBLE) / n_total AS observed,
+               floor(log10(1.0 + 1.0 / digit) * 1000000000.0 + 0.5)
+                 / 1000000000.0 AS benford
+        FROM d, tot GROUP BY digit, n_total ORDER BY digit""")),
+
+    // q149: contribution analysis (ratio-to-report) — per-nation
+    // revenue with its share of region, share of grand total, and rank
+    // within region. Revenue folds as integer cents per row (exact,
+    // partitioning-invariant); the share windows run over the
+    // ~#nations-row AGGREGATED table, not the fact table — the
+    // aggregate-then-window shape that keeps report ratios off the
+    // scan path. Shares are single exact-integer divisions.
+    GraftQuery(
+      "q149_contribution",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val o = t.orders
+        val c = t.customer
+        val rev = o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(t.nation),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_regionkey").as("regionkey"),
+            col("n_name").as("nation"))
+          .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .as("cents"), count(lit(1L)).as("n_orders"))
+        val wr = Window.partitionBy(col("regionkey"))
+        val wAll = Window.partitionBy()
+        rev
+          .withColumn("region_cents", sum(col("cents")).over(wr))
+          .withColumn("total_cents", sum(col("cents")).over(wAll))
+          .withColumn("rank_in_region", rank().over(
+            Window.partitionBy(col("regionkey"))
+              .orderBy(col("cents").desc, col("nation"))).cast("long"))
+          .select(col("regionkey"), col("nation"), col("n_orders"),
+            col("cents"),
+            (col("cents").cast("double") / col("region_cents"))
+              .as("share_of_region"),
+            (col("cents").cast("double") / col("total_cents"))
+              .as("share_of_total"),
+            col("rank_in_region"))
+          .orderBy(col("regionkey"), col("rank_in_region"))
+      },
+      Some("""
+        WITH rev AS (
+          SELECT n.n_regionkey AS regionkey, n.n_name AS nation,
+                 CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS cents,
+                 CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_regionkey, n.n_name)
+        SELECT regionkey, nation, n_orders, cents,
+               CAST(cents AS DOUBLE) /
+                 sum(cents) OVER (PARTITION BY regionkey) AS share_of_region,
+               CAST(cents AS DOUBLE) / sum(cents) OVER () AS share_of_total,
+               rank() OVER (PARTITION BY regionkey
+                 ORDER BY cents DESC, nation) AS rank_in_region
+        FROM rev ORDER BY regionkey, rank_in_region"""))
   )
 }
