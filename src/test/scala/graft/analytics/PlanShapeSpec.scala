@@ -218,6 +218,59 @@ class PlanShapeSpec extends AnyFunSuite {
       s"span aggregation lost its partial phase:\n$plan")
   }
 
+  test("q131 profile: one Expand-lowered aggregation job, no per-column jobs") {
+    val plan = executedPlan("q131_data_profile")
+    assert(plan.contains("Expand"),
+      s"multi-column COUNT DISTINCT did not lower to Expand:\n$plan")
+    // one aggregation exchange (+ the presentational sort's range
+    // exchange at most): a per-column-job regression would multiply these
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"profile plan grew $exchanges exchanges:\n$plan")
+  }
+
+  test("q132 audit: FK orphan check plans as LeftAnti, no cartesian") {
+    val plan = executedPlan("q132_constraint_audit")
+    assert(plan.contains("LeftAnti"),
+      s"FK check did not plan as anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product leaked into the audit plan:\n$plan")
+  }
+
+  test("q134 sweep-line: bucket offsets broadcast back, never shuffled") {
+    val plan = executedPlan("q134_peak_concurrency")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offset table did not broadcast:\n$plan")
+  }
+
+  test("q143 KS test: decomposed ECDF carries no cartesian product") {
+    // the 1-row range/total sides ride BroadcastNestedLoopJoin; a
+    // CartesianProduct would mean a real all-pairs regression
+    val plan = executedPlan("q143_ks_test")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product leaked into the KS plan:\n$plan")
+  }
+
+  test("q145 PIT lookup: validity range stays a residual on an equi-join") {
+    val plan = executedPlan("q145_pit_lookup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"temporal join lost its user_id equi-key:\n$plan")
+  }
+
+  test("q149 contribution: dim join broadcasts, ratios window the aggregate") {
+    val plan = executedPlan("q149_contribution")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nation dim did not broadcast:\n$plan")
+    // the share windows must sit ABOVE the aggregate: their window
+    // exchange partitions by regionkey, which only exists post-agg —
+    // presence of Window over HashAggregate output is structural here;
+    // pin that no window partitions by a fact-table column
+    assert(plan.contains("Window"), s"no window in:\n$plan")
+    assert(!plan.contains("windowspecdefinition(o_custkey") &&
+      !plan.contains("windowspecdefinition(o_orderkey"),
+      s"a report window leaked onto the fact table:\n$plan")
+  }
+
   test("AQE re-plans shuffles at runtime (coalesced partition reads)") {
     // the 100 TB posture leans on adaptive execution (skew splits,
     // partition coalescing); pin that it is actually active in the final
