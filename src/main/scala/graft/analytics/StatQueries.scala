@@ -330,6 +330,86 @@ object StatQueries {
                CAST(cents AS DOUBLE) / sum(cents) OVER () AS share_of_total,
                rank() OVER (PARTITION BY regionkey
                  ORDER BY cents DESC, nation) AS rank_in_region
-        FROM rev ORDER BY regionkey, rank_in_region"""))
+        FROM rev ORDER BY regionkey, rank_in_region""")),
+
+    // q150: population stability index (PSI) — the drift score between
+    // the first and second half of the observed date range, per value
+    // bucket. The industry-standard "did the distribution move" gate
+    // (PSI < 0.1 stable, > 0.25 shifted) a model-serving pipeline runs
+    // between training and serving windows. Discipline: the period
+    // split and the 10 fixed-width buckets derive from exact
+    // integer/epoch arithmetic; counts are Laplace-smoothed integers;
+    // each (pa−pb)·ln(pa/pb) term is nano-quantized to an INTEGER
+    // before summation (q139) so the per-bucket terms and their sum
+    // are engine-exact. One aggregation over (bucket, period) + a
+    // 10-row window for the total.
+    GraftQuery(
+      "q150_psi_drift",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val ev = t.events.filter(col("value").isNotNull)
+          .select(to_date(col("ts")).as("day"), col("value"))
+        val rng = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))
+        val bucketed = ev.crossJoin(broadcast(rng))
+          .withColumn("mid",
+            date_add(col("d0"),
+              floor(datediff(col("d1"), col("d0")) / 2).cast("int")))
+          .withColumn("bkt", least(lit(9),
+            floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 10)
+              .cast("int")))
+          .withColumn("p", when(col("day") <= col("mid"), "a").otherwise("b"))
+        val cnt = bucketed.groupBy(col("bkt")).pivot("p", Seq("a", "b"))
+          .agg(count(lit(1L)))
+          .na.fill(0L, Seq("a", "b"))
+        val tot = cnt.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+        val smoothed = cnt.crossJoin(broadcast(tot))
+          .withColumn("pa",
+            (col("a") + 1).cast("double") / (col("na") + 10))
+          .withColumn("pb",
+            (col("b") + 1).cast("double") / (col("nb") + 10))
+          .withColumn("term_nano",
+            floor((col("pa") - col("pb")) * log(col("pa") / col("pb"))
+              * lit(1e9) + lit(0.5)).cast("long"))
+        smoothed
+          .withColumn("psi_nano",
+            sum(col("term_nano")).over(Window.partitionBy()))
+          .select(col("bkt").as("bucket"), col("a").as("n_a"),
+            col("b").as("n_b"), col("term_nano"), col("psi_nano"))
+          .orderBy(col("bucket"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT CAST(ts AS DATE) AS day, value
+          FROM events WHERE value IS NOT NULL),
+        rng AS (
+          SELECT min(day) AS d0, max(day) AS d1,
+                 min(value) AS lo, max(value) AS hi
+          FROM ev),
+        bucketed AS (
+          SELECT least(9, CAST(floor((value - lo) / (hi - lo) * 10)
+                   AS INT)) AS b,
+                 CASE WHEN day <= d0 + CAST(floor(datediff('day', d0, d1)
+                   / 2) AS INT) THEN 'a' ELSE 'b' END AS p
+          FROM ev, rng),
+        cnt AS (
+          SELECT b,
+                 CAST(sum(CASE WHEN p = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS a,
+                 CAST(sum(CASE WHEN p = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS bc
+          FROM bucketed GROUP BY b),
+        tot AS (SELECT sum(a) AS na, sum(bc) AS nb FROM cnt),
+        sm AS (
+          SELECT b, a, bc,
+                 CAST(a + 1 AS DOUBLE) / (na + 10) AS pa,
+                 CAST(bc + 1 AS DOUBLE) / (nb + 10) AS pb
+          FROM cnt, tot)
+        SELECT CAST(b AS INT) AS bucket, a AS n_a, bc AS n_b,
+               CAST(floor((pa - pb) * ln(pa / pb) * 1000000000.0 + 0.5)
+                 AS BIGINT) AS term_nano,
+               CAST(sum(CAST(floor((pa - pb) * ln(pa / pb) * 1000000000.0
+                 + 0.5) AS BIGINT)) OVER () AS BIGINT) AS psi_nano
+        FROM sm ORDER BY bucket"""))
   )
 }
