@@ -125,6 +125,23 @@ class StreamingCdcViewSpec extends AnyFunSuite {
       "the seq-max delete must win regardless of arrival order")
   }
 
+  test("soak: 1e4 keys x 3 batches; every view row exact under RocksDB") {
+    val n = 10000
+    def batch(gen: Int): Seq[CdcOp] = (0 until n).map(i =>
+      CdcOp(i.toLong, new Timestamp(1700000000000L + gen * 60000L), gen.toLong,
+        if (gen == 2 && i % 100 == 0) "d" else "u", gen * 1.5 + i))
+    val got = run(batch(1), batch(2), batch(3))
+    assert(got.size == 3 * n)
+    val finalView = got.groupBy(_.key).view.mapValues(_.maxBy(_.nOps)).toMap
+    assert(finalView.size == n)
+    finalView.foreach { case (k, v) =>
+      assert(v.nOps == 3L, s"key $k folded ${v.nOps} ops")
+      // gen-3 upsert always wins — including over the gen-2 deletes
+      assert(v.live && v.opId == 3L && v.value == 3 * 1.5 + k,
+        s"key $k final state $v")
+    }
+  }
+
   test("parity on a generated 200-key interleaved log across 4 batches") {
     val rng = new scala.util.Random(42)
     val all = (1 to 1200).map { i =>
