@@ -21,7 +21,8 @@ object SparkEntry {
     analytics.SurfaceQueries.queries ++
     analytics.Scd2.queries ++
     analytics.CurationQueries.queries ++
-    analytics.StatQueries.queries
+    analytics.StatQueries.queries ++
+    analytics.BehaviorQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

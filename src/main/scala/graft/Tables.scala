@@ -20,14 +20,23 @@ final class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = t("part")
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as a long and integer-divide to microseconds (a
-    * double division would lose precision — 2024 epoch-nanos exceed 2^53).
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — read as long, integer-divide to micros;
+    * a double division would lose precision, 2024 epoch-nanos exceed 2^53)
+    * and plain TIMESTAMP(MICROS) across testdata generations. Branch on
+    * the read schema so both load, normalized to session-tz TIMESTAMP
+    * (the session is pinned UTC, so the cast is value-preserving).
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = t("events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+      case _ =>
+        org.apache.spark.sql.functions.col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", ts)
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")

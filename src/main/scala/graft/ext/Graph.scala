@@ -107,6 +107,50 @@ object Graph {
     rank.select(col("node"), col("r").as("rank_pico"))
   }
 
+  /** Multi-source BFS hop distance: the minimum number of edges from any
+    * seed to each reachable node, cut off at `maxHops` — reachability
+    * labeling, blast-radius analysis, and the hop-bounded half of
+    * shortest paths (unit weights). The fourth graph primitive next to
+    * PageRank, triangle counting, and the [[Dedup]] components.
+    *
+    * Level-synchronous frontier expansion: each level joins the CURRENT
+    * FRONTIER (nodes first reached last level) against the edge list,
+    * then anti-joins the visited set so a node is labeled exactly once,
+    * at its first (minimal) level — no per-node min aggregation is ever
+    * needed. The frontier and visited set are node-sized while the edge
+    * list is fact-sized, so the frontier rides a BROADCAST hash join
+    * against the edges (map-side, never shuffling the edge list) and
+    * the level's lineage is truncated with one `localCheckpoint` — the
+    * same two policies as [[pageRank]]'s broadcast mode. For graphs
+    * whose FRONTIER outgrows an executor (web-scale), drop
+    * `broadcastFrontier` and the same loop runs on shuffle joins.
+    *
+    * Input: directed edges (src, dst) — pass both directions for an
+    * undirected graph — and seeds (node). Output: (node, dist) for every
+    * node within `maxHops` of a seed; seeds themselves are dist 0.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+              broadcastFrontier: Boolean = true): DataFrame = {
+    require(maxHops >= 0)
+    val e = edges.select(col("src"), col("dst"))
+    def hint(df: DataFrame): DataFrame =
+      if (broadcastFrontier) broadcast(df) else df
+    var visited = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0).as("dist")).localCheckpoint()
+    var frontier = visited
+    for (h <- 1 to maxHops if !frontier.isEmpty) {
+      val next = e
+        .join(hint(frontier.select(col("node").as("src"))), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(hint(visited.select(col("node"))), Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("dist"))
+        .localCheckpoint()
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
+
   /** Per-vertex triangle counts over an undirected edge list — the
     * clustering-coefficient numerator, and the third graph primitive
     * next to PageRank and the [[Dedup]] connected components.
