@@ -192,11 +192,25 @@ object BehaviorQueries {
       "q154_bfs_hops",
       (spark, dir) => {
         val t = new Tables(spark, dir)
-        val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
-        val edges = li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") =!= col("b.l_partkey"))
-          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        // per-order pair generation instead of the l_orderkey self-join
+        // the oracle spells (one groupBy shuffle + the codegen'd pair
+        // kernel — the q122 edge-build shape), emitted in BOTH
+        // directions for the undirected frontier walk. Duplicate
+        // directed edges (parts co-ordered more than once) are
+        // harmless: each level dedupes reached nodes before labeling,
+        // and skipping the distinct avoids a 4.8M-row exchange the
+        // labeling never needs (measured fastest of the three builds
+        // tried: kernel+distinct, self-join, kernel as-is).
+        val pairs = t.lineitem
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .select(explode(
+            graft.functions.SketchFns.pair_structs(col("ps"))).as("p"))
+        val edges = pairs.select(explode(array(
+            struct(col("p.id_a").as("src"), col("p.id_b").as("dst")),
+            struct(col("p.id_b").as("src"), col("p.id_a").as("dst"))))
+            .as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         val seeds = t.part.where(col("p_partkey") % 199 === 0)
           .select(col("p_partkey").as("node"))
         graft.ext.Graph.bfsHops(edges, seeds, maxHops = 3)

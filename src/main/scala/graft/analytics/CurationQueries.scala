@@ -620,25 +620,38 @@ object CurationQueries {
     // weighs against quality. Grams travel as xxhash64 LONGS (the
     // q27/q88 census discipline — the oracle groups the gram STRINGS;
     // a 64-bit collision merging two grams is the accepted
-    // ~2^-40-per-corpus risk, same as q27). min(doc_id) per gram is
-    // one map-side-combined aggregation; the join back is gram-keyed.
-    // The final ratio is one exact-integer IEEE division — no
+    // ~2^-40-per-corpus risk, same as q27). The oracle joins the gram
+    // census back to the gram stream; the Spark plan uses the
+    // algebraic identity n_seen = n_grams − n_novel instead, where
+    // n_novel(d) = #{grams whose min(doc_id) IS d} falls out of the
+    // census itself — so NOTHING gram-keyed is ever joined: one
+    // map-side-combined census, a SCAN-SIDE per-doc gram count
+    // (size() of the same array — the kernel is distinct-by-
+    // construction), and a join of two doc-sized tables. Shingling
+    // itself rides the CODEGEN'D [[graft.functions.SketchFns
+    // .hashed_shingles]] native (the q28/q88 kernel) — the interpreted
+    // array-HOF composition it replaces cost ~4 s per evaluation pass
+    // at sf0.1 and dominated the original plan (7.5 s → 1.3 s total;
+    // at 100 TB the removed gram-keyed join is the difference between
+    // shuffling the gram stream three times and once). The final ratio
+    // is the same exact-integer IEEE division as the oracle's — no
     // quantization anywhere.
     GraftQuery(
       "q147_ngram_novelty",
       (spark, dir) => {
         val t = new Tables(spark, dir)
-        val grams = t.documents
-          .select(col("doc_id"),
-            explode(graft.ext.Dedup.shingles(col("text"), 3)).as("g"))
-          .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-        val firstSeen = grams.groupBy(col("gh"))
+        val sh = graft.functions.SketchFns.hashed_shingles(col("text"), 3)
+        val novel = t.documents
+          .select(col("doc_id"), explode(sh).as("gh"))
+          .groupBy(col("gh"))
           .agg(min(col("doc_id")).as("first_doc"))
-        grams.join(firstSeen, "gh")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1L)).as("n_grams"),
-            sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
-              .as("n_seen"))
+          .groupBy(col("first_doc").as("doc_id"))
+          .agg(count(lit(1L)).as("n_novel"))
+        t.documents
+          .select(col("doc_id"), size(sh).cast("long").as("n_grams"))
+          .join(novel, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            (col("n_grams") - coalesce(col("n_novel"), lit(0L))).as("n_seen"))
           .select(col("doc_id"), col("n_grams"), col("n_seen"),
             (lit(1.0) - col("n_seen").cast("double") / col("n_grams"))
               .as("novelty"))

@@ -852,16 +852,22 @@ object SurfaceQueries {
       "q122_triangle_counts",
       (spark, dir) => {
         val t = new Tables(spark, dir)
-        val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
-        val edges = li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        // the part co-purchase edge set is dimension-sized (~1M edges
-        // at sf0.1) — broadcast the closing edge set so the O(m^1.5)
-        // wedge stream is filtered map-side instead of shuffled; a
-        // web-scale edge list would leave the default
-        graft.ext.Graph.triangleCounts(edges, broadcastClose = true)
+        // per-order pair generation beats the l_orderkey SELF-JOIN the
+        // oracle spells: one groupBy shuffle of (orderkey, partkey)
+        // longs, then the codegen'd pair kernel expands each order's
+        // sorted part set in-row — the order-size bound makes the
+        // expansion O(k²) per order with k ≈ single digits
+        val edges = t.lineitem
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .select(explode(
+            graft.functions.SketchFns.pair_structs(col("ps"))).as("p"))
+          .select(col("p.id_a").as("src"), col("p.id_b").as("dst"))
+        // the part co-purchase graph is dimension-sized (~1.2M edges
+        // over ~20k parts at sf0.1) — broadcast the packed adjacency
+        // table so the per-edge intersections run map-side with no
+        // shuffle; a web-scale edge list would leave the default
+        graft.ext.Graph.triangleCounts(edges, broadcastAdj = true)
           .orderBy(col("node"))
       },
       Some("""

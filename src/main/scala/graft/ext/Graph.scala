@@ -132,7 +132,11 @@ object Graph {
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
               broadcastFrontier: Boolean = true): DataFrame = {
     require(maxHops >= 0)
-    val e = edges.select(col("src"), col("dst"))
+    val e0 = edges.select(col("src"), col("dst"))
+    // each level's checkpoint is its own job, so an unmaterialized edge
+    // list would re-run its whole derivation (self-joins, distinct)
+    // once per level — same policy as [[pageRank]]'s broadcast mode
+    val e = if (broadcastFrontier) e0.localCheckpoint() else e0
     def hint(df: DataFrame): DataFrame =
       if (broadcastFrontier) broadcast(df) else df
     var visited = seeds.select(col("node")).distinct()
@@ -178,67 +182,88 @@ object Graph {
     * duplicate edges are removed. Output: (node, n_triangles) for
     * every vertex in at least one triangle.
     *
+    * The wedge set itself is NEVER materialized as rows: after
+    * orientation, out-neighborhoods are packed into per-node ARRAYS
+    * (compact-forward's adjacency form) and each oriented edge (t, h)
+    * closes its triangles with one in-row `array_intersect(adj(t),
+    * adj(h))` — the members are exactly the third vertices. A wedge
+    * JOIN would shuffle O(m^1.5) rows through an exchange; the
+    * intersection does the same asymptotic work as pure in-memory
+    * hash probes over arrays whose length the orientation already
+    * bounds at O(√m) (measured 3× total-query speedup at sf0.1).
+    *
     * The degree table rides BROADCAST joins unconditionally (it is
     * node-sized, not edge-sized — same policy as [[pageRank]]'s).
-    * `broadcastClose` additionally broadcasts the ORIENTED EDGE SET to
-    * the wedge-closing semi join, so the wedge stream — the largest
-    * intermediate by an order of magnitude, O(m^1.5) rows — is
-    * filtered map-side and never shuffled. Right whenever the edge
-    * list fits an executor (tens of millions of edges); leave it off
-    * for web-scale edge sets, where the shuffled semi join is the
-    * textbook scale-out.
+    * `broadcastAdj` additionally broadcasts the packed ADJACENCY table
+    * to the per-edge intersection joins — node-count rows carrying
+    * Σoutdeg = m longs in total (an order of magnitude smaller than
+    * the edge stream with per-row overheads), so the edge scan never
+    * shuffles at all. Right whenever the edge list fits an executor
+    * (tens of millions of edges); leave it off for web-scale edge
+    * sets, where the same plan runs on tail-/head-keyed shuffle joins.
     */
   def triangleCounts(edges: DataFrame,
-                     broadcastClose: Boolean = false): DataFrame = {
+                     broadcastAdj: Boolean = false): DataFrame = {
     // canonical undirected edge set (u < v), self-loops dropped
     val und = edges
       .select(least(col("src"), col("dst")).as("u"),
               greatest(col("src"), col("dst")).as("v"))
       .where(col("u") < col("v"))
       .distinct()
-    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("d"))
-    // orient u→v iff (d_u, u) < (d_v, v); carry the head's (d, id) so
-    // the wedge join can order its two heads without re-joining degrees
-    val oriented = und
-      .join(broadcast(deg.withColumnRenamed("node", "u")
-        .withColumnRenamed("d", "du")), "u")
-      .join(broadcast(deg.withColumnRenamed("node", "v")
-        .withColumnRenamed("d", "dv")), "v")
-      .select(
-        when(col("du") < col("dv") ||
-             (col("du") === col("dv") && col("u") < col("v")),
-          struct(col("u").as("t"), col("v").as("h"), col("dv").as("dh")))
-          .otherwise(
-            struct(col("v").as("t"), col("u").as("h"), col("du").as("dh")))
-          .as("e"))
-      .select(col("e.t").as("tail"), col("e.h").as("head"),
-              col("e.dh").as("dhead"))
-      // the oriented edge set feeds BOTH wedge sides and the closing
-      // semi join; without truncation the whole edge derivation
-      // (upstream self-joins, distinct, degree census) replays once per
-      // consumer — measured 36 parquet scans and zero exchange reuse on
-      // the co-purchase graph. One materialization, same policy as
-      // [[pageRank]]'s broadcast mode.
+    // both directions in one stream: each edge contributes a (node,
+    // nbr) row per endpoint — feeds the degree census and (filtered by
+    // orientation) the adjacency census, so no oriented EDGE SET is
+    // ever built as its own materialized table
+    val dirs = und.select(explode(array(
+        struct(col("u").as("node"), col("v").as("nbr")),
+        struct(col("v").as("node"), col("u").as("nbr")))).as("e"))
+      .select(col("e.node").as("node"), col("e.nbr").as("nbr"))
+    val deg = dirs.groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // keep only orientation-forward neighbors — (d, id) of the nbr
+    // strictly above the node's — then pack them into one SORTED array
+    // per node. Oriented out-degree is O(√m) by construction, so the
+    // arrays are bounded regardless of the degree distribution.
+    val adj = dirs
+      .join(broadcast(deg.withColumnRenamed("node", "nbr")
+        .withColumnRenamed("d", "dn")), "nbr")
+      .join(broadcast(deg), "node")
+      .where(col("dn") > col("d") ||
+             (col("dn") === col("d") && col("nbr") > col("node")))
+      .groupBy(col("node"))
+      .agg(sort_array(collect_list(col("nbr"))).as("nbrs"))
+      // feeds both the wedge-tail scan and the head-side lookup; one
+      // node-sized materialization truncates the shared derivation
+      // (same policy as [[pageRank]]'s broadcast mode)
       .localCheckpoint()
-    // wedges at the minimum-ordered vertex: two out-edges (tail→b,
-    // tail→c) with b before c in orientation order — each triangle
-    // produces exactly ONE wedge + one closing edge b→c
-    val closed = oriented.as("e1")
-      .join(oriented.as("e2"),
-        col("e1.tail") === col("e2.tail") &&
-          (col("e1.dhead") < col("e2.dhead") ||
-           (col("e1.dhead") === col("e2.dhead") &&
-            col("e1.head") < col("e2.head"))))
-      .select(col("e1.tail").as("a"), col("e1.head").as("b"),
-              col("e2.head").as("c"))
-      .join({
-          val close = oriented.select(col("tail").as("b"), col("head").as("c"))
-          if (broadcastClose) broadcast(close) else close
-        },
-        Seq("b", "c"), "left_semi")
-    closed
-      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+    // each triangle a→b, a→c, b→c is found EXACTLY once: at its (a, b)
+    // edge, as c ∈ adj(a) ∩ adj(b). The inner head join is lossless: a
+    // head with no out-edges closes no triangle at this edge. On BIGINT
+    // node ids the intersection is the codegen'd merge kernel
+    // ([[graft.functions.SketchKernels.sortedIntersect]] — no per-row
+    // hash set); other id types fall back to array_intersect.
+    val headAdj = {
+      val a = adj.select(col("node").as("head"), col("nbrs").as("nh"))
+      if (broadcastAdj) broadcast(a) else a
+    }
+    val isLongId = und.schema("u").dataType ==
+      org.apache.spark.sql.types.LongType
+    def intersect(a: Column, b: Column): Column =
+      if (isLongId) graft.functions.SketchFns.sorted_intersect(a, b)
+      else array_intersect(a, b)
+    val tri = adj
+      .select(col("node").as("tail"), col("nbrs").as("nt"),
+        explode(col("nbrs")).as("head"))
+      .join(headAdj, "head")
+      .select(col("tail"), col("head"),
+        intersect(col("nt"), col("nh")).as("ws"))
+      .where(size(col("ws")) > 0)
+    // per-vertex attribution in ONE pass over the intersections (a
+    // unionAll of three projections of `tri` would recompute them
+    // three times — there is no common-subtree reuse across union
+    // branches): first explode to one row per TRIANGLE, then to its
+    // three members, then count
+    tri.select(col("tail"), col("head"), explode(col("ws")).as("w"))
+      .select(explode(array(col("tail"), col("head"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 }

@@ -145,6 +145,30 @@ object SketchKernels extends Serializable {
     java.util.Arrays.copyOf(out, m)
   }
 
+  /** Intersection of two ASCENDING-sorted long arrays by linear merge —
+    * O(|a|+|b|) with no per-call hash set (`array_intersect` builds one
+    * per ROW, which dominates when the operator evaluates millions of
+    * times over adjacency lists). Inputs must be sorted and duplicate-
+    * free (both hold for `sort_array(collect_list(...))` over distinct
+    * edges); output is sorted.
+    */
+  def sortedIntersect(a: ArrayData, b: ArrayData): ArrayData = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val out = new Array[Long](math.min(na, nb))
+    var i = 0
+    var j = 0
+    var m = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { out(m) = x; m += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
   private[functions] def splitmix64(i: Long): Long = {
     var z = i + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -872,6 +896,8 @@ object SketchFns {
     bridge.column(SimHash64(bridge.expression(text)))
   def quantized_cosine(a: Column, b: Column): Column =
     bridge.column(QuantizedCosine(bridge.expression(a), bridge.expression(b)))
+  def sorted_intersect(a: Column, b: Column): Column =
+    bridge.column(SortedIntersect(bridge.expression(a), bridge.expression(b)))
   def band_buckets(sig: Column, bands: Int): Column =
     bridge.column(BandBuckets(bridge.expression(sig), bands))
   def pair_structs(sortedIds: Column): Column =
@@ -958,6 +984,36 @@ case class AdcDot(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): AdcDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sorted_intersect(a, b): merge-intersection of two sorted long arrays.
+  * See [[SketchKernels.sortedIntersect]] for the precondition.
+  */
+case class SortedIntersect(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_intersect"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect requires two ARRAY<BIGINT> inputs, got ${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.sortedIntersect(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = classOf[SketchKernels.type].getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $k.sortedIntersect($a, $b);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersect =
     copy(left = newLeft, right = newRight)
 }
 
