@@ -232,6 +232,54 @@ object BehaviorQueries {
         SELECT node, CAST(min(dist) AS INT) AS dist
         FROM bfs GROUP BY node ORDER BY node""")),
 
+    // q156: k-core decomposition of the co-purchase graph (k = 65) —
+    // the dense-community extractor ([[graft.ext.Graph.kCore]]:
+    // monotone iterated peeling with a checked fixpoint; every member
+    // keeps ≥ 65 in-core neighbors). The oracle is a recursive CTE
+    // running the same peel with its iteration index as the recursion
+    // level, capped at 20 levels — the observed fixpoint depth across
+    // the shipped SFs is ≤ 6, and once the peel stabilizes every
+    // further level reproduces the core verbatim, so the level-20
+    // slice IS the fixpoint. Edge build is the q122 pair kernel; the
+    // distinct matters (duplicate edges would inflate peel degrees).
+    GraftQuery(
+      "q156_kcore",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val pairs = t.lineitem
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .select(explode(
+            graft.functions.SketchFns.pair_structs(col("ps"))).as("p"))
+        val edges = pairs.select(explode(array(
+            struct(col("p.id_a").as("src"), col("p.id_b").as("dst")),
+            struct(col("p.id_b").as("src"), col("p.id_a").as("dst"))))
+            .as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .distinct()
+        graft.ext.Graph.kCore(edges, k = 65, broadcastAlive = true)
+          .orderBy(col("node"))
+      },
+      Some("""
+        WITH RECURSIVE pe AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey <> b.l_partkey),
+        alive AS (
+          SELECT DISTINCT u AS node, 0 AS it FROM pe
+          UNION ALL
+          SELECT e.u AS node, a.it + 1 AS it
+          FROM alive a JOIN pe e ON e.v = a.node
+          WHERE a.it < 20
+          GROUP BY e.u, a.it + 1
+          HAVING count(*) >= 65),
+        core AS (SELECT node FROM alive WHERE it = 20)
+        SELECT c.node, CAST(count(*) AS BIGINT) AS deg_core
+        FROM core c JOIN pe e ON e.u = c.node
+        JOIN core c2 ON c2.node = e.v
+        GROUP BY c.node ORDER BY c.node""")),
+
     // q155: inter-arrival ("think time") distribution — per-user gaps
     // between consecutive events, bucketed by decimal ORDER OF
     // MAGNITUDE (digit count of the gap in whole seconds: an exact

@@ -155,6 +155,62 @@ object Graph {
     visited
   }
 
+  /** k-core decomposition (fixed k): the maximal subgraph in which
+    * every vertex has ≥ k neighbors — the standard dense-community /
+    * spam-cluster extractor, and the graph-shaped sibling of the
+    * quality-band filters. The fifth graph primitive next to PageRank,
+    * triangles, BFS, and the [[Dedup]] components.
+    *
+    * Iterated peeling: alive₀ = all vertices; aliveₜ₊₁ = {u : u has
+    * ≥ k neighbors in aliveₜ}. The sequence is MONOTONE decreasing
+    * (aliveₜ₊₁ ⊆ aliveₜ by induction — counts against a subset can
+    * only shrink), so no dropped vertex can resurrect, one-sided
+    * neighbor counting is sound, and the fixpoint — reached when two
+    * consecutive counts agree, checked, not assumed — is exactly the
+    * k-core regardless of peel order. Each iteration is one join of
+    * the edge list against the node-sized alive set (BROADCAST under
+    * `broadcastAlive` — the [[bfsHops]] policy; shuffle joins
+    * otherwise) plus one degree aggregation; the edge list is
+    * localCheckpointed once since every iteration re-scans it.
+    *
+    * Input: directed edges (src, dst) — pass both directions for an
+    * undirected graph; duplicate edges must be pre-deduplicated (they
+    * would inflate neighbor counts). Output: (node, deg_core) for
+    * every k-core member — deg_core ≥ k is its degree WITHIN the
+    * core, which is precisely the final iteration's aggregate (at the
+    * fixpoint, {u : deg_alive(u) ≥ k} IS the alive set).
+    */
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 100,
+            broadcastAlive: Boolean = false): DataFrame = {
+    require(k >= 1)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    def hint(df: DataFrame): DataFrame =
+      if (broadcastAlive) broadcast(df) else df
+    var alive = e.select(col("src").as("node")).distinct().localCheckpoint()
+    var n = alive.count()
+    var result: DataFrame = null
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val next = e
+        .join(hint(alive.withColumnRenamed("node", "dst")), "dst")
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("deg_core"))
+        .where(col("deg_core") >= k)
+        .select(col("src").as("node"), col("deg_core"))
+        .localCheckpoint()
+      val m = next.count()
+      converged = m == n
+      result = next
+      alive = next.select(col("node"))
+      n = m
+      it += 1
+    }
+    require(converged,
+      s"kCore(k=$k) did not converge within $maxIters iterations")
+    result
+  }
+
   /** Per-vertex triangle counts over an undirected edge list — the
     * clustering-coefficient numerator, and the third graph primitive
     * next to PageRank and the [[Dedup]] connected components.

@@ -89,4 +89,41 @@ class GraphSpec extends AnyFunSuite {
     assert((1L to 12L).forall(i => got(i) == 2L), s"rim counts off: $got")
     assert(got == run(7))
   }
+
+  // -------------------------------------------------------------- kCore
+
+  test("kCore: K5 plus a pendant chain keeps exactly the clique at k=3") {
+    val k5 = for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield (a, b)
+    val edges = undirected(k5 ++ Seq((0L, 10L), (10L, 11L)): _*)
+    val got = Graph.kCore(edges, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 4L).map(_ -> 4L).toMap, s"unexpected core: $got")
+  }
+
+  test("kCore: peeling cascades down a tail, cycle survives at k=2") {
+    // cycle 1-2-3-4 with tail 4-5-6: 6 peels first (deg 1), THEN 5
+    // (its count drops to 1), the cycle is untouched
+    val edges = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (4L, 5L), (5L, 6L))
+    val got = Graph.kCore(edges, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L),
+      s"unexpected core: $got")
+  }
+
+  test("kCore: a tree has an empty 2-core; result is empty, not an error") {
+    val edges = undirected((1L, 2L), (1L, 3L), (3L, 4L), (3L, 5L))
+    assert(Graph.kCore(edges, k = 2).isEmpty)
+  }
+
+  test("kCore: partition-invariant and broadcast/shuffle-agnostic") {
+    val k5 = for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield (a, b)
+    val edges = undirected(k5 ++ Seq((0L, 10L), (10L, 11L), (11L, 0L)): _*)
+    def run(parts: Int, bc: Boolean) =
+      Graph.kCore(edges.repartition(parts), k = 2, broadcastAlive = bc)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = run(1, bc = false)
+    assert(expect.keySet == (0L to 4L).toSet + 10L + 11L)
+    assert(run(5, bc = true) == expect)
+  }
 }
