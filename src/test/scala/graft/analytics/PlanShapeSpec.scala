@@ -271,6 +271,40 @@ class PlanShapeSpec extends AnyFunSuite {
       s"a report window leaked onto the fact table:\n$plan")
   }
 
+  test("q122 triangles: adjacency broadcasts, no sort-merge, kernel in codegen") {
+    // the compact-forward plan: both intersection-side lookups ride the
+    // broadcast adjacency table, and the merge kernel must not break
+    // whole-stage codegen. A SortMergeJoin here means the wedge-scale
+    // stream is being shuffled again.
+    val df = SparkEntry.queries("q122_triangle_counts")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"adjacency lookups did not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a wedge-scale shuffle leaked into the triangle plan:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("sorted_intersect")),
+      s"sorted_intersect outside whole-stage codegen:\n$plan")
+  }
+
+  test("q147 novelty: no gram-keyed join — only the doc-sized join back") {
+    // the census join-back is on doc_id (doc-sized both sides); a join
+    // whose key is the gram hash means the fact-sized gram stream is
+    // being joined again (the shape the rewrite removed). NB: the
+    // iterative graph operators (q154/q156) cannot be pinned this way —
+    // their joins run inside per-level jobs behind localCheckpoint, so
+    // the final plan is an RDD scan; their scale shape is asserted
+    // behaviorally in GraphSpec instead.
+    val plan = executedPlan("q147_ngram_novelty")
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.nonEmpty, s"expected the doc-sized join back:\n$plan")
+    assert(joinLines.forall(!_.contains("gh#")),
+      s"gram-keyed join reappeared:\n$plan")
+    assert(plan.contains("hashed_shingles"),
+      s"native shingle kernel missing from the plan:\n$plan")
+  }
+
   test("AQE re-plans shuffles at runtime (coalesced partition reads)") {
     // the 100 TB posture leans on adaptive execution (skew splits,
     // partition coalescing); pin that it is actually active in the final
