@@ -80,7 +80,13 @@ object Monitoring {
     * never touches raw events.
     *
     * `events` needs (key STRING, ts TIMESTAMP, metric DOUBLE);
-    * breach = windowed avg(metric) >= threshold.
+    * breach = windowed avg(metric) >= threshold. The average runs in
+    * integer-CENT space (exact BIGINT sum, then one division) — a
+    * float avg() is fold-order-dependent, and the regenerated round-8
+    * corpus actually landed a window's peak exactly on a .00005
+    * rounding boundary, flipping round(.,4) between engines. Cent
+    * granularity is exact for 2-decimal metrics and a documented
+    * 0.005-max quantization otherwise.
     */
   def heldFor(events: DataFrame, windowSeconds: Long, threshold: Double,
               holdWindows: Int): DataFrame = {
@@ -89,7 +95,8 @@ object Monitoring {
     val w = events
       .groupBy(col("key"),
         floor(unix_timestamp(col("ts")) / windowSeconds).as("widx"))
-      .agg(avg(col("metric")).as("avg_metric"))
+      .agg((sum(floor(col("metric") * 100 + lit(0.5)).cast("long"))
+        .cast("double") / count(lit(1)) / 100.0).as("avg_metric"))
       .withColumn("breach", col("avg_metric") >= lit(threshold))
     val run = Window.partitionBy(col("key"), col("breach"))
       .orderBy(col("widx"))
@@ -102,7 +109,13 @@ object Monitoring {
         timestamp_seconds((max(col("widx")) + 1) * windowSeconds)
           .as("held_to"),
         count(lit(1)).as("n_windows"),
-        round(max(col("avg_metric")), 4).as("peak"))
+        // floor(x·10⁴+0.5)/10⁴ instead of round(x,4): the engines'
+        // round() disagree at .00005 ties (Spark rounds the exact
+        // decimal expansion of the double, DuckDB scales in floating
+        // point first); the explicit floor form is the same float ops
+        // in both (q60/q141 discipline)
+        (floor(max(col("avg_metric")) * 10000 + lit(0.5)) / 10000)
+          .as("peak"))
       .where(col("n_windows") >= holdWindows)
       .drop("grp")
   }

@@ -748,7 +748,8 @@ object SurfaceQueries {
       Some("""
         WITH w AS (
           SELECT event_type, CAST(FLOOR(epoch(ts)/900) AS BIGINT) AS widx,
-                 avg("value") AS avg_metric
+                 CAST(sum(CAST(floor("value" * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / count(*) / 100.0 AS avg_metric
           FROM events GROUP BY 1, 2),
         isl AS (
           SELECT *, (avg_metric >= 55.0) AS breach,
@@ -760,7 +761,7 @@ object SurfaceQueries {
                min(widx) * 900 AS held_from_sec,
                (max(widx) + 1) * 900 AS held_to_sec,
                count(*) AS n_windows,
-               round(max(avg_metric), 4) AS peak
+               floor(max(avg_metric) * 10000 + 0.5) / 10000 AS peak
         FROM isl WHERE breach GROUP BY event_type, grp
         HAVING count(*) >= 2
         ORDER BY event_type, held_from_sec""")),
