@@ -246,17 +246,21 @@ object BehaviorQueries {
       "q156_kcore",
       (spark, dir) => {
         val t = new Tables(spark, dir)
-        val pairs = t.lineitem
+        // dedupe at the UNDIRECTED pair level (half the rows of the
+        // directed stream), THEN mirror into both directions — the
+        // peel requires exact degrees, and this is the cheapest place
+        // to pay for the distinct
+        val und = t.lineitem
           .groupBy(col("l_orderkey"))
           .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
           .select(explode(
             graft.functions.SketchFns.pair_structs(col("ps"))).as("p"))
-        val edges = pairs.select(explode(array(
-            struct(col("p.id_a").as("src"), col("p.id_b").as("dst")),
-            struct(col("p.id_b").as("src"), col("p.id_a").as("dst"))))
-            .as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .select(col("p.id_a").as("a"), col("p.id_b").as("b"))
           .distinct()
+        val edges = und.select(explode(array(
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         graft.ext.Graph.kCore(edges, k = 65, broadcastAlive = true)
           .orderBy(col("node"))
       },
