@@ -83,6 +83,10 @@ object GraftFunctions {
      info("quantized_cosine",
           "quantized_cosine(a, b) - exact-integer quantized cosine of float vectors"),
      (args: Seq[Expression]) => QuantizedCosine(args.head, args(1))),
+    ("sorted_intersect",
+     info("sorted_intersect",
+          "sorted_intersect(a, b) - merge-intersection of two sorted BIGINT arrays"),
+     (args: Seq[Expression]) => SortedIntersect(args.head, args(1))),
     ("repetition_stats",
      info("repetition_stats",
           "repetition_stats(str) - [top-2-gram fraction, dup-3-gram fraction]"),

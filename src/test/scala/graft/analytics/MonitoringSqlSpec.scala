@@ -41,6 +41,11 @@ class MonitoringSqlSpec extends AnyFunSuite {
     assert(r2.getAs[Int]("ns_clamped") == 2)
     assert(r2.getAs[Double]("cos") == 1.0)
     assert(math.abs(r2.getAs[Double]("top2") - 0.6) < 1e-15)
+    // round-8 native: merge-intersection of sorted long arrays
+    val r3 = spark.sql(
+      """SELECT sorted_intersect(array(1L, 3L, 5L, 9L),
+                                 array(2L, 3L, 9L, 12L)) AS ws""").collect().head
+    assert(r3.getSeq[Long](0).toSeq == Seq(3L, 9L))
   }
 
   test("streaming error-ratio windows compute the alert quantity continuously") {
