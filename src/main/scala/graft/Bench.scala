@@ -77,9 +77,13 @@ object Bench {
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         times(name)(r) = (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name run $r failed: ${e.getMessage}")
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+      } catch {
+        // NonFatal only: an OOM/LinkageError means a damaged JVM whose
+        // later timings would be plausible-looking garbage — abort the
+        // whole run instead of recording them
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name run $r failed: ${e.getMessage}")
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     def minOf(name: String): Double = {

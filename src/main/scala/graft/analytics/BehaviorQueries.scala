@@ -143,7 +143,10 @@ object BehaviorQueries {
           .groupBy(col("n_name"),
             datediff(to_date(col("o_orderdate")),
               lit("2024-01-01").cast("date")).as("x"))
-          .agg(floor(sum(col("o_totalprice")) * 100 + lit(0.5)).cast("long")
+          // quantize each order to cents BEFORE summing: a long sum is
+          // fold-order-free, where floor(sum(double)*100+0.5) could flip
+          // on a .005 boundary between engines
+          .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
             .as("y"))
         daily.groupBy(col("n_name"))
           .agg(count(lit(1)).as("n_days"),
@@ -163,7 +166,7 @@ object BehaviorQueries {
           SELECT n.n_name,
                  date_diff('day', DATE '2024-01-01',
                            CAST(o.o_orderdate AS DATE)) AS x,
-                 CAST(floor(sum(o.o_totalprice) * 100 + 0.5) AS BIGINT) AS y
+                 sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS y
           FROM orders o
           JOIN customer c ON o.o_custkey = c.c_custkey
           JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -237,11 +240,13 @@ object BehaviorQueries {
     // monotone iterated peeling with a checked fixpoint; every member
     // keeps ≥ 65 in-core neighbors). The oracle is a recursive CTE
     // running the same peel with its iteration index as the recursion
-    // level, capped at 20 levels — the observed fixpoint depth across
-    // the shipped SFs is ≤ 6, and once the peel stabilizes every
-    // further level reproduces the core verbatim, so the level-20
-    // slice IS the fixpoint. Edge build is the q122 pair kernel; the
-    // distinct matters (duplicate edges would inflate peel degrees).
+    // level, capped at 50 levels — headroom over the observed fixpoint
+    // depth (≤ 6 across the shipped SFs) so a denser regenerated corpus
+    // can't silently hand back a non-converged slice — and once the
+    // peel stabilizes every further level reproduces the core verbatim,
+    // so the level-50 slice IS the fixpoint. Edge build is the q122
+    // pair kernel; the distinct matters (duplicate edges would inflate
+    // peel degrees).
     GraftQuery(
       "q156_kcore",
       (spark, dir) => {
@@ -275,10 +280,10 @@ object BehaviorQueries {
           UNION ALL
           SELECT e.u AS node, a.it + 1 AS it
           FROM alive a JOIN pe e ON e.v = a.node
-          WHERE a.it < 20
+          WHERE a.it < 50
           GROUP BY e.u, a.it + 1
           HAVING count(*) >= 65),
-        core AS (SELECT node FROM alive WHERE it = 20)
+        core AS (SELECT node FROM alive WHERE it = 50)
         SELECT c.node, CAST(count(*) AS BIGINT) AS deg_core
         FROM core c JOIN pe e ON e.u = c.node
         JOIN core c2 ON c2.node = e.v

@@ -648,6 +648,10 @@ object CurationQueries {
           .groupBy(col("first_doc").as("doc_id"))
           .agg(count(lit(1L)).as("n_novel"))
         t.documents
+          // explode(null) on the census side drops NULL-text docs; mirror
+          // that here — size(NULL) = -1 would otherwise surface the doc
+          // with nonsense counts while the oracle omits it
+          .where(col("text").isNotNull)
           .select(col("doc_id"), size(sh).cast("long").as("n_grams"))
           .join(novel, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_grams"),

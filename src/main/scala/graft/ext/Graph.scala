@@ -142,7 +142,10 @@ object Graph {
     var visited = seeds.select(col("node")).distinct()
       .select(col("node"), lit(0).as("dist")).localCheckpoint()
     var frontier = visited
-    for (h <- 1 to maxHops if !frontier.isEmpty) {
+    // while, not a guarded for: once the frontier drains, a for-loop
+    // guard would still fire one isEmpty Spark job per remaining level
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
       val next = e
         .join(hint(frontier.select(col("node").as("src"))), "src")
         .select(col("dst").as("node")).distinct()
@@ -151,6 +154,7 @@ object Graph {
         .localCheckpoint()
       visited = visited.unionAll(next).localCheckpoint()
       frontier = next
+      h += 1
     }
     visited
   }

@@ -988,7 +988,13 @@ case class AdcDot(left: Expression, right: Expression)
 }
 
 /** sorted_intersect(a, b): merge-intersection of two sorted long arrays.
-  * See [[SketchKernels.sortedIntersect]] for the precondition.
+  * See [[SketchKernels.sortedIntersect]] for the precondition. PRECONDITION
+  * (ad-hoc SQL callers too): both arrays ascending-sorted — unsorted input
+  * returns an arbitrary subset of the true intersection, not an error.
+  * Null ELEMENTS are rejected at analysis time: `ArrayData.getLong` on a
+  * null slot would silently read 0, so only `containsNull = false` arrays
+  * (e.g. `sort_array(collect_set(...))`, `array_sort` of non-null data)
+  * type-check.
   */
 case class SortedIntersect(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -997,8 +1003,15 @@ case class SortedIntersect(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (l @ ArrayType(LongType, _), r @ ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckFailure(
+          "sorted_intersect requires arrays that cannot contain null " +
+            "elements (a null slot would silently read as 0); got " +
+            s"${l.catalogString} and ${r.catalogString} with " +
+            "containsNull = true — wrap with array_compact or build via " +
+            "sort_array(collect_set(...))")
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"sorted_intersect requires two ARRAY<BIGINT> inputs, got ${l.catalogString} and ${r.catalogString}")
     }

@@ -46,6 +46,13 @@ class MonitoringSqlSpec extends AnyFunSuite {
       """SELECT sorted_intersect(array(1L, 3L, 5L, 9L),
                                  array(2L, 3L, 9L, 12L)) AS ws""").collect().head
     assert(r3.getSeq[Long](0).toSeq == Seq(3L, 9L))
+    // nullable ELEMENTS are rejected at analysis time (a null slot would
+    // silently read as 0 through ArrayData.getLong), with a hint
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("""SELECT sorted_intersect(array(1L, CAST(NULL AS BIGINT)),
+                                           array(1L))""").collect()
+    }
+    assert(ex.getMessage.contains("null"), ex.getMessage)
   }
 
   test("streaming error-ratio windows compute the alert quantity continuously") {
