@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-trend measurement: runs the registry's most expensive queries at
+  * every shipped scale factor and reports the empirical time-vs-rows
+  * growth exponent per query — the measured answer to "would this plan
+  * survive a 100× scale-up?" that the per-operator scaladocs argue
+  * analytically.
+  *
+  * Exponent: for driving-table row counts n₁ < n₂ with min-of-`runs`
+  * wall times t₁, t₂,  e = ln(t₂/t₁) / ln(n₂/n₁)  — e ≈ 1 is linear
+  * scaling, e ≈ 2 quadratic. Only the LARGEST adjacent SF pair is used:
+  * the small SFs are fixed-overhead-dominated (session, planning, codegen
+  * floors of ~0.1–0.5 s swamp sub-second data costs), which BIASES the
+  * measured exponent low — fine for a regression gate (a super-linear
+  * blow-up inflates t₂, never t₁), but worth stating. The driving-table
+  * row count, not an abstract "sf", is the denominator because the
+  * generated tables do NOT all scale together (documents/embeddings are
+  * flat from sf0.001 to sf0.01; embeddings grow 4× where lineitem grows
+  * 10× — see TESTDATA.md).
+  *
+  * Two consumers:
+  *  - `graft.Scaling` main: full protocol (all 3 SFs, min-of-3), writes
+  *    `SCALING.md` + `scaling.json` — the recorded artifact.
+  *  - [[graft.analytics.ScalingSpec]]: sf0.01→sf0.1, min-of-2, asserts
+  *    every LINEAR-CLAIMED query's exponent stays under
+  *    [[Scaling.linearExponentCap]] so an accidental all-pairs /
+  *    cartesian regression in a linear-claimed plan fails the build,
+  *    not the next bench round.
+  */
+object Scaling {
+
+  /** (query, driving table) — the ~15 most expensive registry queries
+    * (the BENCH_r08 top of the cost table), each tagged with the fact
+    * table whose cardinality drives its cost.
+    */
+  val targets: Seq[(String, String)] = Seq(
+    "q122_triangle_counts"       -> "lineitem",
+    "q80_pagerank"               -> "lineitem",
+    "q156_kcore"                 -> "lineitem",
+    "q154_bfs_hops"              -> "lineitem",
+    "q94_knn_pq"                 -> "embeddings",
+    "q127_ann_index_upsert"      -> "embeddings",
+    "q27_jaccard_pairs"          -> "documents",
+    "q47_winnow_pairs"           -> "documents",
+    "q44_dedup_clusters"         -> "documents",
+    "q52_dedup_clusters_bigstar" -> "documents",
+    "q75_dedup_canonical"        -> "documents",
+    "q85_leakage_split"          -> "documents",
+    "q88_dup_spans"              -> "documents",
+    "q100_curation_pipeline"     -> "documents",
+    "q131_data_profile"          -> "orders")
+
+  /** Documented super-linear-BY-INTENT queries: q27 materializes exact
+    * all-pairs Jaccard evidence and q47 exact winnowing-fingerprint
+    * pair evidence — both are the small-corpus EXACT siblings whose
+    * at-scale replacements (q28 banded LSH, df caps) are separately
+    * recall-pinned. Everything else in [[targets]] claims ~linear.
+    */
+  val superLinearByIntent: Set[String] =
+    Set("q27_jaccard_pairs", "q47_winnow_pairs")
+
+  /** Gate for linear-claimed queries. Intrinsic ~1.0 plus: sort/shuffle
+    * log factors (≤ ~0.1 over a 10× step), and bench noise on multi-
+    * second queries (±20% per endpoint ≈ ±0.17 exponent over a 10×
+    * step, more over embeddings' 4× step). 1.45 clears all of that
+    * while still failing hard on accidental quadratics (an all-pairs
+    * regression measures e ≈ 1.8–2 even with the overhead bias).
+    */
+  val linearExponentCap: Double = 1.45
+
+  final case class Point(sfDir: String, rows: Long, seconds: Double)
+  final case class Trend(name: String, table: String, points: Seq[Point]) {
+    /** Exponent over the largest adjacent SF pair. */
+    def exponent: Double = {
+      val Seq(a, b) = points.takeRight(2)
+      math.log(b.seconds / a.seconds) / math.log(b.rows.toDouble / a.rows)
+    }
+    def linearClaimed: Boolean = !superLinearByIntent.contains(name)
+  }
+
+  private def drivingRows(spark: SparkSession, dir: String,
+                          table: String): Long = {
+    val t = new Tables(spark, dir)
+    val df = table match {
+      case "lineitem"   => t.lineitem
+      case "orders"     => t.orders
+      case "documents"  => t.documents
+      case "embeddings" => t.embeddings
+      case "events"     => t.events
+      case other => sys.error(s"unknown driving table $other")
+    }
+    df.count()
+  }
+
+  /** Warm-up once then time `runs` executions per (query, sfDir); min. */
+  def measure(spark: SparkSession, sfDirs: Seq[String],
+              runs: Int, names: Seq[String] = targets.map(_._1)): Seq[Trend] = {
+    val byName = targets.toMap
+    val rowsOf = (for (d <- sfDirs; t <- byName.values.toSeq.distinct)
+      yield (d, t) -> drivingRows(spark, d, t)).toMap
+    names.map { name =>
+      val table = byName(name)
+      val fn = SparkEntry.queries(name)
+      val points = sfDirs.map { dir =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // untimed warm-up: codegen/JIT/file-index
+        val best = (1 to runs).map(_ => once()).min
+        Point(dir, rowsOf((dir, table)), best)
+      }
+      Trend(name, table, points)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SCALING_RUNS", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val trends = measure(spark, sfDirs, runs)
+
+    def fmt(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val json = trends.map { tr =>
+      val pts = tr.points.map(p =>
+        s"""{"sf":"${p.sfDir}","rows":${p.rows},"sec":${fmt(p.seconds)}}""")
+        .mkString("[", ",", "]")
+      s""""${tr.name}":{"table":"${tr.table}","points":$pts,""" +
+        s""""exponent":${fmt(tr.exponent)},"linear_claimed":${tr.linearClaimed}}"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("scaling.json"),
+      (json + "\n").getBytes("UTF-8"))
+
+    val md = new StringBuilder
+    md ++= "# SCALING — measured time-vs-rows growth\n\n"
+    md ++= s"Protocol: `graft.Scaling` main, local[$cpus], min-of-$runs after an\n"
+    md ++= "untimed warm-up run, per scale factor. Exponent e = ln(t2/t1)/ln(n2/n1)\n"
+    md ++= "over the LARGEST SF pair, n = driving-table rows (tables scale\n"
+    md ++= "unevenly — see `graft.Scaling` scaladoc). e≈1 linear, e≈2 quadratic;\n"
+    md ++= "small-SF fixed overhead biases e LOW, so the gate direction is safe.\n"
+    md ++= s"Gate (ScalingSpec): linear-claimed queries must stay under e=${linearExponentCap}.\n\n"
+    md ++= "| query | driving table | " +
+      sfDirs.map(d => s"t(${d.split('/').last}) s").mkString(" | ") +
+      " | exponent | claim |\n"
+    md ++= "|---|---|" + sfDirs.map(_ => "---|").mkString + "---|---|\n"
+    trends.foreach { tr =>
+      val claim =
+        if (tr.linearClaimed) "~linear" else "super-linear BY INTENT (exact all-pairs evidence; LSH sibling is the scale path)"
+      md ++= s"| ${tr.name} | ${tr.table} | " +
+        tr.points.map(p => fmt(p.seconds)).mkString(" | ") +
+        s" | ${fmt(tr.exponent)} | $claim |\n"
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.md"),
+      (md.toString + "\n").getBytes("UTF-8"))
+    println(s"[scaling] wrote SCALING.md + scaling.json (${trends.size} queries)")
+    trends.foreach(tr => println(
+      s"[scaling] ${tr.name} e=${fmt(tr.exponent)} " +
+        tr.points.map(p => fmt(p.seconds)).mkString("[", ", ", "]")))
+    spark.stop()
+  }
+}
