@@ -10,8 +10,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * indirection keeps the query functions location-agnostic.
   */
 final class Tables(spark: SparkSession, dir: String) {
-  private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private def t(name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Partition-invariance test hook (InvarianceSpec): when set, re-split
+    // every scan round-robin so map-side fold order and partial-aggregate
+    // grouping differ from the file-split default. Unset in production —
+    // the extra exchange would be pure cost.
+    spark.conf.getOption("graft.test.inputPartitions") match {
+      case Some(n) => df.repartition(n.toInt)
+      case None    => df
+    }
+  }
 
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")
