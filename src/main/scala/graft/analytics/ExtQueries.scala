@@ -2077,6 +2077,48 @@ object ExtQueries {
         SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine,
                CAST(cell AS INT) AS cell
         FROM ranked WHERE rank <= 5
-        ORDER BY query_id, rank"""))
+        ORDER BY query_id, rank""")),
+
+    // ------------------------------------------------------------------
+    // q157: semantic dedup (SemDeDup) over the embedding corpus — drop
+    // every vector with a ≥0.4-cosine neighbor of smaller id in its
+    // coarse cell, keep the full audit trail (cell, kept flag, canonical
+    // attribution). Sign-bit cells (the q31 quantizer) keep the whole
+    // pipeline — celling, within-cell kernel verification, canonical
+    // rule — SQL-expressible, so unlike the kmeans-celled production
+    // variant ([[graft.ext.Similarity.semanticDedupKmeans]], spec-pinned
+    // like q48) this one is hash-gated end-to-end. Threshold matches
+    // q43, whose exact pair set is this query's recall yardstick in
+    // ExtSpec. Complements lexical dedup: q24/q26 exact, q28 MinHash —
+    // this is the embedding-space member of the family.
+    GraftQuery(
+      "q157_semantic_dedup",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Similarity.semanticDedup(t.embeddings, threshold = 0.4,
+            Similarity.ivfCell(col("embedding"), bits = 4).cast("int"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE)*10000 + 0.5)) AS v,
+                 (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                  + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                  + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+                  + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
+          FROM embeddings),
+        dropped AS (
+          SELECT b.vec_id, min(a.vec_id) AS canon
+          FROM q a JOIN q b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE list_dot_product(a.v, b.v)
+                / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
+                >= 0.4
+          GROUP BY b.vec_id)
+        SELECT q.vec_id, CAST(q.cell AS INT) AS cell,
+               d.canon IS NULL AS is_kept,
+               coalesce(d.canon, q.vec_id) AS canonical_id
+        FROM q LEFT JOIN dropped d ON d.vec_id = q.vec_id
+        ORDER BY q.vec_id"""))
   )
 }

@@ -174,29 +174,7 @@ object Similarity {
   def ivfKmeansTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                     nCells: Int = 16, probes: Int = 3,
                     maxTrainRows: Int = 2048): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // bottom-k-by-md5 sample: order-independent, so the training set (and
-    // therefore the model) is identical no matter how the corpus is
-    // partitioned or how large it grows — and bounded, so collecting it
-    // to the driver for local Lloyd iterations is scale-safe by
-    // construction (maxTrainRows × dim doubles). Distributed k-means over
-    // a driver-sized sample would pay one Spark job PER ITERATION in
-    // scheduling alone; locally the whole fit is sub-millisecond.
-    val sampler = new graft.functions.BottomKByMd5[Long](maxTrainRows, identity)
-    val sampleIds = corpus.select(col("vec_id")).as[Long]
-      .select(sampler.toColumn).head().toSet
-    val sample = corpus
-      .filter(col("vec_id").isInCollection(sampleIds))
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      // md5-of-id order: a pseudo-random, partition-independent shuffle,
-      // which makes "first nCells points" a valid random init
-      .sortBy(r => graft.functions.SketchKernels.hex(
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(r.getLong(0).toString.getBytes("UTF-8"))))
-      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
-    val centroids = lloyd(sample, nCells, iterations = 8)
+    val centroids = fitCellCentroids(corpus, nCells, maxTrainRows)
     val q = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("qv"),
         explode(SketchFns.nearest_centroids(col("embedding"), centroids,
@@ -214,6 +192,39 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /** Deterministic bounded training sample: the `maxTrainRows` vectors
+    * with the smallest md5-of-id ([[graft.functions.BottomKByMd5]] —
+    * mergeable, order-independent, so the sample and every model fitted
+    * on it are identical no matter how the corpus is partitioned or how
+    * large it grows), returned in md5-of-id order — a pseudo-random,
+    * partition-independent shuffle that makes "first k points" a valid
+    * k-means init. Bounded by construction, so collecting it to the
+    * driver for local Lloyd iterations is scale-safe (maxTrainRows × dim
+    * doubles); distributed k-means over a driver-sized sample would pay
+    * one Spark job PER ITERATION in scheduling alone. Shared by
+    * [[ivfKmeansTopK]], [[pqTopK]], and [[semanticDedupKmeans]].
+    */
+  private def md5Sample(corpus: DataFrame,
+                        maxTrainRows: Int): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sampler = new graft.functions.BottomKByMd5[Long](maxTrainRows, identity)
+    val sampleIds = corpus.select(col("vec_id")).as[Long]
+      .select(sampler.toColumn).head().toSet
+    corpus.filter(col("vec_id").isInCollection(sampleIds))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(r => graft.functions.SketchKernels.hex(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(r.getLong(0).toString.getBytes("UTF-8"))))
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+  }
+
+  /** Coarse k-means cell centroids fitted on the [[md5Sample]]. */
+  private[ext] def fitCellCentroids(corpus: DataFrame, nCells: Int,
+                                    maxTrainRows: Int): Array[Array[Double]] =
+    lloyd(md5Sample(corpus, maxTrainRows), nCells, iterations = 8)
 
   /** Plain deterministic Lloyd iterations over a local sample: init from
     * the first k points (the caller hands the sample in md5-shuffled
@@ -291,17 +302,7 @@ object Similarity {
              subspaces: Int = 16, codebookSize: Int = 16,
              rerank: Int = 4, maxTrainRows: Int = 2048): DataFrame = {
     require(k > 0 && subspaces > 0 && codebookSize > 1 && rerank >= 1)
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val sampler = new graft.functions.BottomKByMd5[Long](maxTrainRows, identity)
-    val sampleIds = corpus.select(col("vec_id")).as[Long]
-      .select(sampler.toColumn).head().toSet
-    val sample = corpus.filter(col("vec_id").isInCollection(sampleIds))
-      .select(col("vec_id"), col("embedding")).collect()
-      .sortBy(r => graft.functions.SketchKernels.hex(
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(r.getLong(0).toString.getBytes("UTF-8"))))
-      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val sample = md5Sample(corpus, maxTrainRows)
     val dim = sample.head.length
     require(dim % subspaces == 0,
       s"dim $dim not divisible into $subspaces subspaces")
@@ -370,6 +371,77 @@ object Similarity {
     withVec.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Semantic deduplication (SemDeDup — Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * 2023): partition the corpus into coarse cells, compare embeddings
+    * ONLY within a cell, and drop every vector that has a ≥-threshold
+    * cosine near-duplicate with a SMALLER id in its cell — the
+    * embedding-space complement of the lexical MinHash dedup (q28): it
+    * removes semantic re-tellings that share no shingles.
+    *
+    * Canonical rule (deterministic, oracle-expressible): a vector is
+    * dropped iff a smaller-id ≥-threshold neighbor shares its cell;
+    * `canonical_id` is the SMALLEST such neighbor — a direct
+    * attribution, not a transitive cluster root (that's the [[Dedup]]
+    * connected-components job's contract).
+    *
+    * Scale shape: one cell-keyed exchange of (id, vec); within-cell
+    * verification is the same codegen'd [[graft.functions.SketchFns
+    * .bucket_cosine_pairs]] kernel as [[denseNearDupPairs]] — candidate
+    * pairs never exist as rows, and the pair stream that leaves the
+    * kernel is already threshold-filtered. Never all-pairs: cost is
+    * Σ_cell |cell|², which the SemDeDup recipe keeps near-linear by
+    * growing the cell count with the corpus (k ∝ √N ⇒ E|cell| = √N
+    * fixed work per cell; at 100 TB the celled corpus would be written
+    * partitioned by cell and each task deduplicates one partition).
+    * Per-cell memory is the collect_list of one cell's vectors — the
+    * accepted dense-bucket bound, sized by the same k knob.
+    *
+    * Output: (vec_id, cell, is_kept, canonical_id) for EVERY corpus row
+    * — the kept set is `is_kept`, the audit trail of each drop is its
+    * canonical attribution.
+    */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    cell: Column): DataFrame = {
+    val celled = corpus.select(col("vec_id"), col("embedding"),
+      cell.as("cell"))
+    val dropped = celled
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(
+        struct(col("vec_id").as("id"), col("embedding").as("vec"))))
+        .as("entries"))
+      .filter(size(col("entries")) > 1)
+      .select(explode(
+        SketchFns.bucket_cosine_pairs(col("entries"), threshold)).as("p"))
+      // entries are id-sorted, so the kernel's id_a < id_b IS the
+      // keep-first orientation; min over colliding elders = canonical
+      .groupBy(col("p.id_b").as("vec_id"))
+      .agg(min(col("p.id_a")).as("canon"))
+    celled
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("canon").isNull.as("is_kept"),
+        coalesce(col("canon"), col("vec_id")).as("canonical_id"))
+  }
+
+  /** [[semanticDedup]] with data-adaptive k-means cells — the SemDeDup
+    * paper's own configuration (cells from clustering, not axis signs),
+    * trained exactly like [[ivfKmeansTopK]]'s quantizer: bounded
+    * md5-sample, deterministic local Lloyd, native nearest-centroid
+    * assignment. Centroids depend on the fitted model, so this variant
+    * is spec-pinned (recall vs the exact [[cosineNearDupPairs]], and ≥
+    * the sign-bit celling) rather than SQL-oracle-gated — the q48-vs-q31
+    * relationship, replayed for dedup.
+    */
+  def semanticDedupKmeans(corpus: DataFrame, threshold: Double,
+                          nCells: Int = 16,
+                          maxTrainRows: Int = 2048): DataFrame = {
+    val centroids = fitCellCentroids(corpus, nCells, maxTrainRows)
+    semanticDedup(corpus, threshold,
+      element_at(SketchFns.nearest_centroids(col("embedding"), centroids, 1),
+        1).cast("int"))
   }
 
   /** Embedding similar/near-duplicate pairs: every corpus pair with

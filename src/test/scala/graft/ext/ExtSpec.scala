@@ -121,6 +121,51 @@ class ExtSpec extends AnyFunSuite {
       s"missed=${(truth -- got).size} extra=${(got -- truth).size} of ${truth.size}")
   }
 
+  test("semantic dedup: sound drops, exact within-cell recall, kmeans >= sign-bit") {
+    import graft.functions.SketchFns
+    // global ground truth at the same threshold as q43/q157: v SHOULD drop
+    // iff some smaller-id vector has cosine >= 0.4 with it anywhere
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val truePairs = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine",
+        SketchFns.quantized_cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shouldDrop = truePairs.map(_._2)
+    def drops(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.filter(!col("is_kept"))
+        .select(col("vec_id"), col("canonical_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sign = drops(Similarity.semanticDedup(embs, 0.4,
+      Similarity.ivfCell(col("embedding"), bits = 4).cast("int")))
+    val km = drops(Similarity.semanticDedupKmeans(embs, 0.4, nCells = 16))
+    assert(shouldDrop.nonEmpty)
+    // soundness: every drop is attributed to a TRUE smaller-id near-dup —
+    // cell-locality can only miss pairs, never invent them
+    for (m <- Seq(sign, km); (v, c) <- m) {
+      assert(c < v, s"canonical $c not an elder of $v")
+      assert(truePairs.contains((c, v)), s"false drop $v attributed to $c")
+    }
+    // within-cell completeness: restricted to pairs sharing a sign-bit
+    // cell, the drop set is EXACT (the kernel misses nothing it can see)
+    val cellOf = e.withColumn("cell",
+        Similarity.ivfCell(col("embedding"), bits = 4))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val visibleDrop = truePairs
+      .filter { case (a, b) => cellOf(a) == cellOf(b) }.map(_._2)
+    assert(sign.keySet == visibleDrop,
+      s"cell-visible drops mismatch: missed=${(visibleDrop -- sign.keySet).size} " +
+        s"extra=${(sign.keySet -- visibleDrop).size}")
+    // data-adaptive cells co-locate at least as many true near-dups as
+    // axis signs at the same cell count (the q48-vs-q31 relation)
+    val signRecall = sign.size.toDouble / shouldDrop.size
+    val kmRecall = km.size.toDouble / shouldDrop.size
+    assert(kmRecall >= signRecall,
+      s"kmeans cells recall $kmRecall below sign-bit $signRecall")
+  }
+
   test("cosine LSH dense and sparse strategies produce identical pairs") {
     // same logical op, two physical plans — results must be bit-equal
     // at the same banding, for both a narrow and a wide band width, and
