@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
+import graft.ext.Cdc
 
 /** Incremental SCD2 maintenance — the daily-merge twin of the q108 full
   * rebuild. The reference's pipeline lands one day of files per dated
@@ -176,5 +177,67 @@ object Scd2 {
                value_micro, n_days,
                lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg)
                  IS NULL AS is_current
-        FROM spans ORDER BY user_id, valid_from""")))
+        FROM spans ORDER BY user_id, valid_from""")),
+
+    // q158: general MERGE INTO ([[graft.ext.Cdc.merge]]) — the ANSI
+    // upsert q126 hand-builds for SCD2, as a reusable operator with
+    // clause-list semantics, exercised across all four paths at once:
+    // target = account balances of 2-of-3 customers (cents), source =
+    // per-customer order activity. WHEN MATCHED AND n_orders >= 20 THEN
+    // DELETE (churn-close heavy accounts); WHEN MATCHED THEN UPDATE
+    // bal += total (clause ORDER matters: the delete must shadow the
+    // catch-all update); WHEN NOT MATCHED THEN INSERT a synthesized
+    // account. The oracle states the same semantics as the textbook
+    // three-branch union (inner ∖ delete / anti-target / anti-source);
+    // the Spark plan is the ONE-exchange tagged-union reduce — a hash
+    // match pins their equivalence. Money in integer cents throughout.
+    GraftQuery(
+      "q158_merge_into",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val target = t.customer.filter(col("c_custkey") % 3 =!= 0)
+          .select(col("c_custkey"), col("c_name"),
+            floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")
+              .as("bal_cents"))
+        val source = t.orders.groupBy(col("o_custkey").as("c_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+              .as("total_cents"))
+        Cdc.merge(target, source, Seq("c_custkey"),
+            whenMatched = Seq(
+              Cdc.Delete(Some(expr("s.n_orders >= 20"))),
+              Cdc.Update(Map(
+                "bal_cents" -> expr("t.bal_cents + s.total_cents")))),
+            whenNotMatched = Seq(Cdc.Insert(Map(
+              "c_name" -> concat(lit("new#"), col("c_custkey").cast("string")),
+              "bal_cents" -> expr("s.total_cents")))))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        WITH tgt AS (
+          SELECT c_custkey, c_name,
+                 CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+          FROM customer WHERE c_custkey % 3 <> 0),
+        src AS (
+          SELECT o_custkey AS c_custkey,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS total_cents
+          FROM orders GROUP BY 1),
+        merged AS (
+          SELECT t.c_custkey, t.c_name,
+                 t.bal_cents + s.total_cents AS bal_cents
+          FROM tgt t JOIN src s USING (c_custkey)
+          WHERE s.n_orders < 20
+          UNION ALL
+          SELECT t.c_custkey, t.c_name, t.bal_cents
+          FROM tgt t WHERE NOT EXISTS (
+            SELECT 1 FROM src s WHERE s.c_custkey = t.c_custkey)
+          UNION ALL
+          SELECT s.c_custkey, 'new#' || CAST(s.c_custkey AS VARCHAR),
+                 s.total_cents
+          FROM src s WHERE NOT EXISTS (
+            SELECT 1 FROM tgt t WHERE t.c_custkey = s.c_custkey))
+        SELECT c_custkey, c_name, bal_cents
+        FROM merged ORDER BY c_custkey""")))
 }

@@ -48,6 +48,122 @@ object Cdc {
         .map(col) :+ col("n_ops"): _*)
   }
 
+  /** One MERGE clause. Conditions and SET/VALUES expressions reference
+    * the two sides through the struct aliases `t` (target) and `s`
+    * (source) — `expr("s.total > t.total")`, `Map("bal" ->
+    * expr("t.bal + s.delta"))` — mirroring ANSI MERGE's correlation
+    * names. A clause with `condition = None` always applies; among
+    * applicable clauses the FIRST wins (ANSI order semantics).
+    */
+  sealed trait MergeClause { def condition: Option[Column] }
+  /** WHEN MATCHED THEN UPDATE SET — columns absent from `set` keep their
+    * target value. */
+  final case class Update(set: Map[String, Column],
+                          condition: Option[Column] = None) extends MergeClause
+  /** WHEN MATCHED THEN DELETE. */
+  final case class Delete(condition: Option[Column] = None) extends MergeClause
+  /** WHEN NOT MATCHED THEN INSERT — columns absent from `values` are
+    * taken verbatim from the same-named source column. */
+  final case class Insert(values: Map[String, Column] = Map.empty,
+                          condition: Option[Column] = None) extends MergeClause
+
+  /** ANSI-style MERGE INTO as a batch operator: apply `source` to
+    * `target` on equality of `keyCols`, with WHEN MATCHED
+    * (UPDATE/DELETE) and WHEN NOT MATCHED (INSERT) clause lists, and
+    * return the post-merge target. The general upsert the warehouse
+    * layer runs — q126's SCD2 merge is one hand-built instance; this is
+    * the reusable surface.
+    *
+    * Plan shape (the [[applyLog]] discipline): both sides are tagged
+    * and UNIONED, then reduced with ONE hash exchange on the key — not
+    * the textbook full-outer join, which exchanges each side separately
+    * and materializes a join. Each group carries at most one target and
+    * one source struct (`max` over nullable structs selects them), so
+    * clause evaluation is a scalar CASE over `t`/`s` fields — no second
+    * shuffle, no window. At warehouse scale with the target bucketed by
+    * key, the union side-steps re-partitioning the big side entirely.
+    *
+    * Cardinality contract (ANSI): more than one SOURCE row per key —
+    * or a key-duplicated target — would make the result
+    * order-dependent, so it raises at execution time
+    * (`raise_error` woven into the emit predicate, which every output
+    * row evaluates) instead of silently picking a winner.
+    *
+    * Unmatched target rows pass through unchanged; source rows matching
+    * no NOT-MATCHED clause are discarded; a matched pair matching no
+    * MATCHED clause keeps the target row — all ANSI defaults. Inserted
+    * and updated values are cast to the target column's type, so the
+    * result schema IS the target schema.
+    */
+  def merge(target: DataFrame, source: DataFrame, keyCols: Seq[String],
+            whenMatched: Seq[MergeClause] = Nil,
+            whenNotMatched: Seq[Insert] = Seq(Insert())): DataFrame = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    whenMatched.foreach {
+      case _: Insert => throw new IllegalArgumentException(
+        "Insert is a NOT-MATCHED clause")
+      case _ => ()
+    }
+    val tVals = target.columns.toSeq.filterNot(keyCols.contains)
+    val sVals = source.columns.toSeq.filterNot(keyCols.contains)
+    def structType(df: DataFrame, cols: Seq[String]) =
+      org.apache.spark.sql.types.StructType(cols.map(c => df.schema(c)))
+    val tType = structType(target, tVals)
+    val sType = structType(source, sVals)
+    val tagged = target
+      .select(keyCols.map(col) ++ Seq(
+        struct(tVals.map(col): _*).as("__t"),
+        lit(null).cast(sType).as("__s")): _*)
+      .unionByName(source.select(keyCols.map(col) ++ Seq(
+        lit(null).cast(tType).as("__t"),
+        struct(sVals.map(col): _*).as("__s")): _*))
+    val grouped = tagged.groupBy(keyCols.map(col): _*)
+      .agg(max(col("__t")).as("t"), max(col("__s")).as("s"),
+        count(col("__t")).as("__nt"), count(col("__s")).as("__ns"))
+    // first applicable clause wins: right-fold builds the CASE chain so
+    // the leftmost condition is the outermost WHEN
+    def firstMatch(arms: Seq[(Column, Column)], default: Column): Column =
+      arms.foldRight(default) { case ((c, v), els) => when(c, v).otherwise(els) }
+    def condOf(cl: MergeClause): Column = cl.condition.getOrElse(lit(true))
+    val matchedEmits = firstMatch(whenMatched.map { cl =>
+      (condOf(cl), lit(!cl.isInstanceOf[Delete]))
+    }, lit(true))
+    val insertEmits = firstMatch(
+      whenNotMatched.map(i => (condOf(i), lit(true))), lit(false))
+    val emit = when(col("t").isNotNull && col("s").isNull, lit(true))
+      .when(col("t").isNull, insertEmits)
+      .otherwise(matchedEmits)
+    // cardinality guard rides the emit predicate — evaluated for every
+    // group, never prunable
+    val keyRepr = concat_ws(",", keyCols.map(c => col(c).cast("string")): _*)
+    val guarded = when(col("__nt") > 1 || col("__ns") > 1,
+      raise_error(concat(
+        lit("MERGE cardinality violation (duplicate key in "),
+        when(col("__nt") > 1, lit("target")).otherwise(lit("source")),
+        lit("): key="), keyRepr)).cast("boolean"))
+      .otherwise(emit)
+    def outVal(c: String): Column = {
+      val keep = col(s"t.$c")
+      val matchedVal = firstMatch(whenMatched.map {
+        case u: Update => (condOf(u), u.set.getOrElse(c, keep))
+        case d: Delete => (condOf(d), keep) // row dropped; value unused
+        case i: Insert => (condOf(i), keep) // unreachable
+      }, keep)
+      val insertVal = firstMatch(whenNotMatched.map { i =>
+        val v = i.values.getOrElse(c,
+          if (sVals.contains(c)) col(s"s.$c")
+          else lit(null))
+        (condOf(i), v)
+      }, lit(null))
+      when(col("t").isNotNull && col("s").isNull, keep)
+        .when(col("t").isNull, insertVal)
+        .otherwise(matchedVal)
+        .cast(target.schema(c).dataType).as(c)
+    }
+    grouped.filter(guarded)
+      .select(keyCols.map(col) ++ tVals.map(outVal): _*)
+  }
+
   /** Idempotence witness: applying `log` to the state produced by a
     * prior [[applyLog]] of the same log changes no key/seq/value —
     * expressed as a recompaction of (state-as-upserts ∪ log). Only the

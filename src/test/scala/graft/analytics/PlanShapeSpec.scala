@@ -305,6 +305,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"native shingle kernel missing from the plan:\n$plan")
   }
 
+  test("q158 merge: join-free tagged-union plan, one reduce exchange") {
+    // Cdc.merge's contract is the ONE-exchange shape: tag + union +
+    // hash-aggregate on the key. A Join node would mean it regressed to
+    // the textbook full-outer formulation (an exchange per side); more
+    // than two exchanges (the source pre-aggregation + the merge
+    // reduce) means the union stopped co-flowing into one shuffle.
+    val plan = executedPlan("q158_merge_into")
+    assert(!plan.contains("Join"),
+      s"merge plan regressed to a join:\n$plan")
+    // hash exchanges only: the query's own orderBy adds a range
+    // exchange that is presentation, not merge machinery
+    val exchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2,
+      s"merge plan hash-shuffles $exchanges times (expected <= 2):\n$plan")
+  }
+
   test("AQE re-plans shuffles at runtime (coalesced partition reads)") {
     // the 100 TB posture leans on adaptive execution (skew splits,
     // partition coalescing); pin that it is actually active in the final

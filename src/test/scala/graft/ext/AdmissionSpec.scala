@@ -119,6 +119,63 @@ class AdmissionSpec extends AnyFunSuite {
     assert(s3.collect().toSet == s1.collect().toSet)
   }
 
+  test("cdc merge: all four paths, clause order, target-side passthrough") {
+    val target = Seq((1L, "a", 100L), (2L, "b", 200L), (3L, "c", 300L))
+      .toDF("k", "name", "bal")
+    val source = Seq((1L, 5L, 10L), (3L, 99L, 30L), (9L, 2L, 77L))
+      .toDF("k", "n", "delta")
+    val out = Cdc.merge(target, source, Seq("k"),
+        whenMatched = Seq(
+          Cdc.Delete(Some(expr("s.n >= 50"))),
+          Cdc.Update(Map("bal" -> expr("t.bal + s.delta")))),
+        whenNotMatched = Seq(Cdc.Insert(Map(
+          "name" -> concat(lit("new#"), col("k").cast("string")),
+          "bal" -> expr("s.delta")))))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(out == Map(
+      1L -> ("a", 110L),     // matched -> update (delete shadowed)
+      2L -> ("b", 200L),     // unmatched target -> passthrough
+      9L -> ("new#9", 77L))) // unmatched source -> insert; 3 deleted
+  }
+
+  test("cdc merge: idempotent with absolute clauses (re-apply == no-op)") {
+    val target = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("k", "bal")
+    val source = Seq((1L, 10L), (3L, 999L), (9L, 77L)).toDF("k", "v")
+    // absolute SET, delete heavy keys, insert only light ones — the
+    // clause shapes under which MERGE is a projection (f(f(x)) = f(x))
+    def apply1(t: org.apache.spark.sql.DataFrame) =
+      Cdc.merge(t, source, Seq("k"),
+        whenMatched = Seq(
+          Cdc.Delete(Some(expr("s.v >= 500"))),
+          Cdc.Update(Map("bal" -> expr("s.v")))),
+        whenNotMatched = Seq(Cdc.Insert(Map("bal" -> expr("s.v")),
+          condition = Some(expr("s.v < 500")))))
+    val once = apply1(target)
+    val twice = apply1(once)
+    assert(once.collect().toSet == twice.collect().toSet)
+    assert(once.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 200L), (9L, 77L)))
+    // and partitioning-invariant, like every operator in this file
+    val shuffled = apply1(target.repartition(7))
+    assert(shuffled.collect().toSet == once.collect().toSet)
+  }
+
+  test("cdc merge: duplicate source keys raise a cardinality error") {
+    val target = Seq((1L, 100L)).toDF("k", "bal")
+    val dupSource = Seq((1L, 10L), (1L, 20L)).toDF("k", "v")
+    val ex = intercept[Exception] {
+      Cdc.merge(target, dupSource, Seq("k"),
+        whenMatched = Seq(Cdc.Update(Map("bal" -> expr("s.v")))))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("cardinality")),
+      s"unexpected error: $ex")
+  }
+
   // --------------------------------------------------------------- Frontier
 
   test("pareto2d matches the quadratic NOT-EXISTS definition") {
