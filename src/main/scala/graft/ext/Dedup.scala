@@ -628,8 +628,18 @@ object Dedup {
     * clustered-doc table; the cluster computation itself is
     * [[clusters]]' O(diameter) propagation over the pair list.
     */
-  def leakageSplit(docs: DataFrame, id: Column, pairs: DataFrame): DataFrame = {
-    val cl = clusters(pairs).select(col("doc_id"), col("cluster_id"))
+  def leakageSplit(docs: DataFrame, id: Column, pairs: DataFrame): DataFrame =
+    leakageSplitFromClusters(docs, id,
+      clusters(pairs).select(col("doc_id"), col("cluster_id")))
+
+  /** [[leakageSplit]] consuming an ALREADY-COMPUTED cluster table
+    * (doc_id, cluster_id) — the production factoring: one cluster pass
+    * feeds the split, the canonical selection, and the curation
+    * pipeline, instead of each recomputing it.
+    */
+  def leakageSplitFromClusters(docs: DataFrame, id: Column,
+                               clusterTable: DataFrame): DataFrame = {
+    val cl = clusterTable.select(col("doc_id"), col("cluster_id"))
     docs.select(id.as("doc_id"))
       .join(cl, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
