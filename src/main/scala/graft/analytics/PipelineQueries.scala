@@ -337,6 +337,104 @@ object PipelineQueries {
                t.max_cols AS max_cols,
                CAST(t.sum_rows AS DOUBLE) / t.n_tables AS avg_rows_per_table
         FROM docs d JOIN tabs t ON d.day = t.day
-        ORDER BY day"""))
+        ORDER BY day""")),
+
+    // ------------------------------------------------------------------
+    // q159: per-document TABLE-CELL reconstruction — the Docling result
+    // JSON's deepest data product (k8s/configmaps.yaml:20-26: the
+    // converter emits table STRUCTURE, tables → rows → cells), which
+    // q51 only counts at the table level. The cell matrix is
+    // synthesized deterministically per document (numeric cells where
+    // (doc_id + r + c) % 3 = 0, word cells elsewhere), stored as the
+    // JSON a pipeline would persist, then parsed back with a
+    // triple-nested schema and EXPLODED TO PER-CELL ROWS (posexplode ×3:
+    // table index, row index, column index — the distributed cell
+    // stream a 100 TB corpus would feed into typed table extraction),
+    // and re-aggregated to per-doc stats: table/cell counts, numeric
+    // cell census with an exact integer sum, and the widest row. The
+    // oracle walks the same JSON with DuckDB list ops instead of
+    // explodes — a hash match pins that the two nestings agree cell by
+    // cell. Tables are counted at their (ri=0, ci=0) anchor cell, so
+    // ONE aggregation serves all five stats — no count-distinct Expand.
+    GraftQuery(
+      "q159_docling_table_cells",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val nTab = col("doc_id") % 3
+        val stored = t.documents.select(col("doc_id"),
+          to_json(struct(
+            lit("docling/v1").as("schema"),
+            when(nTab > 0, transform(sequence(lit(1L), nTab), tt =>
+              struct(transform(
+                sequence(lit(1L), (col("doc_id") + tt) % 4 + 1), r =>
+                transform(sequence(lit(1L), tt % 3 + 1), c =>
+                  when((col("doc_id") + r + c) % 3 === 0,
+                    ((col("doc_id") * r + c * 7) % 100).cast("string"))
+                  .otherwise(concat(lit("w"),
+                    ((r * 10 + c) % 30).cast("string")))))
+                .as("rows")))).as("tables"))).as("doclingResult"))
+        val resultSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "`schema` STRING, " +
+          "tables ARRAY<STRUCT<`rows`: ARRAY<ARRAY<STRING>>>>")
+        val isNum = col("cell").rlike("^[0-9]+$")
+        stored
+          .select(col("doc_id"),
+            from_json(col("doclingResult"), resultSchema).as("doc"))
+          .select(col("doc_id"),
+            posexplode(col("doc.tables")).as(Seq("ti", "tbl")))
+          .select(col("doc_id"), col("ti"),
+            posexplode(col("tbl.rows")).as(Seq("ri", "row")))
+          .select(col("doc_id"), col("ti"), col("ri"),
+            posexplode(col("row")).as(Seq("ci", "cell")))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(when(col("ri") === 0 && col("ci") === 0, lit(1)))
+              .as("n_tables"),
+            count(lit(1)).as("n_cells"),
+            count(when(isNum, lit(1))).as("n_numeric"),
+            coalesce(sum(when(isNum, col("cell").cast("long"))), lit(0L))
+              .as("numeric_sum"),
+            (max(col("ci")) + 1).as("max_width"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH built AS (
+          SELECT doc_id,
+            to_json(struct_pack(
+              "schema" := 'docling/v1',
+              tables := CASE WHEN doc_id % 3 > 0 THEN
+                list_transform(generate_series(1, doc_id % 3), t ->
+                  struct_pack("rows" := list_transform(
+                    generate_series(1, (doc_id + t) % 4 + 1), r ->
+                    list_transform(generate_series(1, t % 3 + 1), c ->
+                      CASE WHEN (doc_id + r + c) % 3 = 0
+                           THEN CAST((doc_id * r + c * 7) % 100 AS VARCHAR)
+                           ELSE 'w' || CAST((r * 10 + c) % 30 AS VARCHAR)
+                      END))))
+                ELSE NULL END)) AS j
+          FROM documents),
+        parsed AS (
+          SELECT doc_id,
+                 CAST(json_extract(j, '$.tables')
+                      AS STRUCT("rows" VARCHAR[][])[]) AS tabs
+          FROM built WHERE doc_id % 3 > 0),
+        percell AS (
+          SELECT doc_id,
+                 flatten(list_transform(tabs, t -> flatten(t."rows")))
+                   AS cells,
+                 flatten(list_transform(tabs, t ->
+                   list_transform(t."rows", r -> len(r)))) AS widths,
+                 len(tabs) AS n_tables
+          FROM parsed)
+        SELECT doc_id,
+               CAST(n_tables AS BIGINT) AS n_tables,
+               CAST(len(cells) AS BIGINT) AS n_cells,
+               CAST(len(list_filter(cells,
+                 x -> regexp_matches(x, '^[0-9]+$'))) AS BIGINT) AS n_numeric,
+               CAST(coalesce(list_sum(list_transform(
+                 list_filter(cells, x -> regexp_matches(x, '^[0-9]+$')),
+                 x -> CAST(x AS BIGINT))), 0) AS BIGINT) AS numeric_sum,
+               CAST(list_max(widths) AS INT) AS max_width
+        FROM percell ORDER BY doc_id"""))
   )
 }
