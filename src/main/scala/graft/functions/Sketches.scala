@@ -236,6 +236,25 @@ object SketchKernels extends Serializable {
     else dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
   }
 
+  /** Array[Float] overload of [[quantizedCosine]] for JVM-side callers
+    * (the streaming semantic-dedup processor) — identical formula, kept
+    * adjacent so the two cannot drift; batch/stream cosine parity is a
+    * formula identity, not a test hope.
+    */
+  def quantizedCosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      val qa = math.floor(a(i).toDouble * 10000d + 0.5d).toLong
+      val qb = math.floor(b(i).toDouble * 10000d + 0.5d).toLong
+      dot += qa * qb; na += qa * qa; nb += qb * qb
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0d
+    else dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+  }
+
   /** PQ asymmetric-distance lookup: Σ_s lut[s][codes[s]] (0-based). */
   def adcDot(codes: org.apache.spark.sql.catalyst.util.ArrayData,
              lut: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
