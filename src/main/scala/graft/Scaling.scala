@@ -242,7 +242,12 @@ object Scaling {
         "is compute-dominated, so its exponent\n(the one reported for " +
         "linear-claimed queries) is the meaningful answer to\nthe " +
         "100x question; by-intent super-linear queries are not run " +
-        "there.\n"
+        "there.\nReading the exponents: graph/dedup/profile land at " +
+        "0.4-0.9 (sub-linear to\nlinear with log factors); the mild " +
+        "outlier is BFS (broadcast-frontier cost\ngrows with frontier " +
+        "size on top of the edge scan — the documented trade;\nthe " +
+        "`broadcastFrontier=false` shuffle-join fallback is the " +
+        "web-scale path).\n"
     }
     md ++= "\n"
     val tierNames = sfDirs.map(_.split('/').last) ++
