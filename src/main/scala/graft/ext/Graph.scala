@@ -139,9 +139,19 @@ object Graph {
     val e = if (broadcastFrontier) e0.localCheckpoint() else e0
     def hint(df: DataFrame): DataFrame =
       if (broadcastFrontier) broadcast(df) else df
-    var visited = seeds.select(col("node")).distinct()
+    val seeded = seeds.select(col("node")).distinct()
       .select(col("node"), lit(0).as("dist")).localCheckpoint()
-    var frontier = visited
+    // the visited set is the UNION of the per-level checkpointed
+    // frontiers, never re-materialized: folding `visited.unionAll(next)
+    // .localCheckpoint()` per level would rewrite the whole visited set
+    // every level — an O(levels × |visited|) term that turns
+    // measurably super-linear on large graphs (the round-9 amp8
+    // scaling run read e≈1.15 for exactly this reason). A union of
+    // already-materialized blocks costs nothing to build and scans at
+    // anti-join time only.
+    var frontiers = List(seeded)
+    var frontier = seeded
+    def visited() = frontiers.reduceLeft(_ unionAll _)
     // while, not a guarded for: once the frontier drains, a for-loop
     // guard would still fire one isEmpty Spark job per remaining level
     var h = 1
@@ -149,14 +159,14 @@ object Graph {
       val next = e
         .join(hint(frontier.select(col("node").as("src"))), "src")
         .select(col("dst").as("node")).distinct()
-        .join(hint(visited.select(col("node"))), Seq("node"), "left_anti")
+        .join(hint(visited().select(col("node"))), Seq("node"), "left_anti")
         .select(col("node"), lit(h).as("dist"))
         .localCheckpoint()
-      visited = visited.unionAll(next).localCheckpoint()
+      frontiers = frontiers :+ next
       frontier = next
       h += 1
     }
-    visited
+    visited()
   }
 
   /** k-core decomposition (fixed k): the maximal subgraph in which
