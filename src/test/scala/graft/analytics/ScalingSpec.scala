@@ -32,7 +32,21 @@ class ScalingSpec extends AnyFunSuite {
       new java.io.File(big).isDirectory, "testdata SFs not present")
     val linear = Scaling.targets.map(_._1)
       .filterNot(Scaling.superLinearByIntent)
-    val trends = Scaling.measure(spark, Seq(small, big), runs = 1, linear)
+    // SPARK_GRAFT_SCALING_DEEP=1 upgrades the sentinel to the full
+    // weak-scaling gate: the 8x amplified corpus is built (idempotent)
+    // and the exponent is measured on the compute-dominated sf0.1->amp8
+    // pair instead of the overhead-biased shipped pair. Off by default —
+    // it adds ~10 min of corpus build + measurement to `sbt test`.
+    val deep = sys.env.get("SPARK_GRAFT_SCALING_DEEP").contains("1")
+    val ampDir =
+      if (!deep) None
+      else Some {
+        val d = s"${sys.props("java.io.tmpdir")}/graft-sf-amp-8"
+        Scaling.amplifyCorpus(spark, big, d, 8)
+        d
+      }
+    val trends =
+      Scaling.measure(spark, Seq(small, big), runs = 1, linear, ampDir)
     val bad = trends.filter(_.exponent > Scaling.linearExponentCap)
     assert(bad.isEmpty,
       "super-linear growth in linear-claimed queries:\n" + bad.map(tr =>
