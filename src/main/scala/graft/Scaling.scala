@@ -50,16 +50,23 @@ object Scaling {
     "q85_leakage_split"          -> "documents",
     "q88_dup_spans"              -> "documents",
     "q100_curation_pipeline"     -> "documents",
-    "q131_data_profile"          -> "orders")
+    "q131_data_profile"          -> "orders",
+    "q160_prefix_jaccard_pairs"  -> "documents",
+    "q161_weighted_paths"        -> "lineitem")
 
   /** Documented super-linear-BY-INTENT queries: q27 materializes exact
     * all-pairs Jaccard evidence and q47 exact winnowing-fingerprint
     * pair evidence — both are the small-corpus EXACT siblings whose
     * at-scale replacements (q28 banded LSH, df caps) are separately
-    * recall-pinned. Everything else in [[targets]] claims ~linear.
+    * recall-pinned. q160 computes the SAME exact pair set as q27 (its
+    * prefix filter bounds the CANDIDATE join, not the output): on the
+    * replica-amplified corpus, whose cross-replica near-dup groups grow
+    * the true pair count ~K², its OUTPUT is super-linear by the same
+    * intent even though its candidate generation is the at-scale path.
+    * Everything else in [[targets]] claims ~linear.
     */
   val superLinearByIntent: Set[String] =
-    Set("q27_jaccard_pairs", "q47_winnow_pairs")
+    Set("q27_jaccard_pairs", "q47_winnow_pairs", "q160_prefix_jaccard_pairs")
 
   /** Gate for linear-claimed queries. Intrinsic ~1.0 plus: sort/shuffle
     * log factors (≤ ~0.1 over a 10× step), and bench noise on multi-

@@ -323,5 +323,84 @@ object BehaviorQueries {
         SELECT CAST(length(CAST(gap_s AS VARCHAR)) AS INT) AS magnitude,
                count(*) AS n, min(gap_s) AS min_gap, max(gap_s) AS max_gap
         FROM gaps WHERE gap_s IS NOT NULL AND gap_s > 0
-        GROUP BY 1 ORDER BY 1""")))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // q161: hop-bounded WEIGHTED shortest paths over the co-purchase
+    // graph ([[graft.ext.Graph.ssspRelax]]: min-plus Bellman-Ford, ≤ 3
+    // edges) — affinity DISTANCE, not hop count: an edge between parts
+    // co-ordered ≥ 3 times costs 1, twice costs 2, once costs 5, so a
+    // chain of two strong ties (cost 2) beats one weak tie (cost 5) —
+    // an answer q154's unweighted BFS cannot express (and the reason
+    // this is a per-round min RE-AGGREGATION, not a visited anti-join:
+    // a later round can improve a node via a longer-but-lighter path).
+    // The oracle unrolls the same three relaxation steps as plain CTE
+    // stages — min-plus algebra is engine-neutral integer arithmetic.
+    GraftQuery(
+      "q161_weighted_paths",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        // q154's pair-kernel edge build, extended with the co-order
+        // multiplicity census: one groupBy per order, one per
+        // undirected pair, then both directions carry the weight
+        val co = t.lineitem
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .select(explode(
+            graft.functions.SketchFns.pair_structs(col("ps"))).as("p"))
+          .groupBy(col("p.id_a").as("u"), col("p.id_b").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val wCol = when(col("c") >= 3, 1L).when(col("c") === 2, 2L)
+          .otherwise(5L)
+        val edges = co.select(col("u"), col("v"), wCol.as("w"))
+          .select(explode(array(
+            struct(col("u").as("src"), col("v").as("dst"), col("w")),
+            struct(col("v").as("src"), col("u").as("dst"), col("w"))))
+            .as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"),
+            col("e.w").as("w"))
+        val seeds = t.part.where(col("p_partkey") % 199 === 0)
+          .select(col("p_partkey").as("node"))
+        graft.ext.Graph.ssspRelax(edges, seeds, rounds = 3)
+          .orderBy(col("node"))
+      },
+      Some("""
+        WITH co AS (
+          SELECT u, v, count(*) AS c FROM (
+            SELECT DISTINCT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey)
+          GROUP BY u, v),
+        edges AS (
+          SELECT u AS src, v AS dst,
+                 CASE WHEN c >= 3 THEN 1 WHEN c = 2 THEN 2 ELSE 5 END AS w
+          FROM co
+          UNION ALL
+          SELECT v, u, CASE WHEN c >= 3 THEN 1 WHEN c = 2 THEN 2 ELSE 5 END
+          FROM co),
+        d0 AS (
+          SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+          FROM part WHERE p_partkey % 199 = 0),
+        d1 AS (
+          SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d0
+            UNION ALL
+            SELECT e.dst, d.dist + e.w FROM d0 d
+            JOIN edges e ON e.src = d.node)
+          GROUP BY node),
+        d2 AS (
+          SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d1
+            UNION ALL
+            SELECT e.dst, d.dist + e.w FROM d1 d
+            JOIN edges e ON e.src = d.node)
+          GROUP BY node),
+        d3 AS (
+          SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d2
+            UNION ALL
+            SELECT e.dst, d.dist + e.w FROM d2 d
+            JOIN edges e ON e.src = d.node)
+          GROUP BY node)
+        SELECT node, dist FROM d3 ORDER BY node""")))
 }

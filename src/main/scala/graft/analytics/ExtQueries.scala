@@ -2144,6 +2144,27 @@ object ExtQueries {
                d.canon IS NULL AS is_kept,
                coalesce(d.canon, q.vec_id) AS canonical_id
         FROM q LEFT JOIN dropped d ON d.vec_id = q.vec_id
-        ORDER BY q.vec_id"""))
+        ORDER BY q.vec_id""")),
+
+    // ------------------------------------------------------------------
+    // q160: the SAME exact near-dup pair set as q27, via prefix
+    // filtering ([[graft.ext.Dedup.prefixJaccardPairs]]: All-Pairs /
+    // PPJoin candidate generation — rarest-first prefixes + length
+    // filter, in-row sorted-merge verification). Third member of the
+    // same-oracle family: q27 is the inverted-index formulation (df cap
+    // opt-in, lossy on capped shingles), q28 the probabilistic LSH
+    // bound, q160 the EXACT algorithm that stays bounded at corpus
+    // scale — hot boilerplate shingles land outside every prefix
+    // instead of being dropped or banded. Oracle identical to q27
+    // (the operator's exactness contract IS the gate).
+    GraftQuery(
+      "q160_prefix_jaccard_pairs",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Dedup.prefixJaccardPairs(t.documents, col("doc_id"), col("text"),
+            n = 3, threshold = 0.8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(shingleOracle))
   )
 }

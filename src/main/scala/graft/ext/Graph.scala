@@ -169,6 +169,63 @@ object Graph {
     visited()
   }
 
+  /** Hop-bounded multi-source shortest paths over a WEIGHTED edge list
+    * (src, dst, w) — min-plus Bellman-Ford relaxation, the sixth graph
+    * primitive next to PageRank, triangles, BFS, k-core, and the
+    * [[Dedup]] components.
+    *
+    * Semantics: dist(v) = the minimum total weight over all walks of at
+    * most `rounds` edges from any seed to v; nodes not reachable within
+    * `rounds` edges are absent. The bound is part of the CONTRACT (like
+    * [[bfsHops]]'s maxHops), not a convergence heuristic — so no
+    * fixpoint detection is needed and the result matches an oracle that
+    * unrolls the same `rounds` relaxation steps. Negative weights are
+    * tolerated (a bounded-walk minimum is well-defined without
+    * nonnegativity); for the classic SSSP reading use w ≥ 0.
+    *
+    * Distinct from [[bfsHops]] by more than weights: BFS labels each
+    * node ONCE, at its first level, with a visited-set anti-join —
+    * sound only because hop count and arrival level coincide. Under
+    * weights a later round can improve a node via a longer-but-lighter
+    * path, so each round must RE-AGGREGATE a per-node min over
+    * {current dist} ∪ {relaxed candidates}. That min is a monotone
+    * semilattice fold — exactly what map-side partial aggregation
+    * absorbs, so the per-round shuffle carries node-sized partials.
+    *
+    * Scale shape: each round is one join of the edge list against the
+    * node-sized distance vector (BROADCAST under `broadcastDist` — the
+    * [[bfsHops]] policy; shuffle joins for node sets beyond executor
+    * memory) plus one min aggregation; the edge list is
+    * localCheckpointed once in broadcast mode (each round re-scans it),
+    * and each round's vector is checkpointed — it is executed by the
+    * next round's broadcast anyway, and the truncation keeps plans flat.
+    *
+    * Input: directed weighted edges (src, dst, w) — pass both
+    * directions for an undirected graph — and seeds (node). Output:
+    * (node, dist); seeds themselves are dist 0 (or less if a negative
+    * cycle through a seed exists within the bound).
+    */
+  def ssspRelax(edges: DataFrame, seeds: DataFrame, rounds: Int,
+                broadcastDist: Boolean = true): DataFrame = {
+    require(rounds >= 0)
+    val e0 = edges.select(col("src"), col("dst"), col("w"))
+    val e = if (broadcastDist) e0.localCheckpoint() else e0
+    def hint(df: DataFrame): DataFrame =
+      if (broadcastDist) broadcast(df) else df
+    var dist = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = e
+        .join(hint(dist.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node"),
+          (col("dist") + col("w")).cast("long").as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** k-core decomposition (fixed k): the maximal subgraph in which
     * every vertex has ≥ k neighbors — the standard dense-community /
     * spam-cluster extractor, and the graph-shaped sibling of the

@@ -250,6 +250,46 @@ class ExtSpec extends AnyFunSuite {
       == full.head.getAs[Long]("intersection") - 1)
   }
 
+  test("prefix-filter jaccard join reproduces the uncapped inverted-index result exactly") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4), r.getDouble(5))).toSet
+    // the real corpus: planted near-dups, organic sizes
+    val exact = rows(Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 3, 0.8))
+    assert(exact.nonEmpty)
+    assert(rows(Dedup.prefixJaccardPairs(
+      docs, col("doc_id"), col("text"), 3, 0.8)) == exact)
+    // hash order (no df census) must agree too — the theorem holds for
+    // ANY global order, the census only sharpens pruning
+    assert(rows(Dedup.prefixJaccardPairs(
+      docs, col("doc_id"), col("text"), 3, 0.8, orderByDf = false)) == exact)
+    // adversarial: a hot boilerplate shingle (df 42) that inflates the
+    // inverted index must not cost q160 a single true pair, at a
+    // threshold low enough that the length filter actually prunes
+    import org.scalacheck.{Gen, rng}
+    val word = Gen.choose(0, 499).map(i => s"w$i")
+    def randDoc(seed: Long): String =
+      Gen.listOfN(30, word)
+        .apply(Gen.Parameters.default, rng.Seed(seed)).get.mkString(" ")
+    val planted = randDoc(999L) + " common boilerplate footer"
+    val corpus = ((0 until 40).map(i =>
+        (i.toLong, randDoc(i.toLong) + " common boilerplate footer"))
+      ++ Seq((100L, planted), (101L, planted))).toDF("doc_id", "text")
+    val e2 = rows(Dedup.jaccardPairs(corpus, col("doc_id"), col("text"), 3, 0.5))
+    assert(rows(Dedup.prefixJaccardPairs(
+      corpus, col("doc_id"), col("text"), 3, 0.5)) == e2)
+    // and the prefix index it joined was smaller than the full one
+    val full = docs.select(explode(
+      graft.functions.SketchFns.hashed_shingles(col("text"), 3))).count()
+    val pref = docs.select(col("doc_id"),
+        sort_array(graft.functions.SketchFns.hashed_shingles(col("text"), 3)).as("sh"))
+      .select(explode(org.apache.spark.sql.functions.slice(col("sh"), lit(1),
+        (size(col("sh")).cast("long")
+          - ceil(size(col("sh")) * lit(0.8) - lit(1e-9)) + lit(1L)).cast("int"))))
+      .count()
+    assert(pref.toDouble / full < 0.3, s"prefix index not small: $pref / $full")
+  }
+
   test("large-star/small-star clusters match union-find on random graphs and deep paths") {
     import org.scalacheck.{Gen, rng}
     def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {

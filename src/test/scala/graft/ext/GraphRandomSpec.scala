@@ -72,6 +72,37 @@ class GraphRandomSpec extends AnyFunSuite {
       s"diff: ${(got.toSet diff expect.toSet).take(5)} / ${(expect.toSet diff got.toSet).take(5)}")
   }
 
+  test("ssspRelax agrees with the in-memory Bellman-Ford at each round bound") {
+    // deterministic weights per undirected edge — small enough that
+    // longer-but-lighter paths genuinely occur
+    def w(a: Long, b: Long): Long = 1L + Math.floorMod(a * 31 + b, 7)
+    val seeds = (0L until n.toLong).filter(_ % 97 == 0).filter(adj(_).nonEmpty)
+    val wEdgesDf = und.toSeq.flatMap { case (a, b) =>
+      Seq((a, b, w(a, b)), (b, a, w(a, b))) }.toDF("src", "dst", "w")
+    def expect(rounds: Int): Map[Long, Long] = {
+      var dist = seeds.map(_ -> 0L).toMap
+      for (_ <- 1 to rounds) {
+        val relaxed = dist.toSeq.flatMap { case (u, d) =>
+          adj(u).map(v => v -> (d + w(math.min(u, v), math.max(u, v)))) }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).min }
+      }
+      dist
+    }
+    for (rounds <- Seq(1, 3)) {
+      val got = Graph.ssspRelax(wEdgesDf, seeds.toDF("node"), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exp = expect(rounds)
+      assert(got == exp, s"rounds=$rounds diff: " +
+        s"${(got.toSet diff exp.toSet).take(5)} / ${(exp.toSet diff got.toSet).take(5)}")
+    }
+    // shuffle-join mode computes the identical vector
+    val gotShuffle = Graph.ssspRelax(wEdgesDf, seeds.toDF("node"), 3,
+        broadcastDist = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotShuffle == expect(3))
+  }
+
   test("kCore agrees with the in-memory peel at several k") {
     for (k <- Seq(2, 5, 8)) {
       val expect = {

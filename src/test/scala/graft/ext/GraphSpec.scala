@@ -92,6 +92,34 @@ class GraphSpec extends AnyFunSuite {
 
   // -------------------------------------------------------------- kCore
 
+  test("ssspRelax: a longer-but-lighter path wins once the round budget allows it") {
+    // 1 →(10) 2,  1 →(1) 3 →(2) 2: the two-edge path costs 3
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    def dists(rounds: Int) = Graph.ssspRelax(edges, seeds, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one round: only the direct (heavy) edge is reachable
+    assert(dists(1) == Map(1L -> 0L, 2L -> 10L, 3L -> 1L))
+    // two rounds: node 2 IMPROVES from 10 to 3 — the re-aggregation BFS
+    // labeling cannot express
+    assert(dists(2) == Map(1L -> 0L, 2L -> 3L, 3L -> 1L))
+    // rounds beyond the diameter change nothing
+    assert(dists(4) == dists(2))
+  }
+
+  test("ssspRelax: multi-seed minimum and zero rounds") {
+    val edges = Seq((1L, 2L, 5L), (9L, 2L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L, 9L).toDF("node")
+    val d = Graph.ssspRelax(edges, seeds, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 2 takes the cheaper seed's edge
+    assert(d == Map(1L -> 0L, 9L -> 0L, 2L -> 1L))
+    val d0 = Graph.ssspRelax(edges, seeds, rounds = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d0 == Map(1L -> 0L, 9L -> 0L))
+  }
+
   test("kCore: K5 plus a pendant chain keeps exactly the clique at k=3") {
     val k5 = for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield (a, b)
     val edges = undirected(k5 ++ Seq((0L, 10L), (10L, 11L)): _*)
