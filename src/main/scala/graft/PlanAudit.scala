@@ -72,6 +72,29 @@ object PlanAudit {
     }
   }
 
+  /** Runtime shuffle volume: (total bytes written across all shuffle
+    * exchanges, max single exchange, output rows) — the static census
+    * says how MANY exchanges a plan has; this says how HEAVY they run.
+    * Executes the plan tree directly (same QueryExecution whose nodes
+    * the metrics accumulate on) in the AQE-off census session, so the
+    * measured exchanges are exactly the counted ones.
+    */
+  final case class ShuffleVolume(totalBytes: Long, maxBytes: Long,
+                                 outputRows: Long)
+
+  def shuffleVolume(spark: SparkSession, sfDir: String,
+                    name: String): ShuffleVolume = {
+    val s = censusSession(spark)
+    val plan = SparkEntry.queries(name)(s, sfDir)
+      .queryExecution.executedPlan
+    val rows = plan.execute().count()
+    val written = plan.collectWithSubqueries {
+      case n if n.getClass.getSimpleName == "ShuffleExchangeExec" =>
+        n.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)
+    }
+    ShuffleVolume(written.sum, if (written.isEmpty) 0L else written.max, rows)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -113,6 +136,26 @@ object PlanAudit {
     md ++= s"\nTotals: ${tot.map(_.shuffles).sum} shuffles, " +
       s"${tot.map(_.broadcasts).sum} broadcasts, " +
       s"${tot.map(_.reused).sum} reuses across ${rows.size} queries.\n"
+
+    // SPARK_GRAFT_PLANS_RUNTIME=<sfDir>: additionally EXECUTE each query
+    // there and record measured shuffle volume — how heavy the counted
+    // exchanges actually run. Informational (bytes track the data, so no
+    // gate); sorted heaviest-first so the table reads as a review queue.
+    sys.env.get("SPARK_GRAFT_PLANS_RUNTIME").foreach { runDir =>
+      val vols = SparkEntry.all.map { q =>
+        q.name -> shuffleVolume(spark, runDir, q.name)
+      }.sortBy(-_._2.totalBytes)
+      def mb(b: Long) = f"${b / 1048576.0}%.1f"
+      md ++= s"\n## Runtime shuffle volume ($runDir, AQE off)\n\n"
+      md ++= "| query | shuffle MB total | max single exchange MB | output rows |\n"
+      md ++= "|---|---|---|---|\n"
+      vols.foreach { case (n, v) =>
+        md ++= s"| $n | ${mb(v.totalBytes)} | ${mb(v.maxBytes)} " +
+          s"| ${v.outputRows} |\n"
+      }
+      md ++= f"\nTotal shuffled: ${mb(vols.map(_._2.totalBytes).sum)} MB " +
+        s"across ${vols.size} queries.\n"
+    }
     java.nio.file.Files.write(java.nio.file.Paths.get("PLANS.md"),
       md.toString.getBytes("UTF-8"))
     println(s"[planaudit] wrote PLANS.md + plans.json (${rows.size} queries)")

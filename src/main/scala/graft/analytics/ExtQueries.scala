@@ -3,7 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{GraftQuery, Tables}
-import graft.ext.{AnnIndex, Dedup, Graph, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.ext.{AnnIndex, Bpe, Dedup, Graph, Multimodal, Similarity, Skew, TextAnalysis}
 
 /** The LLM-data-pipeline extension operators (north star §"beyond the
   * reference"): dedup (exact / n-gram-Jaccard / MinHash-LSH / SimHash),
@@ -2165,6 +2165,29 @@ object ExtQueries {
             n = 3, threshold = 0.8)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(shingleOracle))
+      Some(shingleOracle)),
+
+    // ------------------------------------------------------------------
+    // q162: BPE tokenizer over the corpus ([[graft.ext.Bpe]]) — train
+    // 48 merges on the top-2048 word-frequency table (one corpus
+    // aggregation + bounded TakeOrdered; exact driver-side merge loop,
+    // the q48-codebook bounded-driver pattern), then tokenize every
+    // document MAP-SIDE via the codegen'd [[graft.functions.BpeTokens]]
+    // expression. Per-doc (chars, tokens, distinct tokens) — the
+    // learned-tokenizer compression profile next to the fixed
+    // tokenizations of q33. Rows-only: the iterative merge training is
+    // not ANSI-SQL-expressible; BpeSpec pins hand-computed merge
+    // tables, an independently-written reference encoder, tie-break
+    // determinism, and partition invariance instead.
+    GraftQuery(
+      "q162_bpe_tokenize",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Bpe.tokenStats(t.documents, col("doc_id"), col("text"),
+            numMerges = 48)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      None)
   )
 }
