@@ -2188,6 +2188,41 @@ object ExtQueries {
           .withColumnRenamed("id", "doc_id")
           .orderBy(col("doc_id"))
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // q163: overlapping training/RAG chunks — 40-word windows with 10
+    // words of carried context ([[graft.ext.TextAnalysis
+    // .trainingChunks]]): generated start offsets stop at the first
+    // window reaching the document end (the short tail emitted once,
+    // no contained duplicates), each chunk pinned by an md5 digest of
+    // its exact joined window. Entirely map-side — the chunk stream
+    // inherits the scan's partitioning, zero shuffles before the
+    // presentation sort. The corpus-prep step between q84's packing
+    // (budget concat) and q56's chunk dedup (fixed blocks, no overlap).
+    GraftQuery(
+      "q163_training_chunks",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        TextAnalysis.trainingChunks(t.documents, col("doc_id"), col("text"),
+            chunkWords = 40, overlapWords = 10)
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents),
+        c AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+        s AS (SELECT doc_id, ws, n,
+                     unnest(list_filter(generate_series(0, n - 1, 30),
+                       st -> st = 0 OR st - 30 + 40 < n)) AS st
+              FROM c)
+        SELECT doc_id, CAST(st / 30 AS INT) AS chunk_id,
+               CAST(st AS INT) AS start_word,
+               CAST(least(40, n - st) AS INT) AS n_words,
+               md5(array_to_string(list_slice(ws, st + 1, st + 40), ' '))
+                 AS chunk_digest
+        FROM s ORDER BY doc_id, chunk_id"""))
   )
 }

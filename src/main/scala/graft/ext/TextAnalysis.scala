@@ -492,4 +492,42 @@ object TextAnalysis {
       .join(broadcast(needs), "source")
       .where(col("rk") <= col("needed"))
   }
+
+  /** Overlapping training/RAG chunks: split each document into
+    * word-windows of `chunkWords` with `overlapWords` of context carried
+    * between consecutive chunks (stride = chunk − overlap). Start
+    * offsets are 0, stride, 2·stride, …, and generation stops at the
+    * first start whose window already reaches the end of the document —
+    * so the final (possibly short) chunk is emitted exactly once and no
+    * fully-contained tail duplicates are produced. Entirely map-side:
+    * split → generated start sequence → per-start array slice, one
+    * output row per chunk, no shuffle anywhere (the chunk stream
+    * inherits the scan's partitioning — the right shape for a 100 TB
+    * corpus feeding a tokenizer).
+    *
+    * Output: (doc_id, chunk_id, start_word, n_words, chunk_digest) —
+    * the digest (md5 of the space-joined window) stands in for the
+    * chunk text so downstream exactness is checkable without shipping
+    * bodies; a caller wanting the text swaps the digest column for the
+    * joined slice itself.
+    */
+  def trainingChunks(docs: DataFrame, id: Column, text: Column,
+                     chunkWords: Int, overlapWords: Int): DataFrame = {
+    require(chunkWords > 0 && overlapWords >= 0 && overlapWords < chunkWords,
+      s"need 0 <= overlap < chunk, got chunk=$chunkWords overlap=$overlapWords")
+    val stride = chunkWords - overlapWords
+    val words = filter(split(text, " "), w => w =!= "")
+    docs.select(id.as("doc_id"), words.as("ws"))
+      .withColumn("n", size(col("ws")))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(filter(sequence(lit(0), col("n") - 1, lit(stride)),
+          s => s === 0 || s - stride + chunkWords < col("n"))).as("st"))
+      .select(col("doc_id"),
+        (col("st") / stride).cast("int").as("chunk_id"),
+        col("st").as("start_word"),
+        least(lit(chunkWords), col("n") - col("st")).as("n_words"),
+        md5(concat_ws(" ",
+          slice(col("ws"), col("st") + 1, lit(chunkWords)))).as("chunk_digest"))
+  }
 }

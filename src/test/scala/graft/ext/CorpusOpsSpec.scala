@@ -210,4 +210,41 @@ class CorpusOpsSpec extends AnyFunSuite {
       Dedup.hashSplit(docs, col("doc_id"), trainFrac = 0.9, valFrac = 0.2)
     }
   }
+
+  // --------------------------------------------------------------- q163
+
+  test("trainingChunks: exact windows, single short tail, digests pin content") {
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // 100 words, chunk 40 / overlap 10 (stride 30): starts 0, 30, 60 —
+    // start 90 is suppressed because the window at 60 already reaches
+    // word 100; the doc is still fully covered
+    val w = (0 until 100).map(i => s"w$i")
+    val docs = Seq((1L, w.mkString(" ")), (2L, "a b c"), (3L, ""), (4L, "  "))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.trainingChunks(docs, col("doc_id"), col("text"),
+        chunkWords = 40, overlapWords = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getString(4))).toSet
+    val expect = Set(
+      (1L, 0, 0, 40, md5hex(w.slice(0, 40).mkString(" "))),
+      (1L, 1, 30, 40, md5hex(w.slice(30, 70).mkString(" "))),
+      (1L, 2, 60, 40, md5hex(w.slice(60, 100).mkString(" "))),
+      // short doc: one short chunk; empty/whitespace docs: none
+      (2L, 0, 0, 3, md5hex("a b c")))
+    assert(got == expect)
+    // coverage + overlap properties on the real corpus
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chunks = TextAnalysis.trainingChunks(real, col("doc_id"), col("text"),
+        chunkWords = 40, overlapWords = 10)
+      .groupBy(col("doc_id"))
+      .agg(max(col("start_word") + col("n_words")).as("covered"),
+        count(lit(1)).as("n_chunks"))
+    val words = real.select(col("doc_id"),
+      size(filter(split(col("text"), " "), x => x =!= "")).as("n"))
+    val bad = chunks.join(words, "doc_id")
+      .where(col("covered") =!= col("n")).count()
+    assert(bad == 0, "some document not exactly covered by its chunks")
+  }
 }
