@@ -2223,6 +2223,58 @@ object ExtQueries {
                CAST(least(40, n - st) AS INT) AS n_words,
                md5(array_to_string(list_slice(ws, st + 1, st + 40), ' '))
                  AS chunk_digest
-        FROM s ORDER BY doc_id, chunk_id"""))
+        FROM s ORDER BY doc_id, chunk_id""")),
+
+    // ------------------------------------------------------------------
+    // q164: contrastive triplet mining ([[graft.ext.Similarity
+    // .contrastiveTriplets]]) — for each anchor with a ≥0.4-cosine
+    // in-cell neighbor: the best positive plus the two HARD negatives
+    // (highest cosine strictly below the threshold, same cell). The
+    // embedding-finetune training-pair product next to q157's dedup:
+    // same cell-local join regime, then two anchor-keyed windows —
+    // bounded ≤2 rows per anchor, no corpus-wide window. Cosines are
+    // the exact quantized kernel, so positives, negatives, ranks, and
+    // the cosine doubles all hash-match the SQL oracle (the q43/q146
+    // IEEE-parity discipline).
+    GraftQuery(
+      "q164_contrastive_triplets",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Similarity.contrastiveTriplets(t.embeddings, threshold = 0.4,
+            negatives = 2,
+            Similarity.ivfCell(col("embedding"), bits = 4).cast("int"))
+          .orderBy(col("anchor_id"), col("neg_rank"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE)*10000 + 0.5)) AS v,
+                 (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                  + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                  + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+                  + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
+          FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+                 list_dot_product(a.v, b.v)
+                   / sqrt(list_dot_product(a.v, a.v)
+                          * list_dot_product(b.v, b.v)) AS cosine
+          FROM q a JOIN q b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        pos AS (
+          SELECT anchor_id, cand_id AS positive_id, cosine AS pos_cosine
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                  ORDER BY cosine DESC, cand_id) AS rn
+                FROM pairs WHERE cosine >= 0.4)
+          WHERE rn = 1),
+        neg AS (
+          SELECT anchor_id, cand_id AS negative_id, neg_rank, cosine AS neg_cosine
+          FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+                  ORDER BY cosine DESC, cand_id) AS INT) AS neg_rank
+                FROM pairs WHERE cosine < 0.4)
+          WHERE neg_rank <= 2)
+        SELECT p.anchor_id, p.positive_id, p.pos_cosine,
+               n.negative_id, n.neg_rank, n.neg_cosine
+        FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+        ORDER BY p.anchor_id, n.neg_rank"""))
   )
 }

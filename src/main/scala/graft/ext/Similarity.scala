@@ -426,6 +426,59 @@ object Similarity {
         coalesce(col("canon"), col("vec_id")).as("canonical_id"))
   }
 
+  /** Contrastive triplet mining over the embedding corpus: for every
+    * anchor with at least one ≥`threshold`-cosine neighbor in its
+    * coarse cell, emit (anchor, positive, hard negatives) — the
+    * training-pair product a contrastive/embedding-finetune pipeline
+    * consumes. The positive is the anchor's HIGHEST-cosine in-cell
+    * neighbor at or above the threshold; the negatives are the top
+    * `negatives` in-cell neighbors strictly BELOW it — i.e. hard
+    * negatives by construction: same coarse region, highest
+    * sub-threshold similarity (the mining rule that makes triplet
+    * losses learn anything; random negatives are trivially separable).
+    * All ties break by candidate id, so the triplet set is a pure
+    * function of the corpus.
+    *
+    * Scale shape: the candidate join is CELL-LOCAL (the [[semanticDedup]]
+    * regime — Σ|cell|² work, kept near-linear by growing the cell count
+    * with the corpus; swap the sign-bit cell for the k-means celling at
+    * production scale), then two keyed windows over anchor-partitioned
+    * pairs pick the positive and the negative band — bounded output of
+    * ≤ `negatives` rows per anchor, no corpus-wide window anywhere.
+    * Cosines ride the exact quantized kernel, so the whole product is
+    * hash-comparable against a SQL oracle.
+    *
+    * Output: (anchor_id, positive_id, pos_cosine, negative_id,
+    * neg_rank, neg_cosine) — one row per (anchor, negative rank).
+    */
+  def contrastiveTriplets(corpus: DataFrame, threshold: Double,
+                          negatives: Int, cell: Column): DataFrame = {
+    require(negatives >= 1, "need at least one negative per anchor")
+    val q = corpus.select(col("vec_id"), col("embedding"), cell.as("cell"))
+    val pairs = q.as("a").join(q.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("anchor_id"),
+        col("b.vec_id").as("cand_id"),
+        SketchFns.quantized_cosine(col("a.embedding"), col("b.embedding"))
+          .as("cosine"))
+    val byAffinity = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    val pos = pairs.filter(col("cosine") >= threshold)
+      .withColumn("rn", row_number().over(byAffinity))
+      .filter(col("rn") === 1)
+      .select(col("anchor_id"), col("cand_id").as("positive_id"),
+        col("cosine").as("pos_cosine"))
+    val neg = pairs.filter(col("cosine") < threshold)
+      .withColumn("neg_rank", row_number().over(byAffinity))
+      .filter(col("neg_rank") <= negatives)
+      .select(col("anchor_id"), col("cand_id").as("negative_id"),
+        col("neg_rank"), col("cosine").as("neg_cosine"))
+    pos.join(neg, "anchor_id")
+      .select(col("anchor_id"), col("positive_id"), col("pos_cosine"),
+        col("negative_id"), col("neg_rank"), col("neg_cosine"))
+  }
+
   /** [[semanticDedup]] with data-adaptive k-means cells — the SemDeDup
     * paper's own configuration (cells from clustering, not axis signs),
     * trained exactly like [[ivfKmeansTopK]]'s quantizer: bounded

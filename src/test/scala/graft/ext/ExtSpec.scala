@@ -290,6 +290,38 @@ class ExtSpec extends AnyFunSuite {
     assert(pref.toDouble / full < 0.3, s"prefix index not small: $pref / $full")
   }
 
+  test("contrastive triplets: positive is the in-cell argmax, negatives the hardest sub-threshold") {
+    val cell = Similarity.ivfCell(col("embedding"), bits = 4).cast("int")
+    val got = Similarity.contrastiveTriplets(embs, threshold = 0.4,
+        negatives = 2, cell)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getInt(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    // in-memory reference over the same cells and exact kernel cosine
+    val rows = embs.select(col("vec_id"), col("embedding"), cell.as("c"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val byCell = rows.groupBy(_._3)
+    def cos(a: Array[Float], b: Array[Float]) =
+      graft.functions.SketchKernels.quantizedCosine(a, b)
+    val expect = rows.toSeq.flatMap { case (id, v, c) =>
+      val cands = byCell(c).toSeq.filter(_._1 != id)
+        .map { case (cid, cv, _) => (cid, cos(v, cv)) }
+      val posC = cands.filter(_._2 >= 0.4)
+      if (posC.isEmpty) Seq.empty
+      else {
+        val p = posC.minBy { case (cid, s) => (-s, cid) }
+        cands.filter(_._2 < 0.4).sortBy { case (cid, s) => (-s, cid) }
+          .take(2).zipWithIndex.map { case ((nid, ns), i) =>
+            (id, p._1, p._2, nid, i + 1, ns) }
+      }
+    }.toSet
+    assert(got.toSet == expect)
+    // every triplet is properly ordered: positive above threshold, above
+    // its negatives, negatives below threshold
+    assert(got.forall { case (_, _, pc, _, _, nc) =>
+      pc >= 0.4 && nc < 0.4 && pc > nc })
+  }
+
   test("large-star/small-star clusters match union-find on random graphs and deep paths") {
     import org.scalacheck.{Gen, rng}
     def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
