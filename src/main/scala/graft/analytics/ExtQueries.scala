@@ -3,7 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{GraftQuery, Tables}
-import graft.ext.{AnnIndex, Bpe, Dedup, Graph, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.ext.{AnnIndex, Bpe, Dedup, Graph, Multimodal, Retrieval, Similarity, Skew, TextAnalysis}
 
 /** The LLM-data-pipeline extension operators (north star §"beyond the
   * reference"): dedup (exact / n-gram-Jaccard / MinHash-LSH / SimHash),
@@ -2275,6 +2275,85 @@ object ExtQueries {
         SELECT p.anchor_id, p.positive_id, p.pos_cosine,
                n.negative_id, n.neg_rank, n.neg_cosine
         FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
-        ORDER BY p.anchor_id, n.neg_rank"""))
+        ORDER BY p.anchor_id, n.neg_rank""")),
+
+    // ------------------------------------------------------------------
+    // q166: hybrid retrieval via Reciprocal Rank Fusion
+    // ([[graft.ext.Retrieval]]) — the RAG-stack product the corpus ops
+    // exist to serve: per query, a LEXICAL top-20 (distinct-word
+    // overlap through an inverted-index join — posting lists, never
+    // |Q|·|C| all-pairs) and a VECTOR top-20 (the q30 exact quantized
+    // cosine kernel) fused by rank only: Σ 1e9 DIV (60 + rank) in
+    // integer parts-per-billion, one hash agg over the ≤40 rows per
+    // query the rankers bound, then a per-query window for the fused
+    // top-10. Rank fusion needs no score calibration — and the integer
+    // discipline makes the fused order hash-exact vs the oracle.
+    GraftQuery(
+      "q166_rrf_hybrid",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val lex = Retrieval.lexicalTopK(
+            t.documents.filter(col("doc_id") < 8), col("doc_id"), col("text"),
+            t.documents, col("doc_id"), col("text"), k = 20)
+          .select("query_id", "cand_id", "rank")
+        val vec = Similarity.bruteForceTopK(
+            t.embeddings.filter(col("vec_id") < 8), t.embeddings, k = 20)
+          .select(col("query_id"), col("neighbor_id").as("cand_id"),
+                  col("rank"))
+        Retrieval.rrfFuse(Seq(lex, vec), k = 10)
+          .orderBy(col("query_id"), col("fused_rank"))
+      },
+      Some("""
+        WITH lexq AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(string_split(text, ' '),
+                   w -> w <> '')) AS ws
+          FROM documents WHERE doc_id < 8),
+        lexc AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(string_split(text, ' '),
+                   w -> w <> '')) AS ws
+          FROM documents),
+        lexpairs AS (
+          SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+                 len(list_intersect(q.ws, c.ws)) AS shared
+          FROM lexq q JOIN lexc c ON q.doc_id <> c.doc_id
+          WHERE len(list_intersect(q.ws, c.ws)) > 0),
+        lexk AS (
+          SELECT query_id, cand_id, rank FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY shared DESC, cand_id) AS rank
+            FROM lexpairs) WHERE rank <= 20),
+        qv AS (SELECT vec_id, list_transform(embedding,
+                 x -> FLOOR(CAST(x AS DOUBLE)*10000 + 0.5)) AS v
+               FROM embeddings WHERE vec_id < 8),
+        cv AS (SELECT vec_id, list_transform(embedding,
+                 x -> FLOOR(CAST(x AS DOUBLE)*10000 + 0.5)) AS v
+               FROM embeddings),
+        vs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 list_dot_product(q.v, c.v)
+                   / sqrt(list_dot_product(q.v, q.v)
+                          * list_dot_product(c.v, c.v)) AS cosine
+          FROM qv q JOIN cv c ON q.vec_id <> c.vec_id),
+        vk AS (
+          SELECT query_id, cand_id, rank FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, cand_id) AS rank
+            FROM vs) WHERE rank <= 20),
+        allr AS (SELECT * FROM lexk UNION ALL SELECT * FROM vk),
+        fused AS (
+          SELECT query_id, cand_id,
+                 CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_ppb,
+                 CAST(count(*) AS BIGINT) AS n_lists
+          FROM allr GROUP BY 1, 2),
+        fr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY rrf_ppb DESC, cand_id) AS INT) AS fused_rank
+               FROM fused)
+        SELECT query_id, fused_rank, cand_id, rrf_ppb, n_lists
+        FROM fr WHERE fused_rank <= 10
+        ORDER BY query_id, fused_rank"""))
   )
 }

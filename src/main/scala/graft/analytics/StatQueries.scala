@@ -410,6 +410,74 @@ object StatQueries {
                  AS BIGINT) AS term_nano,
                CAST(sum(CAST(floor((pa - pb) * ln(pa / pb) * 1000000000.0
                  + 0.5) AS BIGINT)) OVER () AS BIGINT) AS psi_nano
-        FROM sm ORDER BY bucket"""))
+        FROM sm ORDER BY bucket""")),
+
+    // ------------------------------------------------------------------
+    // q168: Poisson-bootstrap 95% CI for the mean event value
+    // ([[graft.ext.Stats.poissonBootstrapMeanCI]]) — the uncertainty
+    // companion to the point statistics (q101/q128): classic bootstrap
+    // resampling is driver-bound at corpus scale; the Poisson bootstrap
+    // emits every row's 96 replicate multiplicities MAP-SIDE (one
+    // content-addressed md5 seed per row, a Lehmer/MINSTD multiplier
+    // per replicate — all-integer, codegen-resident — and the integer
+    // Poisson(1) threshold ladder) so only 96 partial sums per task
+    // cross the shuffle. Replicate means are exact integer ratios; the
+    // CI is nearest-rank order statistics over one bounded 96-row
+    // window — every double hash-matches the oracle, whose multiplier
+    // VALUES list is interpolated from the same Scala constants.
+    GraftQuery(
+      "q168_bootstrap_ci",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Stats.poissonBootstrapMeanCI(
+          t.events, col("event_id"),
+          floor(col("value") * 1000000 + 0.5).cast("long"),
+          reps = 96, alphaPct = 5)
+      },
+      Some {
+        val lehmerValues = Stats.lehmerMultipliers(96).zipWithIndex
+          .map { case (g, b) => s"($b, $g)" }.mkString(", ")
+        val md5Decode13 = (1 to 13).map { p =>
+          s"(strpos('0123456789abcdef', substr(h, $p, 1)) - 1) * ${1L << (4 * (13 - p))}"
+        }.mkString("\n                 + ")
+        s"""
+        WITH base AS (
+          SELECT CAST(event_id AS VARCHAR) AS id,
+                 CAST(FLOOR("value" * 1000000 + 0.5) AS BIGINT) AS v
+          FROM events),
+        hx AS (SELECT v, md5('boot:' || id) AS h FROM base),
+        seeds AS (
+          SELECT v,
+                 1 + ($md5Decode13) % 2147483646 AS seed
+          FROM hx),
+        g(b, gm) AS (VALUES $lehmerValues),
+        u AS (
+          SELECT b, v, ((seed * gm) % 2147483647) % 1048576 AS u
+          FROM seeds CROSS JOIN g),
+        c AS (
+          SELECT b, v,
+                 CASE WHEN u < 385749 THEN 0 WHEN u < 771499 THEN 1
+                      WHEN u < 964373 THEN 2 WHEN u < 1028665 THEN 3
+                      WHEN u < 1044738 THEN 4 WHEN u < 1047952 THEN 5
+                      WHEN u < 1048488 THEN 6 WHEN u < 1048565 THEN 7
+                      ELSE 8 END AS c
+          FROM u),
+        m AS (
+          SELECT b, CAST(SUM(c * v) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                      AS mean
+          FROM c GROUP BY b),
+        r AS (SELECT b, mean, ROW_NUMBER() OVER (ORDER BY mean, b) AS rn
+              FROM m),
+        ci AS (SELECT max(CASE WHEN rn = 2 THEN mean END) AS ci_lo_micro,
+                      max(CASE WHEN rn = 95 THEN mean END) AS ci_hi_micro
+               FROM r),
+        pt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                      CAST(SUM(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                        AS point_mean_micro
+               FROM base)
+        SELECT pt.n_rows, pt.point_mean_micro, ci.ci_lo_micro,
+               ci.ci_hi_micro, CAST(96 AS INT) AS reps
+        FROM pt, ci"""
+      })
   )
 }

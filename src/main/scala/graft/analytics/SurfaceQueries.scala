@@ -2,7 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
-import graft.ext.{Layout, Multimodal, Similarity}
+import graft.ext.{Ivm, Layout, Multimodal, Similarity}
 
 /** Round-6 widening of the declarative operator surface: statistical
   * aggregates (corr / covar / regr_*), array higher-order
@@ -1184,5 +1184,145 @@ object SurfaceQueries {
         FROM events
         WHERE value IS NOT NULL AND event_type IS NOT NULL
           AND user_id IS NOT NULL
-        GROUP BY event_type ORDER BY event_type""")))
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // q165: incremental JOIN-view maintenance ([[graft.ext.Ivm]]) — the
+    // join companion to q81's incremental aggregate: orders ⋈ lineitem
+    // split by a late-arriving-data cut on EACH side (order date /
+    // ship date), maintained as stored-view ∪ three delta legs
+    // (ΔA⋈B, A⋈ΔB, ΔA⋈ΔB) with the DELTAS broadcast so the big
+    // stored sides are scanned once and never shuffled. Every row is
+    // provenance-tagged by leg; the oracle is the full recompute with
+    // the leg re-derived from the dates — incremental must equal
+    // recompute exactly, row for row.
+    GraftQuery(
+      "q165_delta_join_view",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val cut = lit("1999-01-01").cast("timestamp")
+        val o = t.orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"))
+        val l = t.lineitem.select(col("l_orderkey").as("o_orderkey"),
+          col("l_linenumber"), col("l_shipdate"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+            .as("price_cents"))
+        Ivm.maintainJoin(
+            o.filter(col("o_orderdate") < cut),
+            o.filter(col("o_orderdate") >= cut),
+            l.filter(col("l_shipdate") < cut),
+            l.filter(col("l_shipdate") >= cut),
+            Seq("o_orderkey"))
+          .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
+                  col("price_cents"), col("leg"))
+          .orderBy(col("o_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT o.o_orderkey, l.l_linenumber, o.o_custkey,
+               CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                 AS price_cents,
+               CASE
+                 WHEN o.o_orderdate < TIMESTAMP '1999-01-01'
+                  AND l.l_shipdate  < TIMESTAMP '1999-01-01' THEN 'init'
+                 WHEN o.o_orderdate >= TIMESTAMP '1999-01-01'
+                  AND l.l_shipdate  < TIMESTAMP '1999-01-01' THEN 'delta_a'
+                 WHEN o.o_orderdate < TIMESTAMP '1999-01-01'
+                  AND l.l_shipdate  >= TIMESTAMP '1999-01-01' THEN 'delta_b'
+                 ELSE 'delta_ab'
+               END AS leg
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ORDER BY o.o_orderkey, l.l_linenumber""")),
+
+    // ------------------------------------------------------------------
+    // q167: layout pruning-effectiveness A/B ([[graft.ext.Layout
+    // .fileMinMax]] / [[graft.ext.Layout.probeHitStats]]) — q107 shows
+    // WHAT z-spans look like; this measures what they BUY: cut the
+    // table into 4096-row files under two layouts (single-key
+    // clustering on pa vs Z-order on (pa, pb)), reconstruct each
+    // file's parquet-style min/max footer stats, and charge a 32-point
+    // probe workload on each key against them. scan_fraction is the
+    // average fraction of files a point predicate must read — the
+    // number a 100 TB OPTIMIZE decision is made on. The file cut uses
+    // the decomposed-prefix-sum global rank (bucket offsets + local
+    // windows) — no single-partition window at any width.
+    GraftQuery(
+      "q167_layout_pruning",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val li = t.lineitem.select(
+          (col("l_partkey") % 256).as("pa"),
+          (col("l_suppkey") % 256).as("pb"),
+          col("l_orderkey"), col("l_linenumber"))
+        val tie = Seq(col("l_orderkey"), col("l_linenumber"))
+        val stats = Seq("pa" -> col("pa"), "pb" -> col("pb"))
+        val byKey = Layout.fileMinMax(li, col("pa"), tie, col("pa"),
+          4096L, stats)
+        val liz = li.withColumn("zc", Layout.morton(col("pa"), col("pb"), 8))
+        val byZ = Layout.fileMinMax(liz, col("zc"), tie,
+          shiftrightunsigned(col("zc"), 8), 4096L, stats)
+        val probes = spark.range(1, 33)
+          .select(expr("CAST(id * 256 DIV 33 AS BIGINT)").as("probe"))
+        def rows(files: org.apache.spark.sql.DataFrame, layout: String) =
+          Layout.probeHitStatsMulti(files, probes, Seq("pa", "pb"), "probe")
+            .select(lit(layout).as("layout"), col("probe_key"),
+              col("n_files"), col("n_probes"), col("files_hit"),
+              col("scan_fraction"))
+        rows(byKey, "bykey").unionByName(rows(byZ, "zorder"))
+          .orderBy(col("layout"), col("probe_key"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_partkey % 256 AS pa, l_suppkey % 256 AS pb,
+                 l_orderkey, l_linenumber,
+                 CAST(list_sum(list_transform(range(0, 8), i ->
+                     ((((l_partkey % 256) >> i) & 1) << (2*i))
+                   + ((((l_suppkey % 256) >> i) & 1) << (2*i+1))))
+                   AS BIGINT) AS z
+          FROM lineitem),
+        fk AS (SELECT pa, pb,
+                 (ROW_NUMBER() OVER (ORDER BY pa, l_orderkey, l_linenumber)
+                   - 1) // 4096 AS file_id FROM li),
+        fz AS (SELECT pa, pb,
+                 (ROW_NUMBER() OVER (ORDER BY z, l_orderkey, l_linenumber)
+                   - 1) // 4096 AS file_id FROM li),
+        sk AS (SELECT file_id, min(pa) AS min_pa, max(pa) AS max_pa,
+                      min(pb) AS min_pb, max(pb) AS max_pb
+               FROM fk GROUP BY 1),
+        sz AS (SELECT file_id, min(pa) AS min_pa, max(pa) AS max_pa,
+                      min(pb) AS min_pb, max(pb) AS max_pb
+               FROM fz GROUP BY 1),
+        pr AS (SELECT (i * 256) // 33 AS probe FROM range(1, 33) t(i)),
+        hits AS (
+          SELECT 'bykey' AS layout, 'pa' AS probe_key,
+                 CAST(COUNT(DISTINCT file_id) AS BIGINT) AS n_files,
+                 CAST(COUNT(DISTINCT probe) AS BIGINT) AS n_probes,
+                 CAST(SUM(CASE WHEN probe BETWEEN min_pa AND max_pa
+                   THEN 1 ELSE 0 END) AS BIGINT) AS files_hit
+          FROM sk, pr
+          UNION ALL
+          SELECT 'bykey', 'pb',
+                 CAST(COUNT(DISTINCT file_id) AS BIGINT),
+                 CAST(COUNT(DISTINCT probe) AS BIGINT),
+                 CAST(SUM(CASE WHEN probe BETWEEN min_pb AND max_pb
+                   THEN 1 ELSE 0 END) AS BIGINT)
+          FROM sk, pr
+          UNION ALL
+          SELECT 'zorder', 'pa',
+                 CAST(COUNT(DISTINCT file_id) AS BIGINT),
+                 CAST(COUNT(DISTINCT probe) AS BIGINT),
+                 CAST(SUM(CASE WHEN probe BETWEEN min_pa AND max_pa
+                   THEN 1 ELSE 0 END) AS BIGINT)
+          FROM sz, pr
+          UNION ALL
+          SELECT 'zorder', 'pb',
+                 CAST(COUNT(DISTINCT file_id) AS BIGINT),
+                 CAST(COUNT(DISTINCT probe) AS BIGINT),
+                 CAST(SUM(CASE WHEN probe BETWEEN min_pb AND max_pb
+                   THEN 1 ELSE 0 END) AS BIGINT)
+          FROM sz, pr)
+        SELECT layout, probe_key, n_files, n_probes, files_hit,
+               CAST(files_hit AS DOUBLE)
+                 / CAST(n_files * n_probes AS DOUBLE) AS scan_fraction
+        FROM hits
+        ORDER BY layout, probe_key""")))
 }

@@ -120,4 +120,80 @@ object Stats {
           (col("n").cast("double") * col("sx").cast("double")))
           .as("gini"))
   }
+
+  /** Poisson-CDF thresholds for λ=1 in 2^20-ths: `floor(P(N≤k)·2^20)`
+    * for k = 0..7. A 20-bit uniform u maps to the replicate count
+    * `min{k : u < thr(k)}` (8 if beyond all — P < 1e-5). Shared by the
+    * Spark plan and quoted verbatim in the q168 oracle. */
+  val poissonThresholds20: Seq[Long] =
+    Seq(385749L, 771499L, 964373L, 1028665L, 1044738L, 1047952L,
+        1048488L, 1048565L)
+
+  /** Lehmer/MINSTD multiplier ladder: `48271^b mod (2^31−1)` for
+    * b = 0..reps−1, precomputed driver-side (bounded: `reps` longs).
+    * Shared by the Spark plan and interpolated verbatim into the q168
+    * oracle's VALUES list. */
+  def lehmerMultipliers(reps: Int): Seq[Long] =
+    Iterator.iterate(1L)(g => g * 48271L % 2147483647L).take(reps).toSeq
+
+  /** Nearest-rank percentile-bootstrap CI for a mean via the POISSON
+    * bootstrap (Chamandy et al., "Estimating Uncertainty for Massive
+    * Data Streams", Google 2012): classic resampling draws n indices
+    * per replicate — a driver-side impossibility at 1e12 rows — but
+    * each row's multiplicity in a replicate is asymptotically
+    * Poisson(1), independent across rows. So every row emits its own
+    * counts for all `reps` replicates MAP-SIDE and the shuffle carries
+    * only `reps` partial sums per task: one pass, no resample
+    * materialization, no driver state.
+    *
+    * Determinism discipline: the "randomness" is content-addressed and
+    * integer-only — ONE md5 per row seeds a Lehmer stream
+    * (`u_b = seed · 48271^b mod 2^31−1`, multipliers precomputed via
+    * [[lehmerMultipliers]]; products < 2^62, so no overflow in either
+    * engine), each u reduced to 20 bits and mapped to a Poisson(1)
+    * count by the integer threshold ladder [[poissonThresholds20]].
+    * One hash per row (not per replicate) keeps the kernel integer
+    * math inside whole-stage codegen. Replicate means are exact
+    * integer ratios (`valueMicro` must be an integer-quantized
+    * measure), so the CI — nearest-rank order statistics over the
+    * `reps` means, one bounded `reps`-row window — hash-matches the
+    * SQL oracle bit-for-bit. Output row: `n_rows, point_mean_micro,
+    * ci_lo_micro, ci_hi_micro, reps`.
+    */
+  def poissonBootstrapMeanCI(df: DataFrame, id: Column, valueMicro: Column,
+                             reps: Int = 96, alphaPct: Int = 5): DataFrame = {
+    require(reps > 0, "reps must be positive")
+    val m = 2147483647L // 2^31 − 1
+    val loRank = math.max(1, alphaPct * reps / 200)
+    val hiRank = reps + 1 - loRank
+    val base = df.select(id.cast("string").as("__id"),
+      valueMicro.cast("long").as("__v"))
+    val ladder = poissonThresholds20.zipWithIndex.reverse
+      .foldLeft(lit(8L)) { case (acc, (thr, k)) =>
+        when(col("__u") < thr, k.toLong).otherwise(acc)
+      }
+    val gs = array(lehmerMultipliers(reps).map(lit): _*)
+    val perRep = base
+      .withColumn("__seed",
+        lit(1L) + conv(substring(md5(concat(lit("boot:"), col("__id"))),
+          1, 13), 16, 10).cast("long") % (m - 1))
+      .select(col("__v"), col("__seed"), posexplode(gs).as(Seq("__b", "__g")))
+      .withColumn("__u", (col("__seed") * col("__g") % m) % 1048576L)
+      .withColumn("__c", ladder)
+      .groupBy(col("__b"))
+      .agg(sum(col("__c") * col("__v")).as("__s"), sum(col("__c")).as("__n"))
+      .withColumn("__mean",
+        col("__s").cast("double") / col("__n").cast("double"))
+    // `reps` rows only — the single-partition window is bounded by design
+    val ranked = perRep.withColumn("__rn",
+      row_number().over(Window.orderBy(col("__mean").asc, col("__b").asc)))
+    val ci = ranked.agg(
+      max(when(col("__rn") === loRank, col("__mean"))).as("ci_lo_micro"),
+      max(when(col("__rn") === hiRank, col("__mean"))).as("ci_hi_micro"))
+    val point = base.agg(count(lit(1)).as("n_rows"), sum(col("__v")).as("__sv"))
+      .select(col("n_rows"),
+        (col("__sv").cast("double") / col("n_rows").cast("double"))
+          .as("point_mean_micro"))
+    point.crossJoin(ci).withColumn("reps", lit(reps))
+  }
 }

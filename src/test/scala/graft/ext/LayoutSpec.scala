@@ -113,4 +113,85 @@ class LayoutSpec extends AnyFunSuite {
       Layout.morton(col("a"), col("b"), 32)
     }
   }
+
+  test("fileMinMax matches a driver-side global-sort reference") {
+    import spark.implicits._
+    val rows = Seq.tabulate(1000)(i => ((i * 37) % 256, i))
+    val df = rows.toDF("k", "i").repartition(7)
+    val got = Layout.fileMinMax(df, col("k"), Seq(col("i")), col("k"),
+        100L, Seq("k" -> col("k"), "i" -> col("i")))
+      .orderBy(col("file_id")).collect()
+      .map(r => (r.getAs[Long]("file_id"), r.getAs[Long]("n_rows"),
+        r.getAs[Int]("min_k"), r.getAs[Int]("max_k"),
+        r.getAs[Int]("min_i"), r.getAs[Int]("max_i")))
+    val ref = rows.sortBy { case (k, i) => (k, i) }
+      .grouped(100).zipWithIndex.map { case (chunk, f) =>
+        (f.toLong, chunk.size.toLong,
+          chunk.map(_._1).min, chunk.map(_._1).max,
+          chunk.map(_._2).min, chunk.map(_._2).max)
+      }.toSeq
+    assert(got.toSeq == ref)
+  }
+
+  test("fileMinMax: coarse monotone bucket gives the same cut") {
+    import spark.implicits._
+    val rows = Seq.tabulate(500)(i => ((i * 31) % 512, i))
+    val df = rows.toDF("k", "i")
+    def run(bucket: org.apache.spark.sql.Column) =
+      Layout.fileMinMax(df, col("k"), Seq(col("i")), bucket, 64L,
+        Seq("k" -> col("k"))).orderBy(col("file_id")).collect()
+        .map(_.toString).toSeq
+    assert(run(col("k")) == run(shiftrightunsigned(col("k"), 4)))
+  }
+
+  test("probeHitStats: hand case") {
+    import spark.implicits._
+    val files = Seq((0L, 0, 10), (1L, 20, 30)).toDF("file_id", "lo", "hi")
+    val probes = Seq(5, 15, 25).toDF("probe")
+    val r = Layout.probeHitStats(files, probes, "lo", "hi", "probe")
+      .collect().head
+    assert(r.getAs[Long]("n_files") == 2 && r.getAs[Long]("n_probes") == 3)
+    assert(r.getAs[Long]("files_hit") == 2)
+    assert(r.getAs[Double]("scan_fraction") == 2.0 / 6.0)
+  }
+
+  test("probeHitStatsMulti equals per-key probeHitStats") {
+    import spark.implicits._
+    val files = Seq((0L, 0, 10, 50, 60), (1L, 20, 30, 0, 90))
+      .toDF("file_id", "min_a", "max_a", "min_b", "max_b")
+    val probes = Seq(5, 15, 25, 55).toDF("probe")
+    val multi = Layout.probeHitStatsMulti(files, probes, Seq("a", "b"),
+        "probe").orderBy(col("probe_key")).collect()
+      .map(r => (r.getAs[String]("probe_key"), r.getAs[Long]("files_hit"),
+        r.getAs[Double]("scan_fraction")))
+    val single = Seq("a", "b").map { k =>
+      val r = Layout.probeHitStats(files, probes, s"min_$k", s"max_$k",
+        "probe").collect().head
+      (k, r.getAs[Long]("files_hit"), r.getAs[Double]("scan_fraction"))
+    }
+    assert(multi.toSeq == single)
+  }
+
+  test("z-order layout prunes the second key where single-key cannot") {
+    import spark.implicits._
+    // dense 64x64 grid — bykey clusters a perfectly, leaves b unclustered
+    val rows = for (a <- 0 until 64; b <- 0 until 64) yield (a, b)
+    val df = rows.toDF("a", "b")
+    val tie = Seq(col("b"), col("a"))
+    val byKey = Layout.fileMinMax(df, col("a"), tie, col("a"), 256L,
+      Seq("a" -> col("a"), "b" -> col("b")))
+    val z = Layout.morton(col("a"), col("b"), 6)
+    val byZ = Layout.fileMinMax(df.withColumn("zc", z), col("zc"), tie,
+      shiftrightunsigned(col("zc"), 6), 256L,
+      Seq("a" -> col("a"), "b" -> col("b")))
+    val probes = Seq.tabulate(16)(i => i * 4).toDF("probe")
+    def frac(files: org.apache.spark.sql.DataFrame, key: String) =
+      Layout.probeHitStats(files, probes, s"min_$key", s"max_$key", "probe")
+        .collect().head.getAs[Double]("scan_fraction")
+    // single-key layout: perfect on a, useless on b (every file spans b)
+    assert(frac(byKey, "a") < 0.2)
+    assert(frac(byKey, "b") == 1.0)
+    // z-order: bounded rectangles — materially better than 1.0 on BOTH
+    assert(frac(byZ, "a") < 0.5 && frac(byZ, "b") < 0.5)
+  }
 }

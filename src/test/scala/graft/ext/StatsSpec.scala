@@ -85,4 +85,37 @@ class StatsSpec extends AnyFunSuite {
       .collect().head
     assert(ga.getAs[Double]("gini") == gb.getAs[Double]("gini"))
   }
+
+  test("poissonThresholds20 pin the exact λ=1 CDF in 2^20-ths") {
+    val cdf = (0 to 7).scanLeft(0.0) { (acc, k) =>
+      acc + math.exp(-1.0) / (1 to k).map(_.toDouble).product
+    }.tail // scanLeft seed dropped; product of empty range = 1 → k=0 term
+    val expect = cdf.map(c => math.floor(c * (1 << 20)).toLong)
+    assert(Stats.poissonThresholds20 == expect)
+  }
+
+  test("poissonBootstrapMeanCI: sane CI around the mean, exact shape") {
+    val df = Seq.tabulate(400)(i => (i.toLong, (i + 1) * 1000L))
+      .toDF("id", "v")
+    val r = Stats.poissonBootstrapMeanCI(df, col("id"), col("v"), reps = 96)
+      .collect().head
+    assert(r.getAs[Long]("n_rows") == 400 && r.getAs[Int]("reps") == 96)
+    val point = r.getAs[Double]("point_mean_micro")
+    assert(point == 400 * 401 / 2 * 1000.0 / 400)
+    val (lo, hi) = (r.getAs[Double]("ci_lo_micro"),
+      r.getAs[Double]("ci_hi_micro"))
+    // mean 200500, sd ≈ 115613 → se ≈ 5780; nearest-rank 95% CI must
+    // bracket the mean and stay within a few se of it
+    assert(lo < point && point < hi)
+    assert(point - lo < 4 * 5800 && hi - point < 4 * 5800)
+  }
+
+  test("poissonBootstrapMeanCI: partition- and run-invariant") {
+    val base = Seq.tabulate(300)(i => (i.toLong, (i % 37) * 500L))
+    val a = Stats.poissonBootstrapMeanCI(base.toDF("id", "v").repartition(1),
+      col("id"), col("v")).collect().head
+    val b = Stats.poissonBootstrapMeanCI(base.toDF("id", "v").repartition(17),
+      col("id"), col("v")).collect().head
+    assert(a.toString == b.toString)
+  }
 }
