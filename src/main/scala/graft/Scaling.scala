@@ -52,7 +52,10 @@ object Scaling {
     "q100_curation_pipeline"     -> "documents",
     "q131_data_profile"          -> "orders",
     "q160_prefix_jaccard_pairs"  -> "documents",
-    "q161_weighted_paths"        -> "lineitem")
+    "q161_weighted_paths"        -> "lineitem",
+    "q165_delta_join_view"       -> "lineitem",
+    "q167_layout_pruning"        -> "lineitem",
+    "q168_bootstrap_ci"          -> "events")
 
   /** Documented super-linear-BY-INTENT queries: q27 materializes exact
     * all-pairs Jaccard evidence and q47 exact winnowing-fingerprint

@@ -2288,22 +2288,38 @@ object ExtQueries {
     // query the rankers bound, then a per-query window for the fused
     // top-10. Rank fusion needs no score calibration — and the integer
     // discipline makes the fused order hash-exact vs the oracle.
+    // The pipeline and its oracle CTE block are shared with q169's
+    // quality evaluation ([[hybridFusedTop10]] / [[hybridCtes]]).
     GraftQuery(
       "q166_rrf_hybrid",
       (spark, dir) => {
         val t = new Tables(spark, dir)
-        val lex = Retrieval.lexicalTopK(
-            t.documents.filter(col("doc_id") < 8), col("doc_id"), col("text"),
-            t.documents, col("doc_id"), col("text"), k = 20)
-          .select("query_id", "cand_id", "rank")
-        val vec = Similarity.bruteForceTopK(
-            t.embeddings.filter(col("vec_id") < 8), t.embeddings, k = 20)
-          .select(col("query_id"), col("neighbor_id").as("cand_id"),
-                  col("rank"))
-        Retrieval.rrfFuse(Seq(lex, vec), k = 10)
-          .orderBy(col("query_id"), col("fused_rank"))
+        hybridFusedTop10(t).orderBy(col("query_id"), col("fused_rank"))
       },
-      Some("""
+      Some(hybridCtes + """
+        SELECT query_id, fused_rank, cand_id, rrf_ppb, n_lists
+        FROM fr WHERE fused_rank <= 10
+        ORDER BY query_id, fused_rank"""))
+  ) ++ evalQueries
+
+  /** q166/q169 shared pipeline: lexical top-20 ⊕ vector top-20, RRF-fused
+    * per-query top-10 (`query_id, fused_rank, cand_id, rrf_ppb,
+    * n_lists`). */
+  private def hybridFusedTop10(t: Tables): org.apache.spark.sql.DataFrame = {
+    val lex = Retrieval.lexicalTopK(
+        t.documents.filter(col("doc_id") < 8), col("doc_id"), col("text"),
+        t.documents, col("doc_id"), col("text"), k = 20)
+      .select("query_id", "cand_id", "rank")
+    val vec = Similarity.bruteForceTopK(
+        t.embeddings.filter(col("vec_id") < 8), t.embeddings, k = 20)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+              col("rank"))
+    Retrieval.rrfFuse(Seq(lex, vec), k = 10)
+  }
+
+  /** The WITH-block both hybrid oracles share, ending at `fr` (the fused
+    * ranking before the top-10 cut). */
+  private lazy val hybridCtes = """
         WITH lexq AS (
           SELECT doc_id,
                  list_distinct(list_filter(string_split(text, ' '),
@@ -2351,9 +2367,148 @@ object ExtQueries {
           FROM allr GROUP BY 1, 2),
         fr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY rrf_ppb DESC, cand_id) AS INT) AS fused_rank
-               FROM fused)
-        SELECT query_id, fused_rank, cand_id, rrf_ppb, n_lists
-        FROM fr WHERE fused_rank <= 10
-        ORDER BY query_id, fused_rank"""))
+               FROM fused)"""
+
+  /** Binary-relevance DCG position gains `floor(1e9/log2(i+1) + 0.5)`
+    * for ranks 1..10, and their prefix sums (IDCG by #relevant) —
+    * driver-side constants quoted into BOTH the Spark ladder and the
+    * SQL oracle, so no runtime log2 can diverge between engines. */
+  private lazy val ndcgGains: Seq[Long] = (1 to 10).map(i =>
+    math.floor(1e9 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+  private lazy val ndcgPrefix: Seq[Long] = ndcgGains.scanLeft(0L)(_ + _)
+
+  private def evalQueries: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------------------------
+    // q169: retrieval quality evaluation — MRR / precision@10 / nDCG@10
+    // of the q166 hybrid ranking against label agreement as binary
+    // relevance (a candidate is relevant iff it shares the query
+    // vector's class label; q68 measures CLASSIFICATION accuracy of
+    // raw kNN — this measures RANKING quality of the fused retriever,
+    // the metric a RAG stack tunes). Integer discipline throughout:
+    // position gains and IDCG prefix sums are driver-precomputed
+    // parts-per-billion constants ([[ndcgGains]]) quoted identically
+    // into both engines; rr_ppb = 1e9 DIV first_rel_rank; the ONE
+    // double division (dcg/idcg) happens at output.
+    GraftQuery(
+      "q169_retrieval_eval",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val lab = t.embeddings.select(col("vec_id"), col("label"))
+        val labCounts = lab.groupBy(col("label"))
+          .agg(count(lit(1)).as("__n_lab"))
+        val gainCol = (1 to 10).foldLeft(lit(0L)) { (acc, i) =>
+          when(col("fused_rank") === i, lit(ndcgGains(i - 1))).otherwise(acc)
+        }
+        val idcgCol = when(col("r_q") >= 10, lit(ndcgPrefix(10)))
+          .otherwise((1 to 9).foldLeft(lit(0L)) { (acc, i) =>
+            when(col("r_q") === i, lit(ndcgPrefix(i))).otherwise(acc)
+          })
+        val scored = hybridFusedTop10(t)
+          .join(lab.select(col("vec_id").as("query_id"),
+            col("label").as("qlab")), "query_id")
+          .join(lab.select(col("vec_id").as("cand_id"),
+            col("label").as("clab")), "cand_id")
+          .withColumn("rel", (col("qlab") === col("clab")).cast("int"))
+          .withColumn("gain_ppb", gainCol * col("rel"))
+        scored.groupBy(col("query_id"), col("qlab"))
+          .agg(sum(col("rel")).as("n_rel_at10"),
+               min(when(col("rel") === 1, col("fused_rank")))
+                 .as("first_rel_rank"),
+               sum(col("gain_ppb")).as("dcg_ppb"))
+          .join(broadcast(labCounts), col("qlab") === col("label"))
+          .withColumn("r_q", col("__n_lab") - 1)
+          .withColumn("rr_ppb", when(col("first_rel_rank").isNotNull,
+              expr("CAST(1000000000 DIV first_rel_rank AS BIGINT)"))
+            .otherwise(lit(0L)))
+          .withColumn("idcg_ppb", idcgCol)
+          .withColumn("ndcg", when(col("idcg_ppb") > 0,
+            col("dcg_ppb").cast("double") / col("idcg_ppb").cast("double")))
+          .select(col("query_id"), col("n_rel_at10"), col("first_rel_rank"),
+                  col("rr_ppb"), col("dcg_ppb"), col("idcg_ppb"), col("ndcg"))
+          .orderBy(col("query_id"))
+      },
+      Some {
+        val gainWhens = (1 to 10)
+          .map(i => s"WHEN $i THEN ${ndcgGains(i - 1)}").mkString(" ")
+        val idcgWhens = (1 to 9)
+          .map(i => s"WHEN (lc.n_lab - 1) = $i THEN ${ndcgPrefix(i)}")
+          .mkString("\n              ")
+        hybridCtes + s""",
+        lab AS (SELECT vec_id, label FROM embeddings),
+        top10 AS (SELECT query_id, cand_id, fused_rank FROM fr
+                  WHERE fused_rank <= 10),
+        scored AS (
+          SELECT t.query_id, ql.label AS qlab, t.fused_rank,
+                 CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END AS rel
+          FROM top10 t
+          JOIN lab ql ON t.query_id = ql.vec_id
+          JOIN lab cl ON t.cand_id = cl.vec_id),
+        per AS (
+          SELECT query_id, qlab,
+                 CAST(SUM(rel) AS BIGINT) AS n_rel_at10,
+                 MIN(CASE WHEN rel = 1 THEN fused_rank END)
+                   AS first_rel_rank,
+                 CAST(SUM(rel * CASE fused_rank $gainWhens ELSE 0 END)
+                   AS BIGINT) AS dcg_ppb
+          FROM scored GROUP BY 1, 2),
+        lc AS (SELECT label, count(*) AS n_lab FROM lab GROUP BY 1),
+        fin AS (
+          SELECT p.query_id, p.n_rel_at10, p.first_rel_rank,
+                 CAST(CASE WHEN p.first_rel_rank IS NULL THEN 0
+                      ELSE 1000000000 // p.first_rel_rank END AS BIGINT)
+                   AS rr_ppb,
+                 p.dcg_ppb,
+                 CAST(CASE WHEN (lc.n_lab - 1) >= 10 THEN ${ndcgPrefix(10)}
+                      $idcgWhens
+                      ELSE 0 END AS BIGINT) AS idcg_ppb
+          FROM per p JOIN lc ON p.qlab = lc.label)
+        SELECT query_id, n_rel_at10, first_rel_rank, rr_ppb, dcg_ppb,
+               idcg_ppb,
+               CASE WHEN idcg_ppb > 0 THEN
+                 CAST(dcg_ppb AS DOUBLE) / CAST(idcg_ppb AS DOUBLE)
+               END AS ndcg
+        FROM fin ORDER BY query_id"""
+      }),
+
+    // ------------------------------------------------------------------
+    // q170: pre-flight join cardinality & skew audit
+    // ([[graft.ext.Skew.joinCardinalityAudit]]) — the planner-side
+    // companion to q67/q79's salting: EXACT |A⋈B| and the hot keys,
+    // from two key-histogram aggregations joined on the key (map-side
+    // partials, one row per distinct key through each shuffle) —
+    // never running the join itself. The output's `contrib_share`
+    // column is the salting decision input: a share near 1.0 means one
+    // key dominates the join output. Audited join: clicks ⋈ purchases
+    // per user.
+    GraftQuery(
+      "q170_join_cardinality_audit",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Skew.joinCardinalityAudit(
+            t.events.filter(col("event_type") === "click"), col("user_id"),
+            t.events.filter(col("event_type") === "purchase"),
+            col("user_id"), topK = 10)
+          .withColumnRenamed("key", "user_id")
+          .orderBy(col("skew_rank"))
+      },
+      Some("""
+        WITH ha AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_a
+                    FROM events WHERE event_type = 'click' GROUP BY 1),
+        hb AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_b
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        c AS (SELECT ha.key, n_a, n_b, n_a * n_b AS contrib
+              FROM ha JOIN hb USING (key)),
+        tot AS (SELECT CAST(SUM(contrib) AS BIGINT) AS total_output,
+                       CAST(count(*) AS BIGINT) AS n_join_keys FROM c),
+        top AS (SELECT *, CAST(ROW_NUMBER() OVER
+                  (ORDER BY contrib DESC, key) AS INT) AS skew_rank
+                FROM c)
+        SELECT skew_rank, key AS user_id, n_a, n_b, contrib,
+               total_output, n_join_keys,
+               CAST(contrib AS DOUBLE) / CAST(total_output AS DOUBLE)
+                 AS contrib_share
+        FROM top, tot WHERE skew_rank <= 10
+        ORDER BY skew_rank"""))
   )
 }

@@ -478,6 +478,60 @@ object StatQueries {
         SELECT pt.n_rows, pt.point_mean_micro, ci.ci_lo_micro,
                ci.ci_hi_micro, CAST(96 AS INT) AS reps
         FROM pt, ci"""
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q171: seasonal-naive forecast backtest with a skill score
+    // ([[graft.ext.Stats.seasonalBacktest]]) — the EVALUATION loop the
+    // descriptive series stats (q141 ACF, q153 trend) feed: forecast
+    // each event type's daily cents volume by the value 7 calendar
+    // days earlier (a d = d′+7 join, gap-day-safe — not a 7-row lag),
+    // score MAE/sMAPE against the persistence baseline, and report
+    // skill = 1 − MAE₇/MAE₁. Positive skill = weekly seasonality is
+    // real; that number, not the raw ACF, is what decides a
+    // volume-anomaly monitor's forecast model. Integer cents error
+    // sums, integer-ppm per-day sMAPE, one double division per output.
+    GraftQuery(
+      "q171_seasonal_backtest",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Stats.seasonalBacktest(t.events, col("event_type"),
+            date_trunc("day", col("ts")).cast("date"),
+            floor(col("value") * 100 + 0.5).cast("long"))
+          .withColumnRenamed("g", "event_type")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                 CAST(SUM(CAST(FLOOR("value" * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        j AS (
+          SELECT a.g, a.d, a.x, b.x AS f7, c.x AS f1
+          FROM daily a
+          JOIN daily b ON a.g = b.g AND a.d = b.d + 7
+          JOIN daily c ON a.g = c.g AND a.d = c.d + 1),
+        agg AS (
+          SELECT g AS event_type,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(SUM(abs(x - f7)) AS BIGINT) AS abs_err7_cents,
+                 CAST(SUM(abs(x - f1)) AS BIGINT) AS abs_err1_cents,
+                 CAST(SUM(CASE WHEN x + f7 > 0
+                   THEN (2000000 * abs(x - f7)) // (x + f7) ELSE 0 END)
+                   AS BIGINT) AS smape7_sum
+          FROM j GROUP BY 1)
+        SELECT event_type, n_days, abs_err7_cents, abs_err1_cents,
+               CAST(abs_err7_cents AS DOUBLE) / CAST(n_days AS DOUBLE)
+                 AS mae7_cents,
+               CAST(abs_err1_cents AS DOUBLE) / CAST(n_days AS DOUBLE)
+                 AS mae1_cents,
+               CAST(smape7_sum AS DOUBLE) / CAST(n_days AS DOUBLE)
+                 AS smape7_ppm,
+               CASE WHEN abs_err1_cents > 0 THEN
+                 1.0 - CAST(abs_err7_cents AS DOUBLE)
+                         / CAST(abs_err1_cents AS DOUBLE)
+               END AS skill_vs_persistence
+        FROM agg ORDER BY event_type"""))
   )
 }

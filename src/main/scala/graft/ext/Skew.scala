@@ -49,4 +49,42 @@ object Skew {
         leftKey === rightKey && saltedLeft("__salt") === replicatedRight("__salt"))
       .drop("__salt")
   }
+
+  /** Pre-flight join cardinality & skew audit — answer "will this join
+    * explode, and on which keys?" BEFORE running it at 100 TB. Exact,
+    * not a sketch: |A ⋈_k B| = Σ_k cnt_A(k)·cnt_B(k), so two per-key
+    * histograms (map-side partial aggregation — only one row per
+    * distinct key crosses each shuffle) joined on the key give the
+    * exact output cardinality, and the top-`topK` contributions are
+    * the salting/AQE-skew candidates. Cost is two aggregations of the
+    * inputs' KEY COLUMNS only — orders of magnitude under running the
+    * join when values are wide or fan-out is high.
+    *
+    * Output: one row per top-`topK` key — `skew_rank, key, n_a, n_b,
+    * contrib` (= n_a·n_b) — each carrying the global `total_output`,
+    * `n_join_keys`, and `contrib_share` (this key's fraction of the
+    * join output; near 1.0 = one hot key dominates → salt it). The
+    * top-k is TakeOrderedAndProject (bounded partials through the
+    * shuffle), the rank window runs over `topK` rows only.
+    */
+  def joinCardinalityAudit(a: DataFrame, aKey: Column,
+                           b: DataFrame, bKey: Column,
+                           topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ha = a.groupBy(aKey.as("key")).agg(count(lit(1)).as("n_a"))
+    val hb = b.groupBy(bKey.as("key")).agg(count(lit(1)).as("n_b"))
+    val contrib = ha.join(hb, "key")
+      .withColumn("contrib", col("n_a") * col("n_b"))
+    val totals = contrib.agg(sum(col("contrib")).as("total_output"),
+      count(lit(1)).as("n_join_keys"))
+    contrib.orderBy(col("contrib").desc, col("key")).limit(topK)
+      .withColumn("skew_rank", row_number()
+        .over(Window.orderBy(col("contrib").desc, col("key"))))
+      .crossJoin(broadcast(totals))
+      .withColumn("contrib_share",
+        col("contrib").cast("double") / col("total_output").cast("double"))
+      .select(col("skew_rank").cast("int").as("skew_rank"), col("key"),
+        col("n_a"), col("n_b"), col("contrib"), col("total_output"),
+        col("n_join_keys"), col("contrib_share"))
+  }
 }

@@ -129,6 +129,57 @@ object Stats {
     Seq(385749L, 771499L, 964373L, 1028665L, 1044738L, 1047952L,
         1048488L, 1048565L)
 
+  /** Forecast BACKTEST with a skill score — the eval loop behind every
+    * "is the pipeline's volume normal today?" monitor: seasonal-naive
+    * forecast (`f7` = the value 7 CALENDAR days earlier — a join on
+    * `d = d′ + 7`, not a 7-ROW lag, so gap days cannot silently shift
+    * the season) scored against the persistence baseline (`f1` =
+    * yesterday). Reported per group: MAE of both, sMAPE of the
+    * seasonal forecast, and `skill_vs_persistence = 1 − MAE₇/MAE₁`
+    * (positive = weekly seasonality is real and worth modeling —
+    * the Hyndman forecast-evaluation discipline).
+    *
+    * Scale shape: one daily aggregation (map-side partials), two
+    * self-joins of the SMALL daily series on (group, shifted day),
+    * one final per-group aggregation — nothing row-scale crosses a
+    * shuffle after the first pass. Exactness: `xCents` must be an
+    * integer-quantized measure; errors accumulate as integer cents,
+    * per-day sMAPE is integer ppm (`2e6·|x−f| DIV (x+f)`, safe while
+    * daily totals stay under ~4.6e12 cents), and each output double is
+    * a single integer ratio. Days with `x + f7 = 0` contribute 0 ppm.
+    * Output: `(group, n_days, abs_err7_cents, abs_err1_cents,
+    * mae7_cents, mae1_cents, smape7_ppm, skill_vs_persistence)`.
+    */
+  def seasonalBacktest(df: DataFrame, group: Column, day: Column,
+                       xCents: Column): DataFrame = {
+    val daily = df.groupBy(group.as("g"), day.as("d"))
+      .agg(sum(xCents.cast("long")).as("x"))
+    val f7 = daily.select(col("g"), date_add(col("d"), 7).as("d"),
+      col("x").as("f7"))
+    val f1 = daily.select(col("g"), date_add(col("d"), 1).as("d"),
+      col("x").as("f1"))
+    daily.join(f7, Seq("g", "d")).join(f1, Seq("g", "d"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("x") - col("f7"))).as("abs_err7_cents"),
+        sum(abs(col("x") - col("f1"))).as("abs_err1_cents"),
+        sum(when(col("x") + col("f7") > 0,
+            expr("CAST((2000000 * abs(x - f7)) DIV (x + f7) AS BIGINT)"))
+          .otherwise(0L)).as("__smape7_sum"))
+      .select(col("g"), col("n_days"), col("abs_err7_cents"),
+        col("abs_err1_cents"),
+        (col("abs_err7_cents").cast("double") /
+          col("n_days").cast("double")).as("mae7_cents"),
+        (col("abs_err1_cents").cast("double") /
+          col("n_days").cast("double")).as("mae1_cents"),
+        (col("__smape7_sum").cast("double") /
+          col("n_days").cast("double")).as("smape7_ppm"),
+        when(col("abs_err1_cents") > 0,
+          lit(1.0) - col("abs_err7_cents").cast("double") /
+            col("abs_err1_cents").cast("double"))
+          .as("skill_vs_persistence"))
+  }
+
   /** Lehmer/MINSTD multiplier ladder: `48271^b mod (2^31−1)` for
     * b = 0..reps−1, precomputed driver-side (bounded: `reps` longs).
     * Shared by the Spark plan and interpolated verbatim into the q168

@@ -56,4 +56,40 @@ class SkewWinnowSpec extends AnyFunSuite {
     // and it prunes: far fewer pairs than all-pairs (500 docs -> 124750)
     assert(win.size < 5000, s"winnow candidates not selective: ${win.size}")
   }
+
+  test("joinCardinalityAudit: hand case — exact counts, ranks, shares") {
+    import spark.implicits._
+    // key 1: 3×2=6, key 2: 1×4=4, key 3 only in a, key 4 only in b
+    val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")
+    val b = Seq(1L, 1L, 2L, 2L, 2L, 2L, 4L).toDF("k")
+    val rows = Skew.joinCardinalityAudit(a, col("k"), b, col("k"), topK = 10)
+      .orderBy(col("skew_rank")).collect()
+    assert(rows.map(r => (r.getAs[Int]("skew_rank"), r.getAs[Long]("key"),
+      r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("contrib"))).toSeq ==
+      Seq((1, 1L, 3L, 2L, 6L), (2, 2L, 1L, 4L, 4L)))
+    assert(rows.forall(r => r.getAs[Long]("total_output") == 10L &&
+      r.getAs[Long]("n_join_keys") == 2L))
+    assert(rows.head.getAs[Double]("contrib_share") == 0.6)
+  }
+
+  test("joinCardinalityAudit: total_output equals the real join size") {
+    import spark.implicits._
+    val a = Seq.tabulate(500)(i => (i % 37).toLong).toDF("k")
+    val b = Seq.tabulate(300)(i => (i % 23).toLong).toDF("k")
+    val audited = Skew.joinCardinalityAudit(a, col("k"), b, col("k"), 5)
+      .select("total_output").distinct().collect().head.getLong(0)
+    assert(audited == a.join(b, "k").count())
+  }
+
+  test("joinCardinalityAudit: topK bounds output, contrib non-increasing") {
+    import spark.implicits._
+    val a = Seq.tabulate(200)(i => (i % 19).toLong).toDF("k")
+    val b = Seq.tabulate(200)(i => (i % 13).toLong).toDF("k")
+    val rows = Skew.joinCardinalityAudit(a, col("k"), b, col("k"), 4)
+      .orderBy(col("skew_rank")).collect()
+    assert(rows.length == 4)
+    val contribs = rows.map(_.getAs[Long]("contrib")).toSeq
+    assert(contribs == contribs.sorted.reverse)
+  }
 }

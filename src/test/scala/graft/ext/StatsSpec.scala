@@ -86,6 +86,45 @@ class StatsSpec extends AnyFunSuite {
     assert(ga.getAs[Double]("gini") == gb.getAs[Double]("gini"))
   }
 
+  test("seasonalBacktest: exact weekly pattern → zero seasonal error, skill 1") {
+    val pattern = Seq(100L, 200L, 300L, 400L, 500L, 600L, 700L)
+    val rows = (0 until 28).map(i => ("a",
+      java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+      pattern(i % 7)))
+    val r = Stats.seasonalBacktest(rows.toDF("g", "d", "v"),
+      col("g"), col("d"), col("v")).collect().head
+    assert(r.getAs[Long]("n_days") == 21)
+    assert(r.getAs[Long]("abs_err7_cents") == 0)
+    assert(r.getAs[Long]("abs_err1_cents") > 0)
+    assert(r.getAs[Double]("smape7_ppm") == 0.0)
+    assert(r.getAs[Double]("skill_vs_persistence") == 1.0)
+  }
+
+  test("seasonalBacktest: a gap day drops its dependents, never misaligns") {
+    val pattern = Seq(100L, 200L, 300L, 400L, 500L, 600L, 700L)
+    val rows = (0 until 28).filter(_ != 10).map(i => ("a",
+      java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+      pattern(i % 7)))
+    val r = Stats.seasonalBacktest(rows.toDF("g", "d", "v"),
+      col("g"), col("d"), col("v")).collect().head
+    // day 10 absent → 10 unscored, 11 lacks f1, 17 lacks f7; the rest
+    // still align on CALENDAR d−7, so the seasonal error stays exactly 0
+    // (a row-lag implementation would shift the season and break this)
+    assert(r.getAs[Long]("n_days") == 18)
+    assert(r.getAs[Long]("abs_err7_cents") == 0)
+  }
+
+  test("seasonalBacktest: constant series → both errors 0, skill null") {
+    val rows = (0 until 20).map(i => ("a",
+      java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+      500L))
+    val r = Stats.seasonalBacktest(rows.toDF("g", "d", "v"),
+      col("g"), col("d"), col("v")).collect().head
+    assert(r.getAs[Long]("abs_err7_cents") == 0)
+    assert(r.getAs[Long]("abs_err1_cents") == 0)
+    assert(r.isNullAt(r.fieldIndex("skill_vs_persistence")))
+  }
+
   test("poissonThresholds20 pin the exact λ=1 CDF in 2^20-ths") {
     val cdf = (0 to 7).scanLeft(0.0) { (acc, k) =>
       acc + math.exp(-1.0) / (1 to k).map(_.toDouble).product
