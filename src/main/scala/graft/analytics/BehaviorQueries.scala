@@ -3,6 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
+import graft.ext.Affinity
 
 /** Round-8 widening, part 3: behavior/telemetry analytics — the
   * deadline-boxed conversion funnel, time-weighted averages over
@@ -402,5 +403,63 @@ object BehaviorQueries {
             SELECT e.dst, d.dist + e.w FROM d2 d
             JOIN edges e ON e.src = d.node)
           GROUP BY node)
-        SELECT node, dist FROM d3 ORDER BY node""")))
+        SELECT node, dist FROM d3 ORDER BY node""")),
+
+    // ------------------------------------------------------------------
+    // q172: pairwise association rules ([[graft.ext.Affinity]]) —
+    // support / confidence / lift over per-order brand baskets, the
+    // 2-itemset Apriori level a merchandiser/recommender reads. q161
+    // builds co-purchase EDGES for traversal; this scores the directed
+    // RULES: same co-occurrence counts, different product (lift > 1 =
+    // brands bought together beyond chance). Baskets are distinct
+    // (order, brand) pairs; candidate pairs come from a basket-keyed
+    // self-join with the maxBasket Apriori guard; lift's integer
+    // products happen BEFORE its one double division, so all three
+    // ratio columns hash-match the oracle. Top-25 by lift.
+    GraftQuery(
+      "q172_association_rules",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val baskets = t.lineitem
+          .join(t.part.select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+        Affinity.associationRules(baskets, col("l_orderkey"),
+            col("p_brand"), minSupportCount = 20, maxBasket = 100)
+          .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+          .limit(25)
+      },
+      Some("""
+        WITH items AS (
+          SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        sized AS (
+          SELECT b, i FROM (
+            SELECT b, i, count(*) OVER (PARTITION BY b) AS bn FROM items)
+          WHERE bn <= 100),
+        nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets
+               FROM sized),
+        ic AS (SELECT i, CAST(count(*) AS BIGINT) AS n_item
+               FROM sized GROUP BY 1),
+        pairs AS (
+          SELECT x.i AS antecedent, y.i AS consequent,
+                 CAST(count(*) AS BIGINT) AS n_both
+          FROM sized x JOIN sized y ON x.b = y.b AND x.i <> y.i
+          GROUP BY 1, 2 HAVING count(*) >= 20),
+        rules AS (
+          SELECT p.antecedent, p.consequent, p.n_both,
+                 a.n_item AS n_ant, c.n_item AS n_cons, nb.n_baskets,
+                 CAST(p.n_both AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE)
+                   AS support,
+                 CAST(p.n_both AS DOUBLE) / CAST(a.n_item AS DOUBLE)
+                   AS confidence,
+                 CAST(p.n_both * nb.n_baskets AS DOUBLE)
+                   / CAST(a.n_item * c.n_item AS DOUBLE) AS lift
+          FROM pairs p
+          JOIN ic a ON p.antecedent = a.i
+          JOIN ic c ON p.consequent = c.i
+          CROSS JOIN nb)
+        SELECT * FROM rules
+        ORDER BY lift DESC, antecedent, consequent
+        LIMIT 25"""))
+  )
 }
