@@ -169,9 +169,26 @@ object StateAudit {
       nBuckets.toLong, "one SpaceSaving record per shard bucket")
   }
 
+  def auditAffinity(spark: SparkSession): Audit = {
+    import spark.implicits._
+    import streaming.StreamingAffinity
+    val nBaskets = 50
+    val events = (0 until nBaskets).flatMap(b =>
+      (0 until 30).map(i => StreamingAffinity.ItemEvent(b.toLong,
+        s"item${(b * 7 + i) % 40}", ts("2024-03-05 01:00:00"))))
+    val src = MemoryStream[StreamingAffinity.ItemEvent](spark)
+    val out = StreamingAffinity.pairDeltas(src.toDS(), maxBasket = 100)
+    src.addData(events)
+    val chk = run(spark, src, out, "affinity")
+    val (rows, keys) = stateRows(spark, chk, Some("basket"))
+    Audit("StreamingAffinity", "basket", events.size, keys, rows,
+      nBaskets.toLong, "one capped item-list record per live basket")
+  }
+
   def all(spark: SparkSession): Seq[Audit] = Seq(
     auditQuota(spark), auditMinhashDedup(spark), auditSemanticDedup(spark),
-    auditDrift(spark), auditProfile(spark), auditHeavyHitters(spark))
+    auditDrift(spark), auditProfile(spark), auditHeavyHitters(spark),
+    auditAffinity(spark))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
