@@ -468,8 +468,8 @@ object StatQueries {
           FROM c GROUP BY b),
         r AS (SELECT b, mean, ROW_NUMBER() OVER (ORDER BY mean, b) AS rn
               FROM m),
-        ci AS (SELECT max(CASE WHEN rn = 2 THEN mean END) AS ci_lo_micro,
-                      max(CASE WHEN rn = 95 THEN mean END) AS ci_hi_micro
+        ci AS (SELECT max(CASE WHEN rn = 3 THEN mean END) AS ci_lo_micro,
+                      max(CASE WHEN rn = 94 THEN mean END) AS ci_hi_micro
                FROM r),
         pt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
                       CAST(SUM(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)

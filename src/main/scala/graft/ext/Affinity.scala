@@ -43,7 +43,12 @@ object Affinity {
   def associationRules(df: DataFrame, basketCol: Column, itemCol: Column,
                        minSupportCount: Long,
                        maxBasket: Int = 1000): DataFrame = {
+    // null contract, made explicit at the plan edge: null items and null
+    // basket ids are DROPPED (collect_set would silently skip null items
+    // anyway — while a SQL twin's DISTINCT would count them toward the
+    // basket-size guard, flipping whole-basket keep/drop at the cap)
     val baskets = df.select(basketCol.as("b"), itemCol.as("i"))
+      .filter(col("b").isNotNull && col("i").isNotNull)
       .groupBy(col("b")).agg(collect_set(col("i")).as("items"))
       .filter(size(col("items")) <= maxBasket)
     val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))

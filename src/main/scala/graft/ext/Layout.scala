@@ -91,7 +91,9 @@ object Layout {
       .orderBy(col("__sk").asc +: tieBreak.indices.map(i => col(s"__t$i").asc): _*)
     val ranked = base.join(broadcast(offsets), "__bk")
       .withColumn("__rank", col("__off") + row_number().over(local))
-      .withColumn("file_id", ((col("__rank") - 1) / fileRows).cast("long"))
+      // integral DIV, not IEEE '/': keeps the cut integer-exact at any
+      // row count (the oracle's `//`), per the house discipline
+      .withColumn("file_id", expr(s"(__rank - 1) DIV $fileRows"))
     ranked.groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         stats.flatMap { case (n, _) =>

@@ -215,7 +215,11 @@ object Stats {
                              reps: Int = 96, alphaPct: Int = 5): DataFrame = {
     require(reps > 0, "reps must be positive")
     val m = 2147483647L // 2^31 − 1
-    val loRank = math.max(1, alphaPct * reps / 200)
+    // nearest-rank order statistics: rank = ceil(p·N) with p = α/2 —
+    // integer-ceil, NOT floor (floor would widen the labeled interval:
+    // reps=96, α=5% → ranks 3/94 = the 2.5%/97.5% statistics, where
+    // floor's 2/95 would report a ~97.9% interval as "95%")
+    val loRank = math.max(1, (alphaPct * reps + 199) / 200)
     val hiRank = reps + 1 - loRank
     val base = df.select(id.cast("string").as("__id"),
       valueMicro.cast("long").as("__v"))

@@ -69,17 +69,25 @@ object StreamingAffinity {
       val live = if (basket.exists())
         Some(basket.get()).filter(b => b.lastMs + ttlMs > wm) else None
       var items: List[String] = live.map(_.items).getOrElse(Nil)
+      // O(1) membership beside the encoded list: duplicate sightings are
+      // the COMMON case in a session stream, and List.contains would pay
+      // an O(cap) string scan per event (O(cap²) per basket)
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      seen ++= items
+      var nItems = seen.size // List.length is O(n) — count once
       // keep-alive clock never regresses on late arrivals
       var lastMs = live.map(_.lastMs).getOrElse(0L)
       val out = List.newBuilder[PairDelta]
       rows.toSeq.sortBy(e => (e.eventTime.getTime, e.item)).foreach { e =>
         lastMs = math.max(lastMs, e.eventTime.getTime)
-        if (!items.contains(e.item) && items.length < maxBasket) {
+        if (!seen.contains(e.item) && nItems < maxBasket) {
           items.foreach { resident =>
             out += PairDelta(key, e.item, resident, e.eventTime)
             out += PairDelta(key, resident, e.item, e.eventTime)
           }
           items = e.item :: items
+          seen += e.item
+          nItems += 1
         }
       }
       basket.update(BasketState(items, lastMs))
