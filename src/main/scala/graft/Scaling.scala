@@ -82,10 +82,14 @@ object Scaling {
 
   final case class Point(sfDir: String, rows: Long, seconds: Double)
   final case class Trend(name: String, table: String, points: Seq[Point]) {
-    /** Exponent over the largest adjacent SF pair. */
-    def exponent: Double = {
-      val Seq(a, b) = points.takeRight(2)
-      math.log(b.seconds / a.seconds) / math.log(b.rows.toDouble / a.rows)
+    /** Exponent over the largest adjacent SF pair; NaN when fewer than
+      * two tiers were measured (a single-dir run has no pair — NaN
+      * degrades the report instead of a MatchError losing the run
+      * after all measurement work is done). */
+    def exponent: Double = points.takeRight(2) match {
+      case Seq(a, b) =>
+        math.log(b.seconds / a.seconds) / math.log(b.rows.toDouble / a.rows)
+      case _ => Double.NaN
     }
     def linearClaimed: Boolean = !superLinearByIntent.contains(name)
   }

@@ -33,7 +33,13 @@ object ExtQueries {
         org.apache.spark.sql.DataFrame]()
     def clusterTable(spark: org.apache.spark.sql.SparkSession,
                      dir: String): org.apache.spark.sql.DataFrame = {
-      val key = Seq(System.identityHashCode(spark).toString, dir,
+      // keyed by applicationId, NOT identityHashCode: an identity hash
+      // is reusable after GC, so a later session could be served a
+      // checkpointed DataFrame whose RDD belongs to a STOPPED context
+      // ("SparkContext has been shutdown" at execution). applicationId
+      // is unique per context instance; stale entries are never hit and
+      // the residue is bounded by sessions-per-JVM.
+      val key = Seq(spark.sparkContext.applicationId, dir,
         spark.conf.get("spark.sql.shuffle.partitions", ""),
         spark.conf.getOption("graft.test.inputPartitions").getOrElse(""))
         .mkString("|")

@@ -91,9 +91,12 @@ object Cdc {
     *
     * Unmatched target rows pass through unchanged; source rows matching
     * no NOT-MATCHED clause are discarded; a matched pair matching no
-    * MATCHED clause keeps the target row — all ANSI defaults. Inserted
-    * and updated values are cast to the target column's type, so the
-    * result schema IS the target schema.
+    * MATCHED clause keeps the target row — all ANSI defaults, including
+    * NULL keys: `ON t.k = s.k` is unknown for NULLs, so a null-key
+    * target row is never matched (passes through) and a null-key source
+    * row is always NOT MATCHED (each its own group — see the
+    * disambiguator below). Inserted and updated values are cast to the
+    * target column's type, so the result schema IS the target schema.
     */
   def merge(target: DataFrame, source: DataFrame, keyCols: Seq[String],
             whenMatched: Seq[MergeClause] = Nil,
@@ -117,7 +120,19 @@ object Cdc {
       .unionByName(source.select(keyCols.map(col) ++ Seq(
         lit(null).cast(tType).as("__t"),
         struct(sVals.map(col): _*).as("__s")): _*))
-    val grouped = tagged.groupBy(keyCols.map(col): _*)
+    // ANSI NULL-key semantics: `ON t.k = s.k` never matches a NULL key,
+    // but groupBy's null-EQUALITY would — so each null-key row gets a
+    // unique disambiguator and becomes its own group: target null-key
+    // rows pass through untouched, source null-key rows take the
+    // NOT-MATCHED path, and two null-key source rows can no longer
+    // raise a spurious cardinality violation. The disambiguator values
+    // are partition-dependent but only singleton-ness matters, and the
+    // column never reaches the output.
+    val anyKeyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    val grouped = tagged
+      .withColumn("__g",
+        when(anyKeyNull, monotonically_increasing_id()).otherwise(lit(0L)))
+      .groupBy(keyCols.map(col) :+ col("__g"): _*)
       .agg(max(col("__t")).as("t"), max(col("__s")).as("s"),
         count(col("__t")).as("__nt"), count(col("__s")).as("__ns"))
     // first applicable clause wins: right-fold builds the CASE chain so

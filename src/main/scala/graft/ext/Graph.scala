@@ -208,6 +208,21 @@ object Graph {
   def ssspRelax(edges: DataFrame, seeds: DataFrame, rounds: Int,
                 broadcastDist: Boolean = true): DataFrame = {
     require(rounds >= 0)
+    // integral-weight contract, enforced: the relax step accumulates in
+    // LONG (exactness discipline — long min-folds are fold-order-free
+    // where double sums are not), so a double weight would be silently
+    // TRUNCATED per relaxation (0.6+0.6 → 0, compounding per round)
+    // rather than rounded once. Callers with fractional weights must
+    // quantize to integer units (cents, micros) first.
+    edges.schema("w").dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"ssspRelax requires an integral weight column, got $other — " +
+          "quantize fractional weights to integer units first")
+    }
     val e0 = edges.select(col("src"), col("dst"), col("w"))
     val e = if (broadcastDist) e0.localCheckpoint() else e0
     def hint(df: DataFrame): DataFrame =

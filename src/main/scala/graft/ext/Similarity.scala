@@ -462,6 +462,11 @@ object Similarity {
         col("b.vec_id").as("cand_id"),
         SketchFns.quantized_cosine(col("a.embedding"), col("b.embedding"))
           .as("cosine"))
+      // the cell-local join + per-pair cosine kernel is the dominant
+      // Σ|cell|² stage and feeds BOTH the pos and neg branches below —
+      // differently-filtered subtrees that exchange reuse cannot merge;
+      // materialize once (the prefixJaccardPairs precedent)
+      .localCheckpoint()
     val byAffinity = Window.partitionBy(col("anchor_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     val pos = pairs.filter(col("cosine") >= threshold)

@@ -139,6 +139,25 @@ class AdmissionSpec extends AnyFunSuite {
       9L -> ("new#9", 77L))) // unmatched source -> insert; 3 deleted
   }
 
+  test("cdc merge: NULL keys never match (ANSI ON-predicate semantics)") {
+    val target = Seq((Option(1L), "a", 100L), (None, "nt", 500L))
+      .toDF("k", "name", "bal")
+    val source = Seq((Option(1L), 10L), (None, 7L), (None, 8L))
+      .toDF("k", "delta")
+    val out = Cdc.merge(target, source, Seq("k"),
+        whenMatched = Seq(Cdc.Update(Map("bal" -> expr("t.bal + s.delta")))),
+        whenNotMatched = Seq(Cdc.Insert(Map(
+          "name" -> lit("ins"), "bal" -> expr("s.delta")))))
+      .collect().map(r => (Option(r.get(0)).map(_.toString),
+        r.getString(1), r.getLong(2))).toSeq.sorted
+    // null-key target row passes through UNTOUCHED (not "matched" with
+    // the null-key source rows); BOTH null-key source rows insert —
+    // and must not trip the source-cardinality guard
+    assert(out == Seq(
+      (None, "ins", 7L), (None, "ins", 8L), (None, "nt", 500L),
+      (Some("1"), "a", 110L)).sorted)
+  }
+
   test("cdc merge: idempotent with absolute clauses (re-apply == no-op)") {
     val target = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("k", "bal")
     val source = Seq((1L, 10L), (3L, 999L), (9L, 77L)).toDF("k", "v")
