@@ -2503,9 +2503,14 @@ object ExtQueries {
                     FROM events WHERE event_type = 'click' GROUP BY 1),
         hb AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_b
                FROM events WHERE event_type = 'purchase' GROUP BY 1),
-        c AS (SELECT ha.key, n_a, n_b, n_a * n_b AS contrib
+        -- HUGEINT product, DECIMAL(38,0) presentation — the Spark side
+        -- computes contrib/total in decimal(38,0) so the audit stays
+        -- exact in the join-explosion regime it exists to detect
+        c AS (SELECT ha.key, n_a, n_b,
+                CAST(CAST(n_a AS HUGEINT) * n_b AS DECIMAL(38,0)) AS contrib
               FROM ha JOIN hb USING (key)),
-        tot AS (SELECT CAST(SUM(contrib) AS BIGINT) AS total_output,
+        tot AS (SELECT CAST(SUM(CAST(contrib AS HUGEINT)) AS DECIMAL(38,0))
+                         AS total_output,
                        CAST(count(*) AS BIGINT) AS n_join_keys FROM c),
         top AS (SELECT *, CAST(ROW_NUMBER() OVER
                   (ORDER BY contrib DESC, key) AS INT) AS skew_rank

@@ -463,8 +463,11 @@ object StatQueries {
                       ELSE 8 END AS c
           FROM u),
         m AS (
-          SELECT b, CAST(SUM(c * v) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
-                      AS mean
+          -- all-zero replicate pinned to +inf in BOTH engines (Spark side
+          -- does the same) so the rank order never hinges on NULL placement
+          SELECT b, CASE WHEN SUM(c) = 0 THEN 'infinity'::DOUBLE
+                         ELSE CAST(SUM(c * v) AS DOUBLE)
+                              / CAST(SUM(c) AS DOUBLE) END AS mean
           FROM c GROUP BY b),
         r AS (SELECT b, mean, ROW_NUMBER() OVER (ORDER BY mean, b) AS rn
               FROM m),

@@ -132,6 +132,11 @@ object Layout {
   def probeHitStatsMulti(files: DataFrame, probes: DataFrame,
                          keys: Seq[String], probeCol: String): DataFrame = {
     require(keys.nonEmpty, "need at least one probe key")
+    // keys are interpolated into a stack() SQL string below — restrict to
+    // plain identifiers so a quote/metacharacter can neither break the
+    // parse nor inject (the Column-based APIs elsewhere need no such rule)
+    keys.foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"probe key must be a plain identifier: '$k'"))
     val hits = keys.map(k =>
       sum(when(col(probeCol).between(col(s"min_$k"), col(s"max_$k")), 1L)
         .otherwise(0L)).as(s"hit_$k"))

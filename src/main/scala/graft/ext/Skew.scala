@@ -73,8 +73,13 @@ object Skew {
     import org.apache.spark.sql.expressions.Window
     val ha = a.groupBy(aKey.as("key")).agg(count(lit(1)).as("n_a"))
     val hb = b.groupBy(bKey.as("key")).agg(count(lit(1)).as("n_b"))
+    // contrib/total in decimal(38,0): the audit exists to detect join
+    // explosion, and that is exactly the regime where Long n_a·n_b
+    // silently wraps (two ~3e9-count sides already exceed 2^63) —
+    // decimal keeps the census exact to 10^38 output rows
     val contrib = ha.join(hb, "key")
-      .withColumn("contrib", col("n_a") * col("n_b"))
+      .withColumn("contrib",
+        col("n_a").cast("decimal(38,0)") * col("n_b").cast("decimal(38,0)"))
     val totals = contrib.agg(sum(col("contrib")).as("total_output"),
       count(lit(1)).as("n_join_keys"))
     contrib.orderBy(col("contrib").desc, col("key")).limit(topK)

@@ -237,8 +237,14 @@ object Stats {
       .withColumn("__c", ladder)
       .groupBy(col("__b"))
       .agg(sum(col("__c") * col("__v")).as("__s"), sum(col("__c")).as("__n"))
+      // an all-zero replicate (P ≈ e^−N per replicate — tiny inputs only)
+      // would yield a NULL mean, and the engines disagree on NULL sort
+      // order (Spark NULLS FIRST, DuckDB's ROW_NUMBER NULLS LAST); pin
+      // it to +∞ in BOTH so the 96-row rank order stays bit-identical
       .withColumn("__mean",
-        col("__s").cast("double") / col("__n").cast("double"))
+        when(col("__n") > 0,
+          col("__s").cast("double") / col("__n").cast("double"))
+          .otherwise(lit(Double.PositiveInfinity)))
     // `reps` rows only — the single-partition window is bounded by design
     val ranked = perRep.withColumn("__rn",
       row_number().over(Window.orderBy(col("__mean").asc, col("__b").asc)))

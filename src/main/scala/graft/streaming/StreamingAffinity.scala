@@ -79,8 +79,12 @@ object StreamingAffinity {
       var lastMs = live.map(_.lastMs).getOrElse(0L)
       val out = List.newBuilder[PairDelta]
       rows.toSeq.sortBy(e => (e.eventTime.getTime, e.item)).foreach { e =>
-        lastMs = math.max(lastMs, e.eventTime.getTime)
-        if (!seen.contains(e.item) && nItems < maxBasket) {
+        if (seen.contains(e.item)) {
+          // duplicate sighting of a resident item: emits nothing but is
+          // basket activity — refreshes the session TTL (scaladoc contract)
+          lastMs = math.max(lastMs, e.eventTime.getTime)
+        } else if (nItems < maxBasket) {
+          lastMs = math.max(lastMs, e.eventTime.getTime)
           items.foreach { resident =>
             out += PairDelta(key, e.item, resident, e.eventTime)
             out += PairDelta(key, resident, e.item, e.eventTime)
@@ -89,6 +93,9 @@ object StreamingAffinity {
           seen += e.item
           nItems += 1
         }
+        // else: over-cap NEW item — dropped entirely, per the scaladoc:
+        // it neither pairs nor keeps the session alive (refreshing lastMs
+        // here would let a hot basket's overflow extend its TTL forever)
       }
       basket.update(BasketState(items, lastMs))
       armTimer(lastMs + ttlMs)
