@@ -1324,5 +1324,73 @@ object SurfaceQueries {
                CAST(files_hit AS DOUBLE)
                  / CAST(n_files * n_probes AS DOUBLE) AS scan_fraction
         FROM hits
-        ORDER BY layout, probe_key""")))
+        ORDER BY layout, probe_key""")),
+
+    // ------------------------------------------------------------------
+    // q175: JOIN-view maintenance under RETRACTIONS ([[graft.ext.Ivm
+    // .deltaJoinSigned]]) — the general Blakeley rule that q165's
+    // insert-only form scopes out: deltas carry a signed multiplicity
+    // (+1 insert, −1 retract), updates are retract+insert pairs, and
+    // the ΔA⋈ΔB leg MULTIPLIES multiplicities so a row deleted from
+    // both sides nets to exactly zero (1−1−1+1). The maintained
+    // stream is append-only (the 100 TB write path); [[graft.ext.Ivm
+    // .consolidate]] nets it at compaction time. Batch mutation mix:
+    // every 97th stored order retracted (even-custkey ones reinserted
+    // with a relocated custkey — an update), every 101st-key stored
+    // lineitem retracted, plus the q165 late-arrival inserts — and the
+    // consolidated view must equal the full recompute over the mutated
+    // inputs row for row, all surviving multiplicities exactly 1.
+    GraftQuery(
+      "q175_delta_join_retract",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val cut = lit("1999-01-01").cast("timestamp")
+        val o = t.orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"))
+        val l = t.lineitem.select(col("l_orderkey").as("o_orderkey"),
+          col("l_linenumber"), col("l_shipdate"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+            .as("price_cents"))
+        val aOld = o.filter(col("o_orderdate") < cut)
+        val bOld = l.filter(col("l_shipdate") < cut)
+        val aRetract = aOld.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("mult", lit(-1L))
+        val aUpdate = aOld
+          .filter(col("o_orderkey") % 97 === 0 && col("o_custkey") % 2 === 0)
+          .withColumn("o_custkey", col("o_custkey") + lit(1000000L))
+          .withColumn("mult", lit(1L))
+        val aIns = o.filter(col("o_orderdate") >= cut)
+          .withColumn("mult", lit(1L))
+        val bRetract = bOld.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("mult", lit(-1L))
+        val bIns = l.filter(col("l_shipdate") >= cut)
+          .withColumn("mult", lit(1L))
+        Ivm.consolidate(Ivm.maintainJoinSigned(
+            aOld, aIns.unionByName(aRetract).unionByName(aUpdate),
+            bOld, bIns.unionByName(bRetract), Seq("o_orderkey")))
+          .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
+                  col("price_cents"), col("mult"))
+          .orderBy(col("o_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        WITH o_new AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                       AND o_orderkey % 97 = 0
+                      THEN o_custkey + 1000000 ELSE o_custkey END
+                   AS o_custkey
+          FROM orders
+          WHERE NOT (o_orderdate < TIMESTAMP '1999-01-01'
+                     AND o_orderkey % 97 = 0 AND o_custkey % 2 = 1)),
+        l_new AS (
+          SELECT l_orderkey AS o_orderkey, l_linenumber,
+                 CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   AS price_cents
+          FROM lineitem
+          WHERE NOT (l_shipdate < TIMESTAMP '1999-01-01'
+                     AND l_orderkey % 101 = 0))
+        SELECT o.o_orderkey, l.l_linenumber, o.o_custkey, l.price_cents,
+               CAST(1 AS BIGINT) AS mult
+        FROM o_new o JOIN l_new l USING (o_orderkey)
+        ORDER BY o.o_orderkey, l.l_linenumber""")))
 }

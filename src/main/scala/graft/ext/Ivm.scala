@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   * {{{ (A ∪ ΔA) ⋈ (B ∪ ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB }}}
   *
   * so a materialized `A⋈B` is maintained under insert-only deltas by
-  * computing only the three delta legs and appending. [[Cdc]] covers the
+  * computing only the three delta legs and appending ([[deltaJoin]]),
+  * and under general deletes/updates by the signed-multiplicity form
+  * ([[deltaJoinSigned]]). [[Cdc]] covers the
   * upsert/delete log side; this covers the 100 TB ETL contract for
   * joins: the stored view and the BIG stored sides are never re-joined
   * against each other — each leg joins a (small) delta against one side.
@@ -58,5 +60,65 @@ object Ivm {
                    keys: Seq[String]): DataFrame = {
     val init = aOld.join(bOld, keys).withColumn("leg", lit("init"))
     init.unionByName(deltaJoin(aOld, aDelta, bOld, bDelta, keys))
+  }
+
+  /** The GENERAL Blakeley rule — deltas carry a signed multiplicity
+    * column `mult` (+1 insert, −1 retract), so updates and deletes
+    * maintain the view too, not just appends. Join is bilinear over
+    * multiset sum, so the three legs are the insert-only ones with
+    * multiplicities carried through (and MULTIPLIED on the ΔA⋈ΔB leg:
+    * retract×retract = +1, which is exactly what cancels the two −1
+    * single-side legs when a row disappears from BOTH inputs — the
+    * net for such a view row is 1−1−1+1 = 0). Same scale shape as
+    * [[deltaJoin]]: deltas broadcast, stored sides scanned once.
+    *
+    * Caller contract: a retraction must match a stored row exactly
+    * (column-for-column) — retracting a never-stored row leaves net
+    * −1 debris in the unconsolidated stream. Retractions of rows
+    * whose key matches nothing on the other side are harmless no-ops
+    * (the join emits nothing), exactly like their inserts would be.
+    */
+  def deltaJoinSigned(aOld: DataFrame, aDelta: DataFrame,
+                      bOld: DataFrame, bDelta: DataFrame,
+                      keys: Seq[String], mult: String = "mult"): DataFrame = {
+    val legA = broadcast(aDelta).join(bOld, keys)
+      .withColumn("leg", lit("delta_a"))
+    val legB = aOld.join(broadcast(bDelta), keys)
+      .withColumn("leg", lit("delta_b"))
+    val legAB = aDelta.withColumnRenamed(mult, "__ma")
+      .join(broadcast(bDelta.withColumnRenamed(mult, "__mb")), keys)
+      .withColumn(mult, col("__ma") * col("__mb"))
+      .drop("__ma", "__mb")
+      .withColumn("leg", lit("delta_ab"))
+    legA.unionByName(legB, allowMissingColumns = false)
+      .unionByName(legAB)
+  }
+
+  /** Signed maintained view: stored `init` at multiplicity +1 plus the
+    * signed delta legs — an APPEND-ONLY stream (the 100 TB write path:
+    * retractions land as rows, nothing is updated in place). Feed it
+    * to [[consolidate]] at read/compaction time.
+    */
+  def maintainJoinSigned(aOld: DataFrame, aDelta: DataFrame,
+                         bOld: DataFrame, bDelta: DataFrame,
+                         keys: Seq[String], mult: String = "mult")
+      : DataFrame = {
+    val init = aOld.join(bOld, keys)
+      .withColumn(mult, lit(1L)).withColumn("leg", lit("init"))
+    init.unionByName(
+      deltaJoinSigned(aOld, aDelta, bOld, bDelta, keys, mult))
+  }
+
+  /** Compaction of a signed view stream: net multiplicity per distinct
+    * row (provenance `leg` does not survive netting), zero-net rows
+    * dropped. One hash aggregation over the view columns — run at
+    * compaction cadence, not per delta batch (the q135 applyLog
+    * discipline applied to join views).
+    */
+  def consolidate(view: DataFrame, mult: String = "mult"): DataFrame = {
+    val rowCols = view.columns.filter(c => c != mult && c != "leg")
+    view.groupBy(rowCols.map(col): _*)
+      .agg(sum(col(mult)).as(mult))
+      .where(col(mult) =!= 0)
   }
 }

@@ -57,4 +57,87 @@ class IvmSpec extends AnyFunSuite {
     val emptyB = bo.limit(0)
     assert(Ivm.deltaJoin(ao, empty, bo, emptyB, Seq("k")).count() == 0)
   }
+
+  // ------------------------------------------------------- signed deltas
+
+  import org.apache.spark.sql.DataFrame
+
+  private def consolidated(ao: DataFrame, ad: DataFrame,
+                           bo: DataFrame, bd: DataFrame) =
+    Ivm.consolidate(Ivm.maintainJoinSigned(ao, ad, bo, bd, Seq("k")))
+
+  test("signed: retracting a stored row removes its view rows exactly") {
+    val (ao, _, bo, _) = frames()
+    // retract (2, a2); key 2 joins bOld's (2, 20)
+    val ad = Seq((2L, "a2", -1L)).toDF("k", "av", "mult")
+    val bd = bo.limit(0).withColumn("mult", org.apache.spark.sql.functions.lit(1L))
+    val got = consolidated(ao, ad, bo, bd)
+    val full = ao.exceptAll(Seq((2L, "a2")).toDF("k", "av")).join(bo, Seq("k"))
+    assert(got.drop("mult").exceptAll(full).count() == 0)
+    assert(full.exceptAll(got.drop("mult")).count() == 0)
+    assert(got.select("mult").distinct().collect().map(_.getLong(0)).toSet
+      == Set(1L))
+  }
+
+  test("signed: delete-then-reinsert in one batch nets to presence") {
+    val (ao, _, bo, _) = frames()
+    val ad = Seq((2L, "a2", -1L), (2L, "a2", 1L)).toDF("k", "av", "mult")
+    val bd = bo.limit(0).withColumn("mult", org.apache.spark.sql.functions.lit(1L))
+    val got = consolidated(ao, ad, bo, bd)
+    val full = ao.join(bo, Seq("k"))
+    assert(got.drop("mult").exceptAll(full).count() == 0)
+    assert(full.exceptAll(got.drop("mult")).count() == 0)
+  }
+
+  test("signed: update = retract + insert replaces the row's value") {
+    val (ao, _, bo, _) = frames()
+    val ad = Seq((2L, "a2", -1L), (2L, "a2x", 1L)).toDF("k", "av", "mult")
+    val bd = bo.limit(0).withColumn("mult", org.apache.spark.sql.functions.lit(1L))
+    val got = consolidated(ao, ad, bo, bd)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows.contains((2L, "a2x", 20L, 1L)))
+    assert(!rows.exists(r => r._1 == 2L && r._2 == "a2"))
+  }
+
+  test("signed: both-sides retraction nets to exactly zero (the ΔA⋈ΔB " +
+       "product leg cancels the two −1 legs)") {
+    val (ao, _, bo, _) = frames()
+    val ad = Seq((2L, "a2", -1L)).toDF("k", "av", "mult")
+    val bd = Seq((2L, 20L, -1L)).toDF("k", "bv", "mult")
+    val stream = Ivm.maintainJoinSigned(ao, ad, bo, bd, Seq("k"))
+    // unconsolidated: the (2, a2, 20) row appears on all four legs
+    val legs = stream.filter($"k" === 2L).select("leg", "mult").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(legs == Map("init" -> 1L, "delta_a" -> -1L,
+      "delta_b" -> -1L, "delta_ab" -> 1L))
+    val got = consolidated(ao, ad, bo, bd)
+    assert(got.filter($"k" === 2L).count() == 0,
+      "a row deleted from both inputs must vanish from the view")
+    val full = ao.exceptAll(Seq((2L, "a2")).toDF("k", "av"))
+      .join(bo.exceptAll(Seq((2L, 20L)).toDF("k", "bv")), Seq("k"))
+    assert(got.drop("mult").exceptAll(full).count() == 0)
+    assert(full.exceptAll(got.drop("mult")).count() == 0)
+  }
+
+  test("signed: retraction whose key matches nothing is a no-op") {
+    val (ao, _, bo, _) = frames()
+    val ad = Seq((99L, "ghost", -1L)).toDF("k", "av", "mult")
+    val bd = bo.limit(0).withColumn("mult", org.apache.spark.sql.functions.lit(1L))
+    val got = consolidated(ao, ad, bo, bd)
+    val full = ao.join(bo, Seq("k"))
+    assert(got.drop("mult").exceptAll(full).count() == 0)
+    assert(full.exceptAll(got.drop("mult")).count() == 0)
+  }
+
+  test("signed: insert-only signed deltas reduce to the insert-only rule") {
+    val (ao, ad0, bo, bd0) = frames()
+    val lit1 = org.apache.spark.sql.functions.lit(1L)
+    val signed = Ivm.deltaJoinSigned(ao, ad0.withColumn("mult", lit1),
+      bo, bd0.withColumn("mult", lit1), Seq("k"))
+    val plain = Ivm.deltaJoin(ao, ad0, bo, bd0, Seq("k"))
+    assert(signed.drop("mult").exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(signed.drop("mult")).count() == 0)
+    assert(signed.filter($"mult" =!= 1L).count() == 0)
+  }
 }
