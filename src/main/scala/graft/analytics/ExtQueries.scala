@@ -2520,6 +2520,196 @@ object ExtQueries {
                CAST(contrib AS DOUBLE) / CAST(total_output AS DOUBLE)
                  AS contrib_share
         FROM top, tot WHERE skew_rank <= 10
-        ORDER BY skew_rank"""))
+        ORDER BY skew_rank""")),
+
+    // ------------------------------------------------------------------
+    // q173: PDF metadata extraction ([[graft.ext.Multimodal.PdfHeader]])
+    // — the FIRST of the two payload formats the reference pipeline
+    // actually transfers (goanywhere-config.md:123 monitors
+    // `*.pdf;*.docx`): version comment, /Linearized probe, and the
+    // LAST trailer's /Size + /Encrypt + startxref from bounded
+    // header/suffix windows — O(header+trailer) bytes per file, never
+    // a full parse. Fixtures are synthesized relationally as PDF text
+    // (the q95 discipline, minus the endian hex since PDF is ASCII);
+    // the oracle rebuilds the IDENTICAL string in SQL, so every field
+    // — including byteLen via length() — stays in lock-step.
+    // 'purchase' rows carry raw props bytes and must surface as
+    // ok=false zeros, never errors. Real-file parity (true xref
+    // offsets, incremental updates, encryption dictionaries) is pinned
+    // by MultimodalSpec's hand-built PDFs.
+    GraftQuery(
+      "q173_pdf_meta",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        import spark.implicits._
+        val ver = concat(lit("1."), (col("event_id") % 8).cast("string"))
+        val lin = col("event_id") % 3 === 0
+        val enc = col("event_id") % 5 === 0
+        val nobj = col("event_id") % 900 + 10
+        val sx = col("event_id") % 100000 + 9
+        val body = concat(
+          lit("%PDF-"), ver, lit("\n"),
+          when(lin,
+            lit("1 0 obj\n<< /Linearized 1 /L 5678 >>\nendobj\n"))
+            .otherwise(lit("1 0 obj\n<< /Type /Catalog >>\nendobj\n")),
+          lit("trailer\n<< /Size "), nobj.cast("string"),
+          lit(" /Root 1 0 R"),
+          when(enc, lit(" /Encrypt 7 0 R")).otherwise(lit("")),
+          lit(" >>\nstartxref\n"), sx.cast("string"), lit("\n%%EOF\n"))
+        val media = when(col("event_type") === "purchase",
+          encode(col("props"), "UTF-8")).otherwise(encode(body, "UTF-8"))
+        val src = t.events.select(
+            col("event_id").as("media_id"),
+            when(col("event_type") === "purchase", "application/octet-stream")
+              .otherwise("application/pdf").as("mime"),
+            media.as("media"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.extractPdfMeta(src)
+          .toDF()
+          .select(col("media_id"), col("mime"), col("byteLen"),
+            col("version"), col("linearized"), col("encrypted"),
+            col("nObjects").as("n_objects"), col("startxref"), col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT event_id, event_type = 'purchase' AS raw,
+                 length(props) AS plen,
+                 '1.' || (event_id % 8) AS ver,
+                 event_id % 3 = 0 AS lin,
+                 event_id % 5 = 0 AS enc,
+                 event_id % 900 + 10 AS nobj,
+                 event_id % 100000 + 9 AS sx
+          FROM events),
+        b AS (
+          SELECT *, '%PDF-' || ver || chr(10)
+            || CASE WHEN lin THEN '1 0 obj' || chr(10)
+                 || '<< /Linearized 1 /L 5678 >>' || chr(10)
+                 || 'endobj' || chr(10)
+               ELSE '1 0 obj' || chr(10) || '<< /Type /Catalog >>'
+                 || chr(10) || 'endobj' || chr(10) END
+            || 'trailer' || chr(10) || '<< /Size ' || nobj
+            || ' /Root 1 0 R'
+            || CASE WHEN enc THEN ' /Encrypt 7 0 R' ELSE '' END
+            || ' >>' || chr(10) || 'startxref' || chr(10) || sx
+            || chr(10) || '%%EOF' || chr(10) AS body
+          FROM m)
+        SELECT event_id AS media_id,
+               CASE WHEN raw THEN 'application/octet-stream'
+                    ELSE 'application/pdf' END AS mime,
+               CAST(CASE WHEN raw THEN plen ELSE length(body) END
+                 AS BIGINT) AS byteLen,
+               CASE WHEN raw THEN '' ELSE ver END AS version,
+               NOT raw AND lin AS linearized,
+               NOT raw AND enc AS encrypted,
+               CAST(CASE WHEN raw THEN 0 ELSE nobj END AS INT) AS n_objects,
+               CAST(CASE WHEN raw THEN 0 ELSE sx END AS BIGINT) AS startxref,
+               NOT raw AS ok
+        FROM b ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q174: DOCX part census ([[graft.ext.Multimodal.DocxParts]]) — the
+    // SECOND reference payload format: a DOCX is a ZIP, and the census
+    // reads only the end-of-central-directory record (bounded suffix
+    // scan) plus the central directory it points at — per-part
+    // compressed/uncompressed sizes, [Content_Types].xml presence —
+    // never the local headers or deflate payloads. Fixtures are
+    // byte-exact ZIP central directories synthesized relationally (the
+    // q95 endian-hex discipline, entries generated per-row with a
+    // transform() HOF — no explode/regroup); the oracle recomputes
+    // every field arithmetically. Real-ZIP parity (JDK ZipFile
+    // agreement, STORED/DEFLATED, truncation refusal) is pinned by
+    // MultimodalSpec.
+    GraftQuery(
+      "q174_docx_parts",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        import spark.implicits._
+        def le2(c: org.apache.spark.sql.Column) = {
+          val hx = lpad(hex(c.cast("bigint")), 4, "0")
+          concat(substring(hx, 3, 2), substring(hx, 1, 2))
+        }
+        def le4(c: org.apache.spark.sql.Column) = {
+          val hx = lpad(hex(c.cast("bigint")), 8, "0")
+          concat(substring(hx, 7, 2), substring(hx, 5, 2),
+            substring(hx, 3, 2), substring(hx, 1, 2))
+        }
+        val id = col("event_id")
+        val n = id % 5 + 1
+        val hasCt = id % 4 =!= 0
+        val pad = id % 50
+        val entries = transform(sequence(lit(0L), n - 1), i => {
+          val name = when(i === 0 && hasCt, lit("[Content_Types].xml"))
+            .otherwise(concat(lit("p"), i.cast("string"), lit(".xml")))
+          val comp = (id * 7 + i * 13) % 1000
+          val uncomp = comp + (id + i) % 500
+          val crc = (id + i) % 65536
+          concat(
+            // sig, ver-made, ver-needed, flags, method(deflate), time, date
+            lit("504B0102" + "1400" + "1400" + "0000" + "0800" +
+              "0000" + "0000"),
+            le4(crc), le4(comp), le4(uncomp), le2(length(name)),
+            // extraLen, commentLen, disk, intAttr, extAttr, localOffset
+            lit("0000" + "0000" + "0000" + "0000" + "00000000" +
+              "00000000"),
+            hex(encode(name, "UTF-8")))
+        })
+        val cdSize = n * 46 + when(hasCt, 19L).otherwise(6L) + (n - 1) * 6
+        val eocd = concat(
+          lit("504B0506" + "0000" + "0000"), le2(n), le2(n),
+          le4(cdSize), le4(pad + 4), lit("0000"))
+        val zip = unhex(concat(
+          lit("504B0304"), expr("repeat('00', CAST(event_id % 50 AS INT))"),
+          array_join(entries, ""), eocd))
+        val media = when(col("event_type") === "purchase",
+          encode(col("props"), "UTF-8")).otherwise(zip)
+        val src = t.events.select(
+            col("event_id").as("media_id"),
+            when(col("event_type") === "purchase", "application/octet-stream")
+              .otherwise("application/vnd.openxmlformats-officedocument" +
+                ".wordprocessingml.document").as("mime"),
+            media.as("media"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.extractDocxMeta(src)
+          .toDF()
+          .select(col("media_id"), col("mime"), col("byteLen"),
+            col("nParts").as("n_parts"),
+            col("hasContentTypes").as("has_content_types"),
+            col("compressedBytes").as("compressed_bytes"),
+            col("uncompressedBytes").as("uncompressed_bytes"), col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT event_id, event_type = 'purchase' AS raw,
+                 length(props) AS plen,
+                 event_id % 5 + 1 AS n,
+                 event_id % 4 <> 0 AS has_ct,
+                 event_id % 50 AS pad
+          FROM events),
+        c AS (
+          SELECT *,
+            n * 46 + CASE WHEN has_ct THEN 19 ELSE 6 END + (n - 1) * 6
+              AS cd_size,
+            list_sum(list_transform(range(0, n),
+              i -> (event_id * 7 + i * 13) % 1000)) AS comp,
+            list_sum(list_transform(range(0, n),
+              i -> (event_id * 7 + i * 13) % 1000 + (event_id + i) % 500))
+              AS uncomp
+          FROM m)
+        SELECT event_id AS media_id,
+               CASE WHEN raw THEN 'application/octet-stream'
+                    ELSE 'application/vnd.openxmlformats-officedocument' ||
+                         '.wordprocessingml.document' END AS mime,
+               CAST(CASE WHEN raw THEN plen ELSE 4 + pad + cd_size + 22 END
+                 AS BIGINT) AS byteLen,
+               CAST(CASE WHEN raw THEN 0 ELSE n END AS INT) AS n_parts,
+               NOT raw AND has_ct AS has_content_types,
+               CAST(CASE WHEN raw THEN 0 ELSE comp END AS BIGINT)
+                 AS compressed_bytes,
+               CAST(CASE WHEN raw THEN 0 ELSE uncomp END AS BIGINT)
+                 AS uncompressed_bytes,
+               NOT raw AS ok
+        FROM c ORDER BY media_id"""))
   )
 }

@@ -326,6 +326,209 @@ object Multimodal {
     }
   }
 
+  final case class PdfMeta(
+      media_id: Long,
+      mime: String,
+      byteLen: Long,
+      version: String,
+      linearized: Boolean,
+      encrypted: Boolean,
+      nObjects: Int,
+      startxref: Long,
+      ok: Boolean,
+      error: Option[String])
+
+  /** PDF metadata from bounded header/trailer windows — the document
+    * twin of [[WavHeader]]/[[Mp4Header]], and the first of the two
+    * payload formats the reference pipeline actually transfers
+    * (goanywhere-config.md:123 monitors `*.pdf;*.docx`;
+    * camel/file-pipeline.yaml:87-107 stores and routes them). Pure
+    * byte/text slicing, no PDF library: the `%PDF-x.y` header comment
+    * (ISO 32000-1 §7.5.2), a `/Linearized` probe in the first-KB
+    * window (the fast-web-view first object, Annex F), and the LAST
+    * trailer dictionary's `/Size` (total indirect objects) +
+    * `/Encrypt` presence + `startxref` byte offset from a bounded
+    * SUFFIX window (§7.5.5: readers locate the trailer by scanning
+    * backward from `%%EOF` — the same O(header+trailer) discipline,
+    * never a full-file parse; `mdat`-style content streams are never
+    * read). Incremental-update files repeat trailers; taking the last
+    * occurrences in the suffix window matches reader behavior (the
+    * most recent update wins). Detection is structural, never the
+    * caller's mime string.
+    */
+  object PdfHeader {
+    private val headWindow = 2048
+    private val tailWindow = 2048
+
+    /** (version, linearized, encrypted, nObjects, startxref), or None
+      * if the bytes are not a parseable PDF (no header or no trailer
+      * machinery in the suffix window).
+      */
+    def parse(b: Array[Byte]): Option[(String, Boolean, Boolean, Int, Long)] = {
+      if (b.length < 8) return None
+      // ISO-8859-1: byte-transparent, so text offsets == byte offsets
+      val head = new String(b, 0, math.min(headWindow, b.length), "ISO-8859-1")
+      if (!head.startsWith("%PDF-")) return None
+      val ver = head.drop(5).takeWhile(c => c.isDigit || c == '.')
+      if (!ver.matches("""\d+\.\d+""")) return None
+      val linearized = head.contains("/Linearized")
+      val tailFrom = math.max(0, b.length - tailWindow)
+      val tail = new String(b, tailFrom, b.length - tailFrom, "ISO-8859-1")
+      if (!tail.contains("%%EOF")) return None
+      val sxAt = tail.lastIndexOf("startxref")
+      if (sxAt < 0) return None
+      val sxDigits = tail.drop(sxAt + "startxref".length)
+        .dropWhile(c => c == '\r' || c == '\n' || c == ' ')
+        .takeWhile(_.isDigit)
+      if (sxDigits.isEmpty || sxDigits.length > 18) return None
+      val encrypted = tail.contains("/Encrypt")
+      val sizeAt = tail.lastIndexOf("/Size")
+      val nObjects =
+        if (sizeAt < 0) 0
+        else {
+          val ds = tail.drop(sizeAt + "/Size".length)
+            .dropWhile(_ == ' ').takeWhile(_.isDigit)
+          if (ds.isEmpty || ds.length > 9) 0 else ds.toInt
+        }
+      Some((ver, linearized, encrypted, nObjects, sxDigits.toLong))
+    }
+  }
+
+  /** PDF-metadata extraction stage: same per-partition discipline as
+    * [[extractAudioMeta]]; unparseable payloads become (zeros,
+    * ok=false) rows, exceptions become error rows — never task aborts.
+    */
+  def extractPdfMeta(media: Dataset[MediaRecord]): Dataset[PdfMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          PdfHeader.parse(r.media) match {
+            case Some((ver, lin, enc, n, sx)) =>
+              PdfMeta(r.media_id, r.mime, r.media.length.toLong,
+                ver, lin, enc, n, sx, ok = true, None)
+            case None =>
+              PdfMeta(r.media_id, r.mime, r.media.length.toLong,
+                "", linearized = false, encrypted = false, 0, 0L,
+                ok = false, None)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            PdfMeta(r.media_id, r.mime, r.media.length.toLong,
+              "", linearized = false, encrypted = false, 0, 0L,
+              ok = false,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      }
+    }
+  }
+
+  final case class DocxMeta(
+      media_id: Long,
+      mime: String,
+      byteLen: Long,
+      nParts: Int,
+      hasContentTypes: Boolean,
+      compressedBytes: Long,
+      uncompressedBytes: Long,
+      ok: Boolean,
+      error: Option[String])
+
+  /** OOXML (DOCX) part census via the ZIP central directory — the
+    * second reference payload format. A DOCX is a ZIP (ECMA-376 §9 /
+    * APPNOTE.TXT): locate the end-of-central-directory record by
+    * scanning BACKWARD from the tail for its signature (EOCD is ≤ 22 +
+    * 65535-byte-comment — a bounded suffix read), then walk the
+    * central directory it points at: per-part compressed/uncompressed
+    * sizes and names, `[Content_Types].xml` presence (the part every
+    * valid OOXML package must carry, ECMA-376 §10.1.2). The LOCAL file
+    * headers — and the (possibly huge) deflate payloads — are never
+    * touched: at 100 TB this is two bounded range-reads per object,
+    * same as [[Mp4Header]] skipping `mdat`. The entry count is
+    * validated against the EOCD's total; a mismatch (truncated CD)
+    * surfaces as unparseable, not a partial answer.
+    */
+  object DocxParts {
+    private def le16(b: Array[Byte], i: Int): Int =
+      ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+    private def le32(b: Array[Byte], i: Int): Long =
+      ((b(i + 3) & 0xffL) << 24) | ((b(i + 2) & 0xffL) << 16) |
+        ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+
+    /** (nParts, hasContentTypes, compressedBytes, uncompressedBytes),
+      * or None if the bytes are not a parseable ZIP container.
+      */
+    def parse(b: Array[Byte]): Option[(Int, Boolean, Long, Long)] = {
+      if (b.length < 22) return None
+      // EOCD: last occurrence of PK\x05\x06 within comment range
+      var eocd = -1
+      var i = b.length - 22
+      val stop = math.max(0, b.length - 22 - 65535)
+      while (eocd < 0 && i >= stop) {
+        if (b(i) == 0x50 && b(i + 1) == 0x4b &&
+            b(i + 2) == 0x05 && b(i + 3) == 0x06) eocd = i
+        else i -= 1
+      }
+      if (eocd < 0) return None
+      val nTotal = le16(b, eocd + 10)
+      val cdSize = le32(b, eocd + 12)
+      val cdOff = le32(b, eocd + 16)
+      if (cdOff + cdSize > eocd || cdOff < 0) return None
+      var at = cdOff.toInt
+      val cdEnd = (cdOff + cdSize).toInt
+      var n = 0
+      var hasCt = false
+      var comp = 0L
+      var uncomp = 0L
+      while (at + 46 <= cdEnd &&
+             b(at) == 0x50 && b(at + 1) == 0x4b &&
+             b(at + 2) == 0x01 && b(at + 3) == 0x02) {
+        comp += le32(b, at + 20)
+        uncomp += le32(b, at + 24)
+        val nameLen = le16(b, at + 28)
+        val extraLen = le16(b, at + 30)
+        val commentLen = le16(b, at + 32)
+        if (at + 46 + nameLen > cdEnd) return None
+        val name = new String(b, at + 46, nameLen, "UTF-8")
+        if (name == "[Content_Types].xml") hasCt = true
+        n += 1
+        at += 46 + nameLen + extraLen + commentLen
+      }
+      // truncated or mis-declared central directory: refuse, don't guess
+      if (n != nTotal) return None
+      Some((n, hasCt, comp, uncomp))
+    }
+  }
+
+  /** DOCX-part-census extraction stage: same per-partition discipline
+    * as [[extractPdfMeta]]; unparseable payloads become (zeros,
+    * ok=false) rows, exceptions become error rows — never task aborts.
+    */
+  def extractDocxMeta(media: Dataset[MediaRecord]): Dataset[DocxMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          DocxParts.parse(r.media) match {
+            case Some((n, hasCt, comp, uncomp)) =>
+              DocxMeta(r.media_id, r.mime, r.media.length.toLong,
+                n, hasCt, comp, uncomp, ok = true, None)
+            case None =>
+              DocxMeta(r.media_id, r.mime, r.media.length.toLong,
+                0, hasContentTypes = false, 0L, 0L, ok = false, None)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            DocxMeta(r.media_id, r.mime, r.media.length.toLong,
+              0, hasContentTypes = false, 0L, 0L, ok = false,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      }
+    }
+  }
+
   /** Decode/feature-extract stage: typed mapPartitions so the decoder is
     * instantiated once per partition (real decoders are expensive to
     * construct); failures become rows, not task aborts.

@@ -228,4 +228,166 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(0).width == 320 && rows(0).height == 240)
     assert(!rows(1).ok && rows(1).width == 0 && rows(1).error.isEmpty)
   }
+
+  // ------------------------------------------------------------- PDF
+
+  /** A REAL minimal one-page PDF with a correct xref table and correct
+    * startxref byte offset — not just field-shaped text. */
+  private def realPdf(version: String = "1.7", encrypted: Boolean = false,
+                      linearized: Boolean = false): (Array[Byte], Long) = {
+    val sb = new StringBuilder
+    sb.append(s"%PDF-$version\n")
+    if (linearized)
+      sb.append("1 0 obj\n<< /Linearized 1 /L 1234 >>\nendobj\n")
+    sb.append("2 0 obj\n<< /Type /Catalog /Pages 3 0 R >>\nendobj\n")
+    sb.append("3 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 >>\nendobj\n")
+    sb.append("4 0 obj\n<< /Type /Page /Parent 3 0 R >>\nendobj\n")
+    val xrefAt = sb.length.toLong
+    sb.append("xref\n0 5\n0000000000 65535 f \n")
+    sb.append("trailer\n<< /Size 5 /Root 2 0 R")
+    if (encrypted) sb.append(" /Encrypt 9 0 R")
+    sb.append(s" >>\nstartxref\n$xrefAt\n%%EOF\n")
+    (sb.toString.getBytes("ISO-8859-1"), xrefAt)
+  }
+
+  test("PDF: header version, trailer /Size, and true startxref offset") {
+    val (b, xrefAt) = realPdf()
+    assert(Multimodal.PdfHeader.parse(b) ===
+      Some(("1.7", false, false, 5, xrefAt)))
+  }
+
+  test("PDF: /Linearized and /Encrypt flags surface from their windows") {
+    val (lin, at1) = realPdf(linearized = true)
+    assert(Multimodal.PdfHeader.parse(lin) ===
+      Some(("1.7", true, false, 5, at1)))
+    val (enc, at2) = realPdf(version = "1.4", encrypted = true)
+    assert(Multimodal.PdfHeader.parse(enc) ===
+      Some(("1.4", false, true, 5, at2)))
+  }
+
+  test("PDF: incremental update — the LAST trailer's Size/startxref win") {
+    val (orig, _) = realPdf()
+    val upd = new String(orig, "ISO-8859-1") +
+      "5 0 obj\n<< /Type /Annot >>\nendobj\n" +
+      "xref\n5 1\n" +
+      "trailer\n<< /Size 6 /Root 2 0 R /Prev 100 >>\n" +
+      "startxref\n400\n%%EOF\n"
+    assert(Multimodal.PdfHeader.parse(upd.getBytes("ISO-8859-1")) ===
+      Some(("1.7", false, false, 6, 400L)))
+  }
+
+  test("PDF: junk, missing %%EOF, and truncated files parse to None") {
+    assert(Multimodal.PdfHeader.parse("not a pdf".getBytes("UTF-8")).isEmpty)
+    val (b, _) = realPdf()
+    val noEof = new String(b, "ISO-8859-1").replace("%%EOF", "")
+    assert(Multimodal.PdfHeader.parse(noEof.getBytes("ISO-8859-1")).isEmpty)
+    assert(Multimodal.PdfHeader.parse(b.take(40)).isEmpty)
+    // header comment with a malformed version is not a PDF
+    assert(Multimodal.PdfHeader.parse(
+      "%PDF-x.y\nstartxref\n0\n%%EOF".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("extractPdfMeta: parseable and unparseable rows, never task aborts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val (b, xrefAt) = realPdf(encrypted = true)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "application/pdf", b),
+      Multimodal.MediaRecord(2L, "application/pdf", "junk".getBytes("UTF-8"))
+    ).toDS()
+    val rows = Multimodal.extractPdfMeta(media).collect().sortBy(_.media_id)
+    assert(rows(0).ok && rows(0).version == "1.7" && rows(0).encrypted)
+    assert(rows(0).nObjects == 5 && rows(0).startxref == xrefAt)
+    assert(!rows(1).ok && rows(1).version == "" && rows(1).error.isEmpty)
+  }
+
+  // ------------------------------------------------------------- DOCX
+
+  /** A REAL ZIP built by java.util.zip — the parser must agree with the
+    * JDK's own central directory accounting, entry for entry. */
+  private def realZip(parts: Seq[(String, String)],
+                      stored: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    parts.foreach { case (name, content) =>
+      val bytes = content.getBytes("UTF-8")
+      val e = new java.util.zip.ZipEntry(name)
+      if (stored) {
+        e.setMethod(java.util.zip.ZipEntry.STORED)
+        e.setSize(bytes.length.toLong)
+        val crc = new java.util.zip.CRC32(); crc.update(bytes)
+        e.setCrc(crc.getValue)
+      }
+      zos.putNextEntry(e)
+      zos.write(bytes)
+      zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  test("DOCX: central-directory census agrees with java.util.zip exactly") {
+    val parts = Seq(
+      "[Content_Types].xml" -> "<Types/>".*(20),
+      "word/document.xml" -> "<w:document>hello world</w:document>".*(10),
+      "docProps/core.xml" -> "<cp:coreProperties/>")
+    val b = realZip(parts)
+    val got = Multimodal.DocxParts.parse(b)
+    assert(got.isDefined)
+    val (n, hasCt, comp, uncomp) = got.get
+    // independent oracle: the JDK's own ZipFile over the same bytes
+    val tmp = java.io.File.createTempFile("graft", ".docx")
+    try {
+      java.nio.file.Files.write(tmp.toPath, b)
+      val zf = new java.util.zip.ZipFile(tmp)
+      val entries = scala.jdk.CollectionConverters
+        .EnumerationHasAsScala(zf.entries()).asScala.toSeq
+      assert(n === entries.size)
+      assert(comp === entries.map(_.getCompressedSize).sum)
+      assert(uncomp === entries.map(_.getSize).sum)
+      zf.close()
+    } finally tmp.delete()
+    assert(hasCt)
+    assert(uncomp === parts.map(_._2.getBytes("UTF-8").length.toLong).sum)
+  }
+
+  test("DOCX: STORED entries make compressed == uncompressed; missing " +
+       "[Content_Types].xml surfaces as hasContentTypes=false") {
+    val b = realZip(Seq("a.xml" -> "AAAA", "b/c.xml" -> "BBBBBBBB"),
+      stored = true)
+    assert(Multimodal.DocxParts.parse(b) === Some((2, false, 12L, 12L)))
+  }
+
+  test("DOCX: junk, truncated central directory, and mis-declared entry " +
+       "counts parse to None") {
+    assert(Multimodal.DocxParts.parse("PK but not a zip".getBytes).isEmpty)
+    assert(Multimodal.DocxParts.parse(Array.emptyByteArray).isEmpty)
+    val good = realZip(Seq("[Content_Types].xml" -> "<Types/>"))
+    // corrupt the EOCD's declared entry count (offset +10 from EOCD sig)
+    val bad = good.clone()
+    var eocd = bad.length - 22
+    while (!(bad(eocd) == 0x50 && bad(eocd + 1) == 0x4b &&
+             bad(eocd + 2) == 0x05 && bad(eocd + 3) == 0x06)) eocd -= 1
+    bad(eocd + 10) = 9
+    assert(Multimodal.DocxParts.parse(bad).isEmpty,
+      "a CD/EOCD count mismatch must refuse, not partially answer")
+    // cut inside the central directory: walk must stop cleanly
+    assert(Multimodal.DocxParts.parse(good.take(good.length - 30)).isEmpty)
+  }
+
+  test("extractDocxMeta: parseable and unparseable rows, never task aborts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val b = realZip(Seq("[Content_Types].xml" -> "<Types/>",
+      "word/document.xml" -> "<w:document/>"))
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "application/vnd.openxmlformats-" +
+        "officedocument.wordprocessingml.document", b),
+      Multimodal.MediaRecord(2L, "application/msword",
+        "junk".getBytes("UTF-8"))
+    ).toDS()
+    val rows = Multimodal.extractDocxMeta(media).collect().sortBy(_.media_id)
+    assert(rows(0).ok && rows(0).nParts == 2 && rows(0).hasContentTypes)
+    assert(!rows(1).ok && rows(1).nParts == 0 && rows(1).error.isEmpty)
+  }
 }
