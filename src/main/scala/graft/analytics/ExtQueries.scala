@@ -2184,7 +2184,10 @@ object ExtQueries {
     // tokenizations of q33. Rows-only: the iterative merge training is
     // not ANSI-SQL-expressible; BpeSpec pins hand-computed merge
     // tables, an independently-written reference encoder, tie-break
-    // determinism, and partition invariance instead.
+    // determinism, and partition invariance instead. The APPLY half —
+    // a pure function of the frozen merge table — IS hash-gated: q176
+    // runs the same kernel under a literal table against a recursive
+    // DuckDB re-tokenization.
     GraftQuery(
       "q162_bpe_tokenize",
       (spark, dir) => {
@@ -2195,6 +2198,106 @@ object ExtQueries {
           .orderBy(col("doc_id"))
       },
       None),
+
+    // ------------------------------------------------------------------
+    // q176: BPE APPLY under a frozen merge table — the oracle gate q162
+    // cannot have (its TRAINING is iterative); the apply is a pure
+    // function of the merge list, so freezing the table as a literal in
+    // BOTH engines hash-gates the actual tokenizer kernel
+    // ([[graft.functions.BpeTokens]]): greedy RANK-PRIORITY encode
+    // (repeatedly merge the lowest-rank adjacent pair, all occurrences
+    // left-to-right). The DuckDB twin is a recursive CTE over the
+    // DISTINCT vocabulary: each word's symbols are sentinel-wrapped
+    // (\x01 sym \x02 — no shared boundary, so one replace() IS the
+    // left-to-right non-overlapping pass) and one recursion level
+    // applies one lowest-rank merge until no table pair remains. The
+    // table deliberately includes rank-priority pins — e.g. rank-1
+    // (l,l) CREATES rank-0 (a,ll)'s right symbol, so 'small' must
+    // encode [s, m, all] where a naive in-rank-order single pass would
+    // leave [s, m, a, ll] — and the per-doc md5 over the exact joined
+    // token stream locks the full sequence, not just counts. Encoding
+    // cost scales with VOCABULARY, not corpus (the q162 training
+    // asymmetry, applied to the oracle too).
+    GraftQuery(
+      "q176_bpe_apply",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val merges = Seq(
+          "a" -> "ll", "l" -> "l", "t" -> "a", "ta" -> "b",
+          "l" -> "e", "tab" -> "le", "s" -> "c", "sc" -> "a",
+          "sca" -> "n", "e" -> "r", "o" -> "r", "t" -> "h",
+          "th" -> "e", "q" -> "u", "qu" -> "e", "j" -> "o",
+          "i" -> "n", "jo" -> "in")
+        t.documents.where(col("text").isNotNull)
+          .select(col("doc_id"), length(col("text")).as("n_chars"),
+            graft.functions.BpeFns.bpe_tokens(col("text"), merges)
+              .as("toks"))
+          .select(col("doc_id"), col("n_chars"),
+            size(col("toks")).as("n_tokens"),
+            size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+            md5(concat_ws(" ", col("toks"))).as("token_digest"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE mg(rank, a, b) AS (
+          VALUES (0,'a','ll'), (1,'l','l'), (2,'t','a'), (3,'ta','b'),
+                 (4,'l','e'), (5,'tab','le'), (6,'s','c'), (7,'sc','a'),
+                 (8,'sca','n'), (9,'e','r'), (10,'o','r'), (11,'t','h'),
+                 (12,'th','e'), (13,'q','u'), (14,'qu','e'), (15,'j','o'),
+                 (16,'i','n'), (17,'jo','in')),
+        docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        dw AS (SELECT doc_id, unnest(ws) AS word,
+                      generate_subscripts(ws, 1) AS word_idx
+               FROM (SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '')
+                         AS ws
+                     FROM docs)),
+        vocab AS (SELECT DISTINCT word FROM dw),
+        wrapped AS (SELECT word,
+            list_aggregate(list_transform(range(1, length(word) + 1),
+              i -> chr(1) || word[i] || chr(2)), 'string_agg', '') AS s
+          FROM vocab),
+        enc AS (
+          SELECT word, s FROM wrapped
+          UNION ALL
+          SELECT e.word,
+            replace(e.s, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
+                    chr(1) || m.a || m.b || chr(2))
+          FROM enc e JOIN mg m
+            ON m.rank = (SELECT min(rank) FROM mg x
+                 WHERE contains(e.s,
+                   chr(1) || x.a || chr(2) || chr(1) || x.b || chr(2)))),
+        final AS (
+          SELECT word, s FROM enc e
+          WHERE NOT EXISTS (SELECT 1 FROM mg x
+            WHERE contains(e.s,
+              chr(1) || x.a || chr(2) || chr(1) || x.b || chr(2)))),
+        per_word AS (SELECT word, tokens, len(tokens) AS n_toks,
+                            array_to_string(tokens, ' ') AS tok_str
+          FROM (SELECT word,
+                  string_split(trim(s, chr(1) || chr(2)),
+                    chr(2) || chr(1)) AS tokens
+                FROM final)),
+        agg AS (SELECT dw.doc_id,
+                  CAST(SUM(pw.n_toks) AS INT) AS n_tokens,
+                  md5(string_agg(pw.tok_str, ' ' ORDER BY dw.word_idx))
+                    AS token_digest
+                FROM dw JOIN per_word pw USING (word)
+                GROUP BY dw.doc_id),
+        dist AS (SELECT doc_id,
+                   CAST(COUNT(DISTINCT t) AS INT) AS n_distinct_tokens
+                 FROM (SELECT dwd.doc_id, unnest(pw.tokens) AS t
+                       FROM (SELECT DISTINCT doc_id, word FROM dw) dwd
+                       JOIN per_word pw USING (word))
+                 GROUP BY doc_id)
+        SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars,
+               COALESCE(a.n_tokens, 0) AS n_tokens,
+               COALESCE(di.n_distinct_tokens, 0) AS n_distinct_tokens,
+               COALESCE(a.token_digest, md5('')) AS token_digest
+        FROM docs d
+        LEFT JOIN agg a USING (doc_id)
+        LEFT JOIN dist di USING (doc_id)
+        ORDER BY d.doc_id""")),
 
     // ------------------------------------------------------------------
     // q163: overlapping training/RAG chunks — 40-word windows with 10
