@@ -46,23 +46,57 @@ object Retrieval {
               col("cand_id"), col("rrf_ppb"), col("n_lists"))
   }
 
+  private def postings(df: DataFrame, id: Column, text: Column,
+                       out: String): DataFrame =
+    df.select(id.as(out),
+        explode(array_distinct(filter(split(text, " "),
+          w => length(w) > 0))).as("word"))
+
+  /** Production default for [[lexicalTopK]]'s df-cap: a word present in
+    * more than 100k corpus documents is a stopword for ranking purposes
+    * — its postings dominate Σ df_q·df_c while contributing a term
+    * every candidate shares (near-zero ranking signal; dropping
+    * stopwords is what every lexical engine's stopword list does). At
+    * test scale (corpus ≤ thousands of docs) no df can reach the cap,
+    * so the capped and uncapped paths agree exactly — pinned in
+    * RetrievalSpec and by the q166/q169 oracles running against the
+    * capped default.
+    */
+  val DefaultMaxDf = 100000L
+
+  /** Pre-flight cost audit for the posting join — q170's
+    * [[Skew.joinCardinalityAudit]] wired to the retrieval operator:
+    * exact posting-join output cardinality (`total_output` = Σ_w
+    * df_q(w)·df_c(w)) and the top contributing words, from two
+    * word-histogram aggregations, WITHOUT running the join. Run this
+    * before passing `maxDf = None` at scale: a stopword-dominated
+    * corpus shows a few words carrying almost all of `total_output`
+    * (`contrib_share` near 1), which is exactly the mass the df-cap
+    * removes.
+    */
+  def postingJoinAudit(queries: DataFrame, qId: Column, qText: Column,
+                       corpus: DataFrame, cId: Column, cText: Column,
+                       topK: Int = 20): DataFrame =
+    Skew.joinCardinalityAudit(
+      postings(queries, qId, qText, "query_id"), col("word"),
+      postings(corpus, cId, cText, "cand_id"), col("word"), topK)
+
   /** Lexical per-query top-`k` by distinct-word overlap, computed as an
     * inverted-index (posting-list) join — the corpus is exploded to
     * `(word, doc)` postings once and joined word-wise against the query
     * postings, so cost is Σ_w df_q(w)·df_c(w), never |Q|·|C| all-pairs.
     * At 100 TB the stopword mass dominates that sum; `maxDf` drops
-    * corpus-frequent words from BOTH sides (the q27 df-cap discipline) —
-    * unset here at test scale so the oracle stays exact.
+    * corpus-frequent words from BOTH sides (the q27 df-cap discipline)
+    * and DEFAULTS ON at [[DefaultMaxDf]] — exact at test scale, a
+    * stopword guard at corpus scale. Pass `None` only after
+    * [[postingJoinAudit]] says the join cannot explode.
     * Output: `query_id, cand_id, rank, shared_terms` (rank 1-based by
     * shared_terms desc, cand_id asc; self-pairs excluded).
     */
   def lexicalTopK(queries: DataFrame, qId: Column, qText: Column,
                   corpus: DataFrame, cId: Column, cText: Column,
-                  k: Int, maxDf: Option[Long] = None): DataFrame = {
-    def postings(df: DataFrame, id: Column, text: Column, out: String) =
-      df.select(id.as(out),
-          explode(array_distinct(filter(split(text, " "),
-            w => length(w) > 0))).as("word"))
+                  k: Int,
+                  maxDf: Option[Long] = Some(DefaultMaxDf)): DataFrame = {
     val cPost = postings(corpus, cId, cText, "cand_id")
     val cKept = maxDf match {
       case Some(cap) =>

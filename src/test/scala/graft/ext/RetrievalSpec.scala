@@ -62,6 +62,46 @@ class RetrievalSpec extends AnyFunSuite {
       r.getAs[Long]("shared_terms"))).toSeq == Seq((2L, 1L)))
   }
 
+  test("lexicalTopK: the capped DEFAULT and the uncapped path agree at " +
+       "test scale (no df can reach DefaultMaxDf)") {
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, s"w${i % 7} w${i % 11} w${i % 3} shared"))
+      .toDF("id", "text")
+    val q = docs.filter(col("id") < 5)
+    val capped = Retrieval.lexicalTopK(q, col("id"), col("text"),
+      docs, col("id"), col("text"), k = 5).collect()
+    val uncapped = Retrieval.lexicalTopK(q, col("id"), col("text"),
+      docs, col("id"), col("text"), k = 5, maxDf = None).collect()
+    assert(capped.map(_.toString).sorted.toSeq ==
+      uncapped.map(_.toString).sorted.toSeq)
+    assert(capped.nonEmpty)
+  }
+
+  test("postingJoinAudit: the guard fires on a stopword corpus — one " +
+       "word carries the join mass, and the cap removes exactly it") {
+    // every doc contains 'the'; distinctive words are nearly unique
+    val docs = Seq.tabulate(60)(i => (i.toLong, s"the only$i rare${i % 30}"))
+      .toDF("id", "text")
+    val audit = Retrieval.postingJoinAudit(
+      docs.filter(col("id") < 10), col("id"), col("text"),
+      docs, col("id"), col("text"), topK = 3).collect()
+    val top = audit.find(_.getAs[Int]("skew_rank") == 1).get
+    assert(top.getAs[String]("key") == "the")
+    // 10 query docs × 60 corpus docs = 600 of the ~630 total join rows
+    assert(top.getAs[java.math.BigDecimal]("contrib")
+      .longValueExact() == 600L)
+    assert(top.getAs[Double]("contrib_share") > 0.9,
+      "the stopword must dominate total_output — that IS the guard firing")
+    // df-capping below the corpus size removes the stopword postings:
+    // overlap through 'the' alone no longer pairs anything
+    val capped = Retrieval.lexicalTopK(
+      docs.filter(col("id") < 10), col("id"), col("text"),
+      docs, col("id"), col("text"), k = 60, maxDf = Some(5L)).collect()
+    assert(capped.forall(_.getAs[Long]("shared_terms") <= 1L))
+    assert(capped.length < 10 * 59,
+      "without the cap every (query, candidate) pair shares 'the'")
+  }
+
   test("rrfFuse is partition-invariant") {
     val l1 = Seq.tabulate(50)(i => ((i % 5).toLong, (i * 7 % 23).toLong,
       i % 9 + 1)).toDF("query_id", "cand_id", "rank").distinct()
