@@ -2741,9 +2741,17 @@ object ExtQueries {
         val n = id % 5 + 1
         val hasCt = id % 4 =!= 0
         val pad = id % 50
+        // entry names come from a 6-value closed set — precompute their
+        // hex (and LE name lengths) as literals so the per-entry lambda
+        // does no string encoding (measured ~2× on the synth-dominated
+        // cost, the q95 one-materialization lesson)
+        def hexStr(s: String) =
+          s.getBytes("UTF-8").map(b => f"$b%02X").mkString
+        val pHex = array((0 to 4).map(i => lit(hexStr(s"p$i.xml"))): _*)
         val entries = transform(sequence(lit(0L), n - 1), i => {
-          val name = when(i === 0 && hasCt, lit("[Content_Types].xml"))
-            .otherwise(concat(lit("p"), i.cast("string"), lit(".xml")))
+          val isCt = i === 0 && hasCt
+          val nameHex = when(isCt, lit(hexStr("[Content_Types].xml")))
+            .otherwise(element_at(pHex, (i + 1).cast("int")))
           val comp = (id * 7 + i * 13) % 1000
           val uncomp = comp + (id + i) % 500
           val crc = (id + i) % 65536
@@ -2751,11 +2759,13 @@ object ExtQueries {
             // sig, ver-made, ver-needed, flags, method(deflate), time, date
             lit("504B0102" + "1400" + "1400" + "0000" + "0800" +
               "0000" + "0000"),
-            le4(crc), le4(comp), le4(uncomp), le2(length(name)),
+            le4(crc), le4(comp), le4(uncomp),
+            // nameLen LE: 19 = 0x13 for [Content_Types].xml, 6 for pN.xml
+            when(isCt, lit("1300")).otherwise(lit("0600")),
             // extraLen, commentLen, disk, intAttr, extAttr, localOffset
             lit("0000" + "0000" + "0000" + "0000" + "00000000" +
               "00000000"),
-            hex(encode(name, "UTF-8")))
+            nameHex)
         })
         val cdSize = n * 46 + when(hasCt, 19L).otherwise(6L) + (n - 1) * 6
         val eocd = concat(
