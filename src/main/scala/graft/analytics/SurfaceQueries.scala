@@ -1392,5 +1392,64 @@ object SurfaceQueries {
         SELECT o.o_orderkey, l.l_linenumber, o.o_custkey, l.price_cents,
                CAST(1 AS BIGINT) AS mult
         FROM o_new o JOIN l_new l USING (o_orderkey)
-        ORDER BY o.o_orderkey, l.l_linenumber""")))
+        ORDER BY o.o_orderkey, l.l_linenumber""")),
+
+    // ------------------------------------------------------------------
+    // q177: AGGREGATE-view maintenance under retractions ([[graft.ext
+    // .Ivm.signedAggPartial]]/[[graft.ext.Ivm.mergeAggPartials]]) — the
+    // rollup companion to q175's join view, and the retraction form of
+    // q81's insert-only partial merge: delta rows carry ±1 mult, the
+    // delta partial weights count by Σmult and sum by Σx·mult, and the
+    // stored per-(day, type) partials fold with it in ONE aggregation
+    // over stored ∪ delta-partial — the stored state is scanned once,
+    // never joined, and untouched groups stream straight through.
+    // Mutation mix: every 89th stored event retracted (even-user ones
+    // reinserted with value+10.00 — an update), plus the q81 late
+    // arrivals; groups whose net count reaches zero vanish. Oracle:
+    // full recompute over the mutated event set.
+    GraftQuery(
+      "q177_delta_agg_retract",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val cut = lit("2024-01-25 12:00:00").cast("timestamp")
+        def rows(df: org.apache.spark.sql.DataFrame) = df.select(
+          to_date(col("ts")).as("day"), col("event_type"),
+          col("value").cast("decimal(12,2)").as("x"),
+          col("event_id"), col("user_id"))
+        val oldRows = rows(t.events.filter(col("ts") < cut))
+        val stored = Ivm.aggPartial(oldRows,
+          Seq(col("day"), col("event_type")), col("x"))
+        val retract = oldRows.filter(col("event_id") % 89 === 0)
+          .withColumn("mult", lit(-1L))
+        val update = oldRows
+          .filter(col("event_id") % 89 === 0 && col("user_id") % 2 === 0)
+          .withColumn("x", col("x") + lit(new java.math.BigDecimal("10.00")))
+          .withColumn("mult", lit(1L))
+        val ins = rows(t.events.filter(col("ts") >= cut))
+          .withColumn("mult", lit(1L))
+        val deltaP = Ivm.signedAggPartial(
+          ins.unionByName(retract).unionByName(update),
+          Seq(col("day"), col("event_type")), col("x"), col("mult"))
+        Ivm.mergeAggPartials(stored, deltaP, Seq("day", "event_type"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("pn").as("n_events"),
+            col("ps").cast("double").as("sum_value"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""
+        WITH mut AS (
+          SELECT CAST(ts AS DATE) AS day, event_type,
+                 CASE WHEN ts < TIMESTAMP '2024-01-25 12:00:00'
+                       AND event_id % 89 = 0
+                      THEN CAST("value" AS DECIMAL(12,2)) + 10.00
+                      ELSE CAST("value" AS DECIMAL(12,2)) END AS x
+          FROM events
+          WHERE NOT (ts < TIMESTAMP '2024-01-25 12:00:00'
+                     AND event_id % 89 = 0
+                     AND (user_id IS NULL OR user_id % 2 = 1)))
+        SELECT STRFTIME(day, '%Y-%m-%d') AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(x) AS DOUBLE) AS sum_value
+        FROM mut GROUP BY 1, 2
+        ORDER BY day, event_type""")))
 }

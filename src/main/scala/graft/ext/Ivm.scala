@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Incremental view maintenance for JOIN views — the delta-join rule
@@ -121,4 +121,45 @@ object Ivm {
       .agg(sum(col(mult)).as(mult))
       .where(col(mult) =!= 0)
   }
+
+  // ------------------------------------------------- aggregate views
+
+  /** Stored-state shape for an incrementally-maintained SUM/COUNT
+    * rollup: per-key `(pn, ps)` partials over an exact-typed measure
+    * (decimal/long — the q81 re-aggregatability contract; float sums
+    * are not exactly mergeable). `pn` counts ROWS (null measures
+    * count, as COUNT(*) does), `ps` ignores nulls, as SUM does.
+    */
+  def aggPartial(rows: DataFrame, keys: Seq[Column], x: Column): DataFrame =
+    rows.groupBy(keys: _*)
+      .agg(count(lit(1)).as("pn"),
+           sum(x.cast("decimal(24,2)")).cast("decimal(24,2)").as("ps"))
+
+  /** The delta batch's SIGNED partial: each delta row carries ±1
+    * `mult`, so count becomes Σ mult and sum becomes Σ x·mult — a
+    * retraction subtracts exactly what its insert added. The aggregate
+    * companion of [[deltaJoinSigned]] (q81 is the insert-only form).
+    */
+  def signedAggPartial(delta: DataFrame, keys: Seq[Column], x: Column,
+                       mult: Column): DataFrame =
+    delta.groupBy(keys: _*)
+      .agg(sum(mult).cast("long").as("pn"),
+           sum(x.cast("decimal(24,2)") * mult).cast("decimal(24,2)")
+             .as("ps"))
+
+  /** Fold a delta partial into yesterday's stored partials: one
+    * aggregation over `stored ∪ deltaPartial` — the stored state is
+    * scanned once and NEVER joined against the delta (group keys that
+    * the delta does not touch stream straight through the merge).
+    * Groups whose net count reaches zero vanish from the view; under
+    * the caller contract (retract only stored rows) a negative net is
+    * impossible and a zero net implies a zero net sum.
+    */
+  def mergeAggPartials(stored: DataFrame, deltaPartial: DataFrame,
+                       keys: Seq[String]): DataFrame =
+    stored.unionByName(deltaPartial)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("pn")).cast("long").as("pn"),
+           sum(col("ps")).cast("decimal(24,2)").as("ps"))
+      .where(col("pn") > 0)
 }

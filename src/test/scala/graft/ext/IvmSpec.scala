@@ -130,6 +130,47 @@ class IvmSpec extends AnyFunSuite {
     assert(full.exceptAll(got.drop("mult")).count() == 0)
   }
 
+  test("signed aggregate: retract/update/insert partials fold to the " +
+       "full recompute; a fully-retracted group vanishes") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // stored rows: group g1 has 3 rows, g2 has 1 (to be fully retracted)
+    val oldRows = Seq(("g1", "1.50"), ("g1", "2.00"), ("g1", "3.25"),
+      ("g2", "9.99")).toDF("g", "v")
+      .select(col("g"), col("v").cast("decimal(12,2)").as("x"))
+    val stored = Ivm.aggPartial(oldRows, Seq(col("g")), col("x"))
+    // delta: retract g2's only row; update one g1 row 2.00 -> 7.00;
+    // insert a g3 row
+    val delta = Seq(
+      ("g2", "9.99", -1L), ("g1", "2.00", -1L), ("g1", "7.00", 1L),
+      ("g3", "4.00", 1L)).toDF("g", "v", "mult")
+      .select(col("g"), col("v").cast("decimal(12,2)").as("x"), col("mult"))
+    val got = Ivm.mergeAggPartials(stored,
+      Ivm.signedAggPartial(delta, Seq(col("g")), col("x"), col("mult")),
+      Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toPlainString)).toSet
+    assert(got == Set(("g1", 3L, "11.75"), ("g3", 1L, "4.00")),
+      s"got $got")
+    // g2 vanished entirely — net count zero drops the group
+  }
+
+  test("signed aggregate: null measures count as rows, never as sum") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val oldRows = Seq(("g", Some("1.00")), ("g", None))
+      .toDF("g", "v")
+      .select(col("g"), col("v").cast("decimal(12,2)").as("x"))
+    val stored = Ivm.aggPartial(oldRows, Seq(col("g")), col("x"))
+    // retract the null-valued row: count drops, sum untouched
+    val delta = Seq(("g", None: Option[String], -1L)).toDF("g", "v", "mult")
+      .select(col("g"), col("v").cast("decimal(12,2)").as("x"), col("mult"))
+    val got = Ivm.mergeAggPartials(stored,
+      Ivm.signedAggPartial(delta, Seq(col("g")), col("x"), col("mult")),
+      Seq("g")).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(1) == 1L)
+    assert(got.head.getDecimal(2).toPlainString == "1.00")
+  }
+
   test("signed: insert-only signed deltas reduce to the insert-only rule") {
     val (ao, ad0, bo, bd0) = frames()
     val lit1 = org.apache.spark.sql.functions.lit(1L)
