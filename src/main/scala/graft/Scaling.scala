@@ -55,7 +55,9 @@ object Scaling {
     "q161_weighted_paths"        -> "lineitem",
     "q165_delta_join_view"       -> "lineitem",
     "q167_layout_pruning"        -> "lineitem",
-    "q168_bootstrap_ci"          -> "events")
+    "q168_bootstrap_ci"          -> "events",
+    "q175_delta_join_retract"    -> "lineitem",
+    "q177_delta_agg_retract"     -> "events")
 
   /** Documented super-linear-BY-INTENT queries: q27 materializes exact
     * all-pairs Jaccard evidence and q47 exact winnowing-fingerprint
