@@ -194,7 +194,12 @@ class CheckpointRecoverySpec extends AnyFunSuite {
         org.apache.spark.sql.functions.encode(col("_2"), "UTF-8")
           .as("body"))
       graft.sinks.ObjectStore.writeIncoming(keyed, dir)
-      if (batchId == 1) replayFrame = Some(keyed.cache())
+      if (batchId == 1) {
+        // materialize NOW, while the micro-batch's backing RDD is live —
+        // the replay below happens after the query has stopped
+        val kept = keyed.cache(); kept.count()
+        replayFrame = Some(kept)
+      }
     }
     def start() = src.toDS().toDF().writeStream
       .option("checkpointLocation", chk)
