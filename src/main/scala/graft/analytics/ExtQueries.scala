@@ -160,9 +160,18 @@ object ExtQueries {
 
     // ------------------------------------------------------------------
     // q29: SimHash near-dup candidates (hamming ≤ 3 over 64-bit
-    // signatures, pigeonhole-chunk candidate generation). The signature
-    // depends on xxhash64 — not reproducible in ANSI SQL, so this is a
-    // rows-only check; SimhashSpec pins golden values instead.
+    // signatures, pigeonhole-chunk candidate generation). Hash-gated
+    // since round 10: the "xxhash64 is not reproducible in ANSI SQL"
+    // note of rounds 1–9 fell to [[PortableHash]] — 64-bit wrap
+    // multiplication via HUGEINT half-word products — so the oracle
+    // re-derives every word hash, the bit-vote signature (ALL words,
+    // multiplicity and empties included — `split(' ', -1)` semantics),
+    // and the pair set from first principles. The oracle generates its
+    // candidates through its OWN 16-bit pigeonhole (complete for
+    // hamming ≤ 3: four chunks, one must agree) rather than an
+    // all-pairs cross — the 25M-pair sf0.1 cross was what pushed the
+    // one-connection DuckDB gate into allocation failure; bucketed,
+    // the intermediates are candidate-sized.
     GraftQuery(
       "q29_simhash_pairs",
       (spark, dir) => {
@@ -171,7 +180,29 @@ object ExtQueries {
             maxDistance = 3)
           .orderBy(col("id_a"), col("id_b"))
       },
-      None),
+      Some(s"""
+        WITH docs AS (SELECT doc_id, text FROM documents
+                      WHERE text IS NOT NULL),
+        dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM docs),
+        dwc AS MATERIALIZED (
+          SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+          FROM dw GROUP BY 1, 2),
+        vocab AS (SELECT DISTINCT word FROM dw),${PortableHash.xx64Ctes}${PortableHash.simhashSigCtes}
+        chunks AS (
+          SELECT doc_id, c.c, (sig >> (16 * c.c)) & 65535 AS v
+          FROM sig64 CROSS JOIN (VALUES (0), (1), (2), (3)) c(c)),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM chunks a JOIN chunks b
+            ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+        SELECT cand.id_a, cand.id_b,
+               CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
+        FROM cand
+        JOIN sig64 sa ON sa.doc_id = cand.id_a
+        JOIN sig64 sb ON sb.doc_id = cand.id_b
+        WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+        ORDER BY id_a, id_b""")),
 
     // ------------------------------------------------------------------
     // q30: brute-force cosine top-5 for 20 query vectors. Quantized
@@ -562,8 +593,11 @@ object ExtQueries {
 
     // ------------------------------------------------------------------
     // q47: winnowing-fingerprint near-dup candidates (character-level,
-    // overlap-normalized) — rows-only like q29/q36 (the fingerprint hash
-    // is not ANSI-SQL-expressible); SkewWinnowSpec proves the candidate
+    // overlap-normalized). Hash-gated since round 10 via the same
+    // [[PortableHash.winnowCtes]] kernel replay as q36, plus the pair
+    // machinery in plain SQL: per-doc DISTINCT fingerprints, the df ≤ 64
+    // boilerplate cap, inverted-index pairing, and overlap = shared /
+    // min(n_fp) ≥ 0.5. SkewWinnowSpec additionally proves the candidate
     // set covers every exact-Jaccard near-dup pair while pruning >96% of
     // the all-pairs space.
     GraftQuery(
@@ -574,7 +608,31 @@ object ExtQueries {
             k = 8, w = 4, minOverlap = 0.5)
           .orderBy(col("id_a"), col("id_b"))
       },
-      None),
+      Some(s"""
+        WITH docs AS (SELECT doc_id, text FROM documents
+                      WHERE text IS NOT NULL),${PortableHash.winnowCtes}
+        -- MATERIALIZED: referenced twice below, and DuckDB 1.0 would
+        -- otherwise inline (and re-run) the whole winnow pipeline per
+        -- reference — the PortableHash.simhashSigCtes lesson
+        inv0 AS MATERIALIZED (
+          SELECT doc_id, unnest(list_distinct(fp)) AS h FROM fps),
+        kept AS (SELECT h FROM inv0 GROUP BY h HAVING count(*) <= 64),
+        inv AS MATERIALIZED (
+          SELECT doc_id, h FROM inv0 JOIN kept USING (h)),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+                  FROM inv GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS shared_fp
+          FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT s.id_a, s.id_b, s.shared_fp,
+               CAST(s.shared_fp AS DOUBLE) / least(sa.n_fp, sb.n_fp)
+                 AS overlap
+        FROM shared s JOIN sizes sa ON sa.doc_id = s.id_a
+        JOIN sizes sb ON sb.doc_id = s.id_b
+        WHERE CAST(s.shared_fp AS DOUBLE) / least(sa.n_fp, sb.n_fp) >= 0.5
+        ORDER BY id_a, id_b""")),
 
     // ------------------------------------------------------------------
     // q55: stratified deterministic sample — per language, the 20 docs
@@ -610,8 +668,12 @@ object ExtQueries {
 
     // ------------------------------------------------------------------
     // q36: winnowing fingerprints (k=8 gram, w=4 window minima — the
-    // MOSS scheme) — native expression, not SQL-expressible: rows-only
-    // check here, golden values pinned in TextAnalysisSpec.
+    // MOSS scheme). Hash-gated since round 10: the mod-1e9+7 rolling
+    // hash has no wraparound, so [[PortableHash.winnowCtes]] replays
+    // the whole kernel — byte-exact k-gram hashes over the UTF-8 hex,
+    // rightmost window minimum, consecutive-index dedup — as DuckDB
+    // list comprehensions, and the selection COUNT and FIRST selection
+    // must match per document.
     GraftQuery(
       "q36_winnow_fingerprints",
       (spark, dir) => {
@@ -621,7 +683,15 @@ object ExtQueries {
                   element_at(col("winnow_fp"), 1).as("first_fp"))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some(s"""
+        WITH docs AS (SELECT doc_id, text FROM documents
+                      WHERE text IS NOT NULL),${PortableHash.winnowCtes}
+        sel AS (SELECT doc_id, CAST(len(fp) AS INT) AS n_fp,
+                       fp[1] AS first_fp
+                FROM fps)
+        SELECT d.doc_id, s.n_fp, s.first_fp
+        FROM documents d LEFT JOIN sel s USING (doc_id)
+        ORDER BY d.doc_id""")),
 
     // ------------------------------------------------------------------
     // q56: chunk-level (passage) exact dedup — global keep-first over
