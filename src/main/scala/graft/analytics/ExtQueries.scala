@@ -2676,20 +2676,22 @@ object ExtQueries {
                     FROM events WHERE event_type = 'click' GROUP BY 1),
         hb AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_b
                FROM events WHERE event_type = 'purchase' GROUP BY 1),
-        -- HUGEINT product, DECIMAL(38,0) presentation — the Spark side
-        -- computes contrib/total in decimal(38,0) so the audit stays
-        -- exact in the join-explosion regime it exists to detect
+        -- HUGEINT math internal, STRING presentation: the audit stays
+        -- exact in the join-explosion regime it exists to detect, and
+        -- the digit string (unlike DECIMAL(38,0), which DuckDB fetches
+        -- as float64) hashes identically in both engines
         c AS (SELECT ha.key, n_a, n_b,
-                CAST(CAST(n_a AS HUGEINT) * n_b AS DECIMAL(38,0)) AS contrib
+                CAST(n_a AS HUGEINT) * n_b AS contrib
               FROM ha JOIN hb USING (key)),
-        tot AS (SELECT CAST(SUM(CAST(contrib AS HUGEINT)) AS DECIMAL(38,0))
-                         AS total_output,
+        tot AS (SELECT SUM(contrib) AS total_output,
                        CAST(count(*) AS BIGINT) AS n_join_keys FROM c),
         top AS (SELECT *, CAST(ROW_NUMBER() OVER
                   (ORDER BY contrib DESC, key) AS INT) AS skew_rank
                 FROM c)
-        SELECT skew_rank, key AS user_id, n_a, n_b, contrib,
-               total_output, n_join_keys,
+        SELECT skew_rank, key AS user_id, n_a, n_b,
+               CAST(contrib AS VARCHAR) AS contrib,
+               CAST(CAST(total_output AS HUGEINT) AS VARCHAR)
+                 AS total_output, n_join_keys,
                CAST(contrib AS DOUBLE) / CAST(total_output AS DOUBLE)
                  AS contrib_share
         FROM top, tot WHERE skew_rank <= 10

@@ -56,6 +56,81 @@ final class LocalDocling(
   }
 }
 
+/** Connection settings for [[HttpDocling]], mirroring the reference's
+  * client config (application.properties:73-74: 30 s connect timeout,
+  * 300 s socket timeout; camel/file-pipeline.yaml:153-158: POST to
+  * Docling Serve's `/v1/convert/source`).
+  */
+final case class HttpDoclingConfig(
+    endpoint: String,
+    connectTimeoutMs: Long = 30000L,
+    requestTimeoutMs: Long = 300000L)
+
+/** Real HTTP implementation of [[DoclingClient]] on the JDK's
+  * `java.net.http.HttpClient` — no extra dependency, HTTP/1.1 keep-alive
+  * connection pooling built in. The case-class config is what serializes
+  * into executor closures; the client itself is executor-local, one per
+  * connect-timeout value ([[HttpDocling.clientFor]]), shared by every
+  * task on that executor — the "pooled client per executor" contract the
+  * [[DoclingClient]] trait documents.
+  *
+  * Failure model: any non-2xx status, connect failure, or
+  * `HttpTimeoutException` (fires after `requestTimeoutMs`, the socket
+  * timeout analog) throws RuntimeException/IOException — both NonFatal,
+  * so [[RetryPolicy]] retries them and [[CircuitBreaker]] counts them,
+  * exactly as the reference's redelivery + MicroProfile FT stack treats
+  * HTTP faults.
+  */
+final class HttpDocling(cfg: HttpDoclingConfig) extends DoclingClient {
+  import java.net.http.{HttpRequest, HttpResponse}
+
+  @transient private lazy val client = HttpDocling.clientFor(cfg)
+
+  override def convert(requestJson: String): String = {
+    val req = HttpRequest.newBuilder(java.net.URI.create(cfg.endpoint))
+      .timeout(java.time.Duration.ofMillis(cfg.requestTimeoutMs))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(requestJson,
+        java.nio.charset.StandardCharsets.UTF_8))
+      .build()
+    val resp =
+      try client.send(req, HttpResponse.BodyHandlers.ofString())
+      catch {
+        case e: java.net.http.HttpTimeoutException =>
+          throw new RuntimeException(
+            s"docling: request timeout after ${cfg.requestTimeoutMs} ms " +
+              s"against ${cfg.endpoint}", e)
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+      }
+    val code = resp.statusCode()
+    if (code / 100 != 2) {
+      val body = Option(resp.body()).getOrElse("")
+      throw new RuntimeException(
+        s"docling: HTTP $code from ${cfg.endpoint}: ${body.take(200)}")
+    }
+    resp.body()
+  }
+}
+
+object HttpDocling {
+  import java.net.http.HttpClient
+
+  // One pooled client per executor JVM per connect-timeout value; the
+  // JDK client holds the keep-alive pool, so tasks reuse sockets instead
+  // of re-handshaking per row.
+  private val clients =
+    scala.collection.concurrent.TrieMap.empty[Long, HttpClient]
+
+  private[enrich] def clientFor(cfg: HttpDoclingConfig): HttpClient =
+    clients.getOrElseUpdate(cfg.connectTimeoutMs,
+      HttpClient.newBuilder()
+        .version(HttpClient.Version.HTTP_1_1)
+        .connectTimeout(java.time.Duration.ofMillis(cfg.connectTimeoutMs))
+        .followRedirects(HttpClient.Redirect.NORMAL)
+        .build())
+}
+
 /** Retry schedule mirroring the reference's redelivery policy
   * (camel/file-pipeline.yaml:269-277: 3 attempts, 5 s initial, ×2
   * multiplier, 60 s cap). `sleeper` is injectable so tests don't sleep.

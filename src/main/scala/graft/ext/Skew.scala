@@ -88,8 +88,13 @@ object Skew {
       .crossJoin(broadcast(totals))
       .withColumn("contrib_share",
         col("contrib").cast("double") / col("total_output").cast("double"))
+      // decimal(38,0) stays internal; the OUTPUT carries the exact values
+      // as strings — a decimal(38,0) column is representation-unstable
+      // across engines (DuckDB fetches wide decimals as float64), while
+      // the digit string is exact to 10^38 and canonical everywhere
       .select(col("skew_rank").cast("int").as("skew_rank"), col("key"),
-        col("n_a"), col("n_b"), col("contrib"), col("total_output"),
+        col("n_a"), col("n_b"), col("contrib").cast("string").as("contrib"),
+        col("total_output").cast("string").as("total_output"),
         col("n_join_keys"), col("contrib_share"))
   }
 }

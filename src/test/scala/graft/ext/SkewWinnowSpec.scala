@@ -64,14 +64,15 @@ class SkewWinnowSpec extends AnyFunSuite {
     val b = Seq(1L, 1L, 2L, 2L, 2L, 2L, 4L).toDF("k")
     val rows = Skew.joinCardinalityAudit(a, col("k"), b, col("k"), topK = 10)
       .orderBy(col("skew_rank")).collect()
-    // contrib/total_output are decimal(38,0) since round 10 (overflow-
-    // proof in the join-explosion regime the audit exists to detect)
+    // contrib/total_output: decimal(38,0) math internally (overflow-proof
+    // in the join-explosion regime the audit exists to detect), emitted
+    // as exact digit strings since round 11 (hash-stable cross-engine)
     assert(rows.map(r => (r.getAs[Int]("skew_rank"), r.getAs[Long]("key"),
       r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
-      r.getAs[java.math.BigDecimal]("contrib").longValueExact())).toSeq ==
+      r.getAs[String]("contrib").toLong)).toSeq ==
       Seq((1, 1L, 3L, 2L, 6L), (2, 2L, 1L, 4L, 4L)))
     assert(rows.forall(r =>
-      r.getAs[java.math.BigDecimal]("total_output").longValueExact() == 10L &&
+      r.getAs[String]("total_output").toLong == 10L &&
       r.getAs[Long]("n_join_keys") == 2L))
     assert(rows.head.getAs[Double]("contrib_share") == 0.6)
   }
@@ -82,7 +83,7 @@ class SkewWinnowSpec extends AnyFunSuite {
     val b = Seq.tabulate(300)(i => (i % 23).toLong).toDF("k")
     val audited = Skew.joinCardinalityAudit(a, col("k"), b, col("k"), 5)
       .select("total_output").distinct().collect()
-      .head.getAs[java.math.BigDecimal](0).longValueExact()
+      .head.getAs[String](0).toLong
     assert(audited == a.join(b, "k").count())
   }
 
@@ -93,8 +94,7 @@ class SkewWinnowSpec extends AnyFunSuite {
     val rows = Skew.joinCardinalityAudit(a, col("k"), b, col("k"), 4)
       .orderBy(col("skew_rank")).collect()
     assert(rows.length == 4)
-    val contribs = rows
-      .map(_.getAs[java.math.BigDecimal]("contrib").longValueExact()).toSeq
+    val contribs = rows.map(_.getAs[String]("contrib").toLong).toSeq
     assert(contribs == contribs.sorted.reverse)
   }
 }
