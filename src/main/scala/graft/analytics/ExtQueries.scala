@@ -3,7 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{GraftQuery, Tables}
-import graft.ext.{AnnIndex, Bpe, Dedup, Graph, Multimodal, Retrieval, Similarity, Skew, TextAnalysis}
+import graft.ext.{AnnIndex, Bpe, Dedup, FrozenModels, Graph, Multimodal, Retrieval, Similarity, Skew, TextAnalysis}
 
 /** The LLM-data-pipeline extension operators (north star §"beyond the
   * reference"): dedup (exact / n-gram-Jaccard / MinHash-LSH / SimHash),
@@ -2895,6 +2895,127 @@ object ExtQueries {
                CAST(CASE WHEN raw THEN 0 ELSE uncomp END AS BIGINT)
                  AS uncompressed_bytes,
                NOT raw AS ok
-        FROM c ORDER BY media_id"""))
+        FROM c ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q178: IVF-kmeans APPLY under FROZEN centroids — the q176 pattern
+    // applied to ANN serving (VERDICT r10 item 3). q48's training is
+    // iterative (rows-only stands), but assignment + multi-probe +
+    // exact re-rank are pure functions of the pinned centroid table
+    // ([[graft.ext.FrozenModels.ivfCentroids]], trained once by
+    // [[graft.ext.FrozenModelGen]]): cells are assigned on the
+    // integer-quantized vector against integer centroids, so every
+    // squared-L2 distance is an integer-valued double — exact in both
+    // engines regardless of summation order. The oracle receives the
+    // SAME centroid table interpolated as VALUES and expands
+    // |v−c|² = v·v − 2 v·c + c·c.
+    GraftQuery(
+      "q178_ivf_kmeans_frozen_apply",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Similarity.ivfKmeansApply(
+            t.embeddings.filter(col("vec_id") < 20), t.embeddings,
+            k = 5, centroidsQ = FrozenModels.ivfCentroids, probes = 2)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""
+        WITH cent AS (
+          SELECT * FROM (VALUES ${FrozenModels.ivfCentroidValues})
+            AS t(cell, c)),
+        v AS MATERIALIZED (
+          SELECT vec_id, list_transform(embedding,
+                   x -> FLOOR(CAST(x AS DOUBLE)*10000 + 0.5)) AS q
+          FROM embeddings),
+        d AS (SELECT v.vec_id, cent.cell,
+                list_dot_product(v.q, v.q)
+                  - 2*list_dot_product(v.q, cent.c)
+                  + list_dot_product(cent.c, cent.c) AS d2
+              FROM v CROSS JOIN cent),
+        rc AS MATERIALIZED (
+          SELECT vec_id, cell, ROW_NUMBER() OVER
+            (PARTITION BY vec_id ORDER BY d2, cell) AS cr FROM d),
+        cas AS (SELECT vec_id, cell FROM rc WHERE cr = 1),
+        qp AS (SELECT vec_id, cell FROM rc WHERE cr <= 2 AND vec_id < 20),
+        scored AS (
+          SELECT qp.vec_id AS query_id, ca.vec_id AS neighbor_id, ca.cell,
+                 list_dot_product(qv.q, cv.q)
+                   / sqrt(list_dot_product(qv.q, qv.q)
+                          * list_dot_product(cv.q, cv.q)) AS cosine
+          FROM qp JOIN cas ca ON qp.cell = ca.cell AND qp.vec_id != ca.vec_id
+          JOIN v qv ON qv.vec_id = qp.vec_id
+          JOIN v cv ON cv.vec_id = ca.vec_id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine,
+               CAST(cell AS INT) AS cell
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
+    // ------------------------------------------------------------------
+    // q179: PQ APPLY under FROZEN codebooks (q94's oracle-gateable
+    // half): encode (nearest integer centroid per quantized slice),
+    // integer ADC through the per-query lookup table, approx top-20
+    // pool, exact quantized-cosine re-rank — every step integer-exact
+    // or a single-rounding double op, so scores and ranks match the
+    // oracle bit-for-bit. The DuckDB twin re-derives codes from the
+    // same interpolated codebook VALUES and computes ADC as
+    // Σ_s dot(q_slice_s, centroid(s, code_s)).
+    GraftQuery(
+      "q179_pq_frozen_apply",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Similarity.pqApply(
+            t.embeddings.filter(col("vec_id") < 20), t.embeddings,
+            k = 5, codebooksQ = FrozenModels.pqCodebooks, rerank = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""
+        WITH cb AS (
+          SELECT * FROM (VALUES ${FrozenModels.pqCodebookValues})
+            AS t(s, j, c)),
+        v AS MATERIALIZED (
+          SELECT vec_id, list_transform(embedding,
+                   x -> FLOOR(CAST(x AS DOUBLE)*10000 + 0.5)) AS q
+          FROM embeddings),
+        sl AS MATERIALIZED (
+          SELECT vec_id, ss.s, v.q[ss.s*8 + 1 : ss.s*8 + 8] AS sl
+          FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss),
+        enc AS MATERIALIZED (
+          SELECT vec_id, s, j AS code FROM (
+            SELECT sl.vec_id, sl.s, cb.j,
+                   ROW_NUMBER() OVER (PARTITION BY sl.vec_id, sl.s
+                     ORDER BY list_dot_product(sl.sl, sl.sl)
+                       - 2*list_dot_product(sl.sl, cb.c)
+                       + list_dot_product(cb.c, cb.c), cb.j) AS rn
+            FROM sl JOIN cb ON sl.s = cb.s) WHERE rn = 1),
+        n2 AS MATERIALIZED (
+          SELECT vec_id, list_dot_product(q, q) AS n2 FROM v),
+        adc AS (
+          SELECT qs.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 SUM(list_dot_product(qs.sl, cb.c)) AS adc
+          FROM sl qs JOIN enc e ON qs.s = e.s AND qs.vec_id != e.vec_id
+          JOIN cb ON cb.s = e.s AND cb.j = e.code
+          WHERE qs.vec_id < 20
+          GROUP BY 1, 2),
+        pool AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT a.query_id, a.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY
+                     a.adc / sqrt(cn.n2 * qn.n2) DESC, a.neighbor_id)
+                     AS arank
+            FROM adc a JOIN n2 qn ON qn.vec_id = a.query_id
+            JOIN n2 cn ON cn.vec_id = a.neighbor_id) WHERE arank <= 20),
+        scored AS (
+          SELECT p.query_id, p.neighbor_id,
+                 list_dot_product(qv.q, cv.q)
+                   / sqrt(list_dot_product(qv.q, qv.q)
+                          * list_dot_product(cv.q, cv.q)) AS cosine
+          FROM pool p JOIN v qv ON qv.vec_id = p.query_id
+          JOIN v cv ON cv.vec_id = p.neighbor_id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank"""))
   )
 }

@@ -226,6 +226,65 @@ object Similarity {
                                     maxTrainRows: Int): Array[Array[Double]] =
     lloyd(md5Sample(corpus, maxTrainRows), nCells, iterations = 8)
 
+  /** PQ codebooks: one local Lloyd run per subspace over the SAME
+    * [[md5Sample]] rows. Shared by [[pqTopK]] (train+apply in one query)
+    * and the frozen-model generator behind [[ivfKmeansApply]]/[[pqApply]].
+    */
+  private[ext] def fitPqCodebooks(corpus: DataFrame, subspaces: Int,
+      codebookSize: Int, maxTrainRows: Int): Array[Array[Array[Double]]] = {
+    val sample = md5Sample(corpus, maxTrainRows)
+    val dim = sample.head.length
+    require(dim % subspaces == 0,
+      s"dim $dim not divisible into $subspaces subspaces")
+    val ds = dim / subspaces
+    Array.tabulate(subspaces) { s =>
+      lloyd(sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * ds, (s + 1) * ds)),
+        codebookSize, iterations = 8)
+    }
+  }
+
+  /** Embedding floor-quantized to integer ten-thousandths, kept as
+    * ARRAY<FLOAT> (|x|·10⁴ < 2²⁴, so every value is float-exact). The
+    * frozen-model apply paths assign cells/codes on THIS vector against
+    * integer centroids, which makes every squared-L2 distance an
+    * integer-valued double — exact, summation-order-independent, and
+    * therefore bit-identical in any engine (the train-time kernels
+    * assign on raw floats, where double-rounding is order-sensitive and
+    * only reproducible within one engine).
+    */
+  private def quantFloat(e: Column): Column =
+    transform(e, x => floor(x.cast("double") * 10000d + 0.5d).cast("float"))
+
+  /** IVF apply half under a FROZEN centroid table (integer
+    * ten-thousandths): cell assignment + multi-probe + exact re-score,
+    * no training — the serve-time path of [[ivfKmeansTopK]] once a model
+    * is trained and pinned (train once, serve anywhere). Assignment is
+    * integer-exact (see [[quantFloat]]), so results are oracle-checkable
+    * end-to-end; output mirrors [[ivfTopK]] (`cell` column included).
+    */
+  def ivfKmeansApply(queries: DataFrame, corpus: DataFrame, k: Int,
+                     centroidsQ: Array[Array[Long]], probes: Int): DataFrame = {
+    val cents = centroidsQ.map(_.map(_.toDouble))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"),
+      explode(SketchFns.nearest_centroids(quantFloat(col("embedding")),
+        cents, probes)).as("cell"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"),
+      element_at(SketchFns.nearest_centroids(quantFloat(col("embedding")),
+        cents, 1), 1).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", SketchFns.quantized_cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine"), col("cell").cast("int").as("cell"))
+  }
+
   /** Plain deterministic Lloyd iterations over a local sample: init from
     * the first k points (the caller hands the sample in md5-shuffled
     * order), assign by squared L2 with ties to the lower index — the same
@@ -302,17 +361,10 @@ object Similarity {
              subspaces: Int = 16, codebookSize: Int = 16,
              rerank: Int = 4, maxTrainRows: Int = 2048): DataFrame = {
     require(k > 0 && subspaces > 0 && codebookSize > 1 && rerank >= 1)
-    val sample = md5Sample(corpus, maxTrainRows)
-    val dim = sample.head.length
-    require(dim % subspaces == 0,
-      s"dim $dim not divisible into $subspaces subspaces")
-    val ds = dim / subspaces
     // independent codebook per subspace, trained on the same sample rows
-    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(subspaces) {
-      s => lloyd(sample.map(v =>
-        java.util.Arrays.copyOfRange(v, s * ds, (s + 1) * ds)),
-        codebookSize, iterations = 8)
-    }
+    val codebooks: Array[Array[Array[Double]]] =
+      fitPqCodebooks(corpus, subspaces, codebookSize, maxTrainRows)
+    val ds = codebooks.head.head.length
     // integer ten-thousandths of every centroid
     val cq: Array[Array[Array[Long]]] =
       codebooks.map(_.map(_.map(x => math.floor(x * 10000d + 0.5d).toLong)))
@@ -322,6 +374,41 @@ object Similarity {
         slice(col("embedding"), s * ds + 1, ds), codebooks(s), 1), 1)
         .cast("int")
     }
+    pqScore(queries, corpus, k, rerank, codeCols, cq)
+  }
+
+  /** PQ apply half under FROZEN integer codebooks: encode + ADC + exact
+    * re-rank, no training — [[pqTopK]]'s serve path once codebooks are
+    * pinned. Encoding assigns the [[quantFloat]] slice against the
+    * integer centroids, so codes — and with them every ADC score — are
+    * integer-exact and oracle-checkable (pqTopK's train-time encoding
+    * assigns on raw floats, reproducible only within one engine).
+    */
+  def pqApply(queries: DataFrame, corpus: DataFrame, k: Int,
+              codebooksQ: Array[Array[Array[Long]]], rerank: Int): DataFrame = {
+    val subspaces = codebooksQ.length
+    val ds = codebooksQ.head.head.length
+    val cbD = codebooksQ.map(_.map(_.map(_.toDouble)))
+    val codeCols = (0 until subspaces).map { s =>
+      element_at(SketchFns.nearest_centroids(
+        slice(quantFloat(col("embedding")), s * ds + 1, ds), cbD(s), 1), 1)
+        .cast("int")
+    }
+    pqScore(queries, corpus, k, rerank, codeCols, codebooksQ)
+  }
+
+  /** Shared PQ scoring tail: coded corpus + per-query ADC lookup tables
+    * (`cq` = integer ten-thousandths centroids), broadcast ADC join over
+    * the codes, approx top `rerank·k` pool, exact quantized-cosine
+    * re-rank. `codeCols` is the per-subspace encode column — the ONE
+    * thing train-path and frozen-apply-path PQ differ on.
+    */
+  private def pqScore(queries: DataFrame, corpus: DataFrame, k: Int,
+      rerank: Int, codeCols: Seq[Column],
+      cq: Array[Array[Array[Long]]]): DataFrame = {
+    val subspaces = cq.length
+    val codebookSize = cq.head.length
+    val ds = cq.head.head.length
     // the stored norm² is EXACT (one long per vector, computed from the
     // original floats at encode time) — PQ approximation is confined to
     // the dot product; an approximate norm would additionally distort
@@ -336,8 +423,7 @@ object Similarity {
     // query-side ADC lookup table: partial integer dot of each query
     // slice with every centroid of that subspace (m × codebookSize longs
     // per query — broadcast with the query set)
-    val qQuant = transform(col("embedding"),
-      x => floor(x.cast("double") * 10000d + 0.5d).cast("long"))
+    val qQuant = vQuant
     val lutCols = (0 until subspaces).map { s =>
       val qs = slice(qQuant, s * ds + 1, ds)
       array((0 until codebookSize).map { j =>

@@ -76,6 +76,27 @@ class ExtSpec extends AnyFunSuite {
     assert(kmeans >= 0.5, s"kmeans recall $kmeans too low")
   }
 
+  test("frozen-model apply halves clear the recall floor on out-of-sample data") {
+    // FrozenModels was trained on sf0.01; this corpus is sf0.001 — the
+    // apply halves must still retrieve (train once, serve anywhere)
+    val q = embs.filter(col("vec_id") < 50)
+    val bf = Similarity.bruteForceTopK(q, embs, 5).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(bf).size.toDouble / bf.size
+    }
+    val ivf = recall(Similarity.ivfKmeansApply(q, embs, 5,
+      FrozenModels.ivfCentroids, probes = 3))
+    assert(ivf >= 0.4, s"frozen IVF apply recall $ivf too low")
+    // 8×8 frozen codebooks are a 4× coarser quantizer than pqTopK's
+    // default 16×16 (measured 0.48 here vs 0.7+ in the test below)
+    val pq = recall(Similarity.pqApply(q, embs, 5,
+      FrozenModels.pqCodebooks, rerank = 8))
+    assert(pq >= 0.4, s"frozen PQ apply recall $pq too low")
+  }
+
   test("PQ ADC + exact re-rank: recall clears the floor and rises with the pool") {
     val q = embs.filter(col("vec_id") < 50)
     val bf = Similarity.bruteForceTopK(q, embs, 5).select("query_id", "neighbor_id")
