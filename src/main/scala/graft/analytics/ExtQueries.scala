@@ -926,8 +926,11 @@ object ExtQueries {
     // aggregation, which CurationSpec pins exactly (hll_union_agg over
     // stored per-type sketches equals the one-shot sketch). HLL register
     // merges are order-independent, so estimates are deterministic; not
-    // reproducible in ANSI SQL → rows-only, accuracy pinned in
-    // CurationSpec vs exact distincts.
+    // reproducible in ANSI SQL — so (round 11, the q37 discipline) the
+    // OUTPUT carries the exact distinct twin from the same rollup pass
+    // plus an `est_within_bound` predicate (5% rel or ±3 abs, ≈3σ of
+    // lgConfigK=12's 1.6% rsd) that the oracle pins to literal TRUE;
+    // CurationSpec still pins sketch-union ≡ direct-sketch exactly.
     GraftQuery(
       "q63_hll_sketch_store",
       (spark, dir) => {
@@ -939,15 +942,27 @@ object ExtQueries {
           .agg(grouping(col("day")).as("__gd"),
                grouping(col("event_type")).as("__ge"),
                hll_sketch_estimate(hll_sketch_agg(col("user_id")))
-                 .as("est_users"))
+                 .as("est_users"),
+               count_distinct(col("user_id")).as("exact_users"))
           .filter(col("__gd") === 0) // keep (day, type) + per-day subtotal
           .select(col("day"),
                   when(col("__ge") === 1, lit("ALL"))
                     .otherwise(col("event_type")).as("event_type"),
-                  col("est_users"))
+                  col("exact_users"),
+                  (abs(col("est_users") - col("exact_users")).cast("double")
+                    <= greatest(col("exact_users").cast("double") * 0.05,
+                                lit(3.0))).as("est_within_bound"))
           .orderBy(col("day"), col("event_type"))
       },
-      None),
+      Some("""
+        SELECT CAST(ts AS DATE) AS day,
+               COALESCE(event_type, 'ALL') AS event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS est_within_bound
+        FROM events
+        GROUP BY ROLLUP(CAST(ts AS DATE), event_type)
+        HAVING GROUPING(CAST(ts AS DATE)) = 0
+        ORDER BY day, event_type""")),
 
     // ------------------------------------------------------------------
     // q64: ANN over the partition-pruned disk index — IDENTICAL

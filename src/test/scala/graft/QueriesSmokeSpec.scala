@@ -14,13 +14,12 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val names = SparkEntry.all.map(_.name)
     assert(names.distinct.size == names.size)
     val noOracle = SparkEntry.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    // rows-only checks are the documented exceptions (trained-model-,
-    // engine-sketch-, or iterative-training-dependent results); round 10
-    // shrank this set — q29/q36/q47 are hash-gated via the portable
-    // xxhash64/winnow SQL kernels (analytics/PortableHash), and q162's
-    // apply half is gated by q176
-    assert(noOracle == Set("q37_approx_sketches", "q48_knn_ivf_kmeans",
-                           "q63_hll_sketch_store", "q94_knn_pq",
+    // rows-only checks are the documented exceptions — all three are
+    // ITERATIVE TRAINING outputs. Round 10 hash-gated q29/q36/q47 via
+    // portable SQL kernels and q162's apply half via q176; round 11
+    // gated q37/q63 through exact twins + TRUE-pinned error-bound
+    // predicates and the ANN apply halves via frozen models (q178/q179).
+    assert(noOracle == Set("q48_knn_ivf_kmeans", "q94_knn_pq",
                            "q162_bpe_tokenize"))
   }
 
