@@ -92,10 +92,12 @@ object StateAudit {
       maxBucketEntries = cap)
     src.addData(docs)
     val chk = run(spark, src, out, "minhash")
-    val (rows, keys) = stateRows(spark, chk, Some("entries"))
-    Audit("StreamingMinhashDedup", "entries", docs.size, keys, rows,
-      math.min(docs.size.toLong * bands, keys * cap),
-      "min(docs × bands, buckets touched × cap)")
+    // one packed binary row per bucket since round 11 (each bounded by
+    // cap × entry stride) — the row bound is the bucket count itself
+    val (rows, keys) = stateRows(spark, chk, Some("bucket"))
+    Audit("StreamingMinhashDedup", "bucket", docs.size, keys, rows,
+      math.min(docs.size.toLong * bands, keys),
+      "min(docs × bands, buckets touched) — one packed row per bucket")
   }
 
   def auditSemanticDedup(spark: SparkSession): Audit = {

@@ -381,7 +381,15 @@ object Multimodal {
         .dropWhile(c => c == '\r' || c == '\n' || c == ' ')
         .takeWhile(_.isDigit)
       if (sxDigits.isEmpty || sxDigits.length > 18) return None
-      val encrypted = tail.contains("/Encrypt")
+      // last-trailer-wins applies to /Encrypt too: an incremental update
+      // that REMOVES encryption must not report the superseded trailer's
+      // /Encrypt, so the probe is scoped to the last trailer dictionary.
+      // Cross-reference-stream PDFs (ISO 32000 §7.5.8 — no 'trailer'
+      // keyword; /Encrypt lives in the stream dict) fall back to the
+      // whole suffix window.
+      val trAt = tail.lastIndexOf("trailer")
+      val encrypted =
+        (if (trAt >= 0) tail.substring(trAt) else tail).contains("/Encrypt")
       val sizeAt = tail.lastIndexOf("/Size")
       val nObjects =
         if (sizeAt < 0) 0

@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** Observation names must be unique per query plan (a hybrid pipeline
+    * composes several lexicalTopK frames into one execution). */
+  private val obsId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Fuse rankings, each a DataFrame with columns `(query_id, cand_id,
     * rank)` (rank 1-based within query). Returns the fused per-query
     * top-`k`: `query_id, fused_rank, cand_id, rrf_ppb, n_lists` with
@@ -100,9 +104,23 @@ object Retrieval {
     val cPost = postings(corpus, cId, cText, "cand_id")
     val cKept = maxDf match {
       case Some(cap) =>
-        val df = cPost.groupBy("word").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("word")
-        cPost.join(broadcast(df), "word")
+        // Surface when the guard actually fires: `dropped_words`/`max_df`
+        // ride the df aggregation as a CollectMetrics observation (zero
+        // extra jobs) — readable synchronously from
+        // `queryExecution.observedMetrics` after any action and shipped
+        // to QueryExecutionListener telemetry, so a large-corpus caller
+        // can tell silently-exact from actively-capping (RetrievalSpec
+        // pins both readings).
+        val dfAll = cPost.groupBy("word").agg(count(lit(1)).as("df"))
+          .observe(s"lexical_df_cap_${Retrieval.obsId.incrementAndGet()}",
+            sum(when(col("df") > cap, 1L).otherwise(0L)).as("dropped_words"),
+            max(col("df")).as("max_df"))
+        // (caveat: if the join result is EMPTY, AQE empty-relation
+        // propagation prunes the observed subtree and no metric surfaces
+        // — an empty result already tells the caller everything matched
+        // nothing)
+        cPost.join(broadcast(dfAll.filter(col("df") <= cap).select("word")),
+          "word")
       case None => cPost
     }
     // query words outside the kept-vocabulary simply match nothing in

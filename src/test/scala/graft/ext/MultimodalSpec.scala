@@ -276,6 +276,19 @@ class MultimodalSpec extends AnyFunSuite {
       Some(("1.7", false, false, 6, 400L)))
   }
 
+  test("PDF: incremental update REMOVING encryption clears the flag") {
+    // the original doc is encrypted; the appended update's trailer has
+    // no /Encrypt — last trailer wins, so the doc now reads decrypted
+    val (orig, _) = realPdf(encrypted = true)
+    val upd = new String(orig, "ISO-8859-1") +
+      "5 0 obj\n<< /Type /Annot >>\nendobj\n" +
+      "xref\n5 1\n" +
+      "trailer\n<< /Size 6 /Root 2 0 R /Prev 100 >>\n" +
+      "startxref\n400\n%%EOF\n"
+    assert(Multimodal.PdfHeader.parse(upd.getBytes("ISO-8859-1")) ===
+      Some(("1.7", false, false, 6, 400L)))
+  }
+
   test("PDF: junk, missing %%EOF, and truncated files parse to None") {
     assert(Multimodal.PdfHeader.parse("not a pdf".getBytes("UTF-8")).isEmpty)
     val (b, _) = realPdf()

@@ -62,6 +62,30 @@ class RetrievalSpec extends AnyFunSuite {
       r.getAs[Long]("shared_terms"))).toSeq == Seq((2L, 1L)))
   }
 
+  test("lexicalTopK: dropped_words observation tells capping from exact") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b x"), (3L, "a y z"),
+      (4L, "a q r")).toDF("id", "text")
+    def metrics(maxDf: Long) = {
+      val out = Retrieval.lexicalTopK(
+        docs.filter(col("id") === 1), col("id"), col("text"),
+        docs, col("id"), col("text"), k = 5, maxDf = Some(maxDf))
+      out.collect()
+      out.queryExecution.observedMetrics.values
+        .find(_.schema.fieldNames.contains("dropped_words")).get
+    }
+    // cap above every df: guard armed but silent
+    val silent = metrics(10L)
+    assert(silent.getAs[Long]("dropped_words") == 0L)
+    assert(silent.getAs[Long]("max_df") == 4L) // word 'a' is in all docs
+    // cap below 'a' (df 4) but not 'b' (df 2): guard actively
+    // dropping, and it says so. (cap=1 would empty the join entirely,
+    // and AQE's empty-relation propagation then prunes the observed
+    // subtree with the rest of the plan - documented on lexicalTopK.)
+    val firing = metrics(2L)
+    assert(firing.getAs[Long]("dropped_words") == 1L)
+  }
+
   test("lexicalTopK: the capped DEFAULT and the uncapped path agree at " +
        "test scale (no df can reach DefaultMaxDf)") {
     val docs = Seq.tabulate(40)(i =>
@@ -88,8 +112,9 @@ class RetrievalSpec extends AnyFunSuite {
     val top = audit.find(_.getAs[Int]("skew_rank") == 1).get
     assert(top.getAs[String]("key") == "the")
     // 10 query docs × 60 corpus docs = 600 of the ~630 total join rows
-    assert(top.getAs[java.math.BigDecimal]("contrib")
-      .longValueExact() == 600L)
+    // (contrib is an exact digit string since round 11 — hash-stable
+    // cross-engine presentation)
+    assert(top.getAs[String]("contrib").toLong == 600L)
     assert(top.getAs[Double]("contrib_share") > 0.9,
       "the stopword must dominate total_output — that IS the guard firing")
     // df-capping below the corpus size removes the stopword postings:

@@ -184,7 +184,7 @@ class CheckpointRecoverySpec extends AnyFunSuite {
     val chk = java.nio.file.Files
       .createTempDirectory("rec-store-chk").toString
     val src = MemoryStream[(Long, String)](spark)
-    var replayFrame: Option[DataFrame] = None
+    var replayRows: Option[Seq[(String, Array[Byte])]] = None
     def sink(df: DataFrame, batchId: Long): Unit = {
       val keyed = df.select(
         org.apache.spark.sql.functions.concat(
@@ -195,10 +195,12 @@ class CheckpointRecoverySpec extends AnyFunSuite {
           .as("body"))
       graft.sinks.ObjectStore.writeIncoming(keyed, dir)
       if (batchId == 1) {
-        // materialize NOW, while the micro-batch's backing RDD is live —
-        // the replay below happens after the query has stopped
-        val kept = keyed.cache(); kept.count()
-        replayFrame = Some(kept)
+        // materialize to DRIVER rows NOW, while the micro-batch's
+        // backing RDD is live — a cache()d frame would recompute from a
+        // dead streaming batch plan if its blocks were evicted before
+        // the post-stop replay below
+        replayRows = Some(keyed.collect().toSeq
+          .map(r => (r.getString(0), r.getAs[Array[Byte]](1))))
       }
     }
     def start() = src.toDS().toDF().writeStream
@@ -217,8 +219,10 @@ class CheckpointRecoverySpec extends AnyFunSuite {
     q2.processAllAvailable()
     q2.stop()
     // simulate the at-least-once replay: re-put batch 2 wholesale (what
-    // a crash between sink write and offset commit produces on restart)
-    graft.sinks.ObjectStore.writeIncoming(replayFrame.get, dir)
+    // a crash between sink write and offset commit produces on restart),
+    // rebuilt as a LOCAL frame from the driver rows captured above
+    graft.sinks.ObjectStore.writeIncoming(
+      replayRows.get.toDF("s3IncomingKey", "body"), dir)
 
     val back = graft.sinks.ObjectStore.readIncoming(spark, dir)
     assert(back.count() == 50, "exactly one object per logical document")
