@@ -1904,12 +1904,13 @@ object ExtQueries {
           lit("64617461"), le4(ds))) // "data" + declared size
         val media = when(col("event_type") === "purchase",
           encode(col("props"), "UTF-8")).otherwise(wav)
-        val src = t.events.select(
-            col("event_id").as("media_id"),
-            when(col("event_type") === "purchase", "audio/mpeg")
-              .otherwise("audio/wav").as("mime"),
-            media.as("media"))
-          .as[Multimodal.MediaRecord]
+        val src = FixtureCache.materialized(spark, "q95_fixture", dir) {
+            t.events.select(
+              col("event_id").as("media_id"),
+              when(col("event_type") === "purchase", "audio/mpeg")
+                .otherwise("audio/wav").as("mime"),
+              media.as("media"))
+          }.as[Multimodal.MediaRecord]
         Multimodal.extractAudioMeta(src)
           .toDF()
           .select(col("media_id"), col("mime"), col("byteLen"),
@@ -2748,12 +2749,14 @@ object ExtQueries {
           lit(" >>\nstartxref\n"), sx.cast("string"), lit("\n%%EOF\n"))
         val media = when(col("event_type") === "purchase",
           encode(col("props"), "UTF-8")).otherwise(encode(body, "UTF-8"))
-        val src = t.events.select(
-            col("event_id").as("media_id"),
-            when(col("event_type") === "purchase", "application/octet-stream")
-              .otherwise("application/pdf").as("mime"),
-            media.as("media"))
-          .as[Multimodal.MediaRecord]
+        val src = FixtureCache.materialized(spark, "q173_fixture", dir) {
+            t.events.select(
+              col("event_id").as("media_id"),
+              when(col("event_type") === "purchase",
+                "application/octet-stream")
+                .otherwise("application/pdf").as("mime"),
+              media.as("media"))
+          }.as[Multimodal.MediaRecord]
         Multimodal.extractPdfMeta(src)
           .toDF()
           .select(col("media_id"), col("mime"), col("byteLen"),
@@ -2863,13 +2866,15 @@ object ExtQueries {
           array_join(entries, ""), eocd))
         val media = when(col("event_type") === "purchase",
           encode(col("props"), "UTF-8")).otherwise(zip)
-        val src = t.events.select(
-            col("event_id").as("media_id"),
-            when(col("event_type") === "purchase", "application/octet-stream")
-              .otherwise("application/vnd.openxmlformats-officedocument" +
-                ".wordprocessingml.document").as("mime"),
-            media.as("media"))
-          .as[Multimodal.MediaRecord]
+        val src = FixtureCache.materialized(spark, "q174_fixture", dir) {
+            t.events.select(
+              col("event_id").as("media_id"),
+              when(col("event_type") === "purchase",
+                "application/octet-stream")
+                .otherwise("application/vnd.openxmlformats-officedocument" +
+                  ".wordprocessingml.document").as("mime"),
+              media.as("media"))
+          }.as[Multimodal.MediaRecord]
         Multimodal.extractDocxMeta(src)
           .toDF()
           .select(col("media_id"), col("mime"), col("byteLen"),
