@@ -3,7 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{GraftQuery, Tables}
-import graft.ext.{AnnIndex, Bpe, Dedup, FrozenModels, Graph, Multimodal, Retrieval, Similarity, Skew, TextAnalysis}
+import graft.ext.{AnnIndex, Bpe, Dedup, FrozenModels, Graph, Multimodal, QualityFilter, Retrieval, Similarity, Skew, TextAnalysis}
 
 /** The LLM-data-pipeline extension operators (north star §"beyond the
   * reference"): dedup (exact / n-gram-Jaccard / MinHash-LSH / SimHash),
@@ -3036,6 +3036,140 @@ object ExtQueries {
                      ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
         SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
         FROM ranked WHERE rank <= 5
-        ORDER BY query_id, rank"""))
+        ORDER BY query_id, rank""")),
+
+    // ------------------------------------------------------------------
+    // q180: model-based quality filter APPLY under FROZEN integer
+    // weights ([[graft.ext.QualityFilter]]) — the CCNet/fastText-shaped
+    // classifier stage of a pre-training pipeline, shipped the house
+    // way: training is offline/bounded (fitPerceptron, spec-pinned),
+    // the apply is a pure scan-side projection of the pinned artifact.
+    // Features are exact counts, weights integer micro-units, the
+    // logit one BIGINT dot product — bit-identical in any engine. The
+    // pinned policy keeps ~62% of this corpus (rewards lexical
+    // diversity and word length, penalizes raw length and stopword
+    // mass) — non-degenerate on both sides so the gate exercises both
+    // branches.
+    GraftQuery(
+      "q180_quality_filter_apply",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        QualityFilter.withQualityLogit(
+            t.documents.where(col("text").isNotNull), col("text"),
+            QualityFilter.LinearModel(wChars = -300L, wWords = -4000L,
+              wDistinct = 22000L, wWordChars = 900L, wStop = -25000L,
+              biasMicro = -380000L))
+          .select(col("doc_id"), col("f_chars"), col("f_words"),
+            col("f_distinct"), col("f_word_chars"), col("f_stop"),
+            col("logit_micro"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS f_chars,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   x -> x <> '')) AS BIGINT) AS f_words,
+                 CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                   x -> x <> ''))) AS BIGINT) AS f_distinct,
+                 CAST(coalesce(list_sum(list_transform(
+                   list_filter(string_split(text, ' '), x -> x <> ''),
+                   x -> length(x))), 0) AS BIGINT) AS f_word_chars,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   x -> x = 'the')) AS BIGINT) AS f_stop
+          FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id, f_chars, f_words, f_distinct, f_word_chars, f_stop,
+               CAST(-380000 - 300*f_chars - 4000*f_words + 22000*f_distinct
+                    + 900*f_word_chars - 25000*f_stop AS BIGINT)
+                 AS logit_micro,
+               (-380000 - 300*f_chars - 4000*f_words + 22000*f_distinct
+                    + 900*f_word_chars - 25000*f_stop) >= 0 AS keep
+        FROM f ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q181: cluster-balanced diversity sampling
+    // ([[graft.ext.Similarity.diversitySample]]) — keep the 4
+    // smallest-md5 members of every frozen k-means cell: the
+    // "representative subset" curation stage (SemDeDup's complement).
+    // Cell assignment is the q178 integer-exact path; the per-cell
+    // take runs through the BottomKByMd5 typed aggregator, so the
+    // shuffle carries ≤ 4 ids per partition per cell and the corpus
+    // never re-sorts on the tiny cell key.
+    GraftQuery(
+      "q181_diversity_sample",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Similarity.diversitySample(t.embeddings,
+            FrozenModels.ivfCentroids, perCell = 4)
+          .orderBy(col("cell"), col("cell_rank"))
+      },
+      Some(s"""
+        WITH cent AS (
+          SELECT * FROM (VALUES ${FrozenModels.ivfCentroidValues})
+            AS t(cell, c)),
+        v AS MATERIALIZED (
+          SELECT vec_id, list_transform(embedding,
+                   x -> FLOOR(CAST(x AS DOUBLE)*10000 + 0.5)) AS q
+          FROM embeddings),
+        d AS (SELECT v.vec_id, cent.cell,
+                list_dot_product(v.q, v.q)
+                  - 2*list_dot_product(v.q, cent.c)
+                  + list_dot_product(cent.c, cent.c) AS d2
+              FROM v CROSS JOIN cent),
+        cas AS MATERIALIZED (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, ROW_NUMBER() OVER
+              (PARTITION BY vec_id ORDER BY d2, cell) AS cr FROM d)
+          WHERE cr = 1),
+        sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS cell_size
+               FROM cas GROUP BY cell),
+        rk AS (SELECT vec_id, cell, ROW_NUMBER() OVER
+                 (PARTITION BY cell
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                 AS cell_rank
+               FROM cas)
+        SELECT CAST(rk.cell AS INT) AS cell, rk.vec_id,
+               CAST(cell_rank AS INT) AS cell_rank, cell_size
+        FROM rk JOIN sz USING (cell) WHERE cell_rank <= 4
+        ORDER BY cell, cell_rank""")),
+
+    // ------------------------------------------------------------------
+    // q182: vocabulary-coverage / OOV audit under a FROZEN vocabulary
+    // ([[graft.ext.TextAnalysis.vocabCoverage]]) — the tokenizer
+    // pre-flight: per source, exact total/OOV word occurrences,
+    // distinct OOV words, integer oov_ppm. The 12-word frozen vocab is
+    // the pinned artifact (production: the tokenizer's word list);
+    // one posting explode + one grouped aggregation.
+    GraftQuery(
+      "q182_vocab_coverage",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        TextAnalysis.vocabCoverage(
+            t.documents.where(col("text").isNotNull), col("source"),
+            col("text"),
+            Seq("the", "data", "table", "row", "scan", "fast", "slow",
+              "query", "spark", "hash", "merge", "sort"))
+          .withColumnRenamed("grp", "source")
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT source, unnest(list_filter(string_split(text, ' '),
+                   x -> x <> '')) AS word
+          FROM documents WHERE text IS NOT NULL),
+        t AS (SELECT source, word,
+                word NOT IN ('the','data','table','row','scan','fast',
+                  'slow','query','spark','hash','merge','sort') AS oov
+              FROM w)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS total_words,
+               CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT)
+                 AS oov_words,
+               CAST(COUNT(DISTINCT CASE WHEN oov THEN word END) AS BIGINT)
+                 AS distinct_oov,
+               CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) * 1000000
+                    // count(*) AS BIGINT) AS oov_ppm
+        FROM t GROUP BY source
+        ORDER BY source"""))
   )
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.SketchFns
@@ -375,6 +375,44 @@ object Similarity {
         .cast("int")
     }
     pqScore(queries, corpus, k, rerank, codeCols, cq)
+  }
+
+  /** Cluster-balanced diversity sampling — the "select a representative
+    * subset" curation stage (SemDeDup's complement: instead of dropping
+    * near-duplicates, KEEP a bounded, spread-out sample): assign every
+    * vector to its frozen k-means cell (integer-exact, the q178
+    * discipline) and keep the `perCell` members with the smallest
+    * md5-of-id per cell — content-addressed, so the sample is identical
+    * under any partitioning or corpus growth ordering.
+    *
+    * Scale shape: the per-cell take runs through [[graft.functions
+    * .BottomKByMd5]] typed aggregation — partial buffers are trimmed to
+    * `perCell` entries map-side, so the shuffle carries ≤ perCell ids
+    * per partition per cell and the corpus itself NEVER shuffles (a
+    * window over cells would re-sort the whole corpus on an
+    * nCells-sized key — unusable skew at 100 TB).
+    * Output: `cell, vec_id, cell_rank (md5 order), cell_size`.
+    */
+  def diversitySample(corpus: DataFrame, centroidsQ: Array[Array[Long]],
+                      perCell: Int): DataFrame = {
+    require(perCell >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = centroidsQ.map(_.map(_.toDouble))
+    val celled = corpus.select(
+      element_at(SketchFns.nearest_centroids(quantFloat(col("embedding")),
+        cents, 1), 1).as("cell"),
+      col("vec_id"))
+    val sampler = new graft.functions.BottomKByMd5[(Int, Long)](perCell, _._2)
+    celled.as[(Int, Long)]
+      .groupByKey(_._1)
+      .agg(sampler.toColumn.name("kept"),
+           count(lit(1)).as((Encoders.scalaLong)).name("cell_size"))
+      .toDF("cell", "kept", "cell_size")
+      .select(col("cell").cast("int").as("cell"), col("cell_size"),
+        posexplode(col("kept")).as(Seq("pos", "vec_id")))
+      .select(col("cell"), col("vec_id"),
+        (col("pos") + 1).cast("int").as("cell_rank"), col("cell_size"))
   }
 
   /** PQ apply half under FROZEN integer codebooks: encode + ADC + exact

@@ -76,6 +76,35 @@ object TextAnalysis {
       (acc, t) => acc + when(t.rlike("^[A-Za-z0-9]+$"),
         ceil(length(t) / 4.0).cast("long")).otherwise(lit(1L)))
 
+  /** Vocabulary-coverage / OOV audit under a FROZEN tokenizer
+    * vocabulary — the pre-flight a training run does before committing
+    * a tokenizer to a corpus (high OOV ⇒ wasted <unk> mass): per
+    * `group`, exact total words, out-of-vocabulary word occurrences,
+    * distinct OOV words, and integer `oov_ppm`.
+    *
+    * Scale shape: one explode to `(group, word)` postings (the q58 /
+    * posting-join discipline — map-side, columnar), one hash
+    * aggregation keyed by the group with partial combine; the
+    * distinct-OOV count hashes (group, word) pairs whose cardinality
+    * is bounded by the corpus vocabulary, not the corpus. The frozen
+    * vocab broadcasts as a literal in-list (production: a broadcast
+    * join against the vocab table — same plan shape at 250k entries).
+    */
+  def vocabCoverage(docs: DataFrame, group: Column, text: Column,
+                    vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty)
+    val words = docs.select(group.as("grp"),
+      explode(filter(split(text, " "), w => length(w) > 0)).as("word"))
+    words
+      .withColumn("oov", !col("word").isInCollection(vocab))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("total_words"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("oov_words"),
+        count_distinct(when(col("oov"), col("word"))).as("distinct_oov"))
+      .withColumn("oov_ppm",
+        expr("CAST(oov_words * 1000000 DIV total_words AS BIGINT)"))
+  }
+
   /** PII redaction patterns: (name, regex, replacement). The regexes are
     * deliberately written in the RE2-compatible subset (no backrefs, no
     * lookaround) so the exact same pattern text runs under Java regex
