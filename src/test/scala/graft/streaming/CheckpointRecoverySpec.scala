@@ -28,9 +28,12 @@ import graft.TestSpark
   *      contents instead of duplicating, because keys are
   *      deterministic and puts overwrite.
   *
-  * Two stateful operators are exercised (StreamingCdcView: ValueState
-  * fold; StreamingQuota: MapState ledger + TTL) so the guarantee is
-  * pinned on both state shapes.
+  * Three stateful operators are exercised (StreamingCdcView: ValueState
+  * fold; StreamingQuota: MapState ledger + TTL; StreamingMinhashDedup:
+  * round-11 packed-binary bucket ValueState + creation-only timers,
+  * with cross-restart duplicates that can only match from recovered
+  * state) so the guarantee is pinned on every state shape the repo
+  * ships.
   */
 class CheckpointRecoverySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -68,9 +71,14 @@ class CheckpointRecoverySpec extends AnyFunSuite {
   private def stateRows(chk: String, stateVar: Option[String]): Seq[String] = {
     val r = stateVar.foldLeft(spark.read.format("statestore"))(
       (b, v) => b.option("stateVarName", v)).load(chk)
-    // drop physical partition bookkeeping: parity is about logical state
+    // drop physical partition bookkeeping: parity is about logical
+    // state. Canonicalize via to_json: binary state values (the minhash
+    // packed bucket) serialize as base64 — Row.toString on a byte array
+    // (even nested in a struct) prints its identity hash
     val cols = r.columns.filterNot(_ == "partition_id").map(col).toSeq
-    r.select(cols: _*).collect().map(_.toString).toSeq.sorted
+    r.select(org.apache.spark.sql.functions.to_json(
+        org.apache.spark.sql.functions.struct(cols: _*)).as("j"))
+      .collect().map(_.getString(0)).toSeq.sorted
   }
 
   // ------------------------------------------------------ CdcView
@@ -172,6 +180,64 @@ class CheckpointRecoverySpec extends AnyFunSuite {
       // parity proves less than it claims
       assert(spark.read.parquet(refDir)
         .filter(col("admitted") === false).count() > 0)
+    }
+  }
+
+  // ------------------------------------------- MinhashDedup (round 11)
+
+  /** Deterministic 40-word docs; batch 3 repeats batch 1's text, so its
+    * hits can ONLY come from state that survived the restart. */
+  private def mhBatches: Seq[Seq[StreamingMinhashDedup.DocText]] = {
+    def words(seed: Long) =
+      (0 until 40).map(w => "w" + ((seed * 31 + w * 7) % 97)).mkString(" ")
+    Seq(
+      (0 until 30).map(i => StreamingMinhashDedup.DocText(i.toLong,
+        words(i.toLong), ts("2024-03-05 01:00:00"))),
+      (30 until 60).map(i => StreamingMinhashDedup.DocText(i.toLong,
+        words(i.toLong), ts("2024-03-05 01:01:00"))),
+      (60 until 70).map(i => StreamingMinhashDedup.DocText(i.toLong,
+        words(i.toLong - 60), ts("2024-03-05 01:02:00"))))
+  }
+
+  test("MinhashDedup: restart from the checkpoint — packed-bucket state " +
+       "parity, cross-restart duplicates still detected exactly once") {
+    withRocksDb {
+      def out(src: MemoryStream[StreamingMinhashDedup.DocText]) =
+        StreamingMinhashDedup.detect(src.toDS(), n = 3, threshold = 0.9).toDF()
+
+      val refChk = java.nio.file.Files
+        .createTempDirectory("rec-mh-ref").toString
+      val refDir = java.nio.file.Files
+        .createTempDirectory("rec-mh-ref-out").toString
+      val refSrc = MemoryStream[StreamingMinhashDedup.DocText](spark)
+      val refQ = startQuery(out(refSrc), refChk, refDir)
+      mhBatches.foreach { b => refSrc.addData(b); refQ.processAllAvailable() }
+      refQ.stop()
+
+      val chk = java.nio.file.Files
+        .createTempDirectory("rec-mh").toString
+      val dir = java.nio.file.Files
+        .createTempDirectory("rec-mh-out").toString
+      val src = MemoryStream[StreamingMinhashDedup.DocText](spark)
+      val q1 = startQuery(out(src), chk, dir)
+      mhBatches.take(2).foreach { b => src.addData(b); q1.processAllAvailable() }
+      q1.stop()
+      src.addData(mhBatches(2)) // the duplicates arrive while down
+      val q2 = startQuery(out(src), chk, dir)
+      q2.processAllAvailable()
+      q2.stop()
+
+      assert(rowsOf(dir) == rowsOf(refDir),
+        "pre-stop + post-restart hits must equal the uninterrupted run")
+      assert(stateRows(chk, Some("bucket")) == stateRows(refChk, Some("bucket")),
+        "recovered packed-bucket state must equal the uninterrupted run's")
+      // the replayed duplicates matched their batch-1 originals FROM
+      // RECOVERED STATE: doc 60+i hits doc i (est 1.0, all 32 bands)
+      val hits = spark.read.parquet(refDir)
+        .select("docId", "matchedId").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((60L until 70L).forall(d => hits.contains((d, d - 60))),
+        s"missing cross-restart duplicate hits: $hits")
     }
   }
 
