@@ -22,7 +22,8 @@ object SparkEntry {
     analytics.Scd2.queries ++
     analytics.CurationQueries.queries ++
     analytics.StatQueries.queries ++
-    analytics.BehaviorQueries.queries
+    analytics.BehaviorQueries.queries ++
+    analytics.RecipeQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -187,10 +187,28 @@ object StateAudit {
       nBaskets.toLong, "one capped item-list record per live basket")
   }
 
+  def auditCusum(spark: SparkSession): Audit = {
+    import spark.implicits._
+    import streaming.StreamingCusum
+    val nKeys = 12
+    val days = 40
+    val src = MemoryStream[StreamingCusum.DayPoint](spark)
+    val out = StreamingCusum.detect(src.toDS(), mu0Cents = 200L,
+      slackCents = 20L, threshCents = 600L)
+    val points = for (k <- 0 until nKeys; d <- 0 until days)
+      yield StreamingCusum.DayPoint(s"series$k", d.toLong,
+        200L + (d * 13 + k * 7) % 29 - 14)
+    src.addData(points)
+    val chk = run(spark, src, out, "cusum")
+    val (rows, keys) = stateRows(spark, chk, Some("cusum"))
+    Audit("StreamingCusum", "cusum", points.size, keys, rows,
+      nKeys.toLong, "one fixed-size drift account per series key")
+  }
+
   def all(spark: SparkSession): Seq[Audit] = Seq(
     auditQuota(spark), auditMinhashDedup(spark), auditSemanticDedup(spark),
     auditDrift(spark), auditProfile(spark), auditHeavyHitters(spark),
-    auditAffinity(spark))
+    auditAffinity(spark), auditCusum(spark))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

@@ -234,6 +234,25 @@ object StreamBench {
       (0 until nBatches).map(batch))
   }
 
+  def benchCusum(spark: SparkSession, perBatch: Int,
+                 nBatches: Int): Bench = {
+    import spark.implicits._
+    import streaming.StreamingCusum
+    val src = MemoryStream[StreamingCusum.DayPoint](spark)
+    val out = StreamingCusum.detect(src.toDS(), mu0Cents = 200L,
+      slackCents = 20L, threshCents = 600L)
+    // 2 day points per series per batch; day clock advances with the
+    // batch so every point folds into live state (no late drops)
+    val nKeys = perBatch / 2
+    def batch(b: Int) = (0 until perBatch).map { i =>
+      StreamingCusum.DayPoint(s"series${i % nKeys}",
+        (b + 1).toLong * 2 + i / nKeys,
+        200L + Math.floorMod(lcg(b.toLong * perBatch + i), 61) - 30)
+    }
+    drive(spark, src, out, "StreamingCusum", batch(-2),
+      (0 until nBatches).map(batch))
+  }
+
   def all(spark: SparkSession, perBatch: Int, nBatches: Int): Seq[Bench] =
     Seq(
       benchTracker(spark, perBatch, nBatches),
@@ -244,7 +263,8 @@ object StreamBench {
       benchQuota(spark, perBatch, nBatches),
       benchSessions(spark, perBatch, nBatches),
       benchCdcView(spark, perBatch, nBatches),
-      benchAffinity(spark, perBatch, nBatches))
+      benchAffinity(spark, perBatch, nBatches),
+      benchCusum(spark, perBatch, nBatches))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

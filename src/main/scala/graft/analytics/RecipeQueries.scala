@@ -1,0 +1,353 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.ext.{Dedup, Profile, Similarity, Stats, TextAnalysis}
+
+/** Round-11 widening: the corpus-recipe and governance surface — the
+  * decisions a training-data pipeline makes AFTER cleaning: which
+  * template text to cut everywhere (frequency-capped passage removal),
+  * how much of each source to read (temperature mixture), which
+  * embeddings to distrust (centroid-distance outliers), when a metric
+  * drifted rather than spiked (CUSUM), and whether a slice is safe to
+  * release (k-anonymity/l-diversity).
+  *
+  * Float-vs-oracle discipline is inherited from [[CurationQueries]]:
+  * integer arithmetic with denominators cleared wherever a comparison
+  * or ranking depends on the value (CUSUM prefix sums and alarms,
+  * outlier distances, mixture budgets), one decimal→double conversion
+  * at output where a readable magnitude is wanted, sqrt-chains instead
+  * of libm pow for fractional exponents.
+  */
+object RecipeQueries {
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------------------------
+    // q183: frequency-capped passage removal
+    // ([[graft.ext.Dedup.frequencyChunkFilter]]) — the CCNet
+    // sentence-dedup policy: passages occurring more than `maxFreq`
+    // times corpus-wide are template/boilerplate and are cut from
+    // EVERY document (q56's keep-first is the complementary policy for
+    // honest repeated content). Census on the passage string, flag
+    // join co-partitioned with the census, one doc-keyed group-back.
+    GraftQuery(
+      "q183_frequency_chunk_filter",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Dedup.frequencyChunkFilter(t.documents, col("doc_id"), col("text"),
+            chunkWords = 8, maxFreq = 2L)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        chunks AS (
+          SELECT doc_id, CAST(g AS INT) AS idx,
+                 array_to_string(list_slice(w, CAST(g*8+1 AS BIGINT), CAST(g*8+8 AS BIGINT)), ' ') AS chunk
+          FROM words, UNNEST(generate_series(0, CAST(ceil(len(w)/8.0) AS BIGINT) - 1)) AS t(g)),
+        census AS (SELECT chunk, count(*) AS freq FROM chunks GROUP BY chunk),
+        flagged AS (
+          SELECT c.doc_id, c.idx, c.chunk, census.freq > 2 AS removed
+          FROM chunks c JOIN census USING (chunk)),
+        agg AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                 CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+                 string_agg(chunk, ' ' ORDER BY idx)
+                   FILTER (WHERE NOT removed) AS retained
+          FROM flagged GROUP BY doc_id)
+        SELECT doc_id, n_chunks, n_removed,
+               CAST(n_removed AS DOUBLE) / n_chunks AS removed_ratio,
+               CASE WHEN n_removed = n_chunks THEN NULL
+                    ELSE md5(retained) END AS retained_md5
+        FROM agg
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q184: temperature-scaled source mixture plan
+    // ([[graft.ext.TextAnalysis.temperatureMixture]]) — p_s ∝ n_s^0.5
+    // sampling weights derived from the corpus' own token counts, a
+    // 1M-token target budget priced per source. τ=2^-1 rides a single
+    // IEEE sqrt (engine-identical); shares/budgets/epochs are integral
+    // div products in decimal(38,0).
+    GraftQuery(
+      "q184_temperature_mixture",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        TextAnalysis.temperatureMixture(
+            t.documents.where(col("text").isNotNull), col("source"),
+            col("text"), targetTokens = 1000000L, halfSqrts = 1)
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+                   AS n_tokens
+          FROM documents WHERE text IS NOT NULL GROUP BY source),
+        wt AS (
+          SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000)
+                     AS BIGINT) AS weight_micro
+          FROM per),
+        tot AS (SELECT SUM(weight_micro) AS w_total FROM wt)
+        SELECT source, n_docs, n_tokens, weight_micro,
+               CAST(CAST(weight_micro AS HUGEINT) * 1000000000 // w_total
+                 AS BIGINT) AS share_ppb,
+               CAST(CAST(weight_micro AS HUGEINT) * 1000000 // w_total
+                 AS BIGINT) AS planned_tokens,
+               CAST(CAST(CAST(weight_micro AS HUGEINT) * 1000000 // w_total
+                      AS HUGEINT) * 1000000 // n_tokens
+                 AS BIGINT) AS epochs_micro
+        FROM wt, tot
+        ORDER BY source""")),
+
+    // ------------------------------------------------------------------
+    // q185: embedding outlier audit
+    // ([[graft.ext.Similarity.outlierAudit]]) — per label, the 10
+    // vectors farthest from their own label centroid (exact rational
+    // centroid, denominator-cleared integer distances in
+    // decimal(38,0)); the mislabeled/noise pruning pass before
+    // contrastive training.
+    GraftQuery(
+      "q185_embedding_outliers",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Similarity.outlierAudit(t.embeddings, k = 10)
+          .orderBy(col("label"), col("out_rank"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id, label, g.i AS pos,
+                 CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 10000 + 0.5)
+                   AS BIGINT) AS qv
+          FROM embeddings CROSS JOIN generate_series(1, 64) g(i)),
+        sums AS (
+          SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS s
+          FROM q GROUP BY label, pos),
+        cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label
+                FROM embeddings GROUP BY label),
+        d AS (
+          SELECT q.vec_id, q.label,
+                 SUM(CAST(q.qv * cnt.n_label - sums.s AS HUGEINT)
+                     * (q.qv * cnt.n_label - sums.s)) AS d2
+          FROM q JOIN sums ON q.label = sums.label AND q.pos = sums.pos
+          JOIN cnt ON cnt.label = q.label
+          GROUP BY q.vec_id, q.label),
+        r AS (
+          SELECT label, vec_id, d2,
+                 ROW_NUMBER() OVER (PARTITION BY label
+                   ORDER BY d2 DESC, vec_id) AS out_rank
+          FROM d)
+        SELECT r.label, r.vec_id, CAST(out_rank AS INT) AS out_rank,
+               cnt.n_label, CAST(d2 AS DOUBLE) AS dist2_scaled
+        FROM r JOIN cnt USING (label)
+        WHERE out_rank <= 10
+        ORDER BY label, out_rank""")),
+
+    // ------------------------------------------------------------------
+    // q186: CUSUM changepoint detection ([[graft.ext.Stats.cusum]]) —
+    // two-sided Page CUSUM over per-priority daily revenue, slack 200‰
+    // and alarm threshold 2000‰ of each series' own mean, all in
+    // denominator-cleared decimal(38,0) integers (prefix-sum closed
+    // form; the recurrence is not a window function, its solution is).
+    GraftQuery(
+      "q186_cusum_changepoint",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Stats.cusum(t.orders, col("o_orderpriority"),
+            to_date(col("o_orderdate")),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"),
+            slackPermille = 200L, threshPermille = 2000L)
+          .orderBy(col("key"), col("day"))
+      },
+      Some("""
+        WITH series AS (
+          SELECT o_orderpriority AS key,
+                 CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                 CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS x
+          FROM orders GROUP BY 1, 2),
+        tot AS (SELECT key, SUM(x) AS t_sum, CAST(COUNT(*) AS BIGINT)
+                  AS n_days FROM series GROUP BY key),
+        s AS (SELECT series.*, t_sum, n_days,
+                CAST(1000 AS HUGEINT)*n_days*x - CAST(1000 AS HUGEINT)*t_sum
+                  AS base
+              FROM series JOIN tot USING (key)),
+        p AS (SELECT *,
+                SUM(base - 200*t_sum) OVER
+                  (PARTITION BY key ORDER BY day) AS pup,
+                SUM(base + 200*t_sum) OVER
+                  (PARTITION BY key ORDER BY day) AS pdn
+              FROM s),
+        c AS (SELECT *,
+                pup - LEAST(CAST(0 AS HUGEINT),
+                  MIN(pup) OVER (PARTITION BY key ORDER BY day)) AS spos,
+                GREATEST(CAST(0 AS HUGEINT),
+                  MAX(pdn) OVER (PARTITION BY key ORDER BY day)) - pdn
+                  AS sneg
+              FROM p)
+        SELECT key, day, x AS x_cents,
+               CAST(spos AS DOUBLE) AS s_pos,
+               CAST(sneg AS DOUBLE) AS s_neg,
+               spos > 2000*t_sum AS alarm_up,
+               sneg > 2000*t_sum AS alarm_down
+        FROM c
+        ORDER BY key, day""")),
+
+    // ------------------------------------------------------------------
+    // q187: k-anonymity / l-diversity audit
+    // ([[graft.ext.Profile.kAnonymityAudit]]) — every equivalence
+    // class of (nation, segment, balance band) must hold ≥3 customers
+    // and ≥2 distinct sensitive balances before the slice is
+    // releasable; one aggregation keyed by the quasi tuple.
+    GraftQuery(
+      "q187_k_anonymity",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Profile.kAnonymityAudit(t.customer,
+            Seq(
+              "c_nationkey" -> col("c_nationkey"),
+              "c_mktsegment" -> col("c_mktsegment"),
+              "acct_band" -> floor(col("c_acctbal") / 2000).cast("long")),
+            floor(col("c_acctbal")).cast("long"),
+            kMin = 3L, lMin = 2L)
+          .orderBy(col("c_nationkey"), col("c_mktsegment"), col("acct_band"))
+      },
+      Some("""
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 2000) AS BIGINT) AS acct_band,
+               CAST(count(*) AS BIGINT) AS class_size,
+               CAST(count(DISTINCT CAST(floor(c_acctbal) AS BIGINT))
+                 AS BIGINT) AS l_distinct,
+               count(*) >= 3 AS k_ok,
+               count(DISTINCT CAST(floor(c_acctbal) AS BIGINT)) >= 2 AS l_ok
+        FROM customer
+        GROUP BY 1, 2, 3
+        ORDER BY c_nationkey, c_mktsegment, acct_band""")),
+
+    // ------------------------------------------------------------------
+    // q188: Spearman rank correlation ([[graft.ext.Stats.spearman]]) —
+    // per market segment, does account balance order customers the way
+    // realized spend does? Deterministic-tiebreak ranks (exact-integer
+    // d² sums), one double division per group at output.
+    GraftQuery(
+      "q188_spearman_rank",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val spend = t.orders
+          .groupBy(col("o_custkey").as("c_custkey"))
+          .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .as("spend_cents"))
+        val base = t.customer.join(spend, Seq("c_custkey"), "left")
+          .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+            coalesce(col("spend_cents"), lit(0L)).as("spend_cents"))
+        Stats.spearman(base, col("c_mktsegment"), col("c_custkey"),
+            col("c_acctbal"), col("spend_cents"))
+          .withColumnRenamed("grp", "c_mktsegment")
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""
+        WITH spend AS (
+          SELECT o_custkey AS c_custkey,
+                 CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS spend_cents
+          FROM orders GROUP BY 1),
+        base AS (
+          SELECT c_mktsegment, c_custkey, c_acctbal,
+                 coalesce(spend_cents, 0) AS spend_cents
+          FROM customer LEFT JOIN spend USING (c_custkey)),
+        r AS (
+          SELECT c_mktsegment,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey) AS ra,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                   ORDER BY spend_cents, c_custkey) AS rb
+          FROM base),
+        agg AS (
+          SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST((ra - rb) AS BIGINT) * (ra - rb)) AS BIGINT)
+                   AS d2_sum
+          FROM r GROUP BY 1)
+        SELECT c_mktsegment, n, d2_sum,
+               CASE WHEN n < 2 THEN NULL
+                 ELSE 1.0 - 6.0 * CAST(d2_sum AS DOUBLE)
+                      / CAST(n*(n*n - 1) AS DOUBLE) END AS rho
+        FROM agg ORDER BY c_mktsegment""")),
+
+    // ------------------------------------------------------------------
+    // q189: right-to-erasure propagation audit
+    // ([[graft.ext.Profile.erasureAudit]]) — residual references to an
+    // erasure queue (custkey % 97 = 13 stands in) across the subject
+    // master and every fact table that carries the id; deletion set
+    // broadcast, audited tables never shuffled.
+    GraftQuery(
+      "q189_erasure_audit",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val del = t.customer.where(col("c_custkey") % 97 === 13)
+        Profile.erasureAudit(del, col("c_custkey"), Seq(
+            ("customer", t.customer, col("c_custkey")),
+            ("orders", t.orders, col("o_custkey")),
+            ("events", t.events, col("user_id")),
+            ("lineitem_supp", t.lineitem, col("l_suppkey"))))
+          .orderBy(col("table_name"))
+      },
+      Some("""
+        WITH del AS (
+          SELECT DISTINCT c_custkey AS id FROM customer
+          WHERE c_custkey % 97 = 13),
+        a AS (
+          SELECT 'customer' AS table_name,
+                 CAST(count(*) AS BIGINT) AS n_refs,
+                 CAST(count(DISTINCT c.c_custkey) AS BIGINT)
+                   AS n_subjects_referenced
+          FROM customer c JOIN del ON c.c_custkey = del.id
+          UNION ALL
+          SELECT 'orders', CAST(count(*) AS BIGINT),
+                 CAST(count(DISTINCT o.o_custkey) AS BIGINT)
+          FROM orders o JOIN del ON o.o_custkey = del.id
+          UNION ALL
+          SELECT 'events', CAST(count(*) AS BIGINT),
+                 CAST(count(DISTINCT e.user_id) AS BIGINT)
+          FROM events e JOIN del ON e.user_id = del.id
+          UNION ALL
+          SELECT 'lineitem_supp', CAST(count(*) AS BIGINT),
+                 CAST(count(DISTINCT l.l_suppkey) AS BIGINT)
+          FROM lineitem l JOIN del ON l.l_suppkey = del.id)
+        SELECT table_name, n_refs, n_subjects_referenced,
+               n_refs = 0 AS clean
+        FROM a ORDER BY table_name""")),
+
+    // ------------------------------------------------------------------
+    // q190: sorted-neighborhood blocking
+    // ([[graft.ext.Dedup.sortedNeighborPairs]]) — the skew-proof
+    // record-linkage complement to q104's equality blocks: ≤ w
+    // candidate pairs per record by rank adjacency, global ranks via
+    // the bucketed two-phase prefix decomposition (the oracle's single
+    // global ROW_NUMBER pins the decomposition on real data).
+    GraftQuery(
+      "q190_sorted_neighbor_pairs",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Dedup.sortedNeighborPairs(
+            t.part.select(col("p_partkey"), col("p_name")).distinct(),
+            col("p_partkey"), col("p_name"), w = 3)
+          .orderBy(col("rank_a"), col("rank_dist"))
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT p_partkey AS id, p_name AS k,
+                 CAST(ROW_NUMBER() OVER (ORDER BY p_name, p_partkey)
+                   AS BIGINT) AS rank
+          FROM (SELECT DISTINCT p_partkey, p_name FROM part)
+          WHERE p_name IS NOT NULL)
+        SELECT a.rank AS rank_a, a.id AS id_a, b.id AS id_b,
+               a.k AS key_a, b.k AS key_b,
+               CAST(b.rank - a.rank AS INT) AS rank_dist,
+               CAST(levenshtein(a.k, b.k) AS INT) AS dist
+        FROM ranked a JOIN ranked b
+          ON b.rank BETWEEN a.rank + 1 AND a.rank + 3
+        ORDER BY rank_a, rank_dist"""))
+  )
+}

@@ -829,4 +829,108 @@ object Dedup {
     perDoc.join(runs, Seq("doc_id"), "left")
       .withColumn("max_dup_run", coalesce(col("max_dup_run"), lit(0L)))
   }
+
+  /** Sorted-neighborhood record-linkage blocking (Hernández & Stolfo
+    * 1995): sort all records by a blocking key, pair each record with
+    * its `w` successors in sort order, verify each candidate with the
+    * expensive similarity (here Levenshtein). The complementary
+    * blocking to q104's equality blocks: block-join pair counts grow
+    * with Σ|block|² and explode on skewed blocks, sorted-neighborhood
+    * emits EXACTLY ≤ w pairs per record no matter how keys cluster —
+    * the skew-proof choice when a "block" (one surname, one brand) can
+    * hold millions.
+    *
+    * The global sort rank is NOT one task: ranks are computed with the
+    * bucketed two-phase prefix decomposition ([[graft.ext.Stats]]'s
+    * ECDF argument) — records bucket by the key's first character
+    * (consistent with full-key order, so cross-bucket ties are
+    * impossible), rank locally per bucket, and add broadcast bucket
+    * offsets (one tiny #buckets-row window). Pair generation explodes
+    * each record to its `w` successor ranks and equi-joins on rank —
+    * a co-partitioned bounded-fanout join, never a range scan.
+    *
+    * Output: one row per (record, j≤w successor) — `rank_a, id_a,
+    * id_b, key_a, key_b, rank_dist, dist` (Levenshtein). Null keys are
+    * excluded (no sort position). Callers filter `dist` to taste.
+    */
+  def sortedNeighborPairs(df: DataFrame, id: Column, key: Column,
+                          w: Int): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val keyed = df.select(id.as("id"), key.as("k"))
+      .where(col("k").isNotNull)
+      .withColumn("blk", substring(col("k"), 1, 1))
+    val local = keyed.withColumn("lr", row_number().over(
+      Window.partitionBy(col("blk")).orderBy(col("k"), col("id"))))
+    val offs = keyed.groupBy(col("blk")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("blk"), col("off"))
+    val ranked = local.join(broadcast(offs), "blk")
+      .select(col("id"), col("k"), (col("off") + col("lr")).as("rank"))
+    val probes = ranked.select(col("id").as("id_a"), col("k").as("key_a"),
+        col("rank").as("rank_a"),
+        explode(sequence(col("rank") + 1, col("rank") + w)).as("rank"))
+    probes.join(ranked.select(col("id").as("id_b"), col("k").as("key_b"),
+        col("rank")), "rank")
+      .select(col("rank_a"), col("id_a"), col("id_b"),
+        col("key_a"), col("key_b"),
+        (col("rank") - col("rank_a")).cast("int").as("rank_dist"),
+        levenshtein(col("key_a"), col("key_b")).as("dist"))
+  }
+
+  /** Frequency-capped passage removal — the CCNet sentence-dedup
+    * discipline (Wenzek et al. 2020, arXiv:1911.00359 §3.1) adapted to
+    * this corpus' whitespace passages: any passage whose corpus-wide
+    * occurrence count EXCEEDS `maxFreq` is removed from EVERY document
+    * that contains it, including the first. The policy differs from
+    * [[chunkDedup]]'s keep-first on purpose: boilerplate (headers,
+    * cookie banners, license blocks) is noise in all its occurrences,
+    * so curation pipelines run BOTH passes — keep-first for honest
+    * content that happens to repeat, frequency-cap for text whose very
+    * frequency marks it as template.
+    *
+    * Scale shape: passages explode once; the census is a map-side-
+    * combined groupBy on the passage STRING (exact semantics — an
+    * 8-byte hash census would let a collision delete innocent text;
+    * group sizes are the corpus' true duplication factor, so the census
+    * reduce side is small); the flag join re-shuffles the exploded rows
+    * on the same key the census produced, so AQE/exchange reuse
+    * co-partitions the two sides; the group-back to documents is the
+    * one doc-keyed exchange. Document bodies cross the wire chunked
+    * exactly once each, like [[chunkDedup]].
+    *
+    * Output: one row per document — `n_chunks`, `n_removed` (passage
+    * instances dropped), `removed_ratio`, and `retained_md5` (digest of
+    * the text rebuilt from surviving passages in original order; NULL
+    * if everything was template). At 100 TB the rebuilt corpus is
+    * written by the caller; only the 32-byte digest returns here.
+    */
+  def frequencyChunkFilter(docs: DataFrame, id: Column, text: Column,
+                           chunkWords: Int = 8, maxFreq: Long = 2L)
+      : DataFrame = {
+    require(maxFreq >= 1, s"maxFreq must be >= 1, got $maxFreq")
+    val exploded = docs.select(id.as("doc_id"),
+      posexplode(chunksOf(text, chunkWords)).as(Seq("idx", "chunk")))
+    val census = exploded.groupBy(col("chunk"))
+      .agg(count(lit(1)).as("__freq"))
+    val flagged = exploded.join(census, "chunk")
+      .select(col("doc_id"), col("idx"), col("chunk"),
+        (col("__freq") > maxFreq).as("removed"))
+    flagged.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        sort_array(collect_list(when(!col("removed"),
+          struct(col("idx"), col("chunk"))))).as("__kept"))
+      .withColumn("removed_ratio",
+        col("n_removed").cast("double") / col("n_chunks"))
+      .withColumn("retained_md5",
+        when(col("n_removed") === col("n_chunks"),
+            lit(null).cast("string"))
+          .otherwise(md5(encode(
+            concat_ws(" ", transform(col("__kept"), c => c("chunk"))),
+            "UTF-8"))))
+      .select(col("doc_id"), col("n_chunks"), col("n_removed"),
+              col("removed_ratio"), col("retained_md5"))
+  }
 }

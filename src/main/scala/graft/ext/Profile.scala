@@ -152,4 +152,70 @@ object Profile {
     parts.reduce(_ unionByName _)
       .withColumn("pass", col("violations") === 0L)
   }
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    * 2007) — the privacy gate a dataset passes before its quasi-
+    * identifier slice is released or logged: every equivalence class of
+    * the quasi-identifier tuple must contain at least `kMin` rows
+    * (re-identification resistance) AND at least `lMin` distinct values
+    * of the sensitive column (attribute-disclosure resistance). The
+    * governance sibling of [[audit]]: that one checks value validity,
+    * this one checks disclosure risk.
+    *
+    * ONE aggregation keyed by the quasi-identifier tuple computes both
+    * the class size and the exact distinct-sensitive count (map-side
+    * partials; the shuffle carries one row per equivalence class — at
+    * 100 TB the class count, not the row count, prices the exchange).
+    * Quasi-identifier columns should be pre-generalized by the caller
+    * (bucketed numerics, truncated codes) — generalization choice is
+    * policy, not engine.
+    *
+    * Output: one row per equivalence class — the quasi columns,
+    * `class_size`, `l_distinct`, `k_ok`, `l_ok` — plus the audit
+    * verdict columns a release gate filters on.
+    */
+  /** Right-to-erasure propagation audit (GDPR Art. 17 operationalized):
+    * given the set of subject ids whose data was ordered deleted, count
+    * the rows STILL referencing each subject in every downstream table
+    * — the check a deletion pipeline runs after the purge job, before
+    * certifying completion. Each audited table contributes one summary
+    * row; `clean` is the certification bit.
+    *
+    * Scale shape: the deletion set is the small side by construction
+    * (an erasure queue, not a corpus) — it aggregates to DISTINCT ids
+    * and BROADCASTS; each audited table streams through a map-side
+    * semi-join probe and a count. The tables are never shuffled and
+    * never joined to each other. The [[kAnonymityAudit]] sibling:
+    * that one gates what may be released, this one certifies what was
+    * removed.
+    *
+    * Output: one row per audited table — (table_name, n_refs,
+    * n_subjects_referenced, clean), `clean` = zero residual rows.
+    */
+  def erasureAudit(deleted: DataFrame, deletedId: Column,
+                   refs: Seq[(String, DataFrame, Column)]): DataFrame = {
+    require(refs.nonEmpty, "erasure audit with zero tables")
+    val ids = broadcast(deleted.select(deletedId.as("__del_id")).distinct())
+    refs.map { case (name, df, fk) =>
+      df.select(fk.as("__del_id"))
+        .join(ids, "__del_id")
+        .agg(count(lit(1)).as("n_refs"),
+          count_distinct(col("__del_id")).as("n_subjects_referenced"))
+        .select(lit(name).as("table_name"), col("n_refs"),
+          col("n_subjects_referenced"),
+          (col("n_refs") === 0L).as("clean"))
+    }.reduce(_ unionByName _)
+  }
+
+  def kAnonymityAudit(df: DataFrame, quasi: Seq[(String, Column)],
+                      sensitive: Column, kMin: Long, lMin: Long)
+      : DataFrame = {
+    require(quasi.nonEmpty && kMin >= 1 && lMin >= 1,
+      s"bad anonymity params: quasi=${quasi.size} k=$kMin l=$lMin")
+    df.groupBy(quasi.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(sensitive).as("l_distinct"))
+      .withColumn("k_ok", col("class_size") >= kMin)
+      .withColumn("l_ok", col("l_distinct") >= lMin)
+  }
 }

@@ -710,4 +710,63 @@ object Similarity {
     Lsh.dedup(verified)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Embedding outlier audit: per label, the `k` vectors FARTHEST from
+    * their own label's centroid — the mislabeled/noise-pruning pass an
+    * embedding-curation pipeline runs before contrastive training
+    * (the distance-to-class-center filter of CLIP-score-style cleaning,
+    * on the corpus' own geometry).
+    *
+    * Exactness (the q146 centroid discipline, extended to distances):
+    * vectors quantize to integer ten-thousandths; the label centroid is
+    * kept as the RATIONAL (S_k, n) — never divided — and the squared
+    * L2 distance is cleared of denominators:
+    * d2·n² = Σ_k (n·q_k − S_k)², an exact integer computed in
+    * decimal(38,0) (a 1e9-vector label at dim 64 peaks ~1e35 ≪ 10^38).
+    * Ranking compares the exact decimals; the ONE double conversion is
+    * the emitted `dist2_scaled` (decimal→double is correctly rounded in
+    * both engines — q146's dot discipline).
+    *
+    * Scale shape: the centroid census explodes positions once
+    * (map-side partial sums; labels×dim reduce rows), the centroid
+    * table (#labels rows) broadcasts back, distances are map-side
+    * zip_with, and only (label, vec_id, d2) enters the per-label
+    * ranking. The rank window partitions on `label` — fine while
+    * labels × corpus/label rows fit a task's sort spill; at 100 TB
+    * swap the window for a per-label TopKByScore aggregate on the
+    * micro-quantized distance ([[graft.functions.TopKByScore]], the
+    * q96 pattern) so each partition forwards ≤ k candidates.
+    *
+    * Output: (label, vec_id, out_rank, n_label, dist2_scaled), rank 1 =
+    * farthest, `dist2_scaled` = d2·n²·10⁸ in quantized units.
+    */
+  def outlierAudit(embeddings: DataFrame, k: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sums = embeddings
+      .select(col("label"), posexplode(quantize(col("embedding")))
+        .as(Seq("pos", "qv")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("qv")).as("s"))
+    val centroids = sums.groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"),
+        col("s")))), c => c("s")).as("cent"))
+    val counts = embeddings.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_label"))
+    val d2 = embeddings
+      .select(col("label"), col("vec_id"), quantize(col("embedding")).as("q"))
+      .join(broadcast(centroids), "label")
+      .join(broadcast(counts), "label")
+      .withColumn("d2", aggregate(
+        zip_with(col("q"), col("cent"),
+          (x, s) => (x * col("n_label") - s).cast(dec) *
+                    (x * col("n_label") - s)),
+        lit(0).cast(dec), (a, v) => a + v))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("d2").desc, col("vec_id"))
+    d2.withColumn("out_rank", row_number().over(w))
+      .filter(col("out_rank") <= k)
+      .select(col("label"), col("vec_id"),
+        col("out_rank").cast("int").as("out_rank"), col("n_label"),
+        col("d2").cast("double").as("dist2_scaled"))
+  }
 }

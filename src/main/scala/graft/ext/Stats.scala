@@ -257,4 +257,152 @@ object Stats {
           .as("point_mean_micro"))
     point.crossJoin(ci).withColumn("reps", lit(reps))
   }
+
+  /** Two-sided CUSUM changepoint detection over a keyed daily series —
+    * the sequential mean-shift detector (Page 1954) that catches the
+    * slow drifts level-threshold alerting misses; the reference's
+    * monitoring rules (`k8s/monitoring/alerts.yaml`) alarm only on
+    * instantaneous levels, so this is their drift-sensitive upgrade.
+    *
+    * Recurrence → closed form: S⁺_t = max(0, S⁺_{t−1} + x_t − μ − s)
+    * is NOT a window function, but its solution
+    * S⁺_t = P_t − min(0, min_{j≤t} P_j) (P = prefix sum of deviations)
+    * is two cumulative windows — the same prefix-sum decomposition
+    * argument as [[ksTest]]'s ECDF. The mirrored S⁻ uses the opposite
+    * slack sign and running max.
+    *
+    * Exactness: all in integers with denominators cleared. μ = T/n is
+    * never divided: deviations are scaled by 1000·n —
+    * D_t = 1000·n·x_t − 1000·T ∓ slackPermille·T — and the alarm
+    * threshold h‰ of μ becomes threshPermille·T on the same scale.
+    * Prefix sums run in decimal(38,0) (a 1e9-key-day series at 1e12
+    * cents/day peaks ~1e27). S⁺/S⁻ are emitted with ONE decimal→double
+    * conversion; alarms are booleans decided on the exact decimals.
+    *
+    * The cumulative windows order by day WITHIN each series key — one
+    * task per key, bounded by calendar length (thousands of rows), not
+    * by corpus size; the events below each (key, day) cell were already
+    * collapsed by the exact aggregation.
+    *
+    * Output: (key, day, x_cents, s_pos, s_neg, alarm_up, alarm_down),
+    * one row per key × day.
+    */
+  def cusum(df: DataFrame, key: Column, day: Column, valueCents: Column,
+            slackPermille: Long, threshPermille: Long): DataFrame = {
+    require(slackPermille >= 0 && threshPermille > 0,
+      s"bad CUSUM params: slack=$slackPermille thresh=$threshPermille")
+    val dec = "decimal(38,0)"
+    val series = df.groupBy(key.as("key"), day.as("day"))
+      .agg(sum(valueCents.cast("long")).as("x"))
+    val tot = series.groupBy(col("key"))
+      .agg(sum(col("x")).as("t_sum"), count(lit(1)).as("n_days"))
+    val s = series.join(broadcast(tot), "key")
+      .withColumn("__base", expr(
+        s"cast(1000 as $dec) * n_days * x - cast(1000 as $dec) * t_sum"))
+      .withColumn("__dup",
+        expr(s"__base - cast($slackPermille as $dec) * t_sum"))
+      .withColumn("__ddn",
+        expr(s"__base + cast($slackPermille as $dec) * t_sum"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = expr(s"cast($threshPermille as $dec) * t_sum")
+    s.withColumn("__pup", sum(col("__dup")).over(w))
+      .withColumn("__pdn", sum(col("__ddn")).over(w))
+      .withColumn("__spos",
+        col("__pup") - least(lit(0).cast(dec), min(col("__pup")).over(w)))
+      .withColumn("__sneg",
+        greatest(lit(0).cast(dec), max(col("__pdn")).over(w)) - col("__pdn"))
+      .select(col("key"), col("day"), col("x").as("x_cents"),
+        col("__spos").cast("double").as("s_pos"),
+        col("__sneg").cast("double").as("s_neg"),
+        (col("__spos") > thr).as("alarm_up"),
+        (col("__sneg") > thr).as("alarm_down"))
+  }
+
+  /** Spearman rank correlation between two metrics, per group — the
+    * monotone-agreement check a pipeline runs between two scoring
+    * passes ("does the cheap quality score order documents the way the
+    * expensive one does?"): ρ = 1 − 6·Σd²/(n(n²−1)) over the rank
+    * differences d. Rank-based, so one metric being heavy-tailed (as
+    * every corpus statistic is) cannot dominate the way it would in
+    * Pearson.
+    *
+    * Tie discipline: ranks are ROW_NUMBER with ties broken by `id` —
+    * deterministic-tiebreak Spearman, NOT midrank Spearman (midranks
+    * are rationals; the tie-broken variant keeps every intermediate an
+    * exact integer and is replay-stable — the keep-first/md5-order
+    * philosophy applied to ranking). With few or no ties the two
+    * coincide to noise; callers comparing against midrank tables
+    * should know the difference exists.
+    *
+    * Exactness: d² sums are exact BIGINTs (n up to ~2M per group
+    * before n(n²−1) nears 2^63 — past that, lift to decimal); ρ is ONE
+    * double division of two exact integers. The rank windows partition
+    * per group and sort within — at corpus scale swap in the bucketed
+    * two-phase prefix decomposition ([[ksTest]]'s ECDF argument) or
+    * range-partition the rank.
+    *
+    * Output: one row per group — (group, n, d2_sum, rho).
+    */
+  def spearman(df: DataFrame, group: Column, id: Column,
+               a: Column, b: Column): DataFrame = {
+    val base = df.select(group.as("grp"), id.as("id"),
+      a.as("a"), b.as("b"))
+    val wa = Window.partitionBy(col("grp")).orderBy(col("a"), col("id"))
+    val wb = Window.partitionBy(col("grp")).orderBy(col("b"), col("id"))
+    base
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+      .withColumn("d", (col("ra") - col("rb")).cast("long"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("d2_sum"))
+      .withColumn("rho",
+        when(col("n") < 2, lit(null).cast("double"))
+          .otherwise(lit(1.0) - lit(6.0) * col("d2_sum").cast("double") /
+            (col("n") * (col("n") * col("n") - 1)).cast("double")))
+      .select(col("grp"), col("n"), col("d2_sum"), col("rho"))
+  }
+
+  /** [[cusum]] with a PINNED reference mean instead of the series' own:
+    * deviations are x_t − μ0 ∓ slack in raw integer cents (no
+    * denominator clearing — μ0 is a constant, not a full-history
+    * ratio), the alarm threshold an absolute cent value, S⁺/S⁻ exact
+    * Longs (a 1e14-cent cumulative drift is still two orders under the
+    * Long ceiling; past that the series should have alarmed long ago).
+    *
+    * This is the form an UNBOUNDED stream can maintain — the
+    * retrospective [[cusum]] needs the series' own mean, a full-pass
+    * aggregate; the pinned form needs only the running statistic —
+    * and [[graft.streaming.StreamingCusum]] is its online twin, which
+    * must match this output row-for-row on any day-ordered prefix
+    * (StreamingCusumSpec pins that parity).
+    *
+    * Same closed form, same window shape, same output schema as
+    * [[cusum]] (`s_pos`/`s_neg` here are exact Longs emitted as
+    * doubles for schema parity).
+    */
+  def cusumFixed(df: DataFrame, key: Column, day: Column,
+                 valueCents: Column, mu0Cents: Long, slackCents: Long,
+                 threshCents: Long): DataFrame = {
+    require(slackCents >= 0 && threshCents > 0,
+      s"bad CUSUM params: slack=$slackCents thresh=$threshCents")
+    val series = df.groupBy(key.as("key"), day.as("day"))
+      .agg(sum(valueCents.cast("long")).as("x"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series
+      .withColumn("__pup",
+        sum(col("x") - lit(mu0Cents) - lit(slackCents)).over(w))
+      .withColumn("__pdn",
+        sum(col("x") - lit(mu0Cents) + lit(slackCents)).over(w))
+      .withColumn("__spos",
+        col("__pup") - least(lit(0L), min(col("__pup")).over(w)))
+      .withColumn("__sneg",
+        greatest(lit(0L), max(col("__pdn")).over(w)) - col("__pdn"))
+      .select(col("key"), col("day"), col("x").as("x_cents"),
+        col("__spos").cast("double").as("s_pos"),
+        col("__sneg").cast("double").as("s_neg"),
+        (col("__spos") > threshCents).as("alarm_up"),
+        (col("__sneg") > threshCents).as("alarm_down"))
+  }
 }

@@ -559,4 +559,58 @@ object TextAnalysis {
         md5(concat_ws(" ",
           slice(col("ws"), col("st") + 1, lit(chunkWords)))).as("chunk_digest"))
   }
+
+  /** Temperature-scaled source mixture plan — the data-recipe step that
+    * decides how much of each source a training run reads (the
+    * multilingual/multi-source sampling rule p_s ∝ n_s^τ used since
+    * mBERT/XLM-R; τ < 1 upsamples small sources). [[mixtureTake]]
+    * MATERIALIZES a corpus for given weights; this operator COMPUTES
+    * the weights from the corpus itself and prices the plan (per-source
+    * token budget and epoch count) without touching document bodies
+    * beyond one token-count scan.
+    *
+    * τ is restricted to 2^-halfSqrts (0.5, 0.25, …): n^τ is then a
+    * chain of IEEE sqrt ops — correctly rounded and engine-identical —
+    * where a libm pow() is not. General τ in production arrives as a
+    * pinned per-source weight table and skips the derivation entirely.
+    *
+    * Exactness: token counts are exact BIGINTs; the weight is
+    * floor(sqrt^k(n_tokens)·1e6) (one float multiply + floor on a
+    * correctly-rounded sqrt chain); shares/budgets/epochs are integral
+    * `div` products computed in decimal(38,0) so a 1e13-token source
+    * times 1e9 ppb cannot wrap. One aggregation over the corpus, then
+    * arithmetic over #sources rows — nothing else shuffles.
+    *
+    * Output: one row per source — `n_docs`, `n_tokens`, `weight_micro`,
+    * `share_ppb` (this source's sampling probability in parts-per-
+    * billion), `planned_tokens` (its slice of `targetTokens`), and
+    * `epochs_micro` (planned/actual tokens ×1e6 — values over 1e6 mean
+    * the source is upsampled / read more than once).
+    */
+  def temperatureMixture(docs: DataFrame, source: Column, text: Column,
+                         targetTokens: Long, halfSqrts: Int = 1)
+      : DataFrame = {
+    require(halfSqrts >= 1 && halfSqrts <= 4,
+      s"halfSqrts must be in [1,4], got $halfSqrts")
+    val per = docs.select(source.as("source"),
+        tokenCountWs(text).cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val root = (1 to halfSqrts).foldLeft(col("n_tokens").cast("double")) {
+      (c, _) => sqrt(c)
+    }
+    val weighted = per.withColumn("weight_micro",
+      floor(root * 1e6d).cast("long"))
+    val tot = weighted.agg(sum(col("weight_micro")).as("__w_total"))
+    weighted.crossJoin(broadcast(tot))
+      .withColumn("share_ppb", expr(
+        "(cast(weight_micro as decimal(38,0)) * 1000000000) div __w_total"))
+      .withColumn("planned_tokens", expr(
+        s"(cast(weight_micro as decimal(38,0)) * $targetTokens) div __w_total"))
+      .withColumn("epochs_micro", expr(
+        "(cast(planned_tokens as decimal(38,0)) * 1000000) div n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("weight_micro"), col("share_ppb"), col("planned_tokens"),
+        col("epochs_micro"))
+  }
 }

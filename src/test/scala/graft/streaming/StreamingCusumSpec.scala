@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.streaming.StreamingCusum.{CusumPoint, DayPoint}
+
+/** Pins for the online CUSUM detector: row-for-row parity with the
+  * batch [[graft.ext.Stats.cusumFixed]] on the same day-ordered
+  * series regardless of micro-batch split points, alarm timing on a
+  * planted shift, late-point dropping, and per-key isolation.
+  */
+class StreamingCusumSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val MU = 200L; private val SLACK = 20L; private val THRESH = 600L
+
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def run(batches: Seq[DayPoint]*): Seq[CusumPoint] = withRocksDb {
+    val source = MemoryStream[DayPoint](spark)
+    val out = StreamingCusum.detect(source.toDS(), MU, SLACK, THRESH)
+    val name = s"cusum_out_${System.nanoTime()}"
+    val q = out.writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try {
+      batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name).as[CusumPoint].collect().toSeq
+  }
+
+  private def batchTwin(points: Seq[DayPoint]): Seq[CusumPoint] = {
+    graft.ext.Stats.cusumFixed(points.toDF("key", "dayIdx", "cents"),
+        col("key"), col("dayIdx"), col("cents"), MU, SLACK, THRESH)
+      .orderBy(col("key"), col("day")).collect().toSeq
+      .map(r => CusumPoint(r.getAs[String]("key"), r.getAs[Long]("day"),
+        r.getAs[Long]("x_cents"), r.getAs[Double]("s_pos").toLong,
+        r.getAs[Double]("s_neg").toLong, r.getAs[Boolean]("alarm_up"),
+        r.getAs[Boolean]("alarm_down")))
+  }
+
+  private val series: Seq[DayPoint] = {
+    // stationary around the pinned mean, then a +150 shift from day 20
+    val rng = Seq(7L, -12L, 3L, 15L, -9L, 0L, 11L, -5L, 8L, -14L)
+    Seq.tabulate(30) { d =>
+      val noise = rng(d % rng.size)
+      val level = if (d < 20) 200L else 350L
+      DayPoint("revenue", d.toLong, level + noise)
+    }
+  }
+
+  test("stream emissions == batch cusumFixed rows, any batch split") {
+    val expected = batchTwin(series)
+    val oneBatch = run(series).sortBy(p => (p.key, p.dayIdx))
+    val manyBatches = run(series.grouped(7).toSeq: _*)
+      .sortBy(p => (p.key, p.dayIdx))
+    assert(oneBatch == expected)
+    assert(manyBatches == expected)
+  }
+
+  test("planted shift alarms up after the changepoint, never before") {
+    val out = run(series).sortBy(_.dayIdx)
+    val firstAlarm = out.indexWhere(_.alarmUp)
+    assert(firstAlarm >= 20, s"alarm at day $firstAlarm precedes the shift")
+    assert(firstAlarm > 0 && firstAlarm <= 25,
+      s"a +150 shift over slack 20 must alarm within days, got $firstAlarm")
+    assert(out.last.alarmUp && !out.last.alarmDown)
+  }
+
+  test("late points are dropped, not re-folded") {
+    val ordered = series.take(10)
+    val withLate = ordered ++ Seq(DayPoint("revenue", 3L, 999L))
+    val a = run(Seq(ordered: _*)).sortBy(_.dayIdx)
+    val b = run(ordered, Seq(DayPoint("revenue", 3L, 999L)))
+      .sortBy(_.dayIdx)
+    assert(b == a, "a late day must leave the account untouched")
+  }
+
+  test("keys keep independent accounts") {
+    val k1 = series.take(10)
+    val k2 = series.take(10).map(p => p.copy(key = "other",
+      cents = p.cents + 300)) // hot series
+    val out = run(k1 ++ k2)
+    val byKey = out.groupBy(_.key)
+    assert(byKey("revenue").forall(!_.alarmUp))
+    assert(byKey("other").exists(_.alarmUp))
+    assert(byKey("revenue").map(_.dayIdx).sorted ==
+      byKey("other").map(_.dayIdx).sorted)
+  }
+}
