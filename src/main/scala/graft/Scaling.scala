@@ -57,7 +57,10 @@ object Scaling {
     "q167_layout_pruning"        -> "lineitem",
     "q168_bootstrap_ci"          -> "events",
     "q175_delta_join_retract"    -> "lineitem",
-    "q177_delta_agg_retract"     -> "events")
+    "q177_delta_agg_retract"     -> "events",
+    "q183_frequency_chunk_filter" -> "documents",
+    "q190_sorted_neighbor_pairs" -> "part",
+    "q191_modularity"            -> "lineitem")
 
   /** Documented super-linear-BY-INTENT queries: q27 materializes exact
     * all-pairs Jaccard evidence and q47 exact winnowing-fingerprint
@@ -105,6 +108,7 @@ object Scaling {
       case "documents"  => t.documents
       case "embeddings" => t.embeddings
       case "events"     => t.events
+      case "part"       => t.part
       case other => sys.error(s"unknown driving table $other")
     }
     df.count()

@@ -348,6 +348,120 @@ object RecipeQueries {
                CAST(levenshtein(a.k, b.k) AS INT) AS dist
         FROM ranked a JOIN ranked b
           ON b.rank BETWEEN a.rank + 1 AND a.rank + 3
-        ORDER BY rank_a, rank_dist"""))
+        ORDER BY rank_a, rank_dist""")),
+
+    // ------------------------------------------------------------------
+    // q191: modularity of a given partition
+    // ([[graft.ext.Graph.modularity]]) — Newman Q of the brand taxonomy
+    // over the part co-purchase graph: the one-pass EVALUATION half of
+    // community detection (contributions exact as Q_c·4m² integers in
+    // decimal(38,0), emitted as digit strings — the q170 discipline —
+    // beside one mirrored double division).
+    GraftQuery(
+      "q191_modularity",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val edges = t.lineitem
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .select(explode(
+            graft.functions.SketchFns.pair_structs(col("ps"))).as("p"))
+          .select(col("p.id_a").as("src"), col("p.id_b").as("dst"))
+          .distinct()
+        val communities = t.part
+          .select(col("p_partkey").as("node"), col("p_brand").as("community"))
+        graft.ext.Graph.modularity(edges, communities)
+          .orderBy(col("community"))
+      },
+      Some("""
+        WITH edges AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges)
+          GROUP BY 1),
+        dc AS (
+          SELECT p.p_brand AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(SUM(deg) AS BIGINT) AS degree_sum
+          FROM deg JOIN part p ON p.p_partkey = deg.node GROUP BY 1),
+        ec AS (
+          SELECT pa.p_brand AS community, CAST(count(*) AS BIGINT)
+                   AS intra_edges
+          FROM edges e JOIN part pa ON pa.p_partkey = e.src
+          JOIN part pb ON pb.p_partkey = e.dst
+          WHERE pa.p_brand = pb.p_brand GROUP BY 1),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM edges)
+        SELECT dc.community, n_nodes, degree_sum,
+               coalesce(intra_edges, 0) AS intra_edges, m_edges,
+               CAST(CAST(4 AS HUGEINT)*m_edges*coalesce(intra_edges, 0)
+                    - CAST(degree_sum AS HUGEINT)*degree_sum AS VARCHAR)
+                 AS q_contrib_scaled,
+               CAST(CAST(4 AS HUGEINT)*m_edges*coalesce(intra_edges, 0)
+                    - CAST(degree_sum AS HUGEINT)*degree_sum AS DOUBLE)
+                 / CAST(CAST(4 AS HUGEINT)*m_edges*m_edges AS DOUBLE)
+                 AS q_contrib
+        FROM dc LEFT JOIN ec USING (community), m
+        ORDER BY community""")),
+
+    // ------------------------------------------------------------------
+    // q192: Cohen's kappa ([[graft.ext.Stats.cohenKappa]]) — the
+    // chance-corrected agreement between the q32 lang-ID heuristic and
+    // the corpus' recorded language: the label-quality summary a
+    // weak-supervision pipeline gates annotators (and models posing as
+    // annotators) on. Exact-integer κ terms, one double division.
+    GraftQuery(
+      "q192_cohen_kappa",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        Stats.cohenKappa(
+          TextAnalysis.withLangId(t.documents, col("text")),
+          col("lang"), col("predicted_lang"))
+      },
+      Some("""
+        WITH scored AS (
+          SELECT lang,
+            len(list_filter(string_split(text,' '), x -> x = 'the'))
+              + len(list_filter(string_split(text,' '), x -> x = 'fast'))
+              + len(list_filter(string_split(text,' '), x -> x = 'slow')) AS s_en,
+            len(list_filter(string_split(text,' '), x -> x = 'data'))
+              + len(list_filter(string_split(text,' '), x -> x = 'batch'))
+              + len(list_filter(string_split(text,' '), x -> x = 'hash')) AS s_de,
+            len(list_filter(string_split(text,' '), x -> x = 'table'))
+              + len(list_filter(string_split(text,' '), x -> x = 'row'))
+              + len(list_filter(string_split(text,' '), x -> x = 'line')) AS s_es,
+            len(list_filter(string_split(text,' '), x -> x = 'merge'))
+              + len(list_filter(string_split(text,' '), x -> x = 'sort'))
+              + len(list_filter(string_split(text,' '), x -> x = 'filter')) AS s_fr,
+            len(list_filter(string_split(text,' '), x -> x = 'spark'))
+              + len(list_filter(string_split(text,' '), x -> x = 'query'))
+              + len(list_filter(string_split(text,' '), x -> x = 'scan')) AS s_zh
+          FROM documents),
+        pred AS (
+          SELECT lang AS g,
+            CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                 WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                 WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                 WHEN s_fr >= s_zh THEN 'fr'
+                 ELSE 'zh' END AS p
+          FROM scored),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN g = p THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_agree
+          FROM pred),
+        ga AS (SELECT g, CAST(count(*) AS BIGINT) AS na FROM pred GROUP BY g),
+        pb AS (SELECT p, CAST(count(*) AS BIGINT) AS nb FROM pred GROUP BY p),
+        pe AS (
+          SELECT coalesce(SUM(CAST(na AS HUGEINT) * nb), 0) AS pe_num
+          FROM ga JOIN pb ON ga.g = pb.p)
+        SELECT n, n_agree, CAST(pe_num AS VARCHAR) AS pe_num,
+               CASE WHEN CAST(n AS HUGEINT) * n - pe_num = 0 THEN NULL
+                 ELSE CAST(CAST(n AS HUGEINT) * n_agree - pe_num AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE)
+                 END AS kappa
+        FROM tot, pe"""))
   )
 }

@@ -418,4 +418,65 @@ object Graph {
       .select(explode(array(col("tail"), col("head"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Newman modularity of a GIVEN community assignment (Newman & Girvan
+    * 2004): Q = Σ_c [e_c/m − (d_c/2m)²] — how much denser inside the
+    * communities than a degree-preserving random graph. The evaluation
+    * half of community detection: detection is iterative optimization
+    * (the k-core/CC regime), but SCORING a candidate partition — a
+    * brand taxonomy, a dedup clustering, yesterday's Louvain output —
+    * is one pass, and it is what a pipeline actually gates on.
+    *
+    * Exactness: the denominator is cleared — each community's
+    * contribution is Q_c·4m² = 4m·e_c − d_c², an exact integer in
+    * decimal(38,0) (1e9-edge graphs peak ~4e18; decimal keeps the
+    * identity exact to 1e18 edges), emitted as the digit string (the
+    * q170 presentation discipline) next to ONE mirrored double
+    * division for readability. Σ of the scaled contributions over
+    * communities recovers Q·4m² exactly.
+    *
+    * Scale shape: degrees from one union-and-count over edge
+    * endpoints; community tags join node-keyed (dimension-sized
+    * community maps broadcast); e_c tags each edge's two ends and
+    * counts the agreeing ones — the edge list streams through two
+    * equi-joins and one aggregation, nothing quadratic, no iteration.
+    *
+    * Input: `edges` one row per UNDIRECTED edge (src < dst, no
+    * duplicates — [[triangleCounts]]' input contract), `communities`
+    * (node, community) total over the edge endpoints. Output: one row
+    * per community — (community, n_nodes, degree_sum, intra_edges,
+    * m_edges, q_contrib_scaled, q_contrib).
+    */
+  def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val e = edges.toDF("src", "dst")
+    val comm = communities.toDF("node", "community")
+    val deg = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val dC = deg.join(comm, "node")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("degree_sum"))
+    val eC = e
+      .join(comm.select(col("node").as("src"),
+        col("community").as("c_src")), "src")
+      .join(comm.select(col("node").as("dst"),
+        col("community").as("c_dst")), "dst")
+      .where(col("c_src") === col("c_dst"))
+      .groupBy(col("c_src").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val mRow = e.agg(count(lit(1)).as("m_edges"))
+    dC.join(eC, Seq("community"), "left")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .crossJoin(broadcast(mRow))
+      .withColumn("q_contrib_scaled", expr(
+        "cast(4 as decimal(38,0)) * m_edges * intra_edges" +
+          " - cast(degree_sum as decimal(38,0)) * degree_sum"))
+      .withColumn("q_contrib",
+        col("q_contrib_scaled").cast("double") /
+          expr("cast(cast(4 as decimal(38,0)) * m_edges * m_edges as double)"))
+      .select(col("community"), col("n_nodes"), col("degree_sum"),
+        col("intra_edges"), col("m_edges"),
+        col("q_contrib_scaled").cast("string").as("q_contrib_scaled"),
+        col("q_contrib"))
+  }
 }

@@ -319,6 +319,50 @@ object Stats {
         (col("__sneg") > thr).as("alarm_down"))
   }
 
+  /** Cohen's kappa between two labelings of the same rows — the
+    * chance-corrected agreement a labeled-data pipeline reports
+    * instead of raw accuracy (accuracy flatters any predictor on a
+    * skewed class mix; kappa subtracts the agreement the marginals
+    * would produce by luck): κ = (n·agree − Σ_k a_k·b_k) /
+    * (n² − Σ_k a_k·b_k) over gold marginals a and predicted
+    * marginals b.
+    *
+    * Exactness: the confusion matrix, marginals, and both κ terms are
+    * exact integers folded in decimal(38,0) (n² caps Long past ~3e9
+    * rows); κ is ONE mirrored double division, NULL when the marginals
+    * are degenerate (pe = n² — a single class on both sides). `pe_num`
+    * is emitted as the digit string (q170 presentation discipline).
+    *
+    * Scale shape: one confusion-matrix aggregation (map-side partials,
+    * #classes² reduce rows), then arithmetic over class-count-sized
+    * frames. The corpus is read once and never re-shuffled.
+    *
+    * Output: ONE row — (n, n_agree, pe_num, kappa).
+    */
+  def cohenKappa(df: DataFrame, gold: Column, pred: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cm = df.select(gold.as("g"), pred.as("p"))
+      .groupBy(col("g"), col("p")).agg(count(lit(1)).as("c"))
+    val tot = cm.agg(sum(col("c")).as("n"),
+      sum(when(col("g") === col("p"), col("c")).otherwise(0L))
+        .as("n_agree"))
+    val ga = cm.groupBy(col("g")).agg(sum(col("c")).as("na"))
+    val pb = cm.groupBy(col("p")).agg(sum(col("c")).as("nb"))
+    // inner join: a class absent from either side contributes 0 to pe
+    val pe = ga.join(pb, ga("g") === pb("p"))
+      .agg(coalesce(sum(col("na").cast(dec) * col("nb")),
+        lit(0).cast(dec)).as("pe_num"))
+    tot.crossJoin(broadcast(pe))
+      .withColumn("__num",
+        expr(s"cast(n as $dec) * n_agree") - col("pe_num"))
+      .withColumn("__den", expr(s"cast(n as $dec) * n") - col("pe_num"))
+      .select(col("n"), col("n_agree"),
+        col("pe_num").cast("string").as("pe_num"),
+        when(col("__den") === 0, lit(null).cast("double"))
+          .otherwise(col("__num").cast("double") /
+            col("__den").cast("double")).as("kappa"))
+  }
+
   /** Spearman rank correlation between two metrics, per group — the
     * monotone-agreement check a pipeline runs between two scoring
     * passes ("does the cheap quality score order documents the way the

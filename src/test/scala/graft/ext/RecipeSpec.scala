@@ -190,6 +190,54 @@ class RecipeSpec extends AnyFunSuite {
       r.getAs[String]("key_b") == "betta" && r.getAs[Int]("dist") == 1))
   }
 
+  test("modularity: two triangles + bridge gives the textbook Q") {
+    // A = {1,2,3}, B = {4,5,6}, bridge 3-4: m=7, e_A=e_B=3, d_A=d_B=7
+    // → Q_c·4m² = 4·7·3 − 49 = 35 each; Q = 2·35/196 = 5/14
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val comm = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"),
+      (6L, "B")).toDF("node", "community")
+    val out = Graph.modularity(edges, comm).collect()
+      .map(r => r.getAs[String]("community") -> r).toMap
+    for (c <- Seq("A", "B")) {
+      assert(out(c).getAs[Long]("n_nodes") == 3)
+      assert(out(c).getAs[Long]("degree_sum") == 7)
+      assert(out(c).getAs[Long]("intra_edges") == 3)
+      assert(out(c).getAs[String]("q_contrib_scaled") == "35")
+      assert(out(c).getAs[Double]("q_contrib") == 35.0 / 196.0)
+    }
+  }
+
+  test("modularity: whole graph in one community scores near the maximum split penalty") {
+    // single community: e_c = m, d_c = 2m → Q = 1 − 1 = 0 exactly
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val comm = Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("node", "community")
+    val r = Graph.modularity(edges, comm).collect().head
+    assert(r.getAs[String]("q_contrib_scaled") ==
+      (4L * 3 * 3 - 36L).toString)
+    assert(r.getAs[Double]("q_contrib") == 0.0)
+  }
+
+  test("cohenKappa: perfect agreement 1, independent marginals ~0, degenerate NULL") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a"), ("c", "c"))
+      .toDF("g", "p")
+    val k1 = Stats.cohenKappa(perfect, col("g"), col("p")).collect().head
+    assert(k1.getAs[Double]("kappa") == 1.0 && k1.getAs[Long]("n_agree") == 4)
+
+    // hand case: n=4, agree=2, gold marginals a:(2,2), pred b:(2,2),
+    // pe = 2·2 + 2·2 = 8 → κ = (8−8)/(16−8) = 0
+    val indep = Seq(("x", "x"), ("x", "y"), ("y", "x"), ("y", "y"))
+      .toDF("g", "p")
+    val k2 = Stats.cohenKappa(indep, col("g"), col("p")).collect().head
+    assert(k2.getAs[String]("pe_num") == "8")
+    assert(k2.getAs[Double]("kappa") == 0.0)
+
+    // single class both sides: pe = n² → undefined, NULL not 1
+    val degen = Seq(("z", "z"), ("z", "z")).toDF("g", "p")
+    val k3 = Stats.cohenKappa(degen, col("g"), col("p")).collect().head
+    assert(k3.isNullAt(k3.fieldIndex("kappa")))
+  }
+
   test("kAnonymityAudit flags small and uniform classes") {
     val rows = Seq(
       // class (1,"A"): 3 rows, 2 distinct sensitive → both pass
