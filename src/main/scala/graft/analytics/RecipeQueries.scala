@@ -462,6 +462,64 @@ object RecipeQueries {
                  ELSE CAST(CAST(n AS HUGEINT) * n_agree - pe_num AS DOUBLE)
                       / CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE)
                  END AS kappa
-        FROM tot, pe"""))
+        FROM tot, pe""")),
+
+    // ------------------------------------------------------------------
+    // q193: WebP metadata ([[graft.ext.Multimodal.HeaderDecoder]] webp
+    // branch) — the modern crawled-web image container, all three
+    // variants (VP8X extended / VP8 lossy / VP8L lossless), parsed
+    // from REAL RIFF bytes the query synthesizes (q35's fixture
+    // discipline: the oracle predicts the parser's output analytically
+    // from the same id-derived dimensions; MultimodalSpec pins the
+    // byte-level parse on hand-built files incl. truncation).
+    GraftQuery(
+      "q193_webp_meta",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        import spark.implicits._
+        def leN(c: org.apache.spark.sql.Column, n: Int) = {
+          val hx = lpad(hex(c.cast("bigint")), 2 * n, "0")
+          unhex(concat(((n - 1) to 0 by -1)
+            .map(i => substring(hx, i * 2 + 1, 2)): _*))
+        }
+        val w = (col("event_id") % 4000 + 16).cast("int")
+        val h = ((col("event_id") * 13) % 3000 + 16).cast("int")
+        val variant = col("event_id") % 3
+        val riff = (sz: Int) => concat(unhex(lit("52494646")),
+          leN(lit(sz), 4), unhex(lit("57454250")))
+        val media = when(variant === 0, concat(riff(22), // VP8X
+            unhex(lit("56503858")), leN(lit(10), 4),
+            unhex(lit("00000000")), leN(w - 1, 3), leN(h - 1, 3)))
+          .when(variant === 1, concat(riff(22), // VP8 lossy keyframe
+            unhex(lit("56503820")), leN(lit(10), 4),
+            unhex(lit("0000009D012A")), leN(w, 2), leN(h, 2)))
+          .otherwise(concat(riff(17), // VP8L lossless
+            unhex(lit("5650384C")), leN(lit(5), 4), unhex(lit("2F")),
+            leN((w - 1) + (h - 1) * 16384, 4)))
+        val src = t.events.select(
+            col("event_id").as("media_id"),
+            lit("image/webp").as("mime"), media.as("media"))
+          .as[graft.ext.Multimodal.MediaRecord]
+        graft.ext.Multimodal.extractMeta(src,
+            new graft.ext.Multimodal.HeaderDecoder()).toDF()
+          .select(col("media_id"),
+            when(col("media_id") % 3 === 0, "vp8x")
+              .when(col("media_id") % 3 === 1, "vp8")
+              .otherwise("vp8l").as("variant"),
+            col("byteLen"), col("width"), col("height"), col("nFrames"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT event_id AS media_id,
+               CASE WHEN event_id % 3 = 0 THEN 'vp8x'
+                    WHEN event_id % 3 = 1 THEN 'vp8'
+                    ELSE 'vp8l' END AS variant,
+               CAST(CASE WHEN event_id % 3 = 2 THEN 25 ELSE 30 END
+                 AS BIGINT) AS byteLen,
+               CAST(event_id % 4000 + 16 AS INT) AS width,
+               CAST((event_id * 13) % 3000 + 16 AS INT) AS height,
+               CAST(1 AS INT) AS nFrames
+        FROM events
+        ORDER BY media_id"""))
   )
 }

@@ -122,8 +122,42 @@ object Multimodal {
         if (w > 0 && h > 0) Some((w, h)) else None
       } else None
 
+    private def le24(b: Array[Byte], i: Int): Int =
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+
+    /** WebP (RFC 9649): RIFF container, dimensions from the FIRST
+      * payload chunk — `VP8X` (extended: 24-bit LE canvas width−1 /
+      * height−1), `VP8 ` (lossy: 0x9D012A start code then 14-bit LE
+      * width/height), or `VP8L` (lossless: 0x2F signature then two
+      * 14-bit fields packed little-endian, each stored −1). Chunk
+      * SIZES are deliberately not trusted — crawled files lie; only
+      * magics and bounds gate the reads, like every parser here.
+      */
+    private def webp(b: Array[Byte]): Option[(Int, Int)] = {
+      def fourcc(i: Int, s: String) = s.zipWithIndex.forall {
+        case (c, j) => b(i + j) == c.toByte
+      }
+      if (b.length < 25 || !fourcc(0, "RIFF") || !fourcc(8, "WEBP"))
+        return None
+      val dims =
+        if (fourcc(12, "VP8X") && b.length >= 30)
+          Some((le24(b, 24) + 1, le24(b, 27) + 1))
+        else if (fourcc(12, "VP8 ") && b.length >= 30 &&
+                 (b(23) & 0xff) == 0x9d &&
+                 (b(24) & 0xff) == 0x01 && (b(25) & 0xff) == 0x2a)
+          Some((le16(b, 26) & 0x3fff, le16(b, 28) & 0x3fff))
+        else if (fourcc(12, "VP8L") && (b(20) & 0xff) == 0x2f) {
+          val bits = (b(21) & 0xff).toLong | ((b(22) & 0xff).toLong << 8) |
+            ((b(23) & 0xff).toLong << 16) | ((b(24) & 0xff).toLong << 24)
+          Some((((bits & 0x3fff) + 1).toInt,
+            (((bits >> 14) & 0x3fff) + 1).toInt))
+        } else None
+      dims.filter { case (w, h) => w > 0 && h > 0 }
+    }
+
     override def decode(mime: String, bytes: Array[Byte]): (Int, Int, Int) =
-      png(bytes).orElse(jpeg(bytes)).orElse(gif(bytes)) match {
+      png(bytes).orElse(jpeg(bytes)).orElse(gif(bytes))
+        .orElse(webp(bytes)) match {
         case Some((w, h)) => (w, h, 1)
         case None => fallback.decode(mime, bytes)
       }

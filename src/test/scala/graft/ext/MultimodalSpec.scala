@@ -53,6 +53,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(dec.decode("image/gif", gif87) === ((1, 65535, 1)))
   }
 
+  test("WebP: VP8X canvas, VP8 lossy start-code dims, VP8L packed bits") {
+    def le3(v: Int) = { val h = f"$v%06X"
+      h.substring(4) + h.substring(2, 4) + h.substring(0, 2) }
+    def le4(v: Long) = { val h = f"$v%08X"
+      h.substring(6) + h.substring(4, 6) + h.substring(2, 4) + h.substring(0, 2) }
+    // VP8X: canvas stored as width−1 / height−1, 24-bit LE
+    val vp8x = hx("52494646" + le4(22) + "57454250 56503858" + le4(10) +
+      "00000000" + le3(1920 - 1) + le3(1080 - 1))
+    assert(dec.decode("image/webp", vp8x) === ((1920, 1080, 1)))
+    // VP8 lossy: 3-byte frame tag, 9D012A start code, 14-bit LE w/h
+    val vp8 = hx("52494646" + le4(22) + "57454250 56503820" + le4(10) +
+      "000000 9D012A" + le2(640) + le2(480))
+    assert(dec.decode("image/webp", vp8) === ((640, 480, 1)))
+    // VP8L: 0x2F signature, width−1 | (height−1)<<14 packed LE32
+    val bits = (333L - 1) | ((77L - 1) << 14)
+    val vp8l = hx("52494646" + le4(17) + "57454250 5650384C" + le4(5) +
+      "2F" + le4(bits))
+    assert(dec.decode("image/webp", vp8l) === ((333, 77, 1)))
+  }
+
+  test("WebP: bad start code, wrong fourCC, truncation fall to the stub") {
+    val stub = new Multimodal.StubDecoder
+    def le4(v: Long) = { val h = f"$v%08X"
+      h.substring(6) + h.substring(4, 6) + h.substring(2, 4) + h.substring(0, 2) }
+    // VP8 chunk whose keyframe start code is corrupt
+    val badCode = hx("52494646" + le4(22) + "57454250 56503820" + le4(10) +
+      "000000 9D012B" + le2(640) + le2(480))
+    assert(dec.decode("image/webp", badCode) ===
+      stub.decode("image/webp", badCode))
+    // RIFF but not WEBP (a WAV mislabeled as an image)
+    val wav = hx("52494646" + le4(22) + "57415645 56503820" + le4(10) +
+      "000000 9D012A" + le2(640) + le2(480))
+    assert(dec.decode("image/webp", wav) === stub.decode("image/webp", wav))
+    // truncated before the dimension fields
+    val short = hx("52494646" + le4(22) + "57454250 565038")
+    assert(dec.decode("image/webp", short) ===
+      stub.decode("image/webp", short))
+  }
+
   test("detection is by magic bytes, not the mime label") {
     val png = hx("89504E470D0A1A0A 0000000D 49484452 " +
       be4(12) + be4(34) + " 0806000000")

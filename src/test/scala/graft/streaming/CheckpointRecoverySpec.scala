@@ -28,12 +28,13 @@ import graft.TestSpark
   *      contents instead of duplicating, because keys are
   *      deterministic and puts overwrite.
   *
-  * Three stateful operators are exercised (StreamingCdcView: ValueState
+  * Four stateful operators are exercised (StreamingCdcView: ValueState
   * fold; StreamingQuota: MapState ledger + TTL; StreamingMinhashDedup:
   * round-11 packed-binary bucket ValueState + creation-only timers,
   * with cross-restart duplicates that can only match from recovered
-  * state) so the guarantee is pinned on every state shape the repo
-  * ships.
+  * state; StreamingCusum: a CUMULATIVE drift account whose planted
+  * alarm only fires if recovery resumes mid-accumulation) so the
+  * guarantee is pinned on every state shape the repo ships.
   */
 class CheckpointRecoverySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -129,6 +130,63 @@ class CheckpointRecoverySpec extends AnyFunSuite {
       assert(stateRows(chk, Some("view")) == stateRows(refChk, Some("view")),
         "recovered checkpoint state must equal the uninterrupted run's")
       assert(rowsOf(refDir).nonEmpty)
+    }
+  }
+
+  // ------------------------------------------------------- Cusum
+
+  private def cusumBatches: Seq[Seq[StreamingCusum.DayPoint]] = {
+    // stationary then shifted — the alarm fires only if the recovered
+    // drift account resumes from its checkpointed value; a reset
+    // account would need the whole post-shift run again
+    val series = Seq.tabulate(24) { d =>
+      StreamingCusum.DayPoint("rev", d.toLong,
+        (if (d < 16) 200L else 360L) + Seq(7L, -12L, 3L, -9L)(d % 4))
+    }
+    series.grouped(8).toSeq
+  }
+
+  test("Cusum: restart from the checkpoint — the drift account resumes " +
+       "mid-accumulation, alarms and state match an uninterrupted run") {
+    withRocksDb {
+      def out(src: MemoryStream[StreamingCusum.DayPoint]) =
+        StreamingCusum.detect(src.toDS(), mu0Cents = 200L,
+          slackCents = 20L, threshCents = 500L).toDF()
+
+      val refChk = java.nio.file.Files
+        .createTempDirectory("rec-cusum-ref").toString
+      val refDir = java.nio.file.Files
+        .createTempDirectory("rec-cusum-ref-out").toString
+      val refSrc = MemoryStream[StreamingCusum.DayPoint](spark)
+      val refQ = startQuery(out(refSrc), refChk, refDir)
+      cusumBatches.foreach { b =>
+        refSrc.addData(b); refQ.processAllAvailable()
+      }
+      refQ.stop()
+
+      val chk = java.nio.file.Files
+        .createTempDirectory("rec-cusum").toString
+      val dir = java.nio.file.Files
+        .createTempDirectory("rec-cusum-out").toString
+      val src = MemoryStream[StreamingCusum.DayPoint](spark)
+      val q1 = startQuery(out(src), chk, dir)
+      cusumBatches.take(2).foreach { b =>
+        src.addData(b); q1.processAllAvailable()
+      }
+      q1.stop()
+      // the post-shift batch lands while the query is down
+      src.addData(cusumBatches(2))
+      val q2 = startQuery(out(src), chk, dir)
+      q2.processAllAvailable()
+      q2.stop()
+
+      assert(rowsOf(dir) == rowsOf(refDir),
+        "pre-stop + post-restart emissions must equal the uninterrupted run")
+      assert(stateRows(chk, Some("cusum")) == stateRows(refChk, Some("cusum")),
+        "recovered drift account must equal the uninterrupted run's")
+      // the scenario is non-degenerate: the shift actually alarms
+      assert(rowsOf(refDir).exists(_.contains("true")),
+        "planted shift must trip the alarm in the reference run")
     }
   }
 
