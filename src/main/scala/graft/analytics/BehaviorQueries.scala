@@ -196,25 +196,14 @@ object BehaviorQueries {
       "q154_bfs_hops",
       (spark, dir) => {
         val t = new Tables(spark, dir)
-        // per-order pair generation instead of the l_orderkey self-join
-        // the oracle spells (one groupBy shuffle + the codegen'd pair
-        // kernel — the q122 edge-build shape), emitted in BOTH
-        // directions for the undirected frontier walk. Duplicate
-        // directed edges (parts co-ordered more than once) are
-        // harmless: each level dedupes reached nodes before labeling,
-        // and skipping the distinct avoids a 4.8M-row exchange the
-        // labeling never needs (measured fastest of the three builds
-        // tried: kernel+distinct, self-join, kernel as-is).
-        val pairs = t.lineitem
-          .groupBy(col("l_orderkey"))
-          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-          .select(explode(
-            graft.functions.SketchFns.pair_structs(col("ps"))).as("p"))
-        val edges = pairs.select(explode(array(
-            struct(col("p.id_a").as("src"), col("p.id_b").as("dst")),
-            struct(col("p.id_b").as("src"), col("p.id_a").as("dst"))))
-            .as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        // edges from the SHARED co-purchase census, mirrored for the
+        // undirected frontier walk (the round-11 factoring: one build
+        // serves q122/q154/q156/q161/q191). The census is distinct at
+        // the pair level — BFS tolerates duplicate edges, but a
+        // checkpointed distinct table shared across five queries beats
+        // this query's old rebuild-without-distinct, which was only
+        // fastest when each query paid its own build.
+        val edges = SharedGraph.mirrored(spark, dir)
         val seeds = t.part.where(col("p_partkey") % 199 === 0)
           .select(col("p_partkey").as("node"))
         graft.ext.Graph.bfsHops(edges, seeds, maxHops = 3)
@@ -252,21 +241,10 @@ object BehaviorQueries {
       "q156_kcore",
       (spark, dir) => {
         val t = new Tables(spark, dir)
-        // dedupe at the UNDIRECTED pair level (half the rows of the
-        // directed stream), THEN mirror into both directions — the
-        // peel requires exact degrees, and this is the cheapest place
-        // to pay for the distinct
-        val und = t.lineitem
-          .groupBy(col("l_orderkey"))
-          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-          .select(explode(
-            graft.functions.SketchFns.pair_structs(col("ps"))).as("p"))
-          .select(col("p.id_a").as("a"), col("p.id_b").as("b"))
-          .distinct()
-        val edges = und.select(explode(array(
-            struct(col("a").as("src"), col("b").as("dst")),
-            struct(col("b").as("src"), col("a").as("dst")))).as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        // the peel requires exact degrees — the SHARED census is
+        // already distinct at the undirected pair level; mirror into
+        // both directions (one build serves q122/q154/q156/q161/q191)
+        val edges = SharedGraph.mirrored(spark, dir)
         graft.ext.Graph.kCore(edges, k = 65, broadcastAlive = true)
           .orderBy(col("node"))
       },
@@ -340,16 +318,11 @@ object BehaviorQueries {
       "q161_weighted_paths",
       (spark, dir) => {
         val t = new Tables(spark, dir)
-        // q154's pair-kernel edge build, extended with the co-order
-        // multiplicity census: one groupBy per order, one per
-        // undirected pair, then both directions carry the weight
-        val co = t.lineitem
-          .groupBy(col("l_orderkey"))
-          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-          .select(explode(
-            graft.functions.SketchFns.pair_structs(col("ps"))).as("p"))
-          .groupBy(col("p.id_a").as("u"), col("p.id_b").as("v"))
-          .agg(count(lit(1)).as("c"))
+        // the SHARED census IS the co-order multiplicity table this
+        // query needs (one build serves q122/q154/q156/q161/q191);
+        // both directions then carry the affinity weight
+        val co = SharedGraph.coPurchasePairs(spark, dir)
+          .select(col("a").as("u"), col("b").as("v"), col("c"))
         val wCol = when(col("c") >= 3, 1L).when(col("c") === 2, 2L)
           .otherwise(5L)
         val edges = co.select(col("u"), col("v"), wCol.as("w"))

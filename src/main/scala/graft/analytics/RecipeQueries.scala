@@ -2,7 +2,8 @@ package graft.analytics
 
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
-import graft.ext.{Dedup, Profile, Similarity, Stats, TextAnalysis}
+import graft.ext.{Dedup, Profile, QualityFilter, Similarity, Stats,
+  TextAnalysis}
 
 /** Round-11 widening: the corpus-recipe and governance surface — the
   * decisions a training-data pipeline makes AFTER cleaning: which
@@ -361,13 +362,9 @@ object RecipeQueries {
       "q191_modularity",
       (spark, dir) => {
         val t = new Tables(spark, dir)
-        val edges = t.lineitem
-          .groupBy(col("l_orderkey"))
-          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-          .select(explode(
-            graft.functions.SketchFns.pair_structs(col("ps"))).as("p"))
-          .select(col("p.id_a").as("src"), col("p.id_b").as("dst"))
-          .distinct()
+        // distinct undirected edges from the SHARED co-purchase census
+        // (one build serves q122/q154/q156/q161/q191)
+        val edges = SharedGraph.undirected(spark, dir)
         val communities = t.part
           .select(col("p_partkey").as("node"), col("p_brand").as("community"))
         graft.ext.Graph.modularity(edges, communities)
@@ -520,6 +517,60 @@ object RecipeQueries {
                CAST((event_id * 13) % 3000 + 16 AS INT) AS height,
                CAST(1 AS INT) AS nFrames
         FROM events
-        ORDER BY media_id"""))
+        ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q194: quality-filter disparity audit
+    // ([[graft.ext.QualityFilter.disparityAudit]]) — per-language
+    // keep rates of the q180 frozen model plus the disparate-impact
+    // ratio vs the corpus-wide rate in exact ppm, with the
+    // four-fifths verdict. Heuristic filters demonstrably disfavor
+    // low-resource languages; this is the pre-ship bias check.
+    GraftQuery(
+      "q194_filter_disparity",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        QualityFilter.disparityAudit(t.documents, col("lang"), col("text"),
+            QualityFilter.LinearModel(wChars = -300L, wWords = -4000L,
+              wDistinct = 22000L, wWordChars = 900L, wStop = -25000L,
+              biasMicro = -380000L))
+          .withColumnRenamed("grp", "lang")
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT lang,
+                 CAST(length(coalesce(text, '')) AS BIGINT) AS f_chars,
+                 CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                   x -> x <> '')) AS BIGINT) AS f_words,
+                 CAST(len(list_distinct(list_filter(
+                   string_split(coalesce(text, ''), ' '),
+                   x -> x <> ''))) AS BIGINT) AS f_distinct,
+                 CAST(coalesce(list_sum(list_transform(
+                   list_filter(string_split(coalesce(text, ''), ' '),
+                   x -> x <> ''), x -> length(x))), 0) AS BIGINT)
+                   AS f_word_chars,
+                 CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                   x -> x = 'the')) AS BIGINT) AS f_stop
+          FROM documents),
+        k AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN -380000 - 300*f_chars - 4000*f_words
+                        + 22000*f_distinct + 900*f_word_chars
+                        - 25000*f_stop >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keep
+          FROM f GROUP BY lang),
+        tot AS (SELECT SUM(n_docs) AS n_total, SUM(n_keep) AS k_total
+                FROM k)
+        SELECT lang, n_docs, n_keep,
+               CAST(n_keep AS DOUBLE) / n_docs AS keep_rate,
+               CAST(CAST(n_keep AS HUGEINT) * n_total * 1000000
+                    // (CAST(n_docs AS HUGEINT) * k_total) AS BIGINT)
+                 AS ratio_ppm,
+               CAST(CAST(n_keep AS HUGEINT) * n_total * 1000000
+                    // (CAST(n_docs AS HUGEINT) * k_total) AS BIGINT)
+                 >= 800000 AS four_fifths_ok
+        FROM k, tot
+        ORDER BY lang"""))
   )
 }

@@ -852,18 +852,11 @@ object SurfaceQueries {
     GraftQuery(
       "q122_triangle_counts",
       (spark, dir) => {
-        val t = new Tables(spark, dir)
-        // per-order pair generation beats the l_orderkey SELF-JOIN the
-        // oracle spells: one groupBy shuffle of (orderkey, partkey)
-        // longs, then the codegen'd pair kernel expands each order's
-        // sorted part set in-row — the order-size bound makes the
-        // expansion O(k²) per order with k ≈ single digits
-        val edges = t.lineitem
-          .groupBy(col("l_orderkey"))
-          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-          .select(explode(
-            graft.functions.SketchFns.pair_structs(col("ps"))).as("p"))
-          .select(col("p.id_a").as("src"), col("p.id_b").as("dst"))
+        // edge list from the SHARED co-purchase census (one build
+        // serves q122/q154/q156/q161/q191 — the SharedClusterPass
+        // factoring; per-order pair generation beats the l_orderkey
+        // SELF-JOIN the oracle spells, and now runs once per session)
+        val edges = SharedGraph.undirected(spark, dir)
         // the part co-purchase graph is dimension-sized (~1.2M edges
         // over ~20k parts at sf0.1) — broadcast the packed adjacency
         // table so the per-edge intersections run map-side with no

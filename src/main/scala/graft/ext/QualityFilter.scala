@@ -87,4 +87,39 @@ object QualityFilter {
     }
     LinearModel(w(0), w(1), w(2), w(3), w(4), w(5))
   }
+
+  /** Filter disparity audit — does the frozen quality model drop one
+    * group (language, source, dialect) disproportionately? Heuristic
+    * corpus filters are DOCUMENTED to disfavor low-resource languages
+    * and non-standard dialects; this is the audit a curation pipeline
+    * runs before shipping a filtered corpus. Per group: exact
+    * keep/drop counts, keep rate, and the disparate-impact ratio
+    * against the corpus-wide keep rate in exact ppm —
+    * `ratio_ppm = 10⁶ · (n_keep·N) div (n_docs·K)` (N, K = corpus
+    * totals, computed in decimal(38,0) so 1e12-doc corpora cannot
+    * wrap) — with the four-fifths verdict (`ratio_ppm ≥ 800000`, the
+    * adverse-impact rule of thumb applied to data curation).
+    *
+    * Scale shape: one scan scoring map-side (the q180 apply), one
+    * grouped aggregation, totals broadcast back. Nothing else moves.
+    */
+  def disparityAudit(df: DataFrame, group: Column, text: Column,
+                     m: LinearModel): DataFrame = {
+    val dec = "decimal(38,0)"
+    val per = withQualityLogit(df, text, m)
+      .groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+    val tot = per.agg(sum(col("n_docs")).as("__n_total"),
+      sum(col("n_keep")).as("__k_total"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("keep_rate",
+        col("n_keep").cast("double") / col("n_docs").cast("double"))
+      .withColumn("ratio_ppm", expr(
+        s"(cast(n_keep as $dec) * __n_total * 1000000)" +
+          s" div (cast(n_docs as $dec) * __k_total)"))
+      .withColumn("four_fifths_ok", col("ratio_ppm") >= 800000L)
+      .select(col("grp"), col("n_docs"), col("n_keep"), col("keep_rate"),
+        col("ratio_ppm"), col("four_fifths_ok"))
+  }
 }

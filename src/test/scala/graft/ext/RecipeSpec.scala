@@ -238,6 +238,25 @@ class RecipeSpec extends AnyFunSuite {
     assert(k3.isNullAt(k3.fieldIndex("kappa")))
   }
 
+  test("disparityAudit: keep rates, exact ppm ratio, four-fifths verdict") {
+    // model keeps docs with >= 3 words: weights 1e6 per word, bias -2.5e6
+    val m = QualityFilter.LinearModel(0L, 1000000L, 0L, 0L, 0L, -2500000L)
+    // group A: 4 docs, 3 kept; group B: 4 docs, 1 kept
+    val docs = Seq(
+      ("A", "w w w"), ("A", "w w w w"), ("A", "w w w"), ("A", "w"),
+      ("B", "w w w"), ("B", "w"), ("B", "w w"), ("B", "w"))
+      .toDF("g", "text")
+    val out = QualityFilter.disparityAudit(docs, col("g"), col("text"), m)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(out("A").getAs[Long]("n_keep") == 3)
+    assert(out("B").getAs[Long]("n_keep") == 1)
+    // corpus rate 4/8; A ratio = (3/4)/(4/8) = 1.5; B = (1/4)/(1/2) = 0.5
+    assert(out("A").getAs[Long]("ratio_ppm") == 1500000L)
+    assert(out("B").getAs[Long]("ratio_ppm") == 500000L)
+    assert(out("A").getAs[Boolean]("four_fifths_ok"))
+    assert(!out("B").getAs[Boolean]("four_fifths_ok"))
+  }
+
   test("kAnonymityAudit flags small and uniform classes") {
     val rows = Seq(
       // class (1,"A"): 3 rows, 2 distinct sensitive → both pass
