@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Robustness fuzz over every binary parser: crawled corpora contain
+  * truncated, corrupted, and adversarially weird files, and a single
+  * throwing row aborts a 100 TB task — so the parsers' "never throw"
+  * contract is load-bearing, not cosmetic. MultimodalSpec pins golden
+  * and hand-crafted negative cases; this spec hammers each parser with
+  * (a) pure LCG noise, (b) valid magic bytes followed by noise, and
+  * (c) random truncations of valid fixtures — thousands of inputs,
+  * asserting only that decoding completes and returns a sane shape.
+  * Deterministic LCG draws: identical across runs, no seed plumbing.
+  */
+class MultimodalFuzzSpec extends AnyFunSuite {
+
+  private var seed = 0x5deece66dL
+  private def next(): Long = {
+    seed = seed * 6364136223846793005L + 1442695040888963407L; seed
+  }
+  private def bytes(n: Int): Array[Byte] =
+    Array.fill(n)(next().toByte)
+
+  private def hx(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  private val dec = new Multimodal.HeaderDecoder()
+  private val stub = new Multimodal.StubDecoder
+
+  private val magics = Seq(
+    "89504E470D0A1A0A", // PNG
+    "FFD8FF", // JPEG
+    "474946383961", // GIF
+    "52494646", // RIFF (WAV/WebP)
+    "5249464600000000 57454250", // RIFF+WEBP
+    "5249464600000000 57415645", // RIFF+WAVE
+    "0000001C 66747970", // MP4 ftyp
+    "255044462D312E37", // %PDF-1.7
+    "504B0304") // ZIP local header
+
+  test("HeaderDecoder never throws on noise, magic+noise, truncations") {
+    // pure noise at assorted sizes (incl. 0 and 1)
+    for (n <- Seq(0, 1, 2, 7, 16, 64, 256, 1024); _ <- 1 to 50) {
+      val b = bytes(n)
+      val (w, h, f) = dec.decode("application/octet-stream", b)
+      assert(w > 0 && h > 0 && f > 0)
+    }
+    // every known magic followed by noise tails of growing length
+    for (m <- magics; tail <- Seq(0, 1, 4, 9, 17, 40, 200)) {
+      val b = hx(m) ++ bytes(tail)
+      val (w, h, f) = dec.decode("image/png", b)
+      assert(w > 0 && h > 0 && f > 0)
+    }
+  }
+
+  test("audio/video/pdf/docx parsers never throw; failures carry ok=false") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val rows = (1 to 120).map { i =>
+      val payload = (i % 4) match {
+        case 0 => bytes(i * 3 % 97)
+        case 1 => hx(magics(i % magics.size).replaceAll(" ", "")) ++
+          bytes(i % 53)
+        case 2 => Array.empty[Byte]
+        case _ => bytes(2048)
+      }
+      Multimodal.MediaRecord(i.toLong, "application/octet-stream", payload)
+    }
+    val ds = rows.toDS()
+    // every extractor must complete the full scan without a task abort
+    val audio = Multimodal.extractAudioMeta(ds).collect()
+    val video = Multimodal.extractVideoMeta(ds).collect()
+    val pdf = Multimodal.extractPdfMeta(ds).collect()
+    val docx = Multimodal.extractDocxMeta(ds).collect()
+    assert(audio.length == rows.size && video.length == rows.size)
+    assert(pdf.length == rows.size && docx.length == rows.size)
+    // empty and pure-noise payloads must surface as parse failures
+    // (magic+noise MAY parse in a permissive container walk — crawled
+    // data contains exactly such semi-garbage, and tolerating it with
+    // bounded reads is the documented behavior; the invariant under
+    // fuzz is completion, not rejection)
+    val noiseIds = rows.filter(r => r.media.isEmpty).map(_.media_id).toSet
+    assert(audio.filter(r => noiseIds(r.media_id)).forall(!_.ok))
+    assert(pdf.filter(r => noiseIds(r.media_id)).forall(!_.ok))
+  }
+
+  test("random truncations of VALID fixtures never throw") {
+    def be4(v: Int) = f"$v%08X"
+    def le2(v: Int) = { val h = f"$v%04X"; h.substring(2) + h.substring(0, 2) }
+    val valid = Seq(
+      hx("89504E470D0A1A0A 0000000D 49484452" + be4(800) + be4(600) +
+        "0806000000"),
+      hx("FFD8 FFC00011 08" + f"${600}%04X" + f"${800}%04X" +
+        "03012200021101031101"),
+      hx("474946383961" + le2(320) + le2(200) + "F70000"),
+      hx("52494646 16000000 57454250 56503858 0A000000 00000000" +
+        "7F0700" + "370400"))
+    for (v <- valid; cut <- 0 until v.length) {
+      val (w, h, f) = dec.decode("image/any", v.take(cut))
+      assert(w > 0 && h > 0 && f > 0)
+    }
+  }
+}
