@@ -27,7 +27,7 @@ object ExtQueries {
     * The invariance-sweep confs are part of the key, so the sweep still
     * recomputes under each regime rather than reusing across them.
     */
-  private object SharedClusterPass {
+  private[analytics] object SharedClusterPass {
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[String,
         org.apache.spark.sql.DataFrame]()

@@ -571,6 +571,135 @@ object RecipeQueries {
                     // (CAST(n_docs AS HUGEINT) * k_total) AS BIGINT)
                  >= 800000 AS four_fifths_ok
         FROM k, tot
-        ORDER BY lang"""))
+        ORDER BY lang""")),
+
+    // ------------------------------------------------------------------
+    // q195: cross-source duplication matrix — the q28 near-dup pair set
+    // rolled up to (source, source) cells: "how much of source X is
+    // copied from source Y", the provenance summary a mixture designer
+    // reads before weighting sources (a source that is largely a
+    // mirror of another should not be double-counted). Pure
+    // composition: the LSH pair stream joins the doc→source map twice
+    // (node-keyed; dimension-sized maps broadcast at scale) and
+    // aggregates per canonical source pair.
+    GraftQuery(
+      "q195_cross_source_dups",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val pairs = Dedup.minhashPairs(t.documents, col("doc_id"),
+            col("text"), n = 3, threshold = 0.8)
+          .select(col("id_a"), col("id_b"))
+        val srcs = t.documents.select(col("doc_id"), col("source"))
+        pairs
+          .join(srcs.select(col("doc_id").as("id_a"),
+            col("source").as("s_a")), "id_a")
+          .join(srcs.select(col("doc_id").as("id_b"),
+            col("source").as("s_b")), "id_b")
+          .select(least(col("s_a"), col("s_b")).as("src_a"),
+            greatest(col("s_a"), col("s_b")).as("src_b"),
+            col("id_a"), col("id_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            count_distinct(col("id_a")).as("n_docs_a"),
+            count_distinct(col("id_b")).as("n_docs_b"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shingles AS (SELECT doc_id, CASE WHEN len(w) >= 3
+               THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+                 i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
+               ELSE [array_to_string(w, ' ')] END AS sh FROM words),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shingles),
+        sizes AS (SELECT doc_id, len(sh) AS n FROM shingles),
+        cand AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT ia AS id_a, ib AS id_b
+          FROM cand JOIN sizes sa ON ia = sa.doc_id
+          JOIN sizes sb ON ib = sb.doc_id
+          WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8),
+        tagged AS (
+          SELECT least(da.source, db.source) AS src_a,
+                 greatest(da.source, db.source) AS src_b,
+                 p.id_a, p.id_b
+          FROM pairs p
+          JOIN documents da ON da.doc_id = p.id_a
+          JOIN documents db ON db.doc_id = p.id_b)
+        SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT id_a) AS BIGINT) AS n_docs_a,
+               CAST(count(DISTINCT id_b) AS BIGINT) AS n_docs_b
+        FROM tagged
+        GROUP BY src_a, src_b
+        ORDER BY src_a, src_b""")),
+
+    // ------------------------------------------------------------------
+    // q196: benchmark-taint propagation through near-dup clusters —
+    // the Lee et al. decontamination recommendation taken to its
+    // conclusion: removing exact benchmark matches (q59) is not
+    // enough; every NEAR-DUPLICATE of a benchmark member must go too,
+    // so the tag propagates to the whole connected component. Pure
+    // composition over the SHARED cluster pass (one clustering serves
+    // q75/q85/q100/q196): tag → cluster rollup → broadcast back.
+    GraftQuery(
+      "q196_taint_propagation",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val comp = ExtQueries.SharedClusterPass.clusterTable(spark, dir)
+          .select(col("doc_id"), col("cluster_id"))
+        val full = t.documents.select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("cluster_id",
+            coalesce(col("cluster_id"), col("doc_id")))
+          .withColumn("direct", col("doc_id") % 97 === 0)
+        val tags = full.groupBy(col("cluster_id"))
+          .agg(sum(when(col("direct"), 1L).otherwise(0L))
+            .as("n_tagged_in_cluster"))
+        full.join(broadcast(tags), "cluster_id")
+          .select(col("doc_id"), col("cluster_id"), col("direct"),
+            (col("n_tagged_in_cluster") > 0).as("tainted"),
+            col("n_tagged_in_cluster"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        shingles AS (SELECT doc_id, CASE WHEN len(w) >= 3
+               THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+                 i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
+               ELSE [array_to_string(w, ' ')] END AS sh FROM words),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shingles),
+        sizes AS (SELECT doc_id, len(sh) AS n FROM shingles),
+        cand AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT ia AS id_a, ib AS id_b
+          FROM cand JOIN sizes sa ON ia = sa.doc_id
+          JOIN sizes sb ON ib = sb.doc_id
+          WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8),
+        edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(s, d) AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        comp AS (
+          SELECT s AS doc_id, least(s, MIN(d)) AS cluster_id
+          FROM reach GROUP BY s),
+        alldocs AS (
+          SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                 d.doc_id % 97 = 0 AS direct
+          FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+        tags AS (
+          SELECT cluster_id,
+                 CAST(SUM(CASE WHEN direct THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tagged_in_cluster
+          FROM alldocs GROUP BY cluster_id)
+        SELECT f.doc_id, f.cluster_id, f.direct,
+               t.n_tagged_in_cluster > 0 AS tainted,
+               t.n_tagged_in_cluster
+        FROM alldocs f JOIN tags t USING (cluster_id)
+        ORDER BY f.doc_id"""))
   )
 }

@@ -26,10 +26,10 @@ import graft.{SparkEntry, TestSpark}
   * reordering between regimes — which the driver also sorts away —
   * don't count as differences.
   *
-  * The 7 rows-only queries (no oracle: hash-function/model/approximation
-  * dependent) are exactly the excluded set — several are sampling-based
-  * and legitimately partition-sensitive; their stability properties are
-  * pinned by their own golden/property specs instead.
+  * The rows-only queries (no oracle — q48/q94/q162, all three
+  * iterative-training outputs) are exactly the excluded set; their
+  * stability properties are pinned by their own golden/property specs
+  * instead.
   */
 class InvarianceSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
