@@ -241,10 +241,12 @@ object StreamBench {
     val src = MemoryStream[StreamingCusum.DayPoint](spark)
     val out = StreamingCusum.detect(src.toDS(), mu0Cents = 200L,
       slackCents = 20L, threshCents = 600L)
-    // 2 day points per series per batch; day clock advances with the
-    // batch so every point folds into live state (no late drops)
+    // exactly 2 day points per series per batch (an odd perBatch would
+    // otherwise emit a third day for series 0 that collides with the
+    // next batch's first day and gets dropped as late); the day clock
+    // advances with the batch so every point folds into live state
     val nKeys = perBatch / 2
-    def batch(b: Int) = (0 until perBatch).map { i =>
+    def batch(b: Int) = (0 until nKeys * 2).map { i =>
       StreamingCusum.DayPoint(s"series${i % nKeys}",
         (b + 1).toLong * 2 + i / nKeys,
         200L + Math.floorMod(lcg(b.toLong * perBatch + i), 61) - 30)

@@ -28,8 +28,12 @@ object FixtureCache {
     val regime = spark.conf.getOption("graft.test.inputPartitions")
       .getOrElse("-") + "|" +
       spark.conf.getOption("spark.sql.shuffle.partitions").getOrElse("-")
+    // applicationId, NOT identityHashCode: an identity hash is reusable
+    // after GC, so a later session could be served a checkpointed frame
+    // whose blocks belong to a STOPPED context (the SharedClusterPass
+    // key discipline)
     frames.getOrElseUpdate(
-      s"$name|$dir|$regime|${System.identityHashCode(spark)}",
+      s"$name|$dir|$regime|${spark.sparkContext.applicationId}",
       build.localCheckpoint(eager = true))
   }
 }

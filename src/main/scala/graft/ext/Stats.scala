@@ -286,6 +286,13 @@ object Stats {
     *
     * Output: (key, day, x_cents, s_pos, s_neg, alarm_up, alarm_down),
     * one row per key × day.
+    *
+    * PRECONDITION: each key's series total must be POSITIVE — slack and
+    * threshold are permille fractions of the series' own mean, so a
+    * zero/negative-sum series (a signed refund ledger) flips or zeroes
+    * both and every row alarms. Signed ledgers use [[cusumFixed]],
+    * whose slack/threshold are absolute cent values with no data-
+    * derived scaling.
     */
   def cusum(df: DataFrame, key: Column, day: Column, valueCents: Column,
             slackPermille: Long, threshPermille: Long): DataFrame = {

@@ -102,7 +102,10 @@ object TextAnalysis {
         sum(when(col("oov"), 1L).otherwise(0L)).as("oov_words"),
         count_distinct(when(col("oov"), col("word"))).as("distinct_oov"))
       .withColumn("oov_ppm",
-        expr("CAST(oov_words * 1000000 DIV total_words AS BIGINT)"))
+        // ×1e6 in decimal(38,0): a >9.2e12-occurrence OOV census (the
+        // 100 TB pre-flight this exists for) would wrap Long
+        expr("CAST(cast(oov_words as decimal(38,0)) * 1000000" +
+          " div total_words AS BIGINT)"))
   }
 
   /** PII redaction patterns: (name, regex, replacement). The regexes are
