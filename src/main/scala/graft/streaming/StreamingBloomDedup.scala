@@ -66,7 +66,7 @@ object StreamingBloomDedup {
   final case class Decision(docId: Long, hash: Long, definitelyNew: Boolean,
                             eventTime: Timestamp)
 
-  private final case class RotMeta(inserted: Long, curIsA: Boolean)
+  private[streaming] final case class RotMeta(inserted: Long, curIsA: Boolean)
 
   /** The lazy single pass shared by both variants: emits a duplicate
     * decision for every row whose key is already in the filter

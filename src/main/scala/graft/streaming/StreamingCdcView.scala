@@ -53,7 +53,7 @@ object StreamingCdcView {
   final case class ViewChange(key: Long, ts: Timestamp, opId: Long,
                               value: Double, live: Boolean, nOps: Long)
 
-  private final case class ViewState(tsMs: Long, opId: Long, value: Double,
+  private[streaming] final case class ViewState(tsMs: Long, opId: Long, value: Double,
                                      live: Boolean, nOps: Long)
 
   private final class CdcProcessor

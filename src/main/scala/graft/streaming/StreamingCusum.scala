@@ -49,7 +49,7 @@ object StreamingCusum {
                               sPos: Long, sNeg: Long,
                               alarmUp: Boolean, alarmDown: Boolean)
 
-  private final case class St(sPos: Long, sNeg: Long, lastDay: Long)
+  private[streaming] final case class St(sPos: Long, sNeg: Long, lastDay: Long)
 
   private final class CusumProcessor(mu0Cents: Long, slackCents: Long,
                                      threshCents: Long)

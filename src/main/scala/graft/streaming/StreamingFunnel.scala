@@ -54,12 +54,12 @@ object StreamingFunnel {
   final case class Reached(userId: Long, stage: Int, name: String,
                            at: Timestamp)
 
-  private final case class Ev(tsMs: Long, tpe: String)
+  private[streaming] final case class Ev(tsMs: Long, tpe: String)
 
   /** `times(i)` = stage i's reach time in epoch ms, -1 while unset;
     * `resolved` marks a terminal funnel (complete or dead).
     */
-  private final case class Prog(times: Seq[Long], resolved: Boolean)
+  private[streaming] final case class Prog(times: Seq[Long], resolved: Boolean)
 
   private final class FunnelProcessor(stages: Seq[Stage])
       extends StatefulProcessor[Long, Event, Reached] {

@@ -54,7 +54,7 @@ object StreamingGapFill {
   final case class Tick(key: String, tickTime: Timestamp, value: Double,
                         filled: Boolean)
 
-  private final case class Last(lastTickMs: Long, value: Double,
+  private[streaming] final case class Last(lastTickMs: Long, value: Double,
                                 fills: Int)
 
   private final class GapFillProcessor(tickMs: Long, maxFillTicks: Int)

@@ -62,7 +62,7 @@ object StreamingHeldAlert {
     * frontier must survive resolution so late windows cannot
     * re-litigate emitted transitions.
     */
-  private final case class Run(sinceMs: Long, lastWinMs: Long,
+  private[streaming] final case class Run(sinceMs: Long, lastWinMs: Long,
                                count: Int, firing: Boolean)
 
   private final class HeldProcessor(windowMs: Long, threshold: Double,

@@ -90,7 +90,7 @@ object StreamingMinhashDedup {
     * inside the bucket's backing byte array (zero per-entry copies on
     * the compare path).
     */
-  private final case class Resident(docId: Long, lastMs: Long,
+  private[streaming] final case class Resident(docId: Long, lastMs: Long,
                                     bytes: Array[Byte], off: Int)
 
   private final class BandProcessor(threshold: Double, ttlMs: Long,

@@ -48,7 +48,7 @@ object StreamingProfile {
                               minV: Double, maxV: Double, sumCents: Long,
                               completeness: Double)
 
-  private final case class St(nRows: Long, nNonnull: Long, minV: Double,
+  private[streaming] final case class St(nRows: Long, nNonnull: Long, minV: Double,
                               maxV: Double, sumCents: Long)
 
   private final class ProfileProcessor
