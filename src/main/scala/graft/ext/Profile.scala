@@ -153,27 +153,6 @@ object Profile {
       .withColumn("pass", col("violations") === 0L)
   }
 
-  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
-    * 2007) — the privacy gate a dataset passes before its quasi-
-    * identifier slice is released or logged: every equivalence class of
-    * the quasi-identifier tuple must contain at least `kMin` rows
-    * (re-identification resistance) AND at least `lMin` distinct values
-    * of the sensitive column (attribute-disclosure resistance). The
-    * governance sibling of [[audit]]: that one checks value validity,
-    * this one checks disclosure risk.
-    *
-    * ONE aggregation keyed by the quasi-identifier tuple computes both
-    * the class size and the exact distinct-sensitive count (map-side
-    * partials; the shuffle carries one row per equivalence class — at
-    * 100 TB the class count, not the row count, prices the exchange).
-    * Quasi-identifier columns should be pre-generalized by the caller
-    * (bucketed numerics, truncated codes) — generalization choice is
-    * policy, not engine.
-    *
-    * Output: one row per equivalence class — the quasi columns,
-    * `class_size`, `l_distinct`, `k_ok`, `l_ok` — plus the audit
-    * verdict columns a release gate filters on.
-    */
   /** Right-to-erasure propagation audit (GDPR Art. 17 operationalized):
     * given the set of subject ids whose data was ordered deleted, count
     * the rows STILL referencing each subject in every downstream table
@@ -207,6 +186,27 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    * 2007) — the privacy gate a dataset passes before its quasi-
+    * identifier slice is released or logged: every equivalence class of
+    * the quasi-identifier tuple must contain at least `kMin` rows
+    * (re-identification resistance) AND at least `lMin` distinct values
+    * of the sensitive column (attribute-disclosure resistance). The
+    * governance sibling of [[audit]]: that one checks value validity,
+    * this one checks disclosure risk.
+    *
+    * ONE aggregation keyed by the quasi-identifier tuple computes both
+    * the class size and the exact distinct-sensitive count (map-side
+    * partials; the shuffle carries one row per equivalence class — at
+    * 100 TB the class count, not the row count, prices the exchange).
+    * Quasi-identifier columns should be pre-generalized by the caller
+    * (bucketed numerics, truncated codes) — generalization choice is
+    * policy, not engine.
+    *
+    * Output: one row per equivalence class — the quasi columns,
+    * `class_size`, `l_distinct`, `k_ok`, `l_ok` — plus the audit
+    * verdict columns a release gate filters on.
+    */
   def kAnonymityAudit(df: DataFrame, quasi: Seq[(String, Column)],
                       sensitive: Column, kMin: Long, lMin: Long)
       : DataFrame = {

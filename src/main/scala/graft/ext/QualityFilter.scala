@@ -98,7 +98,11 @@ object QualityFilter {
     * `ratio_ppm = 10⁶ · (n_keep·N) div (n_docs·K)` (N, K = corpus
     * totals, computed in decimal(38,0) so 1e12-doc corpora cannot
     * wrap) — with the four-fifths verdict (`ratio_ppm ≥ 800000`, the
-    * adverse-impact rule of thumb applied to data curation).
+    * adverse-impact rule of thumb applied to data curation). Degenerate
+    * corpus (zero keeps anywhere): `ratio_ppm` is NULL (undefined — a
+    * 0/0 ratio) but `four_fifths_ok` is pinned FALSE, so a release gate
+    * filtering on the verdict fails closed instead of treating the
+    * group as neither pass nor fail.
     *
     * Scale shape: one scan scoring map-side (the q180 apply), one
     * grouped aggregation, totals broadcast back. Nothing else moves.
@@ -115,10 +119,16 @@ object QualityFilter {
     per.crossJoin(broadcast(tot))
       .withColumn("keep_rate",
         col("n_keep").cast("double") / col("n_docs").cast("double"))
-      .withColumn("ratio_ppm", expr(
-        s"(cast(n_keep as $dec) * __n_total * 1000000)" +
-          s" div (cast(n_docs as $dec) * __k_total)"))
-      .withColumn("four_fifths_ok", col("ratio_ppm") >= 800000L)
+      // zero keeps corpus-wide: the div would raise DIVIDE_BY_ZERO under
+      // ANSI — gate it so the degenerate corpus reports instead of crashing
+      .withColumn("ratio_ppm",
+        when(col("__k_total") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            s"(cast(n_keep as $dec) * __n_total * 1000000)" +
+              s" div (cast(n_docs as $dec) * __k_total)")))
+      .withColumn("four_fifths_ok",
+        when(col("__k_total") === 0L, lit(false))
+          .otherwise(col("ratio_ppm") >= 800000L))
       .select(col("grp"), col("n_docs"), col("n_keep"), col("keep_rate"),
         col("ratio_ppm"), col("four_fifths_ok"))
   }

@@ -290,9 +290,12 @@ object Stats {
     * PRECONDITION: each key's series total must be POSITIVE — slack and
     * threshold are permille fractions of the series' own mean, so a
     * zero/negative-sum series (a signed refund ledger) flips or zeroes
-    * both and every row alarms. Signed ledgers use [[cusumFixed]],
-    * whose slack/threshold are absolute cent values with no data-
-    * derived scaling.
+    * both and every row alarms. ENFORCED, not doc-only: keys with
+    * t_sum ≤ 0 emit NULL alarm_up/alarm_down (s_pos/s_neg still carry
+    * the raw statistic), so a violating series fails loudly downstream
+    * instead of alarming on every row. Signed ledgers use
+    * [[cusumFixed]], whose slack/threshold are absolute cent values
+    * with no data-derived scaling.
     */
   def cusum(df: DataFrame, key: Column, day: Column, valueCents: Column,
             slackPermille: Long, threshPermille: Long): DataFrame = {
@@ -322,8 +325,8 @@ object Stats {
       .select(col("key"), col("day"), col("x").as("x_cents"),
         col("__spos").cast("double").as("s_pos"),
         col("__sneg").cast("double").as("s_neg"),
-        (col("__spos") > thr).as("alarm_up"),
-        (col("__sneg") > thr).as("alarm_down"))
+        when(col("t_sum") > 0, col("__spos") > thr).as("alarm_up"),
+        when(col("t_sum") > 0, col("__sneg") > thr).as("alarm_down"))
   }
 
   /** Cohen's kappa between two labelings of the same rows — the
@@ -386,9 +389,13 @@ object Stats {
     * coincide to noise; callers comparing against midrank tables
     * should know the difference exists.
     *
-    * Exactness: d² sums are exact BIGINTs (n up to ~2M per group
-    * before n(n²−1) nears 2^63 — past that, lift to decimal); ρ is ONE
-    * double division of two exact integers. The rank windows partition
+    * Exactness: d² is accumulated in decimal(38,0) and n(n²−1) is
+    * computed in decimal(38,0), so ρ stays exact-over-exact at ANY
+    * group size (a Long denominator would silently wrap past n≈2M
+    * under non-ANSI semantics and emit a plausible, possibly
+    * sign-flipped ρ); the emitted `d2_sum` BIGINT goes NULL instead of
+    * wrapping if a group ever exceeds Long range. ρ is ONE double
+    * division of two exact integers. The rank windows partition
     * per group and sort within — at corpus scale swap in the bucketed
     * two-phase prefix decomposition ([[ksTest]]'s ECDF argument) or
     * range-partition the rank.
@@ -401,17 +408,19 @@ object Stats {
       a.as("a"), b.as("b"))
     val wa = Window.partitionBy(col("grp")).orderBy(col("a"), col("id"))
     val wb = Window.partitionBy(col("grp")).orderBy(col("b"), col("id"))
+    val nDec = col("n").cast("decimal(38,0)")
     base
       .withColumn("ra", row_number().over(wa))
       .withColumn("rb", row_number().over(wb))
-      .withColumn("d", (col("ra") - col("rb")).cast("long"))
+      .withColumn("d", (col("ra") - col("rb")).cast("decimal(38,0)"))
       .groupBy(col("grp"))
-      .agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("d2_sum"))
+      .agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("__d2"))
       .withColumn("rho",
         when(col("n") < 2, lit(null).cast("double"))
-          .otherwise(lit(1.0) - lit(6.0) * col("d2_sum").cast("double") /
-            (col("n") * (col("n") * col("n") - 1)).cast("double")))
-      .select(col("grp"), col("n"), col("d2_sum"), col("rho"))
+          .otherwise(lit(1.0) - lit(6.0) * col("__d2").cast("double") /
+            (nDec * nDec * nDec - nDec).cast("double")))
+      .select(col("grp"), col("n"), col("__d2").cast("long").as("d2_sum"),
+        col("rho"))
   }
 
   /** [[cusum]] with a PINNED reference mean instead of the series' own:

@@ -109,6 +109,24 @@ class RecipeSpec extends AnyFunSuite {
     assert(firstAlarm >= 20, "alarm must not fire before the shift")
   }
 
+  test("cusum: a zero/negative-sum series nulls the alarms, not garbage") {
+    // signed refund ledger summing to 0 — permille-of-mean slack and
+    // threshold are undefined; pre-fix every positive-drift row alarmed
+    val signed = Seq(("r", 0, 500L), ("r", 1, -500L), ("r", 2, 300L),
+      ("r", 3, -300L)).toDF("g", "d", "cents")
+    val out = Stats.cusum(signed, col("g"), col("d"), col("cents"),
+      slackPermille = 100, threshPermille = 1000).collect()
+    assert(out.length == 4)
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("alarm_up")) &&
+      r.isNullAt(r.fieldIndex("alarm_down"))),
+      "t_sum <= 0 must yield NULL verdicts")
+    // a healthy positive series is untouched by the guard
+    val ok = Stats.cusum(Seq(("k", 0, 10L), ("k", 1, 10L))
+        .toDF("g", "d", "cents"),
+      col("g"), col("d"), col("cents"), 100, 1000).collect()
+    assert(ok.forall(r => !r.isNullAt(r.fieldIndex("alarm_up"))))
+  }
+
   test("cusum matches the max(0, prev + dev) recurrence exactly") {
     val vals = Seq(5L, 9L, 2L, 14L, 3L, 8L, 1L, 12L, 7L, 6L)
     val df = vals.zipWithIndex.map { case (v, i) => ("k", i, v) }
@@ -255,6 +273,19 @@ class RecipeSpec extends AnyFunSuite {
     assert(out("B").getAs[Long]("ratio_ppm") == 500000L)
     assert(out("A").getAs[Boolean]("four_fifths_ok"))
     assert(!out("B").getAs[Boolean]("four_fifths_ok"))
+  }
+
+  test("disparityAudit: zero corpus-wide keeps fails closed, not NULL") {
+    // model keeps nothing: ratio is 0/0 (NULL), but the release-gate
+    // verdict must be an explicit FALSE so filters do not skip the group
+    val m = QualityFilter.LinearModel(0L, 0L, 0L, 0L, 0L, -1L)
+    val docs = Seq(("A", "w w"), ("B", "w")).toDF("g", "text")
+    val out = QualityFilter.disparityAudit(docs, col("g"), col("text"), m)
+      .collect()
+    assert(out.forall(r => r.getAs[Long]("n_keep") == 0L))
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("ratio_ppm"))))
+    assert(out.forall(r => !r.isNullAt(r.fieldIndex("four_fifths_ok")) &&
+      !r.getAs[Boolean]("four_fifths_ok")))
   }
 
   test("kAnonymityAudit flags small and uniform classes") {

@@ -81,7 +81,6 @@ class StreamingCusumSpec extends AnyFunSuite {
 
   test("late points are dropped, not re-folded") {
     val ordered = series.take(10)
-    val withLate = ordered ++ Seq(DayPoint("revenue", 3L, 999L))
     val a = run(Seq(ordered: _*)).sortBy(_.dayIdx)
     val b = run(ordered, Seq(DayPoint("revenue", 3L, 999L)))
       .sortBy(_.dayIdx)
