@@ -700,6 +700,101 @@ object RecipeQueries {
                t.n_tagged_in_cluster > 0 AS tainted,
                t.n_tagged_in_cluster
         FROM alldocs f JOIN tags t USING (cluster_id)
-        ORDER BY f.doc_id"""))
+        ORDER BY f.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q197: Exif GPS-PII audit ([[graft.ext.Multimodal.ExifHeader]]) —
+    // camera identity (Make/Model) and GPS latitude/longitude PRESENCE
+    // parsed from real JPEG/APP1/TIFF bytes, both endiannesses. The
+    // image-side governance gap next to q57 (text PII) and q187/q189
+    // (release/erasure): crawled JPEG carries location PII in metadata
+    // that no text scan sees. Fixture discipline as q193: four
+    // id-derived variants — full Exif with GPS (le/be alternating),
+    // orientation-only, GPS-longitude-only without orientation, and a
+    // truncated segment that must fail closed (ok=false) — and the
+    // oracle predicts the parser output analytically from event_id.
+    // MultimodalSpec pins the byte-level walk on hand-built files;
+    // MultimodalFuzzSpec holds the never-throw line.
+    GraftQuery(
+      "q197_exif_gps_audit",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        import spark.implicits._
+        val isLE = col("event_id") % 2 === 0
+        def leN(c: org.apache.spark.sql.Column, n: Int) = {
+          val hx = lpad(hex(c.cast("bigint")), 2 * n, "0")
+          unhex(concat(((n - 1) to 0 by -1)
+            .map(i => substring(hx, i * 2 + 1, 2)): _*))
+        }
+        def beN(c: org.apache.spark.sql.Column, n: Int) =
+          unhex(lpad(hex(c.cast("bigint")), 2 * n, "0"))
+        def u16(c: org.apache.spark.sql.Column) =
+          when(isLE, leN(c, 2)).otherwise(beN(c, 2))
+        def u32(c: org.apache.spark.sql.Column) =
+          when(isLE, leN(c, 4)).otherwise(beN(c, 4))
+        def u16l(v: Int) = u16(lit(v))
+        def u32l(v: Int) = u32(lit(v))
+        def entry(tag: Int, tpe: Int, count: Int,
+                  value4: org.apache.spark.sql.Column) =
+          concat(u16l(tag), u16l(tpe), u32l(count), value4)
+        val orient = (col("event_id") % 8 + 1).cast("int")
+        val tiffHdr = concat(
+          when(isLE, unhex(lit("49492A00"))).otherwise(unhex(lit("4D4D002A"))),
+          u32l(8))
+        val orientEntry = entry(0x0112, 3, 1, concat(u16(orient),
+          unhex(lit("0000"))))
+        // v0: IFD0 {Make, Model, Orientation, GPS->62}; GPS {lat, lon}
+        val tiffFull = concat(tiffHdr, u16l(4),
+          entry(0x010f, 2, 4, unhex(lit("41434D00"))), // "ACM\0"
+          entry(0x0110, 2, 4, unhex(lit("4D444C00"))), // "MDL\0"
+          orientEntry,
+          entry(0x8825, 4, 1, u32l(62)), u32l(0),
+          u16l(2),
+          entry(0x0002, 5, 3, u32l(200)), // dangling RATIONAL offsets:
+          entry(0x0004, 5, 3, u32l(224)), // presence-only, never read
+          u32l(0))
+        // v1: IFD0 {Orientation} only
+        val tiffOrient = concat(tiffHdr, u16l(1), orientEntry, u32l(0))
+        // v2: IFD0 {GPS->26}; GPS {lon} — partial GPS, no orientation
+        val tiffGpsOnly = concat(tiffHdr, u16l(1),
+          entry(0x8825, 4, 1, u32l(26)), u32l(0),
+          u16l(1), entry(0x0004, 5, 3, u32l(300)), u32l(0))
+        def jpeg(tiff: org.apache.spark.sql.Column, tiffLen: Int) = concat(
+          unhex(lit("FFD8FFE1")), beN(lit(tiffLen + 8), 2), // APP1 len is
+          unhex(lit("457869660000")), tiff)                 // ALWAYS be16
+        val variant = col("event_id") % 4
+        val media = when(variant === 0, jpeg(tiffFull, 92))
+          .when(variant === 1, jpeg(tiffOrient, 26))
+          .when(variant === 2, jpeg(tiffGpsOnly, 44))
+          .otherwise(unhex(lit("FFD8FFE10004"))) // truncated: fails closed
+        val src = t.events.select(
+            col("event_id").as("media_id"),
+            lit("image/jpeg").as("mime"), media.as("media"))
+          .as[graft.ext.Multimodal.MediaRecord]
+        graft.ext.Multimodal.extractExifMeta(src).toDF()
+          .select(col("media_id"), col("endian"),
+            col("byteLen").as("byte_len"), col("orientation"),
+            col("hasMake").as("has_make"), col("hasModel").as("has_model"),
+            col("hasGpsIfd").as("has_gps_ifd"),
+            col("gpsLatPresent").as("gps_lat_present"),
+            col("gpsLonPresent").as("gps_lon_present"), col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT event_id AS media_id,
+               CASE WHEN event_id % 4 = 3 THEN ''
+                    WHEN event_id % 2 = 0 THEN 'le' ELSE 'be' END AS endian,
+               CAST(CASE event_id % 4 WHEN 0 THEN 104 WHEN 1 THEN 38
+                    WHEN 2 THEN 56 ELSE 6 END AS BIGINT) AS byte_len,
+               CAST(CASE WHEN event_id % 4 IN (0, 1)
+                    THEN event_id % 8 + 1 ELSE 0 END AS INT) AS orientation,
+               event_id % 4 = 0 AS has_make,
+               event_id % 4 = 0 AS has_model,
+               event_id % 4 IN (0, 2) AS has_gps_ifd,
+               event_id % 4 = 0 AS gps_lat_present,
+               event_id % 4 IN (0, 2) AS gps_lon_present,
+               event_id % 4 <> 3 AS ok
+        FROM events
+        ORDER BY media_id"""))
   )
 }

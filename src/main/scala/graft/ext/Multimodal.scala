@@ -571,6 +571,174 @@ object Multimodal {
     }
   }
 
+  final case class ExifMeta(
+      media_id: Long,
+      mime: String,
+      byteLen: Long,
+      endian: String,
+      orientation: Int,
+      hasMake: Boolean,
+      hasModel: Boolean,
+      hasGpsIfd: Boolean,
+      gpsLatPresent: Boolean,
+      gpsLonPresent: Boolean,
+      ok: Boolean,
+      error: Option[String])
+
+  /** JPEG APP1 / Exif TIFF-IFD metadata — the image-governance twin of
+    * [[PdfHeader]]: crawled JPEG routinely carries camera identity
+    * (Make/Model, IFD0 tags 0x010F/0x0110) and GPS coordinates (GPS IFD
+    * via IFD0 tag 0x8825; latitude 0x0002 / longitude 0x0004) — location
+    * PII that q57's text redaction never sees and an erasure/release
+    * audit (q187/q189 family) must detect. Presence-only by design: the
+    * auditor needs "this file pins a location", never the coordinates
+    * themselves, so RATIONAL value arrays are deliberately not
+    * dereferenced.
+    *
+    * Structure per Exif 2.3 / TIFF 6.0: marker-segment scan to APP1
+    * ("Exif\0\0"), then the TIFF header — "II"*42 little-endian or
+    * "MM"*42 big-endian, BOTH honored for every 16/32-bit read — and a
+    * bounded IFD0 walk ([count u16][12-byte entries][next u32]; SHORT
+    * values inline left-justified, LONG values the full 4 bytes).
+    *
+    * Bounds discipline (the house rule): every read is window-checked
+    * against the APP1 segment end, entry counts are capped at
+    * [[ExifHeader.MaxIfdEntries]] so a hostile count cannot widen the
+    * walk, an IFD whose declared entries cross the segment boundary is
+    * a parse FAILURE (None → ok=false), and the walk reads O(header)
+    * bytes — `mdat`-style payload never matters because everything sits
+    * in the first marker segments. Unparseable/truncated → None; the
+    * fuzz spec holds the never-throw line.
+    */
+  object ExifHeader {
+
+    /** Hostile-input cap on declared IFD entry counts (a real IFD0 has
+      * dozens of entries; 512 bounds the walk at 6 KiB per IFD).
+      */
+    val MaxIfdEntries = 512
+
+    final case class Parsed(endian: String, orientation: Int,
+        hasMake: Boolean, hasModel: Boolean, hasGpsIfd: Boolean,
+        gpsLatPresent: Boolean, gpsLonPresent: Boolean)
+
+    def parse(b: Array[Byte]): Option[Parsed] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      var i = 2
+      while (i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
+        val marker = b(i + 1) & 0xff
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+          i += 2 // standalone markers carry no length field
+        } else if (marker == 0xda) {
+          return None // SOS: entropy-coded data follows; no Exif past here
+        } else {
+          val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+          if (len < 2) return None
+          val segEnd = i + 2 + len
+          if (segEnd > b.length) return None
+          if (marker == 0xe1 && i + 10 <= segEnd &&
+              b(i + 4) == 'E' && b(i + 5) == 'x' && b(i + 6) == 'i' &&
+              b(i + 7) == 'f' && b(i + 8) == 0 && b(i + 9) == 0)
+            return parseTiff(b, i + 10, segEnd)
+          i = segEnd
+        }
+      }
+      None
+    }
+
+    /** TIFF-header entry point (also valid for bare .tif files): `t` is
+      * the header start, `end` the exclusive window bound — for Exif,
+      * the APP1 segment end (IFD offsets are relative to `t`).
+      */
+    def parseTiff(b: Array[Byte], t: Int, end: Int): Option[Parsed] = {
+      if (t + 8 > end || end > b.length) return None
+      val le = b(t) == 'I' && b(t + 1) == 'I'
+      val be = b(t) == 'M' && b(t + 1) == 'M'
+      if (!le && !be) return None
+      def u16(i: Int): Int =
+        if (le) ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+        else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+      def u32(i: Int): Long =
+        if (le) ((b(i + 3) & 0xffL) << 24) | ((b(i + 2) & 0xffL) << 16) |
+          ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+        else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+          ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+      if (u16(t + 2) != 42) return None
+
+      // walks one IFD; yields (tag -> entry offset) for the tags of
+      // interest, or None if the declared entries cross the window
+      def walkIfd(off: Long, want: Set[Int]): Option[Map[Int, Int]] = {
+        if (off < 8 || t + off + 2 > end) return None
+        val at = (t + off).toInt
+        val n = math.min(u16(at), MaxIfdEntries)
+        if (at + 2 + 12L * n + 4 > end) return None
+        var found = Map.empty[Int, Int]
+        var i = 0
+        while (i < n) {
+          val e = at + 2 + 12 * i
+          val tag = u16(e)
+          if (want.contains(tag)) found += (tag -> e)
+          i += 1
+        }
+        Some(found)
+      }
+
+      walkIfd(u32(t + 4),
+          Set(0x010f, 0x0110, 0x0112, 0x8825)).flatMap { ifd0 =>
+        val orientation = ifd0.get(0x0112)
+          .filter(e => u16(e + 2) == 3 && u32(e + 4) >= 1L)
+          .map(e => u16(e + 8)).getOrElse(0)
+        val gps = ifd0.get(0x8825) match {
+          case None => Some(Map.empty[Int, Int]) // no GPS IFD: fine
+          case Some(e) => walkIfd(u32(e + 8), Set(0x0002, 0x0004))
+        }
+        gps.map { g =>
+          Parsed(if (le) "le" else "be", orientation,
+            hasMake = ifd0.contains(0x010f),
+            hasModel = ifd0.contains(0x0110),
+            hasGpsIfd = ifd0.contains(0x8825),
+            gpsLatPresent = g.contains(0x0002),
+            gpsLonPresent = g.contains(0x0004))
+        }
+      }
+    }
+  }
+
+  /** Exif extraction stage: same per-partition discipline as
+    * [[extractAudioMeta]]; unparseable payloads become
+    * (empty-endian, zeros, ok=false) rows, exceptions error rows —
+    * never task aborts.
+    */
+  def extractExifMeta(media: Dataset[MediaRecord]): Dataset[ExifMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          ExifHeader.parse(r.media) match {
+            case Some(p) =>
+              ExifMeta(r.media_id, r.mime, r.media.length.toLong,
+                p.endian, p.orientation, p.hasMake, p.hasModel,
+                p.hasGpsIfd, p.gpsLatPresent, p.gpsLonPresent,
+                ok = true, None)
+            case None =>
+              ExifMeta(r.media_id, r.mime, r.media.length.toLong,
+                "", 0, hasMake = false, hasModel = false,
+                hasGpsIfd = false, gpsLatPresent = false,
+                gpsLonPresent = false, ok = false, None)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            ExifMeta(r.media_id, r.mime, r.media.length.toLong,
+              "", 0, hasMake = false, hasModel = false,
+              hasGpsIfd = false, gpsLatPresent = false,
+              gpsLonPresent = false, ok = false,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      }
+    }
+  }
+
   /** Decode/feature-extract stage: typed mapPartitions so the decoder is
     * instantiated once per partition (real decoders are expensive to
     * construct); failures become rows, not task aborts.

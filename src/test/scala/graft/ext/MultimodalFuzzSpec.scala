@@ -85,6 +85,46 @@ class MultimodalFuzzSpec extends AnyFunSuite {
     assert(pdf.filter(r => noiseIds(r.media_id)).forall(!_.ok))
   }
 
+  test("ExifHeader never throws on noise, magic+noise, truncations") {
+    // pure noise
+    for (n <- Seq(0, 1, 2, 7, 16, 64, 256, 1024); _ <- 1 to 50)
+      Multimodal.ExifHeader.parse(bytes(n))
+    // SOI / SOI+APP1 magic followed by noise
+    for (m <- Seq("FFD8", "FFD8FFE1", "FFD8FFE1004A457869660000");
+         tail <- Seq(0, 1, 4, 9, 17, 40, 200))
+      Multimodal.ExifHeader.parse(hx(m) ++ bytes(tail))
+    // valid full Exif (both endians), every truncation + byte flips
+    def le2(v: Int) = { val h = f"$v%04X"; h.substring(2) + h.substring(0, 2) }
+    def le4(v: Int) = {
+      val h = f"$v%08X"
+      h.substring(6) + h.substring(4, 6) + h.substring(2, 4) +
+        h.substring(0, 2)
+    }
+    def be2(v: Int) = f"$v%04X"
+    def be4(v: Int) = f"$v%08X"
+    val tiffs = Seq(
+      "4949" + le2(42) + le4(8) + le2(2) +
+        le2(0x0112) + le2(3) + le4(1) + le2(6) + "0000" +
+        le2(0x8825) + le2(4) + le4(1) + le4(38) + le4(0) +
+        le2(2) +
+        le2(0x0002) + le2(5) + le4(3) + le4(200) +
+        le2(0x0004) + le2(5) + le4(3) + le4(224) + le4(0),
+      "4D4D" + be2(42) + be4(8) + be2(1) +
+        be2(0x0112) + be2(3) + be4(1) + be2(1) + "0000" + be4(0))
+    for (t <- tiffs) {
+      val tb = hx(t)
+      val good = hx("FFD8FFE1" + be2(tb.length + 8) + "457869660000") ++ tb
+      assert(Multimodal.ExifHeader.parse(good).isDefined)
+      for (cut <- 0 until good.length)
+        Multimodal.ExifHeader.parse(good.take(cut))
+      for (_ <- 1 to 300) {
+        val mut = good.clone()
+        mut((next() & 0x7fffffff).toInt % mut.length) = next().toByte
+        Multimodal.ExifHeader.parse(mut)
+      }
+    }
+  }
+
   test("random truncations of VALID fixtures never throw") {
     def be4(v: Int) = f"$v%08X"
     def le2(v: Int) = { val h = f"$v%04X"; h.substring(2) + h.substring(0, 2) }

@@ -442,4 +442,125 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(0).ok && rows(0).nParts == 2 && rows(0).hasContentTypes)
     assert(!rows(1).ok && rows(1).nParts == 0 && rows(1).error.isEmpty)
   }
+
+  // ------------------------------------------------------------------
+  // Exif / TIFF-IFD (JPEG APP1): endian-parameterized hand-built files
+  // ------------------------------------------------------------------
+
+  private def le4(v: Int) = {
+    val h = f"$v%08X"
+    h.substring(6) + h.substring(4, 6) + h.substring(2, 4) + h.substring(0, 2)
+  }
+
+  /** One IFD entry in the chosen endianness; `value4` is 8 hex chars. */
+  private def ifdEntry(le: Boolean, tag: Int, tpe: Int, count: Int,
+                       value4: String): String = {
+    def e2(v: Int) = if (le) le2(v) else be2(v)
+    def e4(v: Int) = if (le) le4(v) else be4(v)
+    e2(tag) + e2(tpe) + e4(count) + value4
+  }
+
+  private def tiffHeader(le: Boolean): String =
+    (if (le) "4949" + le2(42) else "4D4D" + be2(42)) +
+      (if (le) le4(8) else be4(8))
+
+  /** Wrap a TIFF body in SOI + APP1("Exif\0\0"); APP1 length is ALWAYS
+    * big-endian per the JPEG spec, whatever the TIFF endianness.
+    */
+  private def exifJpeg(tiffHex: String): Array[Byte] = {
+    val tiff = hx(tiffHex)
+    hx("FFD8 FFE1" + be2(tiff.length + 6 + 2) + "457869660000") ++ tiff
+  }
+
+  private def fullExif(le: Boolean, orient: Int): Array[Byte] = {
+    def e2(v: Int) = if (le) le2(v) else be2(v)
+    def e4(v: Int) = if (le) le4(v) else be4(v)
+    exifJpeg(tiffHeader(le) + e2(4) +
+      ifdEntry(le, 0x010f, 2, 4, "41434D00") + // Make "ACM\0"
+      ifdEntry(le, 0x0110, 2, 4, "4D444C00") + // Model "MDL\0"
+      ifdEntry(le, 0x0112, 3, 1, e2(orient) + "0000") +
+      ifdEntry(le, 0x8825, 4, 1, e4(62)) + e4(0) +
+      e2(2) +
+      ifdEntry(le, 0x0002, 5, 3, e4(200)) + // GPSLatitude (dangling)
+      ifdEntry(le, 0x0004, 5, 3, e4(224)) + // GPSLongitude (dangling)
+      e4(0))
+  }
+
+  test("Exif: IFD0 + GPS IFD parse identically under II and MM") {
+    for (le <- Seq(true, false)) {
+      val p = Multimodal.ExifHeader.parse(fullExif(le, 6)).get
+      assert(p.endian == (if (le) "le" else "be"))
+      assert(p.orientation == 6)
+      assert(p.hasMake && p.hasModel && p.hasGpsIfd)
+      assert(p.gpsLatPresent && p.gpsLonPresent)
+    }
+  }
+
+  test("Exif: orientation-only and GPS-longitude-only shapes") {
+    for (le <- Seq(true, false)) {
+      def e2(v: Int) = if (le) le2(v) else be2(v)
+      def e4(v: Int) = if (le) le4(v) else be4(v)
+      val orientOnly = exifJpeg(tiffHeader(le) + e2(1) +
+        ifdEntry(le, 0x0112, 3, 1, e2(8) + "0000") + e4(0))
+      val po = Multimodal.ExifHeader.parse(orientOnly).get
+      assert(po.orientation == 8 && !po.hasMake && !po.hasModel &&
+        !po.hasGpsIfd && !po.gpsLatPresent && !po.gpsLonPresent)
+
+      val gpsLonOnly = exifJpeg(tiffHeader(le) + e2(1) +
+        ifdEntry(le, 0x8825, 4, 1, e4(26)) + e4(0) +
+        e2(1) + ifdEntry(le, 0x0004, 5, 3, e4(300)) + e4(0))
+      val pg = Multimodal.ExifHeader.parse(gpsLonOnly).get
+      assert(pg.orientation == 0 && pg.hasGpsIfd &&
+        !pg.gpsLatPresent && pg.gpsLonPresent)
+    }
+  }
+
+  test("Exif: the APP1 scan skips earlier segments and stops at SOS") {
+    // APP0/JFIF first, THEN the Exif APP1 — must still be found
+    val tiff = tiffHeader(le = true) + le2(1) +
+      ifdEntry(le = true, 0x0112, 3, 1, le2(3) + "0000") + le4(0)
+    val app0 = "FFE0" + be2(7) + "4A46494600" // APP0 "JFIF\0"
+    val app1 = "FFE1" + be2(hx(tiff).length + 8) + "457869660000" + tiff
+    val after = Multimodal.ExifHeader.parse(hx("FFD8" + app0 + app1))
+    assert(after.get.orientation == 3)
+    // Exif "after" SOS must NOT be found (entropy-coded data)
+    val sosFirst = hx("FFD8" + "FFDA" + be2(4) + "0000" + app1.replaceAll(" ", ""))
+    assert(Multimodal.ExifHeader.parse(sosFirst).isEmpty)
+  }
+
+  test("Exif: junk, wrong magic, hostile counts, truncation parse to None") {
+    val E = Multimodal.ExifHeader
+    assert(E.parse("not a jpeg".getBytes("US-ASCII")).isEmpty)
+    assert(E.parse(Array.empty[Byte]).isEmpty)
+    // APP1 that is XMP, not Exif
+    assert(E.parse(hx("FFD8 FFE1" + be2(10) + "68747470 3A2F2F2F2F")).isEmpty)
+    // TIFF magic 43 instead of 42
+    assert(E.parse(exifJpeg("4949" + le2(43) + le4(8) + le2(0) + le4(0)))
+      .isEmpty)
+    // declared entry count crosses the segment end: fail, not partial
+    assert(E.parse(exifJpeg(tiffHeader(le = true) + le2(0xffff))).isEmpty)
+    // GPS pointer aiming past the segment end: fail closed
+    val danglingGps = exifJpeg(tiffHeader(le = true) + le2(1) +
+      ifdEntry(le = true, 0x8825, 4, 1, le4(5000)) + le4(0))
+    assert(E.parse(danglingGps).isEmpty)
+    // every truncation of a valid file parses to None or a valid shape
+    val good = fullExif(le = false, orient = 1)
+    for (cut <- 0 until good.length)
+      E.parse(good.take(cut)) // must not throw
+    assert(E.parse(good.take(good.length - 1)).isEmpty,
+      "losing the final GPS byte must fail the GPS walk")
+  }
+
+  test("extractExifMeta: parseable and unparseable rows, never task aborts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image/jpeg", fullExif(le = true, 7)),
+      Multimodal.MediaRecord(2L, "image/jpeg", "junk".getBytes("UTF-8"))
+    ).toDS()
+    val rows = Multimodal.extractExifMeta(media).collect().sortBy(_.media_id)
+    assert(rows(0).ok && rows(0).endian == "le" && rows(0).orientation == 7 &&
+      rows(0).gpsLatPresent && rows(0).gpsLonPresent)
+    assert(!rows(1).ok && rows(1).endian == "" && rows(1).error.isEmpty)
+  }
 }
