@@ -1,9 +1,10 @@
 package graft.analytics
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
-import graft.ext.{Dedup, Profile, QualityFilter, Similarity, Stats,
-  TextAnalysis}
+import graft.ext.{Dedup, Profile, QualityFilter, QuantileSketch, Similarity,
+  Stats, TextAnalysis}
 
 /** Round-11 widening: the corpus-recipe and governance surface — the
   * decisions a training-data pipeline makes AFTER cleaning: which
@@ -795,6 +796,102 @@ object RecipeQueries {
                event_id % 4 IN (0, 2) AS gps_lon_present,
                event_id % 4 <> 3 AS ok
         FROM events
-        ORDER BY media_id"""))
+        ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q198: mergeable quantile-sketch store
+    // ([[graft.ext.QuantileSketch]]) — q63's percentile sibling, the
+    // other half of the 100 TB sketch warehouse: per-(day, type)
+    // log-linear histograms stored small, the per-day ALL row answered
+    // by UNIONING the stored sketches (bucket-wise count addition — the
+    // identity CurationSpec pins exactly), never by re-reading raw
+    // data. Hash-gated the q37/q63 way: the output carries the exact
+    // discrete-p95 twin (from the same two-level value census the q63
+    // rework uses — the walk is over distinct values per group, not raw
+    // rows) plus `est_in_true_bucket`, provably TRUE because bucket
+    // counts are exact — a rank-walk regression flips the hash red.
+    GraftQuery(
+      "q198_quantile_sketch_store",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val vc = t.events.select(to_date(col("ts")).as("day"),
+          col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("v"))
+        // two-level: collapse raw events to the (day, type, value)
+        // census once; sketch AND exact twin both derive from it
+        val census = vc.groupBy(col("day"), col("event_type"), col("v"))
+          .agg(count(lit(1)).as("c"))
+        val all = census.groupBy(col("day"), col("v"))
+          .agg(sum(col("c")).as("c"))
+          .select(col("day"), lit("ALL").as("event_type"), col("v"),
+            col("c"))
+        val both = census.unionByName(all)
+        // exact discrete p95: smallest v with cum ≥ ⌈0.95·n⌉
+        val wW = Window.partitionBy(col("day"), col("event_type"))
+          .orderBy(col("v"))
+        val wA = Window.partitionBy(col("day"), col("event_type"))
+        val exact = both
+          .withColumn("__cum", sum(col("c")).over(wW))
+          .withColumn("__n", sum(col("c")).over(wA))
+          .withColumn("__k",
+            call_function("div", col("__n") * 95 + 99, lit(100L)))
+          .groupBy(col("day"), col("event_type"))
+          .agg(min(when(col("__cum") >= col("__k"), col("v")))
+            .as("exact_p95_cents"))
+        // the stored artifact: per-(day, type) sketches; ALL = union
+        val store = QuantileSketch.merge(
+          census.withColumn("bucket", QuantileSketch.bucketize(col("v")))
+            .withColumnRenamed("c", "cnt"),
+          Seq("day", "event_type"))
+        val allSk = QuantileSketch.merge(
+          store.withColumn("event_type", lit("ALL")),
+          Seq("day", "event_type"))
+        val est = QuantileSketch.quantileBucket(
+          store.unionByName(allSk), Seq("day", "event_type"), 95, 100)
+        est.join(exact, Seq("day", "event_type"))
+          .select(col("day"), col("event_type"), col("n_values"),
+            col("n_buckets"), col("exact_p95_cents"),
+            (col("q_bucket") ===
+              QuantileSketch.bucketize(col("exact_p95_cents")))
+              .as("est_in_true_bucket"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""
+        WITH vc AS (
+          SELECT CAST(ts AS DATE) AS day, event_type,
+                 CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+          FROM events),
+        census AS (
+          SELECT day, event_type, v, CAST(count(*) AS BIGINT) AS c
+          FROM vc GROUP BY 1, 2, 3),
+        unioned AS (
+          SELECT day, event_type, v, c FROM census
+          UNION ALL
+          SELECT day, 'ALL', v, SUM(c) FROM census GROUP BY day, v),
+        walk AS (
+          SELECT day, event_type, v, c,
+                 SUM(c) OVER (PARTITION BY day, event_type
+                              ORDER BY v) AS cum,
+                 SUM(c) OVER (PARTITION BY day, event_type) AS n
+          FROM unioned),
+        exact AS (
+          SELECT day, event_type,
+                 CAST(MAX(n) AS BIGINT) AS n_values,
+                 MIN(CASE WHEN cum >= (n*95 + 99) // 100 THEN v END)
+                   AS exact_p95_cents
+          FROM walk GROUP BY 1, 2),
+        sk AS (
+          SELECT day, event_type,
+                 (length(bin(v)) - 1) * 16
+                   + ((v * 16) >> (length(bin(v)) - 1)) - 16 AS bucket,
+                 SUM(c) AS cnt
+          FROM unioned GROUP BY 1, 2, 3),
+        best AS (
+          SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets
+          FROM sk GROUP BY 1, 2)
+        SELECT e.day, e.event_type, e.n_values, b.n_buckets,
+               e.exact_p95_cents, TRUE AS est_in_true_bucket
+        FROM exact e JOIN best b USING (day, event_type)
+        ORDER BY day, event_type"""))
   )
 }

@@ -256,6 +256,54 @@ class CurationSpec extends AnyFunSuite {
     assert(direct == 5L)
   }
 
+  test("quantile sketch store: union of partial sketches == direct sketch") {
+    import graft.ext.QuantileSketch
+    val rows = (1L to 1000L).map(i => (if (i % 2 == 0) "x" else "y", i))
+      .toDF("part", "v")
+    // direct sketch over everything vs merge of per-part sketches
+    val direct = QuantileSketch.build(rows, Seq.empty, col("v"))
+      .withColumn("g", lit(1))
+    val perPart = QuantileSketch.build(rows,
+      Seq("part" -> col("part")), col("v"))
+    val merged = QuantileSketch.merge(perPart.withColumn("g", lit(1))
+      .drop("part"), Seq("g"))
+    val dSet = direct.collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("cnt"))).toSet
+    val mSet = merged.collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("cnt"))).toSet
+    assert(dSet == mSet, "bucket-wise merge must be exactly the direct sketch")
+    // both answer the same p95 bucket, and it contains the true p95
+    val qd = QuantileSketch.quantileBucket(direct, Seq("g"), 95, 100)
+      .head()
+    val qm = QuantileSketch.quantileBucket(merged, Seq("g"), 95, 100)
+      .head()
+    assert(qd.getAs[Long]("q_bucket") == qm.getAs[Long]("q_bucket"))
+    assert(qd.getAs[Long]("n_values") == 1000L)
+    // exact discrete p95 of 1..1000 is 950; its bucket must be the pick
+    val trueBucket = rows.select(QuantileSketch.bucketize(lit(950L)))
+      .head().getLong(0)
+    assert(qd.getAs[Long]("q_bucket") == trueBucket)
+  }
+
+  test("quantile sketch: bucketize is monotone, bounded-error, and " +
+       "handles non-positive values") {
+    import graft.ext.QuantileSketch
+    val vs = (Seq(-5L, 0L) ++ (1L to 4096L)).toDF("v")
+      .select(col("v"), QuantileSketch.bucketize(col("v")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // non-positive collapses to the underflow bucket
+    assert(vs.filter(_._1 <= 0).forall(_._2 == -1L))
+    // monotone non-decreasing in v
+    val pos = vs.filter(_._1 >= 1).sortBy(_._1)
+    assert(pos.sliding(2).forall(p => p(0)._2 <= p(1)._2))
+    // relative width bound: values sharing a bucket differ by < 1/16 + 1
+    val byBucket = pos.groupBy(_._2).values
+    assert(byBucket.forall { g =>
+      val lo = g.map(_._1).min; val hi = g.map(_._1).max
+      hi - lo <= lo / 16 + 1
+    })
+  }
+
   test("hll sketch store: estimates within tolerance of exact distincts (sf corpus)") {
     val t = new graft.Tables(spark, sf)
     val exact = t.events.groupBy(col("event_type"))
