@@ -892,6 +892,67 @@ object RecipeQueries {
         SELECT e.day, e.event_type, e.n_values, b.n_buckets,
                e.exact_p95_cents, TRUE AS est_in_true_bucket
         FROM exact e JOIN best b USING (day, event_type)
-        ORDER BY day, event_type"""))
+        ORDER BY day, event_type""")),
+
+    // ------------------------------------------------------------------
+    // q199: CSV/JSONL text ingestion parity
+    // ([[graft.sources.TextFixtures]]) — `spark.read.csv` and
+    // `spark.read.json` with explicit schemas over a deterministic
+    // export of the nation table, hash-matched against DuckDB's
+    // read_csv/read_json over the SAME bytes. The fixture exercises
+    // the places text readers disagree: RFC 4180 doubled quotes,
+    // embedded commas, a quoted field spanning lines (multiLine=true),
+    // literal backslashes, `\N` null strings, booleans. The two reads
+    // join on the key and `formats_agree` null-safe-compares every
+    // column across formats (TRUE-pinned) — a reader divergence in
+    // EITHER engine or EITHER format flips the hash red.
+    GraftQuery(
+      "q199_text_ingest",
+      (spark, dir) => {
+        import org.apache.spark.sql.types._
+        graft.sources.TextFixtures.ensure(spark, dir)
+        val sch = StructType(Seq(
+          StructField("nation_key", IntegerType),
+          StructField("name", StringType),
+          StructField("region_key", IntegerType),
+          StructField("note", StringType),
+          StructField("score", DoubleType),
+          StructField("flag", BooleanType)))
+        val c = spark.read
+          .option("header", "true").option("multiLine", "true")
+          .option("nullValue", "\\N").option("escape", "\"")
+          .schema(sch).csv(graft.sources.TextFixtures.csvPath)
+        val j = spark.read.schema(sch)
+          .json(graft.sources.TextFixtures.jsonPath)
+          .select(col("nation_key").as("j_key"), col("name").as("j_name"),
+            col("region_key").as("j_region"), col("note").as("j_note"),
+            col("score").as("j_score"), col("flag").as("j_flag"))
+        c.join(j, col("nation_key") === col("j_key"))
+          .select(col("nation_key"), col("name"), col("region_key"),
+            col("note"), col("score"), col("flag"),
+            (col("name") <=> col("j_name") &&
+              col("region_key") <=> col("j_region") &&
+              col("note") <=> col("j_note") &&
+              col("score") <=> col("j_score") &&
+              col("flag") <=> col("j_flag")).as("formats_agree"))
+          .orderBy(col("nation_key"))
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT * FROM read_csv('${graft.sources.TextFixtures.csvPath}',
+            header = true, nullstr = '\\N', quote = '"', escape = '"',
+            columns = {'nation_key': 'INTEGER', 'name': 'VARCHAR',
+                       'region_key': 'INTEGER', 'note': 'VARCHAR',
+                       'score': 'DOUBLE', 'flag': 'BOOLEAN'})),
+        j AS (
+          SELECT * FROM read_json('${graft.sources.TextFixtures.jsonPath}',
+            format = 'newline_delimited',
+            columns = {'nation_key': 'INTEGER', 'name': 'VARCHAR',
+                       'region_key': 'INTEGER', 'note': 'VARCHAR',
+                       'score': 'DOUBLE', 'flag': 'BOOLEAN'}))
+        SELECT c.nation_key, c.name, c.region_key, c.note, c.score, c.flag,
+               TRUE AS formats_agree
+        FROM c JOIN j USING (nation_key)
+        ORDER BY nation_key"""))
   )
 }
