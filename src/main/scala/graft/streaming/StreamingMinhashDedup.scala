@@ -69,6 +69,18 @@ import graft.functions.SketchFns
   * (P[miss | j] = (1−j^(numHashes/bands))^bands;
   * 1.5e-6 at j=0.8 with 128/32).
   *
+  * Capacity-plan operating points (`numHashes`/`bands` are the
+  * constructor knobs; both points carry a STREAMBENCH census row and
+  * run the same parity scenario in the spec): the DEFAULT 128/32 holds
+  * P[miss | j=0.8] ≈ 5e-8 — pick it when a missed near-dup is a
+  * contamination risk. The measured 2×-throughput point is 64/16 —
+  * the SAME rows-per-band r=4 (so the per-band collision curve is
+  * unchanged), but half the bucket visits per document (cost is
+  * measured linear in `bands`) and half the signature bytes through
+  * shuffle and state — at P[miss | j=0.8] ≈ 2e-4, i.e. one missed
+  * 0.8-Jaccard pair in ~5000. Pick it when the stream feeds a
+  * downstream exact verifier anyway or the dedup is advisory.
+  *
   * Like the batch LSH candidate stream and the SimHash twin, a pair
   * colliding in several bands emits one identical hit per colliding
   * band — consume idempotently on (docId, matchedId), or dedup in a

@@ -98,4 +98,90 @@ class StreamingCusumSpec extends AnyFunSuite {
     assert(byKey("revenue").map(_.dayIdx).sorted ==
       byKey("other").map(_.dayIdx).sorted)
   }
+
+  // ------------------------------------------------------------------
+  // Composition: CUSUM alarms → held-for, one multi-stateful query
+  // ------------------------------------------------------------------
+
+  /** Burst series: quiet, a 5-day +300 burst (alarms once S⁺ crosses
+    * 600 at day 7), then a hard drop that decays S⁺ back under the
+    * threshold at day 13 — so the held-for layer must both FIRE and
+    * RESOLVE. Alarm days are exactly 7..12 (pinned against the batch
+    * twin inside the test).
+    */
+  private val burst: Seq[DayPoint] = Seq.tabulate(15) { d =>
+    val level = if (d < 5) 200L else if (d < 10) 500L else 20L
+    DayPoint("revenue", d.toLong, level)
+  }
+
+  private def w(i: Int) = new java.sql.Timestamp(
+    java.sql.Timestamp.valueOf("2024-03-05 00:00:00").getTime + i * 60000L)
+
+  /** The chained plan under test: detector → alarm evals → held-for,
+    * TWO transformWithState operators in one Append query.
+    */
+  private def chained(src: MemoryStream[DayPoint]) = {
+    import StreamingHeldAlert.Eval
+    // locals only: a closure over the suite captures the SparkSession
+    val epoch = java.sql.Timestamp.valueOf("2024-03-05 00:00:00").getTime
+    val evals = StreamingCusum.detect(src.toDS(), MU, SLACK, THRESH)
+      .map { p =>
+        Eval(p.key, new java.sql.Timestamp(epoch + p.dayIdx * 60000L),
+          if (p.alarmUp) 1.0 else 0.0)
+      }
+    StreamingHeldAlert.alerts(evals, windowSeconds = 60L, threshold = 0.5,
+      holdWindows = 2, resolveAfterWindows = 100,
+      watermarkDelay = Some("0 seconds"))
+  }
+
+  test("CUSUM alarms chain into held-for; the chained query recovers " +
+       "from its checkpoint") {
+    withRocksDb {
+      import StreamingHeldAlert.Transition
+      // the alarm days the composition must react to, from the batch twin
+      val alarmDays = batchTwin(burst).filter(_.alarmUp).map(_.dayIdx)
+      assert(alarmDays == Seq(7L, 8L, 9L, 10L, 11L, 12L))
+      val expected = Seq(
+        ("FIRING", w(7), w(8), 1.0),    // 2nd consecutive alarm window
+        ("RESOLVED", w(7), w(13), 0.0)) // first clear evaluation
+      val batches = Seq(burst.slice(0, 7), burst.slice(7, 10),
+        burst.slice(10, 15))
+
+      // uninterrupted run (memory sink)
+      val srcA = MemoryStream[DayPoint](spark)
+      val qA = chained(srcA).writeStream.format("memory")
+        .queryName("cusum_held_a").outputMode("append").start()
+      try batches.foreach { b => srcA.addData(b: _*); qA.processAllAvailable() }
+      finally qA.stop()
+      val gotA = spark.table("cusum_held_a").as[Transition].collect().toSeq
+        .sortBy(_.at.getTime).map(t => (t.phase, t.since, t.at, t.metric))
+      assert(gotA == expected, s"uninterrupted chained run: $gotA")
+
+      // same batches, but the query STOPS after batch 2 and restarts
+      // from its checkpoint (file sink: the memory sink refuses
+      // recovery) — both stateful operators must resume their state
+      val chk = java.nio.file.Files.createTempDirectory("cusum-held-chk")
+        .toString
+      val out = java.nio.file.Files.createTempDirectory("cusum-held-out")
+        .toString
+      val srcB = MemoryStream[DayPoint](spark)
+      val outDf = chained(srcB).toDF()
+      def start() = outDf.writeStream.option("checkpointLocation", chk)
+        .format("parquet").option("path", out).outputMode("append").start()
+      val qB1 = start()
+      try {
+        srcB.addData(batches(0): _*); qB1.processAllAvailable()
+        srcB.addData(batches(1): _*); qB1.processAllAvailable()
+      } finally qB1.stop()
+      // data arriving while the query is DOWN — recovery must pick it up
+      srcB.addData(batches(2): _*)
+      val qB2 = start()
+      try qB2.processAllAvailable() finally qB2.stop()
+      val gotB = spark.read.parquet(out)
+        .as[Transition].collect().toSeq
+        .sortBy(_.at.getTime).map(t => (t.phase, t.since, t.at, t.metric))
+      assert(gotB == expected,
+        s"post-recovery chained output diverged: $gotB")
+    }
+  }
 }

@@ -98,6 +98,34 @@ class StreamingMinhashDedupSpec extends AnyFunSuite {
       s"state rows not bounded: ${stateRows.mkString(",")}")
   }
 
+  rtest("the 64/16 operating point finds the same pairs as 128/32") {
+    // parity at the measured 2x-throughput capacity point
+    // (STREAMBENCH.md): same rows-per-band r=4, so the 0.854-Jaccard
+    // near-dup and the unrelated doc land on the same sides of the
+    // threshold; only the miss probability (5e-8 vs 2e-4) differs,
+    // invisible at this scale
+    val source = MemoryStream[DocText](spark)
+    val hits = StreamingMinhashDedup.detect(source.toDS(),
+      n = 3, threshold = 0.7, watermarkDelay = "10 minutes",
+      ttlMs = 3600 * 1000L, numHashes = 64, bands = 16)
+    val q = hits.writeStream.format("memory")
+      .queryName("mh_6416_out").outputMode("append").start()
+    source.addData(DocText(1L, base, ts("2024-03-05 07:00:00")))
+    q.processAllAvailable()
+    source.addData(
+      DocText(2L, nearDup, ts("2024-03-05 07:01:00")),
+      DocText(3L, unrelated, ts("2024-03-05 07:01:00")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("mh_6416_out").as[JaccardHit].collect()
+    val pairs = out.map(h => (h.docId, h.matchedId)).toSet
+    assert(pairs === Set((2L, 1L)), s"unexpected hit set at 64/16: $pairs")
+    // the 64-hash estimate has se ~0.044 at j=0.854 — still near truth
+    val ests = out.filter(_.docId == 2L).map(_.estJaccard).toSet
+    assert(ests.size == 1 && math.abs(ests.head - 35.0 / 41.0) < 0.16,
+      s"estimate drifted at 64 hashes: $ests")
+  }
+
   test("invalid parameters fail at plan time, not mid-stream") {
     val source = MemoryStream[DocText](spark)
     // maxBucketEntries = 0 would leave empty state and crash the state
