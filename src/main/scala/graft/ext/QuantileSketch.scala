@@ -42,13 +42,23 @@ object QuantileSketch {
     * via `length(bin(v))`, the sub-bucket via a right shift, never a
     * float log). Non-positive values collapse to the single underflow
     * bucket −1.
+    *
+    * Overflow discipline (ADVICE r12): for b > 4 the sub-bucket is
+    * computed as `v >> (b−5)` — algebraically identical to
+    * `(v·16) >> (b−1)` (multiply-by-16 IS a 4-bit left shift, so the
+    * shifts compose) but the shift happens BEFORE the widen, so values
+    * up to Long.MaxValue bucketize without the `v·16` overflow that
+    * would throw ARITHMETIC_OVERFLOW under ANSI mode at v ≥ 2⁵⁹. The
+    * multiply form survives only for b ≤ 4 (v < 16, product ≤ 240),
+    * where b−5 would be a negative shift.
     */
   def bucketize(v: Column): Column = {
     val b = length(bin(v)).cast("long")
+    val sub = when(b <= 4,
+        call_function("shiftright", v * SubBuckets, (b - 1).cast("int")))
+      .otherwise(call_function("shiftright", v, (b - 5).cast("int")))
     when(v <= 0, lit(-1L))
-      .otherwise((b - 1) * SubBuckets +
-        call_function("shiftright", v * SubBuckets, (b - 1).cast("int")) -
-        SubBuckets)
+      .otherwise((b - 1) * SubBuckets + sub - SubBuckets)
   }
 
   /** Build the stored sketch from raw rows: one aggregation to
@@ -74,6 +84,12 @@ object QuantileSketch {
     * Output: (group..., n_values, n_buckets, q_bucket). The rank walk
     * is exact, so `q_bucket` always contains the true discrete
     * quantile; the bucket's width bounds the value error.
+    *
+    * One window pass (VERDICT r12 item 4): the running cum and the
+    * group total share partition AND order — the total uses an
+    * explicit unbounded frame on the SAME ordered spec, so Catalyst
+    * fuses both into a single WindowExec (one exchange, one sort, one
+    * buffer walk) instead of two.
     */
   def quantileBucket(sketch: DataFrame, groups: Seq[String],
                      pNum: Int, pDen: Int): DataFrame = {
@@ -81,7 +97,8 @@ object QuantileSketch {
       s"bad quantile: $pNum/$pDen")
     val gcols = groups.map(col)
     val wWalk = Window.partitionBy(gcols: _*).orderBy(col("bucket"))
-    val wAll = Window.partitionBy(gcols: _*)
+    val wAll = Window.partitionBy(gcols: _*).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     sketch
       .withColumn("__cum", sum(col("cnt")).over(wWalk))
       .withColumn("__n", sum(col("cnt")).over(wAll))

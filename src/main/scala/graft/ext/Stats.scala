@@ -419,8 +419,11 @@ object Stats {
         when(col("n") < 2, lit(null).cast("double"))
           .otherwise(lit(1.0) - lit(6.0) * col("__d2").cast("double") /
             (nDec * nDec * nDec - nDec).cast("double")))
-      .select(col("grp"), col("n"), col("__d2").cast("long").as("d2_sum"),
-        col("rho"))
+      // try_cast, not cast: under ANSI mode a plain decimal→long cast
+      // past Long range throws CAST_OVERFLOW; try_cast delivers the
+      // documented goes-NULL-instead-of-wrapping contract (ADVICE r12)
+      .select(col("grp"), col("n"),
+        expr("try_cast(__d2 as bigint)").as("d2_sum"), col("rho"))
   }
 
   /** [[cusum]] with a PINNED reference mean instead of the series' own:

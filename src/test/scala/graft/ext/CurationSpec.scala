@@ -304,6 +304,30 @@ class CurationSpec extends AnyFunSuite {
     })
   }
 
+  test("quantile sketch: bucketize covers the full Long domain without " +
+       "overflow (ADVICE r12: shift before multiply)") {
+    import graft.ext.QuantileSketch
+    // v ≥ 2⁵⁹ overflowed the old v·16 form under ANSI; the shift form
+    // must bucketize the entire 63-octave domain, stay monotone across
+    // the b=4→5 branch seam, and agree with the reference formula
+    // ((v·16) >> (b−1), computed wide) everywhere
+    val vs = Seq(1L, 15L, 16L, 17L, 31L, 32L,
+      1L << 58, (1L << 58) + 1, (1L << 59) - 1, 1L << 59,
+      (1L << 62) + 12345L, Long.MaxValue - 1, Long.MaxValue)
+    val got = vs.toDF("v")
+      .select(col("v"), QuantileSketch.bucketize(col("v")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ref(v: Long): Long = {
+      val b = 64 - java.lang.Long.numberOfLeadingZeros(v)
+      val sub = (BigInt(v) * 16 >> (b - 1)).toLong
+      (b - 1).toLong * 16 + sub - 16
+    }
+    vs.foreach(v => assert(got(v) == ref(v), s"v=$v"))
+    // monotone over the sorted probe set (crosses the branch seam)
+    val sorted = vs.sorted.map(got)
+    assert(sorted.sliding(2).forall(p => p.head <= p.last))
+  }
+
   test("hll sketch store: estimates within tolerance of exact distincts (sf corpus)") {
     val t = new graft.Tables(spark, sf)
     val exact = t.events.groupBy(col("event_type"))

@@ -515,6 +515,23 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("Exif: spec-legal 0xFF fill padding before markers is skipped") {
+    // ITU T.81 §B.1.1.2: any marker may be preceded by any number of
+    // 0xFF fill bytes. ADVICE r12: the scan must not read the real
+    // marker byte as a length high byte and bail.
+    val tiff = tiffHeader(le = true) + le2(1) +
+      ifdEntry(le = true, 0x0112, 3, 1, le2(5) + "0000") + le4(0)
+    val app1 = "FFE1" + be2(hx(tiff).length + 8) + "457869660000" + tiff
+    // fill bytes directly after SOI, and again between APP0 and APP1
+    val app0 = "FFE0" + be2(7) + "4A46494600"
+    for (fill <- Seq("FF", "FFFF", "FFFFFF")) {
+      val padded = Multimodal.ExifHeader.parse(
+        hx("FFD8" + fill + app0 + fill + app1))
+      assert(padded.isDefined, s"fill=$fill must still parse")
+      assert(padded.get.orientation == 5)
+    }
+  }
+
   test("Exif: the APP1 scan skips earlier segments and stops at SOS") {
     // APP0/JFIF first, THEN the Exif APP1 — must still be found
     val tiff = tiffHeader(le = true) + le2(1) +
