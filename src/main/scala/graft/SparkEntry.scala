@@ -23,7 +23,8 @@ object SparkEntry {
     analytics.CurationQueries.queries ++
     analytics.StatQueries.queries ++
     analytics.BehaviorQueries.queries ++
-    analytics.RecipeQueries.queries
+    analytics.RecipeQueries.queries ++
+    analytics.WebCurationQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,186 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.ext.UrlOps
+
+/** Round-13 widening: URL/domain web-crawl curation (VERDICT r12 item
+  * 1) — the C4/RefinedWeb recipe steps that precede text cleaning:
+  * canonicalize URLs, dedup on the canonical form, census per
+  * registered domain, drop blocklisted domains.
+  *
+  * documents carries no url column (TESTDATA.md), so the fixture IS
+  * part of each query: [[graft.ext.UrlOps.synthesizeUrl]] derives a
+  * deterministic URL from doc_id, mirrored expression-for-expression
+  * in the oracle SQL (the q199 fixture discipline — both engines
+  * build identical inputs, so the gate prices the kernels, not a file
+  * side-channel). Canonical content derives from doc_id % 37, the
+  * removable variants (case, userinfo, default port, tracking params,
+  * fragment) from doc_id directly, so canonical collapse is real at
+  * every SF and exactly checkable.
+  *
+  * Oracle mirror table (each Spark step ↔ DuckDB step):
+  * substring_index(u,sep,1) ↔ split_part(u,sep,1);
+  * substring_index(u,sep,-1) ↔ split_part(u,sep,-1) (or ,2) — guarded
+  * by an explicit CASE wherever the engines' absent-separator
+  * behavior differs; Column.substr ↔ substr; filter/array_join ↔
+  * list_filter/array_to_string (COALESCE'd: DuckDB yields NULL for
+  * the empty list where Spark's array_join yields '');
+  * slice(l,-2,2) ↔ l[-2:].
+  */
+object WebCurationQueries {
+
+  /** Domains excluded by the census anti-join: both are reachable in
+    * the synthesized corpus (site0.com at k ≡ 0 mod 15, site2.co.uk at
+    * k ≡ 11 mod 15), so the anti-join provably removes rows.
+    */
+  val Blocklist: Seq[String] = Seq("site0.com", "site2.co.uk")
+
+  /** DuckDB CTE chain shared by both oracles: synthesize the raw URL
+    * from doc_id, then canonicalize it step-for-step like
+    * [[graft.ext.UrlOps.canonicalizeUrl]].
+    */
+  private val synthesisAndCanonSql = """
+    WITH parts AS (
+      SELECT doc_id, n_chars, doc_id % 37 AS k,
+             CASE WHEN (doc_id % 37) % 2 = 0 THEN 'http' ELSE 'https' END
+               AS scheme_l,
+             CASE WHEN (doc_id % 37) % 5 = 0 THEN '.com'
+                  WHEN (doc_id % 37) % 5 = 1 THEN '.co.uk'
+                  WHEN (doc_id % 37) % 5 = 2 THEN '.org'
+                  WHEN (doc_id % 37) % 5 = 3 THEN '.com.au'
+                  ELSE '.net' END AS suffix,
+             CASE WHEN (doc_id % 37) % 3 > 0
+                  THEN 'id=' || CAST((doc_id % 37) % 8 AS VARCHAR)
+                  ELSE '' END AS idq
+      FROM documents),
+    raw AS (
+      SELECT doc_id, n_chars,
+             (CASE WHEN doc_id % 4 = 0 THEN upper(scheme_l) ELSE scheme_l END)
+             || '://'
+             || (CASE WHEN doc_id % 9 = 0 THEN 'u:p@' ELSE '' END)
+             || (CASE WHEN doc_id % 8 = 0
+                 THEN upper('www' || CAST(k % 4 AS VARCHAR) || '.site'
+                            || CAST(k % 3 AS VARCHAR) || suffix)
+                 ELSE 'www' || CAST(k % 4 AS VARCHAR) || '.site'
+                      || CAST(k % 3 AS VARCHAR) || suffix END)
+             || (CASE WHEN k % 7 = 1 THEN ':8080'
+                      WHEN doc_id % 6 = 0 THEN
+                        (CASE WHEN scheme_l = 'http' THEN ':80'
+                              ELSE ':443' END)
+                      ELSE '' END)
+             || '/p/' || CAST(k % 7 AS VARCHAR) || '/x'
+             || (CASE WHEN doc_id % 3 = 0 THEN
+                        '?utm_source=feed&utm_campaign=c'
+                        || CAST(doc_id % 4 AS VARCHAR)
+                        || (CASE WHEN idq = '' THEN ''
+                                 ELSE '&' || idq END)
+                      WHEN doc_id % 3 = 1 THEN
+                        (CASE WHEN idq = '' THEN '?ref=tw'
+                              ELSE '?' || idq || '&ref=tw' END)
+                      ELSE (CASE WHEN idq = '' THEN ''
+                                 ELSE '?' || idq END) END)
+             || (CASE WHEN doc_id % 4 = 2 THEN '#sec1' ELSE '' END) AS url
+      FROM parts),
+    c1 AS (SELECT doc_id, n_chars, url, split_part(url, '#', 1) AS nf
+           FROM raw),
+    c2 AS (SELECT *, lower(split_part(nf, '://', 1)) AS scheme,
+                  split_part(nf, '://', 2) AS rest FROM c1),
+    c3 AS (SELECT *, split_part(rest, '/', 1) AS authority,
+                  substr(rest, len(split_part(rest, '/', 1)) + 1) AS pathq
+           FROM c2),
+    c4 AS (SELECT *, split_part(authority, '@', -1) AS hostport FROM c3),
+    c5 AS (SELECT *, lower(split_part(hostport, ':', 1)) AS host,
+                  CASE WHEN contains(hostport, ':')
+                       THEN split_part(hostport, ':', 2)
+                       ELSE '' END AS port FROM c4),
+    c6 AS (SELECT *, split_part(pathq, '?', 1) AS path,
+                  CASE WHEN port = ''
+                         OR (scheme = 'http' AND port = '80')
+                         OR (scheme = 'https' AND port = '443')
+                       THEN '' ELSE ':' || port END AS port_out FROM c5),
+    c7 AS (SELECT *, CASE WHEN contains(pathq, '?')
+                          THEN substr(pathq, len(path) + 2)
+                          ELSE '' END AS qs FROM c6),
+    c8 AS (SELECT *, COALESCE(array_to_string(
+                    list_filter(string_split(qs, '&'),
+                    p -> NOT (starts_with(p, 'utm_')
+                              OR starts_with(p, 'gclid=')
+                              OR starts_with(p, 'fbclid=')
+                              OR starts_with(p, 'msclkid=')
+                              OR starts_with(p, 'ref='))), '&'), '') AS kept
+           FROM c7),
+    canon AS (
+      SELECT doc_id, n_chars, url, host,
+             scheme || '://' || host || port_out || path
+               || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END)
+               AS canonical_url
+      FROM c8)"""
+
+  private val suffixListSql =
+    UrlOps.TwoLevelSuffixes.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------------------------
+    // q200: exact canonical-URL dedup ([[graft.ext.UrlOps]]) — one row
+    // per canonical URL with document count, distinct raw-spelling
+    // count, and the keep-min-doc_id winner. The canonicalization is
+    // pure map-side expression work; the census is one hash
+    // aggregation keyed on the canonical string (map-side partials do
+    // the collapsing, so at 100 TB the shuffle carries one row per
+    // distinct URL, not per document).
+    GraftQuery(
+      "q200_url_canonical_dedup",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        UrlOps.canonicalDedup(t.documents, col("doc_id"),
+            UrlOps.synthesizeUrl(col("doc_id")))
+          .orderBy(col("canonical_url"))
+      },
+      Some(synthesisAndCanonSql + """
+        SELECT canonical_url,
+               count(*) AS n_docs,
+               count(DISTINCT url) AS n_raw,
+               min(doc_id) AS keeper_doc_id
+        FROM canon GROUP BY 1""")),
+
+    // ------------------------------------------------------------------
+    // q201: per-registered-domain census behind a broadcast blocklist
+    // anti-join ([[graft.ext.UrlOps.domainCensus]]) — docs, distinct
+    // canonical URLs, distinct hosts, total chars, and the canonical
+    // dup rate per eTLD+1, with blocklisted domains removed before
+    // aggregation (the C4/RefinedWeb denylist step). The blocklist is
+    // always the broadcast side; dup_rate is a single division of
+    // exact integers (bit-identical across engines).
+    GraftQuery(
+      "q201_domain_census_blocklist",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        UrlOps.domainCensus(t.documents, col("doc_id"),
+            UrlOps.synthesizeUrl(col("doc_id")), col("n_chars"), Blocklist)
+          .orderBy(col("registered_domain"))
+      },
+      Some(synthesisAndCanonSql + s""",
+        dom AS (
+          SELECT doc_id, n_chars, canonical_url, host,
+                 CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                      WHEN array_to_string((string_split(host, '.'))[-2:],
+                             '.') IN $suffixListSql
+                      THEN array_to_string((string_split(host, '.'))[-3:],
+                             '.')
+                      ELSE array_to_string((string_split(host, '.'))[-2:],
+                             '.') END AS registered_domain
+          FROM canon)
+        SELECT registered_domain,
+               count(*) AS n_docs,
+               count(DISTINCT canonical_url) AS n_canonical,
+               count(DISTINCT host) AS n_hosts,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(count(*) - count(DISTINCT canonical_url) AS DOUBLE)
+                 / count(*) AS dup_rate
+        FROM dom
+        WHERE registered_domain NOT IN
+          (${Blocklist.map(s => s"'$s'").mkString(", ")})
+        GROUP BY 1""")))
+}
