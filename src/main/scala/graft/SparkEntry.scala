@@ -24,7 +24,8 @@ object SparkEntry {
     analytics.StatQueries.queries ++
     analytics.BehaviorQueries.queries ++
     analytics.RecipeQueries.queries ++
-    analytics.WebCurationQueries.queries
+    analytics.WebCurationQueries.queries ++
+    analytics.ImageQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

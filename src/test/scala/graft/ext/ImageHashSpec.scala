@@ -1,0 +1,190 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Round-13 PNG decode + dHash ([[graft.ext.ImageHash]]): a hand-built
+  * stored-block PNG golden (pins the decoder independently of our own
+  * encoder), encode/decode roundtrips over every filter type, color
+  * type and ragged dimensions, alpha-ignorance, hostile/fuzzed bytes
+  * (never throw, fail closed), and banded-pairing parity against
+  * brute force.
+  */
+class ImageHashSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+    ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val c = new java.util.zip.CRC32
+    c.update(t); c.update(data)
+    be32(data.length.toLong) ++ t ++ data ++ be32(c.getValue)
+  }
+
+  /** zlib stream with ONE stored (uncompressed) deflate block —
+    * hand-writable without running Deflater, so the golden bytes do
+    * not depend on any compressor's output.
+    */
+  private def storedZlib(raw: Array[Byte]): Array[Byte] = {
+    val len = raw.length
+    val header = Array[Byte](0x78, 0x01, 0x01,
+      (len & 0xff).toByte, ((len >> 8) & 0xff).toByte,
+      (~len & 0xff).toByte, ((~len >> 8) & 0xff).toByte)
+    val a = new java.util.zip.Adler32
+    a.update(raw)
+    header ++ raw ++ be32(a.getValue)
+  }
+
+  private val pngSig = Array(0x89, 0x50, 0x4e, 0x47,
+    0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def ihdr(w: Int, h: Int, colorType: Int): Array[Byte] =
+    chunk("IHDR", be32(w.toLong) ++ be32(h.toLong) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0))
+
+  test("decode: hand-built stored-block 2x2 gray PNG yields the " +
+       "hand-written pixels (decoder pinned without our encoder)") {
+    val raw = Array[Byte](0, 10, 20, 0, 30, 40) // filter 0 rows
+    val png = pngSig ++ ihdr(2, 2, 0) ++
+      chunk("IDAT", storedZlib(raw)) ++ chunk("IEND", Array.emptyByteArray)
+    val d = ImageHash.Png.decode(png).get
+    assert(d.width == 2 && d.height == 2 && d.colorType == 0)
+    assert(d.luma.toSeq == Seq(10, 20, 30, 40))
+  }
+
+  test("decode: hand-built Sub/Up-filtered RGB rows unfilter correctly") {
+    // 2x2 RGB. Row 0 filter 1 (Sub): first pixel literal, second
+    // stores deltas. Row 1 filter 2 (Up): stores deltas vs row 0.
+    // Pristine pixels: (10,20,30) (13,24,35) / (20,20,20) (23,24,25)
+    val raw = Array[Byte](
+      1, 10, 20, 30, 3, 4, 5,
+      2, 10, 0, (256 - 10).toByte, 10, 0, (256 - 10).toByte)
+    val png = pngSig ++ ihdr(2, 2, 2) ++
+      chunk("IDAT", storedZlib(raw)) ++ chunk("IEND", Array.emptyByteArray)
+    val d = ImageHash.Png.decode(png).get
+    def l(r: Int, g: Int, b: Int) = ImageHash.luma8(r, g, b)
+    assert(d.luma.toSeq ==
+      Seq(l(10, 20, 30), l(13, 24, 35), l(20, 20, 20), l(23, 24, 25)))
+  }
+
+  test("encode/decode roundtrip: every color type, ragged dims, all " +
+       "five filters, IDAT split across chunks") {
+    for (ct <- Seq(0, 2, 6); (w, h) <- Seq((9, 8), (10, 9), (23, 17))) {
+      def px(x: Int, y: Int): Array[Int] = {
+        val v = (x * 31 + y * 57 + ct * 11) % 256
+        ct match {
+          case 0 => Array(v)
+          case 2 => Array(v, (v + 85) % 256, (v + 170) % 256)
+          case _ => Array(v, (v + 85) % 256, (v + 170) % 256, (x + y) % 256)
+        }
+      }
+      val bytes = ImageHash.Png.encode(w, h, ct, px)
+      val d = ImageHash.Png.decode(bytes).get
+      assert(d.width == w && d.height == h && d.colorType == ct,
+        s"ct=$ct w=$w h=$h")
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = px(x, y)
+        val want = if (ct == 0) p(0) else ImageHash.luma8(p(0), p(1), p(2))
+        assert(d.luma(y * w + x) == want, s"ct=$ct ($x,$y)")
+      }
+    }
+  }
+
+  test("decode: RGBA alpha is ignored — images differing only in " +
+       "alpha produce identical luma and dhash") {
+    def enc(alpha: (Int, Int) => Int) =
+      ImageHash.Png.encode(18, 16, 6,
+        (x, y) => Array((x * 7 + y * 13) % 256, (x * 7 + y * 13) % 256,
+          (x * 7 + y * 13) % 256, alpha(x, y)))
+    val a = ImageHash.Png.decode(enc((_, _) => 255)).get
+    val b = ImageHash.Png.decode(enc((x, y) => (x * y) % 256)).get
+    assert(a.luma.toSeq == b.luma.toSeq)
+    assert(ImageHash.dhash64(a.luma, 18, 16) ==
+      ImageHash.dhash64(b.luma, 18, 16))
+  }
+
+  test("decode: hostile inputs fail closed (None, never throw)") {
+    val good = ImageHash.Png.encode(9, 8, 0, (x, y) => Array((x + y) % 256))
+    val hostile = Seq[Array[Byte]](
+      Array.emptyByteArray,
+      pngSig, // signature only
+      pngSig ++ ihdr(9, 8, 0), // no IDAT/IEND
+      // CRC corruption
+      { val b = good.clone(); b(b.length - 5) = (b(b.length - 5) ^ 1).toByte; b },
+      // truncated IDAT payload
+      good.dropRight(20),
+      // declared dimensions beyond the pixel cap
+      pngSig ++ ihdr(1 << 16, 1 << 16, 0) ++
+        chunk("IDAT", storedZlib(Array[Byte](0))) ++
+        chunk("IEND", Array.emptyByteArray),
+      // unsupported: 16-bit depth, palette color, interlace
+      pngSig ++ chunk("IHDR", be32(2) ++ be32(2) ++
+        Array[Byte](16, 0, 0, 0, 0)),
+      pngSig ++ chunk("IHDR", be32(2) ++ be32(2) ++
+        Array[Byte](8, 3, 0, 0, 0)),
+      pngSig ++ chunk("IHDR", be32(2) ++ be32(2) ++
+        Array[Byte](8, 0, 0, 0, 1)),
+      // chunk length pointing past the buffer
+      pngSig ++ be32(9999) ++ "IHDR".getBytes("US-ASCII"))
+    hostile.foreach(b => assert(ImageHash.Png.decode(b).isEmpty))
+    // inflate output longer than the scanlines need is malformed
+    val fat = pngSig ++ ihdr(2, 1, 0) ++
+      chunk("IDAT", storedZlib(Array[Byte](0, 1, 2, 3, 4, 5))) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(ImageHash.Png.decode(fat).isEmpty)
+  }
+
+  test("decode: fuzzed single-byte mutations never throw") {
+    val good = ImageHash.Png.encode(18, 16, 2,
+      (x, y) => Array(x % 256, y % 256, (x + y) % 256))
+    val rnd = new scala.util.Random(0xd44a5L) // deterministic
+    (0 until 500).foreach { _ =>
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      ImageHash.Png.decode(b) // Option either way; must not throw
+    }
+  }
+
+  test("dhash64: grid minimum, identity, and near-dup locality") {
+    val w = 18; val h = 16
+    def lum(f: (Int, Int) => Int) =
+      Array.tabulate(w * h)(i => f(i % w, i / w))
+    assert(ImageHash.dhash64(Array.fill(8 * 8)(7), 8, 8).isEmpty)
+    val base = lum((x, y) => (x * 13 + y * 29) % 251)
+    val h1 = ImageHash.dhash64(base, w, h).get
+    assert(ImageHash.dhash64(base.clone(), w, h).get == h1)
+    // single-pixel +2 perturbation moves one 2x2 box mean by <=1:
+    // hamming stays tiny (the near-dup property the pairing leans on)
+    val pert = base.clone(); pert(5 * w + 7) = pert(5 * w + 7) + 2
+    val h2 = ImageHash.dhash64(pert, w, h).get
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 2)
+  }
+
+  test("dhashPairs: banded pairing equals brute force at radius 2") {
+    val rnd = new scala.util.Random(7)
+    // clustered hashes: 20 bases, each with variants at hamming 0-3
+    val sigs = (0 until 20).flatMap { c =>
+      val base = rnd.nextLong()
+      (0 until 4).map { v =>
+        var s = base
+        (0 until v).foreach(_ => s ^= 1L << rnd.nextInt(64))
+        (c * 10 + v).toLong -> s
+      }
+    }
+    val df = sigs.toDF("id", "sig")
+    val got = ImageHash.dhashPairs(df, col("id"), col("sig"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb)
+      if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(got == want)
+  }
+}
