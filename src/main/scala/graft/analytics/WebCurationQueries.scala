@@ -86,8 +86,11 @@ object WebCurationQueries {
            FROM raw),
     c2 AS (SELECT *, lower(split_part(nf, '://', 1)) AS scheme,
                   split_part(nf, '://', 2) AS rest FROM c1),
-    c3 AS (SELECT *, split_part(rest, '/', 1) AS authority,
-                  substr(rest, len(split_part(rest, '/', 1)) + 1) AS pathq
+    c3 AS (SELECT *, split_part(split_part(rest, '/', 1), '?', 1)
+                    AS authority,
+                  substr(rest,
+                    len(split_part(split_part(rest, '/', 1), '?', 1)) + 1)
+                    AS pathq
            FROM c2),
     c4 AS (SELECT *, split_part(authority, '@', -1) AS hostport FROM c3),
     c5 AS (SELECT *, lower(split_part(hostport, ':', 1)) AS host,
@@ -112,7 +115,8 @@ object WebCurationQueries {
            FROM c7),
     canon AS (
       SELECT doc_id, n_chars, url, host,
-             scheme || '://' || host || port_out || path
+             scheme || '://' || host || port_out
+               || (CASE WHEN path = '' THEN '/' ELSE path END)
                || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END)
                AS canonical_url
       FROM c8)"""

@@ -197,7 +197,13 @@ object ImageHash {
         var got = 0
         while (got < raw.length && !inflater.finished()) {
           val n = inflater.inflate(raw, got, raw.length - got)
-          if (n == 0 && inflater.needsInput()) return None // truncated
+          // All input is pre-set, so zero progress while !finished()
+          // means needsInput (truncated) OR needsDictionary (FDICT
+          // preset-dictionary stream) — both malformed for this
+          // profile. Bailing on ANY no-progress step keeps the loop
+          // provably bounded on hostile bytes (a valid-FCHECK
+          // FDICT stream would otherwise spin forever).
+          if (n == 0) return None
           got += n
         }
         // exact-size contract: a stream with MORE data than the

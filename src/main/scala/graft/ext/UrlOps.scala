@@ -56,7 +56,10 @@ object UrlOps {
     *     non-default ports are kept
     *   - drop tracking query parameters ([[isTrackingParam]]),
     *     preserving the relative order of the survivors, and drop the
-    *     `?` entirely when nothing survives
+    *     `?` entirely when nothing survives — including a query that
+    *     directly follows the authority with no path (`http://e.com?x`)
+    *   - normalize an empty path to `/` (RFC 3986 §6.2.3), so
+    *     `http://e.com?x` collapses with `http://e.com/?x`
     *
     * Precondition: the input contains `://` exactly once (an absolute
     * URL). Inputs without a scheme pass through the same string ops
@@ -76,9 +79,12 @@ object UrlOps {
     val nf = substring_index(u, "#", 1)
     val scheme = lower(substring_index(nf, "://", 1))
     val rest = substring_index(nf, "://", -1)
-    val authority = substring_index(rest, "/", 1)
+    // a query can directly follow the authority with no path
+    // (http://e.com?x) — split it off BEFORE host/port extraction so
+    // it routes through the same query-filtering path (ADVICE r13)
+    val authority = substring_index(substring_index(rest, "/", 1), "?", 1)
     // substr is 1-based; everything past the authority (starts with
-    // '/' when a path exists, empty otherwise)
+    // '/' or '?' when present, empty otherwise)
     val pathq = rest.substr(length(authority) + lit(1), length(rest))
     val hostport = substring_index(authority, "@", -1)
     val host = lower(substring_index(hostport, ":", 1))
@@ -98,7 +104,10 @@ object UrlOps {
       pathq.substr(length(path) + lit(2), length(pathq))).otherwise(lit(""))
     val kept = array_join(
       filter(split(qs, "&"), p => !isTrackingParam(p)), "&")
-    concat(scheme, lit("://"), host, portOut, path,
+    // RFC 3986 §6.2.3: an empty path with an authority normalizes to
+    // "/" — so http://e.com?x and http://e.com/?x collapse
+    val pathOut = when(path === "", lit("/")).otherwise(path)
+    concat(scheme, lit("://"), host, portOut, pathOut,
       when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
   }
 

@@ -137,6 +137,24 @@ class ImageHashSpec extends AnyFunSuite {
       chunk("IDAT", storedZlib(Array[Byte](0, 1, 2, 3, 4, 5))) ++
       chunk("IEND", Array.emptyByteArray)
     assert(ImageHash.Png.decode(fat).isEmpty)
+    // preset-dictionary zlib (FDICT set with a VALID FCHECK: 0x7820 is
+    // divisible by 31): Inflater returns 0 with needsDictionary() and
+    // neither needsInput() nor finished() — the ADVICE r13 infinite
+    // loop. Must fail closed in bounded time, not spin.
+    val raw = Array[Byte](0, 10, 20, 0, 30, 40)
+    val inner = storedZlib(raw)
+    val dictId = {
+      val a = new java.util.zip.Adler32; a.update("dict".getBytes); be32(a.getValue)
+    }
+    val fdictStream = Array[Byte](0x78, 0x20) ++ dictId ++ inner.drop(2)
+    assert((0x78 * 256 + 0x20) % 31 == 0, "FCHECK must be valid")
+    val fdictPng = pngSig ++ ihdr(2, 2, 0) ++
+      chunk("IDAT", fdictStream) ++ chunk("IEND", Array.emptyByteArray)
+    val done = new java.util.concurrent.CompletableFuture[Option[ImageHash.Decoded]]
+    val t = new Thread(() => done.complete(ImageHash.Png.decode(fdictPng)))
+    t.setDaemon(true); t.start()
+    assert(done.get(30, java.util.concurrent.TimeUnit.SECONDS).isEmpty,
+      "FDICT stream must decode to None (and terminate)")
   }
 
   test("decode: fuzzed single-byte mutations never throw") {

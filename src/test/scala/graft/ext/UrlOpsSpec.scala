@@ -35,8 +35,15 @@ class UrlOpsSpec extends AnyFunSuite {
       "http://example.com/p?utm_a=1&utm_b=2" -> "http://example.com/p",
       // trailing bare '?' dropped
       "http://e.com/p?" -> "http://e.com/p",
-      // no path at all
-      "HTTPS://E.COM" -> "https://e.com",
+      // no path at all: empty path normalizes to '/' (RFC 3986 §6.2.3)
+      "HTTPS://E.COM" -> "https://e.com/",
+      // query directly after the authority, no path (ADVICE r13):
+      // tracking params ARE stripped, and the path-less spelling
+      // collapses with its '/?' sibling
+      "http://e.com?utm_a=1" -> "http://e.com/",
+      "http://e.com?x=1" -> "http://e.com/?x=1",
+      "http://e.com/?x=1" -> "http://e.com/?x=1",
+      "HTTP://u:p@E.com:80?utm_a=1&id=2" -> "http://e.com/?id=2",
       // IDN punycode passes through undecoded (documented non-goal)
       "http://xn--bcher-kva.example/x" -> "http://xn--bcher-kva.example/x",
       // %-escapes and param order preserved (documented non-goals)
@@ -57,7 +64,7 @@ class UrlOpsSpec extends AnyFunSuite {
     // substring_index with no '://' returns the whole string for both
     // parts, so the input is treated as scheme-and-authority; the pin
     // documents (not endorses) the out-of-contract behavior.
-    assert(canon("not-a-url") == Seq("not-a-url://not-a-url"))
+    assert(canon("not-a-url") == Seq("not-a-url://not-a-url/"))
   }
 
   test("registeredDomain: two-level suffixes, plain TLDs, short hosts") {

@@ -301,6 +301,69 @@ class CheckpointRecoverySpec extends AnyFunSuite {
 
   // -------------------------------------- foreachBatch object keys
 
+  // ------------------------------- foreachBatch → AtomicPublish (WAP)
+
+  test("foreachBatch → AtomicPublish: each micro-batch publishes a " +
+       "complete snapshot; restart resumes from checkpointed state and " +
+       "a replayed batch re-publishes idempotently") {
+    import graft.sinks.AtomicPublish
+    val table = java.nio.file.Files
+      .createTempDirectory("rec-wap-table").toString
+    val chk = java.nio.file.Files
+      .createTempDirectory("rec-wap-chk").toString
+    val src = MemoryStream[(String, Long)](spark)
+    // a COMPLETE replacement snapshot per trigger: complete-mode
+    // aggregate over everything seen so far
+    val agg = src.toDF().groupBy(col("_1").as("k"))
+      .agg(org.apache.spark.sql.functions.sum(col("_2")).as("total"))
+      .select(col("k"), col("total"))
+    def start() = agg.writeStream
+      .option("checkpointLocation", chk)
+      .outputMode("complete")
+      .foreachBatch(AtomicPublish.publishEachBatch(table))
+      .start()
+    def published(): Map[String, Long] =
+      AtomicPublish.readPublished(spark, table)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val q1 = start()
+    src.addData(Seq(("a", 1L), ("b", 2L), ("a", 3L)))
+    q1.processAllAvailable()
+    assert(published() == Map("a" -> 4L, "b" -> 2L))
+    q1.stop()
+    // data arrives while the query is DOWN; the published view stays
+    // the last complete snapshot the whole time
+    src.addData(Seq(("b", 10L), ("c", 5L)))
+    assert(published() == Map("a" -> 4L, "b" -> 2L))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    // recovery resumed from checkpointed aggregate state — the new
+    // snapshot covers ALL data, not just the post-restart batch
+    assert(published() == Map("a" -> 4L, "b" -> 12L, "c" -> 5L))
+    // the at-least-once replay case: a crash between publish and the
+    // offset commit re-runs the batch on restart — re-publishing the
+    // same snapshot lands a fresh generation with identical content,
+    // a no-op for readers
+    val before = published()
+    val g = AtomicPublish.currentGeneration(table).get
+    AtomicPublish.publishEachBatch(table)(
+      AtomicPublish.readPublished(spark, table), 999L)
+    assert(AtomicPublish.currentGeneration(table) == Some(g + 1))
+    assert(published() == before,
+      "a replayed publish must not change what readers see")
+    // every generation on disk is itself one complete, homogeneous
+    // snapshot (never a partial write): its 'a' count is 0 or the full
+    // prefix value
+    (0L to g + 1).foreach { gen =>
+      val m = spark.read.parquet(s"$table/gen=$gen")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(Set(Map("a" -> 4L, "b" -> 2L),
+                 Map("a" -> 4L, "b" -> 12L, "c" -> 5L)).contains(m),
+        s"gen=$gen is not a complete prefix snapshot: $m")
+    }
+  }
+
   test("foreachBatch → ObjectStore: deterministic keys make a replayed " +
        "batch (the crash-recovery case) converge, not duplicate") {
     val dir = java.nio.file.Files
