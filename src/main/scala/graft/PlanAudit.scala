@@ -38,14 +38,27 @@ import org.apache.spark.sql.execution.SparkPlan
 object PlanAudit {
 
   final case class Census(shuffles: Int, broadcasts: Int, reused: Int,
-                          sorts: Int, codegenSpans: Int, scans: Int) {
+                          sorts: Int, codegenSpans: Int, scans: Int,
+                          unpartitionedWindows: Int) {
     def jsonFields: String =
       s""""shuffles":$shuffles,"broadcasts":$broadcasts,"reused":$reused,""" +
-        s""""sorts":$sorts,"wsc":$codegenSpans,"scans":$scans"""
+        s""""sorts":$sorts,"wsc":$codegenSpans,"scans":$scans,""" +
+        s""""upw":$unpartitionedWindows"""
   }
 
   def census(plan: SparkPlan): Census = {
     val names = plan.collectWithSubqueries { case n => n.getClass.getSimpleName }
+    // truly-unpartitioned windows: partitionSpec EMPTY, the shape Spark's
+    // "No Partition Defined" warning flags. The registry must hold this
+    // at zero — structurally bounded sites go through
+    // [[graft.functions.BoundedWindow]], whose constant-valued (but
+    // non-foldable) key keeps the spec non-empty; anything censused here
+    // is an accidental whole-corpus single-partition window, and
+    // PlanCensusSpec fails on it.
+    val upw = plan.collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }.size
     Census(
       shuffles = names.count(_ == "ShuffleExchangeExec"),
       broadcasts = names.count(_ == "BroadcastExchangeExec"),
@@ -54,7 +67,8 @@ object PlanAudit {
       codegenSpans = names.count(_.startsWith("WholeStageCodegen")),
       scans = names.count(n =>
         n == "FileSourceScanExec" || n == "BatchScanExec" ||
-          n == "RDDScanExec" || n == "ExternalRDDScanExec"))
+          n == "RDDScanExec" || n == "ExternalRDDScanExec"),
+      unpartitionedWindows = upw)
   }
 
   /** Census session: same context, independent SQLConf with AQE off. */
@@ -126,11 +140,12 @@ object PlanAudit {
     md ++= "returned final stage; `graft.Scaling` measures the loops by time.\n"
     md ++= "`PlanCensusSpec` gates `sbt test` on `shuffles` never exceeding the\n"
     md ++= "committed value for any query (improvements: refresh this artifact).\n\n"
-    md ++= "| query | shuffles | bcast | reused | sorts | wsc | scans |\n"
-    md ++= "|---|---|---|---|---|---|---|\n"
+    md ++= "| query | shuffles | bcast | reused | sorts | wsc | scans | upw |\n"
+    md ++= "|---|---|---|---|---|---|---|---|\n"
     rows.foreach { case (n, c) =>
       md ++= s"| $n | ${c.shuffles} | ${c.broadcasts} | ${c.reused} " +
-        s"| ${c.sorts} | ${c.codegenSpans} | ${c.scans} |\n"
+        s"| ${c.sorts} | ${c.codegenSpans} | ${c.scans} " +
+        s"| ${c.unpartitionedWindows} |\n"
     }
     val tot = rows.map(_._2)
     md ++= s"\nTotals: ${tot.map(_.shuffles).sum} shuffles, " +

@@ -47,10 +47,13 @@ object StatQueries {
         val dev = daily.crossJoin(broadcast(c))
           .select(col("day"), (col("cents") - col("c")).as("d"),
             col("n_days"))
-        val w = Window.orderBy(col("day"))
-        val lagged = (1 to 7).foldLeft(dev) { (df, k) =>
-          df.withColumn(s"d_$k", lag(col("d"), k).over(w))
-        }
+        val w = graft.functions.BoundedWindow.orderBy(col("day"))
+        // all 7 lags in ONE select so the analyzer extracts a single
+        // Window node (chained withColumn would give each lag its own
+        // partition-key attribute, defeating CollapseWindow)
+        val lagged = dev.select(
+          col("*") +: (1 to 7).map(k =>
+            lag(col("d"), k).over(w).as(s"d_$k")): _*)
         val den = lagged.agg(sum(col("d").cast(dec) * col("d")).as("den"))
         val acfs = (1 to 7).map { k =>
           sum(when(col(s"d_$k").isNotNull,

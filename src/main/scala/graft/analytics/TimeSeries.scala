@@ -402,7 +402,7 @@ object TimeSeries {
           .agg(min(to_date(col("ts"))).as("day"))
           .groupBy(col("day"))
           .agg(count(lit(1)).as("new_users"))
-        val w = Window.orderBy(col("day"))
+        val w = graft.functions.BoundedWindow.orderBy(col("day"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         spine.join(firstTouch, Seq("day"), "left")
           .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))

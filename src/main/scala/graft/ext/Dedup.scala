@@ -863,7 +863,7 @@ object Dedup {
       Window.partitionBy(col("blk")).orderBy(col("k"), col("id"))))
     val offs = keyed.groupBy(col("blk")).agg(count(lit(1)).as("cnt"))
       .withColumn("off", coalesce(sum(col("cnt")).over(
-        Window.orderBy(col("blk"))
+        graft.functions.BoundedWindow.orderBy(col("blk"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("blk"), col("off"))
     val ranked = local.join(broadcast(offs), "blk")

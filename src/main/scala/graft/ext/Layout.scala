@@ -84,7 +84,7 @@ object Layout {
     val offsets = base.groupBy(col("__bk"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__off",
-        coalesce(sum(col("__n")).over(Window.orderBy(col("__bk"))
+        coalesce(sum(col("__n")).over(graft.functions.BoundedWindow.orderBy(col("__bk"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__bk"), col("__off"))
     val local = Window.partitionBy(col("__bk"))

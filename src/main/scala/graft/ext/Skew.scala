@@ -84,7 +84,7 @@ object Skew {
       count(lit(1)).as("n_join_keys"))
     contrib.orderBy(col("contrib").desc, col("key")).limit(topK)
       .withColumn("skew_rank", row_number()
-        .over(Window.orderBy(col("contrib").desc, col("key"))))
+        .over(graft.functions.BoundedWindow.orderBy(col("contrib").desc, col("key"))))
       .crossJoin(broadcast(totals))
       .withColumn("contrib_share",
         col("contrib").cast("double") / col("total_output").cast("double"))

@@ -70,13 +70,15 @@ object Stats {
       .withColumn("lb", sum(col("cb")).over(local))
     val totals = bucketed.groupBy(col("bkt"))
       .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
-    val before = Window.orderBy(col("bkt"))
+    val before = graft.functions.BoundedWindow.orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // #buckets rows on one task by design — the tiny side of the split
-    val offsets = totals
-      .withColumn("oa", coalesce(sum(col("ta")).over(before), lit(0L)))
-      .withColumn("ob", coalesce(sum(col("tb")).over(before), lit(0L)))
-      .select(col("bkt"), col("oa"), col("ob"))
+    // #buckets rows on one task by design — the tiny side of the split.
+    // Both running sums in ONE select: chained withColumn would give
+    // each its own extracted partition-key attribute and the two Window
+    // nodes would no longer collapse into one pass
+    val offsets = totals.select(col("bkt"),
+      coalesce(sum(col("ta")).over(before), lit(0L)).as("oa"),
+      coalesce(sum(col("tb")).over(before), lit(0L)).as("ob"))
     val tot = byV.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
     val dec = "decimal(38,0)"
     run.join(broadcast(offsets), "bkt")
@@ -247,7 +249,7 @@ object Stats {
           .otherwise(lit(Double.PositiveInfinity)))
     // `reps` rows only — the single-partition window is bounded by design
     val ranked = perRep.withColumn("__rn",
-      row_number().over(Window.orderBy(col("__mean").asc, col("__b").asc)))
+      row_number().over(graft.functions.BoundedWindow.orderBy(col("__mean").asc, col("__b").asc)))
     val ci = ranked.agg(
       max(when(col("__rn") === loRank, col("__mean"))).as("ci_lo_micro"),
       max(when(col("__rn") === hiRank, col("__mean"))).as("ci_hi_micro"))

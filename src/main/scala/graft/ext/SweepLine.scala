@@ -45,7 +45,7 @@ object SweepLine {
     val totals = deltas.groupBy(col("bkt")).agg(sum(col("d")).as("tot"))
     // cumulative offsets over whole-bucket totals: #buckets rows on one
     // task by design — this is the tiny side of the two-phase split
-    val before = Window.orderBy(col("bkt"))
+    val before = graft.functions.BoundedWindow.orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals
       .withColumn("off", coalesce(sum(col("tot")).over(before), lit(0L)))

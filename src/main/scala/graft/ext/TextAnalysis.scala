@@ -381,7 +381,7 @@ object TextAnalysis {
       .agg(sum(col("n_tokens")).as("__bt"), min(col("doc_id")).as("__mn"))
       .withColumn("__offset",
         coalesce(sum(col("__bt")).over(
-          Window.orderBy(col("__mn"))
+          graft.functions.BoundedWindow.orderBy(col("__mn"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__b"), col("__offset"))
     inner.join(broadcast(offsets), "__b")

@@ -14,6 +14,15 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The bare value column beneath a possible `.asc`/`.desc` sort
+    * wrapper — the Column-level view is a `private[sql]` ColumnNode, so
+    * the unwrap needs the same shim. Identity for unsorted columns.
+    */
+  def unsort(c: Column): Column = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder => Column(so.child)
+    case _ => c
+  }
+
   /** Runtime (session-scoped) function registration — sessionState is
     * `private[sql]`, so live registration needs the same shim.
     */

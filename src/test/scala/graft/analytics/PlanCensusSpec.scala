@@ -50,5 +50,17 @@ class PlanCensusSpec extends AnyFunSuite {
       info("improved vs baseline (refresh plans.json): " +
         better.map { case (n, c) => s"$n ${base(n)}->${c.shuffles}" }
           .mkString(", "))
+    // every single-partition window must be a documented
+    // [[graft.functions.BoundedWindow]] site (constant-valued,
+    // non-foldable key -> non-empty partitionSpec); a truly empty
+    // partitionSpec is an accidental whole-corpus single-partition
+    // window — the regression the 1,000-warning log noise used to bury
+    // (VERDICT r13 item 6), now a structural gate
+    val upw = now.filter { case (_, c) => c.unpartitionedWindows > 0 }
+    assert(upw.isEmpty,
+      "unpartitioned WindowExec (use graft.functions.BoundedWindow for " +
+        "structurally bounded frames): " + upw.map {
+        case (n, c) => s"$n(${c.unpartitionedWindows})"
+      }.mkString(", "))
   }
 }

@@ -393,7 +393,7 @@ class CurationSpec extends AnyFunSuite {
     val naive = docs.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n"))
       .withColumn("cum", sum(col("n")).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+        graft.functions.BoundedWindow.orderBy(col("doc_id"))))
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     for (parts <- Seq(1, 5, 16)) {
       val packed = TextAnalysis.tokenPacking(docs, col("doc_id"), col("text"),
