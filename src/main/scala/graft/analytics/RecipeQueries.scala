@@ -968,6 +968,132 @@ object RecipeQueries {
         SELECT c.nation_key, c.name, c.region_key, c.note, c.score, c.flag,
                TRUE AS formats_agree
         FROM c JOIN j USING (nation_key)
-        ORDER BY nation_key"""))
+        ORDER BY nation_key""")),
+
+    // ------------------------------------------------------------------
+    // q204: community assignment by deterministic label propagation
+    // ([[graft.ext.Graph.labelPropagation]]) — the ASSIGN half of
+    // community detection over the part co-purchase graph (q191 scores
+    // a GIVEN partition; this produces one). Three synchronous weighted
+    // rounds, min-label tie-break — an exact function of the graph, so
+    // the oracle replays the rounds as unrolled SQL and the gate is a
+    // full hash of the assignment. The q191 machinery then scores the
+    // result and `q_ge_singleton` pins Q(partition) ≥ Q(all-singletons)
+    // as exact scaled integers (Q·4m² in decimal(38,0) — a partition
+    // WORSE than no grouping at all would flip the hash red).
+    GraftQuery(
+      "q204_label_propagation",
+      (spark, dir) => {
+        // weighted mirrored edges from the SHARED co-purchase census
+        // (one build serves q122/q154/q156/q161/q191/q204)
+        val pairs = SharedGraph.coPurchasePairs(spark, dir)
+        val mirrored = pairs.select(explode(array(
+            struct(col("a").as("src"), col("b").as("dst"), col("c").as("w")),
+            struct(col("b").as("src"), col("a").as("dst"), col("c").as("w"))))
+            .as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"),
+            col("e.w").as("w"))
+        val labels = graft.ext.Graph.labelPropagation(mirrored, rounds = 3)
+        // evaluation half: total Q·4m² of the produced partition vs the
+        // all-singletons baseline (−Σ deg² — every e_c = 0), both exact
+        val edges = SharedGraph.undirected(spark, dir)
+        val mod = graft.ext.Graph.modularity(edges, labels)
+        val qTot = mod.agg(sum(col("q_contrib_scaled")
+          .cast("decimal(38,0)")).as("q_scaled"))
+        val deg = edges.select(col("src").as("node"))
+          .unionAll(edges.select(col("dst").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val qSingleton = deg.agg((-sum(col("deg").cast("decimal(38,0)")
+          * col("deg"))).as("q_singleton_scaled"))
+        labels.crossJoin(broadcast(qTot)).crossJoin(broadcast(qSingleton))
+          .select(col("node"), col("community"),
+            (col("q_scaled") >= col("q_singleton_scaled"))
+              .as("q_ge_singleton"))
+          .orderBy(col("node"))
+      },
+      Some("""
+        WITH ps AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT a.l_partkey AS a, b.l_partkey AS b,
+                 CAST(count(*) AS BIGINT) AS w
+          FROM ps a JOIN ps b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        edges AS (SELECT a AS src, b AS dst, w FROM pairs
+                  UNION ALL SELECT b, a, w FROM pairs),
+        lab0 AS (SELECT DISTINCT src AS node, src AS community FROM edges),
+        v1 AS (SELECT e.src AS node, l.community AS nl, SUM(e.w) AS ws
+               FROM edges e JOIN lab0 l ON e.dst = l.node GROUP BY 1, 2),
+        lab1 AS (SELECT node, nl AS community FROM (
+          SELECT node, nl, ROW_NUMBER() OVER (PARTITION BY node
+            ORDER BY ws DESC, nl ASC) AS rn FROM v1) WHERE rn = 1),
+        v2 AS (SELECT e.src AS node, l.community AS nl, SUM(e.w) AS ws
+               FROM edges e JOIN lab1 l ON e.dst = l.node GROUP BY 1, 2),
+        lab2 AS (SELECT node, nl AS community FROM (
+          SELECT node, nl, ROW_NUMBER() OVER (PARTITION BY node
+            ORDER BY ws DESC, nl ASC) AS rn FROM v2) WHERE rn = 1),
+        v3 AS (SELECT e.src AS node, l.community AS nl, SUM(e.w) AS ws
+               FROM edges e JOIN lab2 l ON e.dst = l.node GROUP BY 1, 2),
+        lab3 AS (SELECT node, nl AS community FROM (
+          SELECT node, nl, ROW_NUMBER() OVER (PARTITION BY node
+            ORDER BY ws DESC, nl ASC) AS rn FROM v3) WHERE rn = 1),
+        und AS (SELECT a AS src, b AS dst FROM pairs),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT src AS node FROM und UNION ALL SELECT dst FROM und)
+          GROUP BY 1),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM und),
+        dc AS (SELECT l.community AS community,
+                      CAST(SUM(d.deg) AS BIGINT) AS degree_sum
+               FROM deg d JOIN lab3 l ON d.node = l.node GROUP BY 1),
+        ec AS (SELECT CAST(count(*) AS BIGINT) AS intra_total
+               FROM und e JOIN lab3 la ON la.node = e.src
+                          JOIN lab3 lb ON lb.node = e.dst
+               WHERE la.community = lb.community),
+        qt AS (SELECT CAST(4 AS HUGEINT) * m.m_edges * ec.intra_total
+                 - (SELECT SUM(CAST(degree_sum AS HUGEINT) * degree_sum)
+                    FROM dc) AS q_scaled
+               FROM m, ec),
+        qs AS (SELECT -SUM(CAST(deg AS HUGEINT) * deg) AS q_singleton
+               FROM deg)
+        SELECT l.node, l.community,
+               qt.q_scaled >= qs.q_singleton AS q_ge_singleton
+        FROM lab3 l, qt, qs
+        ORDER BY l.node""")),
+
+    // ------------------------------------------------------------------
+    // q205: ORC cross-format parity ([[graft.sources.OrcFixtures]]) —
+    // `spark.read.orc` over a deterministic ORC export of supplier,
+    // joined back to the parquet original with every column null-safe
+    // compared (`formats_agree`, TRUE-pinned). DuckDB has no ORC
+    // reader, so the oracle gates the PARQUET side; the hash gate then
+    // prices the whole ORC write→read round trip — a value-fidelity
+    // bug in either direction (bigint, varchar, int, DOUBLE) flips
+    // either the per-row agreement or the hashed ORC-side values red.
+    // Same pattern as q199 (CSV/JSONL); with it, all three mainstream
+    // open columnar/text formats the engine can meet are covered.
+    GraftQuery(
+      "q205_orc_ingest",
+      (spark, dir) => {
+        val orcPath = graft.sources.OrcFixtures.supplierOrc(spark, dir)
+        val o = spark.read.orc(orcPath)
+        val p = new Tables(spark, dir).supplier
+          .select(col("s_suppkey").as("p_key"), col("s_name").as("p_name"),
+            col("s_nationkey").as("p_nat"), col("s_acctbal").as("p_bal"))
+        // inner join on the key; a dropped/duplicated row in the ORC
+        // round trip changes the output row count (rows gate), a value
+        // divergence flips formats_agree or the hashed ORC-side values
+        o.join(p, col("s_suppkey") === col("p_key"))
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            col("s_acctbal"),
+            (col("s_name") <=> col("p_name") &&
+              col("s_nationkey") <=> col("p_nat") &&
+              col("s_acctbal") <=> col("p_bal")).as("formats_agree"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+               TRUE AS formats_agree
+        FROM supplier
+        ORDER BY s_suppkey"""))
   )
 }

@@ -2,7 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
-import graft.ext.UrlOps
+import graft.ext.{Dedup, TextAnalysis, UrlOps}
 
 /** Round-13 widening: URL/domain web-crawl curation (VERDICT r12 item
   * 1) — the C4/RefinedWeb recipe steps that precede text cleaning:
@@ -186,5 +186,118 @@ object WebCurationQueries {
         FROM dom
         WHERE registered_domain NOT IN
           (${Blocklist.map(s => s"'$s'").mkString(", ")})
-        GROUP BY 1""")))
+        GROUP BY 1""")),
+
+    // ------------------------------------------------------------------
+    // q206: full domain-reputation census
+    // ([[graft.ext.UrlOps.domainReputation]]) — q201's census joined
+    // with the two signals the r12 brief specified and q201 shipped
+    // without: MEAN QUALITY per registered domain (the q33 score,
+    // 10⁻⁴-quantized so the mean is one double division of exact
+    // integers) and NEAR-DUP PARTICIPATION (docs in ≥ 1 q28
+    // MinHash-LSH pair; the oracle replays the exact-Jaccard
+    // equivalent, the q28 equivalence). Aggregate-then-join
+    // throughout: the near-dup doc set derives its domain MAP-SIDE
+    // from doc_id (no corpus join), both join sides are domain-sized,
+    // the corpus is scanned once for the census+quality aggregation
+    // and once for the pair machinery.
+    GraftQuery(
+      "q206_domain_reputation",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val pairs = Dedup.minhashPairs(t.documents, col("doc_id"),
+            col("text"), n = 3, threshold = 0.8)
+        val ndDomains = pairs
+          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+          .distinct()
+          .withColumn("registered_domain", UrlOps.registeredDomain(
+            UrlOps.hostOf(UrlOps.canonicalizeUrl(
+              UrlOps.synthesizeUrl(col("doc_id"))))))
+          .groupBy(col("registered_domain"))
+          .agg(count(lit(1)).as("n_near_dup"))
+        UrlOps.domainReputation(t.documents, col("doc_id"),
+            UrlOps.synthesizeUrl(col("doc_id")), col("n_chars"),
+            round(TextAnalysis.qualityScore(col("text")) * 10000)
+              .cast("long"),
+            ndDomains, Blocklist)
+          .orderBy(col("registered_domain"))
+      },
+      Some(synthesisAndCanonSql + s""",
+        dom AS (
+          SELECT doc_id, n_chars, canonical_url, host,
+                 CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                      WHEN array_to_string((string_split(host, '.'))[-2:],
+                             '.') IN $suffixListSql
+                      THEN array_to_string((string_split(host, '.'))[-3:],
+                             '.')
+                      ELSE array_to_string((string_split(host, '.'))[-2:],
+                             '.') END AS registered_domain
+          FROM canon),
+        sig AS (
+          SELECT doc_id,
+            CAST(length(text) AS DOUBLE) AS nc,
+            CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+            CAST(len(list_filter(string_split(text,' '),
+              x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS nstop,
+            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]',
+              '', 'g')) AS DOUBLE) AS npunct,
+            CAST(length(text) - length(regexp_replace(text, '[A-Z]',
+              '', 'g')) AS DOUBLE) AS nupper
+          FROM documents),
+        qual AS (
+          SELECT doc_id, CAST(round(
+            (CASE WHEN nc = 0 THEN 0.0 ELSE
+             floor((0.35 * (CASE WHEN nc BETWEEN 100 AND 10000
+                            THEN 1.0 ELSE 0.3 END)
+                 + 0.25 * (CASE WHEN (nc - (nw - 1)) / nw BETWEEN 3 AND 10
+                           THEN 1.0 ELSE 0.4 END)
+                 + 0.2 * least((nstop / nw) * 5, 1.0)
+                 + 0.1 * (1.0 - npunct / nc)
+                 + 0.1 * (1.0 - nupper / nc)) * 10000 + 0.5) / 10000 END)
+            * 10000) AS BIGINT) AS qmicro
+          FROM sig),
+        words AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+        shingles AS (SELECT doc_id, CASE WHEN len(w) >= 3
+               THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+                 i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
+               ELSE [array_to_string(w, ' ')] END AS sh FROM words),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shingles),
+        sizes AS (SELECT doc_id, len(sh) AS n FROM shingles),
+        ndcand AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS inter
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        ndpairs AS (
+          SELECT ia, ib
+          FROM ndcand JOIN sizes sa ON ia = sa.doc_id
+                      JOIN sizes sb ON ib = sb.doc_id
+          WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8),
+        ndids AS (SELECT DISTINCT doc_id FROM (
+          SELECT ia AS doc_id FROM ndpairs
+          UNION ALL SELECT ib FROM ndpairs)),
+        nddom AS (
+          SELECT d.registered_domain,
+                 CAST(count(*) AS BIGINT) AS n_near_dup
+          FROM ndids JOIN dom d USING (doc_id) GROUP BY 1),
+        cen AS (
+          SELECT d.registered_domain,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 count(DISTINCT d.canonical_url) AS n_canonical,
+                 count(DISTINCT d.host) AS n_hosts,
+                 CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+                 SUM(q.qmicro) AS qsum
+          FROM dom d JOIN qual q USING (doc_id)
+          WHERE d.registered_domain NOT IN
+            (${Blocklist.map(s => s"'$s'").mkString(", ")})
+          GROUP BY 1)
+        SELECT c.registered_domain, n_docs, n_canonical, n_hosts,
+               total_chars,
+               CAST(n_docs - n_canonical AS DOUBLE) / n_docs AS dup_rate,
+               CAST(qsum AS DOUBLE) / CAST(n_docs * 10000 AS DOUBLE)
+                 AS mean_quality,
+               CAST(coalesce(nd.n_near_dup, 0) AS BIGINT) AS n_near_dup,
+               CAST(coalesce(nd.n_near_dup, 0) AS DOUBLE) / n_docs
+                 AS near_dup_rate
+        FROM cen c LEFT JOIN nddom nd USING (registered_domain)
+        ORDER BY registered_domain""")))
 }

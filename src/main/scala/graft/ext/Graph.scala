@@ -419,6 +419,71 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Synchronous weighted label propagation — the ASSIGN half of
+    * community detection ([[modularity]] is the evaluation half;
+    * VERDICT r12 item 6 / r13 item 2): every node starts as its own
+    * label (its id) and each round adopts the label with the LARGEST
+    * incident weight sum among its neighbors, ties broken by the
+    * SMALLEST label — Raghavan et al. 2007's LPA made deterministic.
+    *
+    * Determinism is the whole design: a FIXED round count (no
+    * convergence check), synchronous updates (round N+1 reads only
+    * round N's labels), and a total tie-break order make the output an
+    * exact function of the graph — so the q204 oracle can replay the
+    * rounds as unrolled SQL and the gate is an exact hash, the frozen-
+    * model discipline applied to an algorithm instead of a model.
+    * (Asynchronous LPA converges faster but is schedule-dependent —
+    * unusable under an exactness gate; oscillation, synchronous LPA's
+    * known failure mode on bipartite-ish structure, is harmless here
+    * because the round count is part of the contract.)
+    *
+    * Scale shape: each round is one join of the (mirrored, weighted)
+    * edge list against the node-sized label vector, one (node, label)
+    * weight-sum aggregation — map-side partials absorb the fan-in — and
+    * one per-node argmax as a single `max(struct(weight, -label))`
+    * (no window, no second sort). The label vector rides BROADCAST
+    * joins under `broadcastLabels` (the [[pageRank]] policy — right for
+    * dimension-sized node sets; leave off for web-scale graphs) and
+    * each round's vector is `localCheckpoint`ed, keeping plans flat.
+    *
+    * Input: weighted directed edges (src, dst, w) — pass BOTH
+    * directions for an undirected graph (the census shape
+    * [[graft.analytics.SharedGraph]] mirrors to). Node ids must be
+    * non-negative integrals (the argmax negates labels for the min
+    * tie-break). Output: (node, community) for every node with ≥ 1
+    * edge; `community` is a node id, canonical only per round count.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       checkpointEvery: Int = 1,
+                       broadcastLabels: Boolean = false): DataFrame = {
+    require(rounds >= 1)
+    val e0 = edges.select(col("src"), col("dst"), col("w"))
+    // broadcast mode re-scans the edge subtree every round (no reusable
+    // exchange) — one lineage-truncating materialization amortizes the
+    // upstream derivation, same policy as [[pageRank]]
+    val e = if (broadcastLabels) e0.localCheckpoint() else e0
+    def hint(df: DataFrame): DataFrame =
+      if (broadcastLabels) broadcast(df) else df
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("community"))
+    for (i <- 1 to rounds) {
+      val votes = e
+        .join(hint(labels.select(col("node").as("dst"),
+          col("community").as("nl"))), "dst")
+        .groupBy(col("src").as("node"), col("nl"))
+        .agg(sum(col("w")).as("ws"))
+      // argmax with min-label tie-break as ONE lexicographic struct max:
+      // (ws, -nl) — larger weight wins, then larger -nl = smaller label
+      labels = votes
+        .groupBy(col("node"))
+        .agg(max(struct(col("ws").as("w"), (-col("nl")).as("gn"))).as("m"))
+        .select(col("node"), (-col("m.gn")).as("community"))
+      if (i % checkpointEvery == 0 && i < rounds)
+        labels = labels.localCheckpoint()
+    }
+    labels
+  }
+
   /** Newman modularity of a GIVEN community assignment (Newman & Girvan
     * 2004): Q = Σ_c [e_c/m − (d_c/2m)²] — how much denser inside the
     * communities than a degree-preserving random graph. The evaluation

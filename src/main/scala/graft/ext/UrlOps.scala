@@ -208,6 +208,61 @@ object UrlOps {
     * small side, so always broadcast; the corpus never reshuffles for
     * it.
     */
+  /** Full domain-reputation census (the RefinedWeb table a crawl
+    * curator actually consults before admitting a domain): q201's
+    * census columns PLUS mean document quality and near-dup
+    * participation per registered domain — VERDICT r13 item 4, the
+    * half of the r12 brief q201 shipped without.
+    *
+    * `qualityMicro` is the per-document quality scaled to an exact
+    * integer (quality·10⁴ — [[TextAnalysis.qualityScore]] is already
+    * 10⁻⁴-quantized, so the long cast is lossless); the mean is then
+    * ONE double division of exact integers (Σq_micro / (n·10⁴)) —
+    * fold-order-free and engine-identical, the q201 dup_rate
+    * discipline. `nearDupDomains` is a PRE-AGGREGATED domain-keyed
+    * frame (registered_domain, n_near_dup) — docs of the domain that
+    * participate in ≥ 1 near-dup pair; the caller derives it from its
+    * pair set (q28's MinHash+LSH output) so this join is
+    * aggregate-then-join: both sides domain-sized, the corpus never
+    * reshuffles for it. At 100 TB: one corpus-scan aggregation keyed
+    * on registered_domain (map-side partials collapse per-domain),
+    * one broadcast anti-join for the blocklist, one domain-keyed left
+    * join for the near-dup census.
+    */
+  def domainReputation(docs: DataFrame, docId: Column, url: Column,
+                       nChars: Column, qualityMicro: Column,
+                       nearDupDomains: DataFrame,
+                       blocklist: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val blocked = broadcast(blocklist.toDF("registered_domain"))
+    docs
+      .withColumn("__url", url)
+      .withColumn("__canonical", canonicalizeUrl(col("__url")))
+      .withColumn("__host", hostOf(col("__canonical")))
+      .withColumn("registered_domain", registeredDomain(col("__host")))
+      .withColumn("__chars", nChars)
+      .withColumn("__q", qualityMicro)
+      .join(blocked, Seq("registered_domain"), "left_anti")
+      .groupBy(col("registered_domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__canonical")).as("n_canonical"),
+        countDistinct(col("__host")).as("n_hosts"),
+        sum(col("__chars")).cast("long").as("total_chars"),
+        sum(col("__q")).as("__qsum"))
+      .join(nearDupDomains.select(col("registered_domain"),
+        col("n_near_dup")), Seq("registered_domain"), "left")
+      .select(col("registered_domain"), col("n_docs"), col("n_canonical"),
+        col("n_hosts"), col("total_chars"),
+        ((col("n_docs") - col("n_canonical")).cast("double") / col("n_docs"))
+          .as("dup_rate"),
+        (col("__qsum").cast("double") /
+          (col("n_docs") * lit(10000L)).cast("double")).as("mean_quality"),
+        coalesce(col("n_near_dup"), lit(0L)).as("n_near_dup"),
+        (coalesce(col("n_near_dup"), lit(0L)).cast("double") /
+          col("n_docs")).as("near_dup_rate"))
+  }
+
   def domainCensus(docs: DataFrame, docId: Column, url: Column,
                    nChars: Column, blocklist: Seq[String]): DataFrame = {
     val spark = docs.sparkSession

@@ -154,4 +154,59 @@ class GraphSpec extends AnyFunSuite {
     assert(expect.keySet == (0L to 4L).toSet + 10L + 11L)
     assert(run(5, bc = true) == expect)
   }
+
+  private def weighted(pairs: (Long, Long, Long)*) =
+    (pairs ++ pairs.map(p => (p._2, p._1, p._3)))
+      .toDF("src", "dst", "w")
+
+  test("labelPropagation: two cliques over a weak bridge become two communities") {
+    // triangles {1,2,3} and {4,5,6}, intra weight 3, bridge (3,4) weight 1
+    // — the canonical two-community fixture (VERDICT r13 item 2). The
+    // expected labels are the hand-traced 3-round synchronous fixpoint
+    // (min-label tie-break), not just "two groups":
+    //   r1: 1→2 2→1 3→1 4→5 5→4 6→4 (all-singleton ties resolve min)
+    //   r2: 1→1 2→1 3→1 4→4 5→4 6→4
+    //   r3: stable — {1,2,3}→1, {4,5,6}→4
+    val edges = weighted((1L, 2L, 3L), (1L, 3L, 3L), (2L, 3L, 3L),
+      (4L, 5L, 3L), (4L, 6L, 3L), (5L, 6L, 3L), (3L, 4L, 1L))
+    val got = Graph.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L), s"unexpected labels: $got")
+    // the produced partition is BETTER than no partition: Q > 0 (and a
+    // fortiori above the all-singletons baseline the q204 gate pins)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val comm = got.toSeq.toDF("node", "community")
+    val q = Graph.modularity(und, comm)
+      .agg(sum(col("q_contrib"))).head().getDouble(0)
+    assert(q > 0.3, s"expected strongly positive modularity, got $q")
+  }
+
+  test("labelPropagation: weight beats count; ties resolve to the min label") {
+    // node 1 has TWO light-weight neighbors voting label 2 (after r1
+    // they hold their own ids 2,3... keep it one round to stay exact):
+    // nbrs of 1 = {2 (w=1), 3 (w=1), 4 (w=3)} — round 1 votes are the
+    // neighbors' own ids, so label 4 wins on weight despite 2+3 being
+    // two voters; nbrs of 5 = {6 (w=2), 7 (w=2)} tie on weight → min 6
+    val edges = weighted((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 3L),
+      (5L, 6L, 2L), (5L, 7L, 2L))
+    val got = Graph.labelPropagation(edges, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 4L, s"weighted argmax broken: $got")
+    assert(got(5L) == 6L, s"min-label tie-break broken: $got")
+  }
+
+  test("labelPropagation: partition-invariant and broadcast/shuffle-agnostic") {
+    val ring = (0L until 30L).map(i => (i, (i + 1) % 30, 1L + i % 3))
+    val edges = weighted(ring: _*)
+    def run(parts: Int, bc: Boolean) =
+      Graph.labelPropagation(edges.repartition(parts), rounds = 3,
+          broadcastLabels = bc)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = run(1, bc = false)
+    assert(expect.keySet == (0L until 30L).toSet)
+    assert(run(7, bc = true) == expect)
+    assert(run(13, bc = false) == expect)
+  }
 }

@@ -130,4 +130,38 @@ class UrlOpsSpec extends AnyFunSuite {
       assert(dr == (nd - nc).toDouble / nd)
     }
   }
+
+  test("domainReputation: exact mean quality, near-dup and dup rates on a hand fixture") {
+    // two domains: a.com (3 docs, one canonical collapse, quality
+    // 0.5/0.7/0.9, two near-dup participants) and b.org (1 doc,
+    // quality 0.2, no near-dups); c.net is blocklisted away
+    val docs = Seq(
+      (1L, "http://a.com/x?utm_source=f", 10L),
+      (2L, "http://A.COM/x",              20L),
+      (3L, "https://a.com/y",             30L),
+      (4L, "http://b.org/z",              40L),
+      (5L, "http://c.net/w",              50L)
+    ).toDF("doc_id", "url", "n_chars")
+    val quality = Map(1L -> 5000L, 2L -> 7000L, 3L -> 9000L,
+      4L -> 2000L, 5L -> 100L)
+    val qCol = quality.foldLeft(lit(0L)) { case (acc, (id, q)) =>
+      when(col("doc_id") === id, lit(q)).otherwise(acc)
+    }
+    val ndDomains = Seq(("a.com", 2L)).toDF("registered_domain", "n_near_dup")
+    val out = UrlOps.domainReputation(docs, col("doc_id"), col("url"),
+        col("n_chars"), qCol, ndDomains, Seq("c.net"))
+      .orderBy("registered_domain").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a.com", "b.org"))
+    val a = out(0); val b = out(1)
+    assert(a.getAs[Long]("n_docs") == 3L)
+    assert(a.getAs[Long]("n_canonical") == 2L) // docs 1+2 collapse
+    assert(a.getAs[Double]("dup_rate") == 1.0 / 3)
+    assert(a.getAs[Double]("mean_quality") == 21000.0 / 30000)
+    assert(a.getAs[Long]("n_near_dup") == 2L)
+    assert(a.getAs[Double]("near_dup_rate") == 2.0 / 3)
+    assert(a.getAs[Long]("total_chars") == 60L)
+    assert(b.getAs[Long]("n_near_dup") == 0L) // absent -> coalesced 0
+    assert(b.getAs[Double]("near_dup_rate") == 0.0)
+    assert(b.getAs[Double]("mean_quality") == 0.2)
+  }
 }
