@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.ext.{ImageHash, Multimodal}
 
-/** Round-13 widening: pixel-level image near-dup (VERDICT r12 item 2)
-  * — a REAL decode path for one format (PNG via the JVM's zlib),
-  * integer 9×8 box-average downsample, 64-bit dHash, and banded
-  * Hamming pairing ([[graft.ext.ImageHash]]).
+/** Round-13/14 widening: pixel-level image near-dup (VERDICT r12 item
+  * 2, r13 item 5) — REAL decode paths for the two formats decodable in
+  * pure JVM code (PNG via the JVM's zlib, q202/q203; GIF via a
+  * from-scratch LZW, q207), integer 9×8 box-average downsample, 64-bit
+  * dHash, and banded Hamming pairing ([[graft.ext.ImageHash]]). Both
+  * corpora derive from the same pixel formula, so the gates also pin
+  * CROSS-CODEC agreement: one dedup index spans formats.
   *
   * Fixture discipline (q173/q174): testdata has no image column, so
   * PNGs are synthesized per document from a PRISTINE integer pixel
@@ -88,14 +91,16 @@ object ImageQueries {
     * dHash gradient bits as two 32-bit halves (hi/lo — BIGINT-safe;
     * bit 63 would overflow a signed shift-packed value). Lists are
     * 1-based in DuckDB, hence the [gy+1][gx+2] vs [gy+1][gx+1]
-    * neighbor indexing.
+    * neighbor indexing. `badMod` selects the fail-closed arm's
+    * modulus (29 for the PNG corpus, 31 for the GIF one — different
+    * moduli so the two corpora's failure rows interleave differently).
     */
-  private val dhashSql = """
+  private def dhashSql(badMod: Int) = s"""
     WITH img AS (
       SELECT doc_id,
              doc_id % 7 AS b, doc_id % 3 AS ct3,
              doc_id % 11 AS m11, doc_id % 13 AS m13,
-             doc_id % 29 = 0 AS bad,
+             doc_id % $badMod = 0 AS bad,
              18 + ((doc_id % 7) % 3) * 9 AS w,
              16 + ((doc_id % 7) % 2) * 8 AS h
       FROM documents),
@@ -143,7 +148,7 @@ object ImageQueries {
             col("color_type"), col("raw_len"), col("dhash_hex"), col("ok"))
           .orderBy(col("media_id"))
       },
-      Some(dhashSql + """
+      Some(dhashSql(29) + """
         SELECT doc_id AS media_id,
                CASE WHEN bad THEN 'application/octet-stream'
                     ELSE 'image/png' END AS mime,
@@ -180,12 +185,83 @@ object ImageQueries {
             MaxDistance)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(dhashSql + s"""
+      Some(dhashSql(29) + s"""
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(bit_count(xor(a.hi, b.hi))
                     + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
         FROM bits a JOIN bits b ON a.doc_id < b.doc_id
         WHERE NOT a.bad AND NOT b.bad
           AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
-              <= $MaxDistance""")))
+              <= $MaxDistance""")),
+
+    // ------------------------------------------------------------------
+    // q207: GIF decode + dHash ([[graft.ext.ImageHash.extractGifHash]];
+    // VERDICT r13 item 5) — the SAME pixel formula as q202 pushed
+    // through a from-scratch GIF LZW decode path (variable-width
+    // codes, dictionary resets, palette indirection) instead of
+    // zlib/unfilter. The palette is grayscale (entry i = (i,i,i)), so
+    // decoded luma == the formula value exactly and the shared oracle
+    // CTE replays the identical dHash — which means the gate ALSO
+    // pins cross-codec agreement: a PNG and a GIF of the same pixels
+    // hash identically, the property that lets one dedup index span
+    // formats. doc_id % 31 rows carry raw text (fail-closed arm);
+    // even doc_ids carry a Graphic Control Extension the decoder must
+    // skip. Map-side only: media bytes never cross a shuffle; pairing
+    // needs no new query — dhashPairs is format-agnostic (q203).
+    GraftQuery(
+      "q207_gif_dhash",
+      (spark, dir) => {
+        ImageHash.extractGifHash(gifFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("mime"), col("width"), col("height"),
+            col("color_type"), col("raw_len"), col("dhash_hex"), col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some(dhashSql(31) + """
+        SELECT doc_id AS media_id,
+               CASE WHEN bad THEN 'application/octet-stream'
+                    ELSE 'image/gif' END AS mime,
+               CAST(CASE WHEN bad THEN 0 ELSE w END AS INT) AS width,
+               CAST(CASE WHEN bad THEN 0 ELSE h END AS INT) AS height,
+               CAST(CASE WHEN bad THEN 0 ELSE 3 END AS INT) AS color_type,
+               CAST(CASE WHEN bad THEN 0 ELSE w * h END AS BIGINT)
+                 AS raw_len,
+               CASE WHEN bad THEN ''
+                    ELSE upper(lpad(hex(hi), 8, '0')
+                               || lpad(hex(lo), 8, '0')) END AS dhash_hex,
+               NOT bad AS ok
+        FROM bits""")))
+
+  /** Synthesized GIF corpus for q207: the q202 pixel formula encoded
+    * through [[graft.ext.ImageHash.Gif]] with a grayscale palette
+    * (luma == index). Fail-closed arm at doc_id % 31; a Graphic
+    * Control Extension on even ids exercises the extension-skip path.
+    */
+  private def gifFixture(spark: SparkSession, dir: String)
+      : Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q207_fixture", dir) {
+      t.documents.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (m, text) =>
+            if (m % 31 == 0)
+              Multimodal.MediaRecord(m, "application/octet-stream",
+                text.getBytes("UTF-8"))
+            else {
+              val b = (m % 7).toInt
+              val w = 18 + (b % 3) * 9
+              val h = 16 + (b % 2) * 8
+              val m11 = (m % 11).toInt
+              val m13 = (m % 13).toInt
+              def v(px: Int, py: Int): Int =
+                (23 * b + 5 * px * px + 3 * py * py + (px + py) * m11) % 251 +
+                  (if ((px * py) % 13 == m13) 2 else 0)
+              Multimodal.MediaRecord(m, "image/gif",
+                ImageHash.Gif.encode(w, h, v, withGce = m % 2 == 0))
+            }
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
 }

@@ -4,13 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.functions.SketchFns
 
-/** Pixel-level image near-dup (VERDICT r12 item 2): a real PNG decoder
-  * for the one codec the JVM can run without external libraries
-  * (zlib via `java.util.zip.Inflater`), an integer-only 9×8
+/** Pixel-level image near-dup (VERDICT r12 item 2 / r13 item 5): real
+  * decoders for the two codecs runnable in pure JVM code — PNG (zlib
+  * via `java.util.zip.Inflater`, all five scanline filters) and GIF
+  * (a from-scratch variable-width LZW) — an integer-only 9×8
   * box-average grayscale downsample, a 64-bit difference hash
   * (dHash), and banded Hamming pairing over the hashes — closing the
-  * "codec formats stubbed" gap in [[Multimodal]] for one decodable
-  * format.
+  * "codec formats stubbed" gap in [[Multimodal]] for both decodable
+  * formats.
   *
   * Same discipline as the other Multimodal parsers: bounded reads
   * (chunk lengths validated against the buffer, pixel count capped,
@@ -251,6 +252,308 @@ object ImageHash {
     }
   }
 
+  /** Minimal GIF codec for the restricted still-image profile:
+    * GIF87a/89a, a GLOBAL color table (no local tables), one
+    * non-interlaced full-frame image at (0, 0), extensions skipped,
+    * trailer required. Everything else — and every malformed byte —
+    * decodes to None. The decoded plane is palette INDICES mapped
+    * through the palette by the same BT.601 integer luma kernel as
+    * PNG, so a grayscale palette (entry i = (i,i,i)) makes
+    * luma == index exactly — the property the q207 oracle leans on.
+    *
+    * The LZW layer is a from-scratch implementation of GIF's
+    * variable-width variant (LSB-first bit packing, codes start at
+    * minCodeSize+1 bits, CLEAR/EOI, dictionary capped at 4096 with
+    * deferred-clear tolerated on decode). The subtle part is width
+    * alignment: the ENCODER grows its code width AFTER emitting the
+    * first code while the next free slot already overflows (the
+    * classic compress/ppmtogif ordering), because the DECODER's
+    * dictionary lags one entry behind — it grows after ITS add
+    * reaches 2^width, one code later in the stream. ImageHashSpec
+    * pins the alignment with a hand-assembled golden byte stream,
+    * independent of this encoder.
+    *
+    * Bounded and fail-closed like [[Png]]: every read is
+    * bounds-checked, the pixel count is capped BEFORE any allocation,
+    * the LZW output is EXACTLY w·h indices (overflow, underflow, a
+    * missing EOI, or a whole spare byte after it are all malformed),
+    * prefix-chain walks terminate by construction (entry numbers
+    * strictly decrease), and every index is validated against the
+    * palette size.
+    */
+  object Gif {
+
+    /** GIF-variant LZW, classic ordering: emit at the CURRENT width,
+      * then grow when the next free code no longer fits; the
+      * dictionary add follows the emit. Emits CLEAR up front and on a
+      * full dictionary, EOI at the end.
+      */
+    private def lzwEncode(indices: Array[Int],
+                          minCodeSize: Int): Array[Byte] = {
+      val clear = 1 << minCodeSize
+      val eoi = clear + 1
+      val out = new java.io.ByteArrayOutputStream
+      var bitBuf = 0
+      var bitCnt = 0
+      var width = minCodeSize + 1
+      var next = eoi + 1
+      def put(code: Int): Unit = {
+        bitBuf |= code << bitCnt
+        bitCnt += width
+        while (bitCnt >= 8) {
+          out.write(bitBuf & 0xff); bitBuf >>>= 8; bitCnt -= 8
+        }
+        if (next > (1 << width) - 1 && width < 12) width += 1
+      }
+      put(clear)
+      val dict = new java.util.HashMap[Integer, Integer](8192)
+      var cur = indices(0) & 0xff
+      var i = 1
+      while (i < indices.length) {
+        val k = indices(i) & 0xff
+        val hit = dict.get(Integer.valueOf((cur << 8) | k))
+        if (hit != null) cur = hit.intValue
+        else {
+          put(cur)
+          if (next < 4096) {
+            dict.put(Integer.valueOf((cur << 8) | k),
+              Integer.valueOf(next))
+            next += 1
+          } else {
+            put(clear)
+            dict.clear(); next = eoi + 1; width = minCodeSize + 1
+          }
+          cur = k
+        }
+        i += 1
+      }
+      put(cur)
+      put(eoi)
+      if (bitCnt > 0) out.write(bitBuf & 0xff)
+      out.toByteArray
+    }
+
+    /** Encode an image whose pixel (x, y) is `pixel(x, y)` — an INDEX
+      * into the 256-entry GRAYSCALE global color table (entry i =
+      * (i, i, i), so decoded luma == index). `withGce` prepends a
+      * Graphic Control Extension so fixtures exercise the decoder's
+      * extension-skip path.
+      */
+    def encode(w: Int, h: Int, pixel: (Int, Int) => Int,
+               withGce: Boolean = false): Array[Byte] = {
+      require(w > 0 && h > 0, s"empty image ${w}x$h")
+      val out = new java.io.ByteArrayOutputStream
+      def u16(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      }
+      out.write("GIF89a".getBytes("US-ASCII"))
+      u16(w); u16(h)
+      out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+      out.write(0)    // background color index
+      out.write(0)    // pixel aspect ratio
+      var i = 0
+      while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+      if (withGce) {
+        out.write(0x21); out.write(0xf9); out.write(4)
+        out.write(0); u16(0); out.write(0) // no disposal/delay/transparency
+        out.write(0)                       // block terminator
+      }
+      out.write(0x2c); u16(0); u16(0); u16(w); u16(h)
+      out.write(0)    // no local color table, no interlace
+      out.write(8)    // LZW minimum code size
+      val idx = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { idx(y * w + x) = pixel(x, y) & 0xff; x += 1 }
+        y += 1
+      }
+      val lzw = lzwEncode(idx, 8)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        out.write(n); out.write(lzw, off, n); off += n
+      }
+      out.write(0)    // image-data terminator
+      out.write(0x3b) // trailer
+      out.toByteArray
+    }
+
+    /** LZW decode to EXACTLY `expected` indices; None on a truncated
+      * stream, a code beyond the dictionary, output overflow or
+      * underflow, a missing EOI, or a whole spare byte after it.
+      */
+    private def lzwDecode(data: Array[Byte], minCodeSize: Int,
+                          expected: Int): Option[Array[Int]] = {
+      val clear = 1 << minCodeSize
+      val eoi = clear + 1
+      val out = new Array[Int](expected)
+      var op = 0
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Int](4096)
+      val stack = new Array[Int](4097)
+      var width = minCodeSize + 1
+      var next = eoi + 1
+      var prev = -1
+      var bitPos = 0L
+      val total = data.length.toLong * 8
+      def read(): Int = {
+        if (bitPos + width > total) return -1
+        var v = 0
+        var got = 0
+        while (got < width) {
+          val byteI = ((bitPos + got) >> 3).toInt
+          val bitI = ((bitPos + got) & 7).toInt
+          val take = math.min(width - got, 8 - bitI)
+          v |= (((data(byteI) & 0xff) >> bitI) & ((1 << take) - 1)) << got
+          got += take
+        }
+        bitPos += width
+        v
+      }
+      var finished = false
+      while (!finished) {
+        val code = read()
+        if (code < 0) return None // bits ran out before EOI
+        if (code == clear) {
+          next = eoi + 1; width = minCodeSize + 1; prev = -1
+        } else if (code == eoi) {
+          finished = true
+        } else if (prev < 0) {
+          if (code >= clear) return None // first code must be a root
+          if (op >= expected) return None
+          out(op) = code; op += 1
+          prev = code
+        } else {
+          if (code > next) return None // beyond the (lagged) dictionary
+          // materialize the string: walk the prefix chain (strictly
+          // decreasing entry numbers — terminates) onto a stack, then
+          // emit root-first; code == next is the cScSc case (string =
+          // string(prev) + its own first char)
+          var chase = if (code == next) prev else code
+          var sp = 0
+          while (chase > eoi) {
+            stack(sp) = suffix(chase); sp += 1
+            chase = prefix(chase)
+          }
+          val first = chase
+          val len = 1 + sp + (if (code == next) 1 else 0)
+          if (op + len > expected) return None
+          out(op) = first; op += 1
+          while (sp > 0) { sp -= 1; out(op) = stack(sp); op += 1 }
+          if (code == next) { out(op) = first; op += 1 }
+          if (next < 4096) {
+            prefix(next) = prev; suffix(next) = first
+            next += 1
+            if (next >= (1 << width) && width < 12) width += 1
+          }
+          prev = code
+        }
+      }
+      if (op != expected) return None
+      // exact-size contract: only sub-byte padding may follow EOI
+      if (total - bitPos >= 8) return None
+      Some(out)
+    }
+
+    /** Decode within the restricted profile; None on ANYTHING else:
+      * bad signature, missing global color table, out-of-bounds
+      * reads, a local color table or interlace flag, an image that is
+      * not full-frame at the origin, a second image, pixel count
+      * above `maxPixels`, any LZW defect ([[lzwDecode]]), an index
+      * outside the palette, or a missing trailer.
+      */
+    def decode(b: Array[Byte], maxPixels: Long = 1L << 24)
+        : Option[Decoded] = {
+      if (b == null || b.length < 14) return None
+      val magic = new String(b, 0, 6, "US-ASCII")
+      if (magic != "GIF87a" && magic != "GIF89a") return None
+      def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      val w = u16(6); val h = u16(8)
+      val packed = b(10) & 0xff
+      if ((packed & 0x80) == 0) return None // profile: GCT required
+      val gctSize = 2 << (packed & 7)
+      if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return None
+      var pos = 13
+      if (pos + 3 * gctSize > b.length) return None
+      val palLuma = new Array[Int](gctSize)
+      var pi = 0
+      while (pi < gctSize) {
+        palLuma(pi) =
+          luma8(b(pos) & 0xff, b(pos + 1) & 0xff, b(pos + 2) & 0xff)
+        pos += 3; pi += 1
+      }
+      def skipSubBlocks(start: Int): Int = {
+        var p = start
+        while (p < b.length) {
+          val n = b(p) & 0xff
+          if (n == 0) return p + 1
+          p += 1 + n
+        }
+        -1
+      }
+      // block stream up to the single image descriptor
+      var atImage = false
+      while (!atImage) {
+        if (pos >= b.length) return None
+        (b(pos) & 0xff) match {
+          case 0x21 =>
+            if (pos + 2 > b.length) return None
+            pos = skipSubBlocks(pos + 2)
+            if (pos < 0) return None
+          case 0x2c => atImage = true
+          case _ => return None
+        }
+      }
+      if (pos + 10 > b.length) return None
+      if (u16(pos + 1) != 0 || u16(pos + 3) != 0 ||
+          u16(pos + 5) != w || u16(pos + 7) != h) return None
+      if ((b(pos + 9) & 0xc0) != 0) return None // LCT / interlace
+      pos += 10
+      if (pos >= b.length) return None
+      val minCodeSize = b(pos) & 0xff
+      pos += 1
+      if (minCodeSize < 2 || minCodeSize > 8) return None
+      val data = new java.io.ByteArrayOutputStream
+      var inImage = true
+      while (inImage) {
+        if (pos >= b.length) return None
+        val n = b(pos) & 0xff
+        if (n == 0) { inImage = false; pos += 1 }
+        else {
+          if (pos + 1 + n > b.length) return None
+          data.write(b, pos + 1, n); pos += 1 + n
+        }
+      }
+      // after the image: only skippable extensions, then the trailer
+      var trailed = false
+      while (!trailed) {
+        if (pos >= b.length) return None
+        (b(pos) & 0xff) match {
+          case 0x3b => trailed = true
+          case 0x21 =>
+            if (pos + 2 > b.length) return None
+            pos = skipSubBlocks(pos + 2)
+            if (pos < 0) return None
+          case _ => return None
+        }
+      }
+      lzwDecode(data.toByteArray, minCodeSize, w * h) match {
+        case None => None
+        case Some(indices) =>
+          val lum = new Array[Int](w * h)
+          var j = 0
+          while (j < lum.length) {
+            val v = indices(j)
+            if (v >= gctSize) return None
+            lum(j) = palLuma(v)
+            j += 1
+          }
+          Some(Decoded(w, h, 3, lum))
+      }
+    }
+  }
+
   /** 64-bit dHash over a luma plane: integer box-average downsample to
     * a 9×8 grid (cell (gx, gy) averages columns [gx·w/9, (gx+1)·w/9) ×
     * rows [gy·h/8, (gy+1)·h/8), integer division throughout), then
@@ -295,7 +598,11 @@ object ImageHash {
     Some(hash)
   }
 
-  final case class PngHash(
+  /** One decoded-and-hashed media row (PNG or GIF — `color_type`
+    * carries the PNG color type or 3/indexed for GIF; `raw_len` the
+    * format's derivable decoded-size surrogate).
+    */
+  final case class MediaDHash(
       media_id: Long,
       mime: String,
       width: Int,
@@ -310,37 +617,54 @@ object ImageHash {
   /** Decode + hash stage: per-partition typed loop (the
     * [[Multimodal.extractExifMeta]] discipline) — unparseable or
     * sub-grid payloads become zero rows with ok=false, exceptions
-    * error rows, never task aborts. `raw_len` is the decoded scanline
-    * byte count h·(1+w·channels) — derivable by the oracle, unlike
-    * the deflate-dependent container length.
+    * error rows, never task aborts. Shared by both codecs; `rawLen`
+    * is the format's oracle-derivable decoded-size surrogate.
     */
-  def extractPngHash(media: Dataset[Multimodal.MediaRecord])
-      : Dataset[PngHash] = {
+  private def extractDHash(media: Dataset[Multimodal.MediaRecord],
+                           decode: Array[Byte] => Option[Decoded],
+                           rawLen: Decoded => Long)
+      : Dataset[MediaDHash] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
         try {
-          Png.decode(r.media).flatMap { d =>
+          decode(r.media).flatMap { d =>
             dhash64(d.luma, d.width, d.height).map { hsh =>
-              val ch = d.colorType match {
-                case 0 => 1; case 2 => 3; case _ => 4
-              }
-              PngHash(r.media_id, r.mime, d.width, d.height, d.colorType,
-                d.height.toLong * (1 + d.width.toLong * ch), hsh,
-                f"$hsh%016X", ok = true, None)
+              MediaDHash(r.media_id, r.mime, d.width, d.height, d.colorType,
+                rawLen(d), hsh, f"$hsh%016X", ok = true, None)
             }
           }.getOrElse(
-            PngHash(r.media_id, r.mime, 0, 0, 0, 0L, 0L, "", ok = false,
+            MediaDHash(r.media_id, r.mime, 0, 0, 0, 0L, 0L, "", ok = false,
               None))
         } catch {
           case scala.util.control.NonFatal(e) =>
-            PngHash(r.media_id, r.mime, 0, 0, 0, 0L, 0L, "", ok = false,
+            MediaDHash(r.media_id, r.mime, 0, 0, 0, 0L, 0L, "", ok = false,
               Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
         }
       }
     }
   }
+
+  /** PNG decode + hash; `raw_len` is the decoded scanline byte count
+    * h·(1+w·channels) — derivable by the oracle, unlike the
+    * deflate-dependent container length.
+    */
+  def extractPngHash(media: Dataset[Multimodal.MediaRecord])
+      : Dataset[MediaDHash] =
+    extractDHash(media, Png.decode(_), d => {
+      val ch = d.colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+      d.height.toLong * (1 + d.width.toLong * ch)
+    })
+
+  /** GIF decode + hash; `raw_len` is the decoded index-plane byte
+    * count w·h (one palette index per pixel) — derivable by the
+    * oracle, unlike the LZW-dependent container length.
+    */
+  def extractGifHash(media: Dataset[Multimodal.MediaRecord])
+      : Dataset[MediaDHash] =
+    extractDHash(media, Gif.decode(_),
+      d => d.width.toLong * d.height.toLong)
 
   /** Near-dup pairs among 64-bit dHashes with Hamming distance ≤
     * maxDistance — the q29 SimHash pairing applied to image hashes:

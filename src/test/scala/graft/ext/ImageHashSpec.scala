@@ -205,4 +205,128 @@ class ImageHashSpec extends AnyFunSuite {
     } yield (ia, ib, d)).toSet
     assert(got == want)
   }
+
+  // ---------------------------------------------------------------- GIF
+
+  /** Hand-assembled 3x2 GIF (palette 4, minCodeSize 2, pixel indices
+    * 1,1,2,2,3,3): code stream 4,1,1,2 @3 bits then 2,3,3,5 @4 bits
+    * — the width grows exactly at the encoder/decoder alignment point
+    * (the compress-ordering subtlety), so this golden pins the decoder
+    * INDEPENDENTLY of our own encoder, like the PNG stored-block one.
+    */
+  private def gifGolden: Array[Byte] = {
+    val head = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 2, 0, 0x91.toByte, 0, 0) ++
+      Array[Byte](0, 0, 0, 10, 10, 10, 20, 20, 20, 30, 30, 30) ++
+      Array[Byte](0x2c, 0, 0, 0, 0, 3, 0, 2, 0, 0)
+    head ++ Array[Byte](2, 4, 0x4c, 0x24, 0x33, 0x05, 0, 0x3b)
+  }
+
+  test("gif decode: hand-assembled golden pins LZW width alignment " +
+       "independently of our encoder") {
+    val d = ImageHash.Gif.decode(gifGolden).get
+    assert(d.width == 3 && d.height == 2 && d.colorType == 3)
+    assert(d.luma.toSeq == Seq(10, 10, 20, 20, 30, 30))
+  }
+
+  test("gif encode/decode roundtrip: ragged dims, GCE extension, " +
+       "grayscale palette makes luma == index") {
+    for ((w, h) <- Seq((9, 8), (10, 9), (23, 17), (64, 48));
+         gce <- Seq(false, true)) {
+      def px(x: Int, y: Int): Int = (x * 31 + y * 57 + w) % 256
+      val bytes = ImageHash.Gif.encode(w, h, px, withGce = gce)
+      val d = ImageHash.Gif.decode(bytes).get
+      assert(d.width == w && d.height == h && d.colorType == 3)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(d.luma(y * w + x) == px(x, y), s"($x,$y) w=$w h=$h gce=$gce")
+    }
+  }
+
+  test("gif roundtrip: runs force the cScSc (code == next) case; " +
+       "random content forces dictionary-full clears") {
+    // constant image: every step after the first is a dictionary hit or
+    // the code-equals-next-entry case the decoder must special-case
+    val flat = ImageHash.Gif.encode(40, 30, (_, _) => 7)
+    assert(ImageHash.Gif.decode(flat).get.luma.forall(_ == 7))
+    // deterministic noise: 32768 px, thousands of distinct strings ->
+    // the 4096-entry dictionary fills and the encoder emits CLEAR +
+    // resets mid-stream; decoder must resync
+    val rnd = new scala.util.Random(0x617f1L)
+    val noise = Array.fill(256 * 128)(rnd.nextInt(256))
+    val bytes = ImageHash.Gif.encode(256, 128, (x, y) => noise(y * 256 + x))
+    val d = ImageHash.Gif.decode(bytes).get
+    assert(d.luma.toSeq == noise.toSeq)
+  }
+
+  test("gif decode: cross-codec agreement — the same gray pixel plane " +
+       "through PNG and GIF yields the identical dhash") {
+    def v(x: Int, y: Int): Int = (23 + 5 * x * x + 3 * y * y) % 251
+    val png = ImageHash.Png.decode(
+      ImageHash.Png.encode(18, 16, 0, (x, y) => Array(v(x, y)))).get
+    val gif = ImageHash.Gif.decode(
+      ImageHash.Gif.encode(18, 16, v)).get
+    assert(png.luma.toSeq == gif.luma.toSeq)
+    assert(ImageHash.dhash64(png.luma, 18, 16) ==
+      ImageHash.dhash64(gif.luma, 18, 16))
+  }
+
+  test("gif decode: hostile inputs fail closed (None, never throw)") {
+    val good = ImageHash.Gif.encode(18, 16, (x, y) => (x + y) % 256)
+    def mut(f: Array[Byte] => Array[Byte]) = f(good.clone())
+    val hostile = Seq[Array[Byte]](
+      Array.emptyByteArray,
+      "GIF89a".getBytes("US-ASCII"),
+      mut { b => b(0) = 'J'.toByte; b },                 // bad magic
+      mut { b => b(10) = (b(10) & 0x7f).toByte; b },     // no GCT
+      good.dropRight(1),                                 // missing trailer
+      good.dropRight(12),                                // truncated image data
+      good.take(13 + 100),                               // truncated GCT/blocks
+      // LCT / interlace flags on the image descriptor (profile breach)
+      mut { b => b(13 + 768 + 9) = 0x80.toByte; b },
+      mut { b => b(13 + 768 + 9) = 0x40.toByte; b },
+      // image not full-frame at the origin
+      mut { b => b(13 + 768 + 1) = 1; b },
+      // nonsense LZW minimum code size
+      mut { b => b(13 + 768 + 10) = 1; b },
+      mut { b => b(13 + 768 + 10) = 12; b },
+      // pixel count beyond the cap
+      mut { b => b(6) = 0; b(7) = 0x40; b(8) = 0; b(9) = 0x40; b })
+    hostile.foreach(b => assert(ImageHash.Gif.decode(b).isEmpty))
+    // palette index beyond the color table: 1x1, GCT of 4, but
+    // minCodeSize 3 — the root code 5 is a legal LZW code and an
+    // ILLEGAL palette index; stream = clear(8),5,eoi(9) @4 bits
+    val badIdx = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](1, 0, 1, 0, 0x91.toByte, 0, 0) ++
+      Array[Byte](0, 0, 0, 10, 10, 10, 20, 20, 20, 30, 30, 30) ++
+      Array[Byte](0x2c, 0, 0, 0, 0, 1, 0, 1, 0, 0) ++
+      Array[Byte](3, 2, 0x58, 0x09, 0, 0x3b)
+    assert(ImageHash.Gif.decode(badIdx).isEmpty)
+    // a code beyond the (lagged) dictionary: first code after clear
+    // must be a root — 6 (= eoi+1) is not; stream = clear(4),6,eoi(5)
+    // @3 bits: bits 001 011 101 LSB-first -> bytes 0x74, 0x01
+    val badCode = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](1, 0, 1, 0, 0x91.toByte, 0, 0) ++
+      Array[Byte](0, 0, 0, 10, 10, 10, 20, 20, 20, 30, 30, 30) ++
+      Array[Byte](0x2c, 0, 0, 0, 0, 1, 0, 1, 0, 0) ++
+      Array[Byte](2, 2, 0x74, 0x01, 0, 0x3b)
+    assert(ImageHash.Gif.decode(badCode).isEmpty)
+    // output overflow: the golden's 6 pixels against a 1x1 descriptor
+    val overflow = {
+      val b = gifGolden.clone()
+      b(6) = 1; b(8) = 1          // screen 1x1
+      b(13 + 12 + 5) = 1; b(13 + 12 + 7) = 1 // image 1x1
+      b
+    }
+    assert(ImageHash.Gif.decode(overflow).isEmpty)
+  }
+
+  test("gif decode: fuzzed single-byte mutations never throw") {
+    val good = ImageHash.Gif.encode(18, 16, (x, y) => (x * 7 + y * 13) % 256)
+    val rnd = new scala.util.Random(0x61f2L) // deterministic
+    (0 until 500).foreach { _ =>
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      ImageHash.Gif.decode(b) // Option either way; must not throw
+    }
+  }
 }
