@@ -62,3 +62,4 @@ private[analytics] object SharedGraph {
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
 }
+

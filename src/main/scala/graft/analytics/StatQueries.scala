@@ -301,7 +301,8 @@ object StatQueries {
           .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
             .as("cents"), count(lit(1L)).as("n_orders"))
         val wr = Window.partitionBy(col("regionkey"))
-        val wAll = Window.partitionBy()
+        // whole-frame share over the ~#nations-row aggregate — bounded
+        val wAll = graft.functions.BoundedWindow.all(col("cents"))
         rev
           .withColumn("region_cents", sum(col("cents")).over(wr))
           .withColumn("total_cents", sum(col("cents")).over(wAll))
@@ -375,8 +376,9 @@ object StatQueries {
             floor((col("pa") - col("pb")) * log(col("pa") / col("pb"))
               * lit(1e9) + lit(0.5)).cast("long"))
         smoothed
-          .withColumn("psi_nano",
-            sum(col("term_nano")).over(Window.partitionBy()))
+          .withColumn("psi_nano",  // 10-bucket frame — bounded
+            sum(col("term_nano")).over(
+              graft.functions.BoundedWindow.all(col("term_nano"))))
           .select(col("bkt").as("bucket"), col("a").as("n_a"),
             col("b").as("n_b"), col("term_nano"), col("psi_nano"))
           .orderBy(col("bucket"))

@@ -207,14 +207,26 @@ object WebCurationQueries {
         val t = new Tables(spark, dir)
         val pairs = Dedup.minhashPairs(t.documents, col("doc_id"),
             col("text"), n = 3, threshold = 0.8)
+        // domain derived map-side from doc_id — in STEPWISE withColumns:
+        // nesting the four kernels directly would textually expand the
+        // synthesis expression ~200× (each kernel references its input
+        // many times), blowing up codegen; the project boundaries keep
+        // each step's tree referencing the previous COLUMN
         val ndDomains = pairs
           .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
           .distinct()
-          .withColumn("registered_domain", UrlOps.registeredDomain(
-            UrlOps.hostOf(UrlOps.canonicalizeUrl(
-              UrlOps.synthesizeUrl(col("doc_id"))))))
+          .withColumn("__url", UrlOps.synthesizeUrl(col("doc_id")))
+          .withColumn("__canonical", UrlOps.canonicalizeUrl(col("__url")))
+          .withColumn("__host", UrlOps.hostOf(col("__canonical")))
+          .withColumn("registered_domain",
+            UrlOps.registeredDomain(col("__host")))
           .groupBy(col("registered_domain"))
           .agg(count(lit(1)).as("n_near_dup"))
+          // domain-sized (~#domains rows): materialize BEFORE the
+          // broadcast so the pair-set machinery runs once at full
+          // parallelism, not inside the broadcast-build thread
+          // (measured ~2× on the whole query)
+          .localCheckpoint(true)
         UrlOps.domainReputation(t.documents, col("doc_id"),
             UrlOps.synthesizeUrl(col("doc_id")), col("n_chars"),
             round(TextAnalysis.qualityScore(col("text")) * 10000)

@@ -32,9 +32,12 @@ import org.apache.spark.sql.functions._
 object Frontier {
 
   private def localFrontier(df: DataFrame, part: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(part: _*)
-      .orderBy(col("x").asc, col("y").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // the partition-less phase-2 call runs over the frontier-sized
+    // union of phase-1 survivors — bounded by design
+    val spec = if (part.isEmpty)
+      graft.functions.BoundedWindow.orderBy(col("x").asc, col("y").desc)
+    else Window.partitionBy(part: _*).orderBy(col("x").asc, col("y").desc)
+    val w = spec.rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("__my", max(col("y")).over(w))
       .filter(col("__my").isNull || col("y") > col("__my"))
       .drop("__my")

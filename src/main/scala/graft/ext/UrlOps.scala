@@ -250,8 +250,8 @@ object UrlOps {
         countDistinct(col("__host")).as("n_hosts"),
         sum(col("__chars")).cast("long").as("total_chars"),
         sum(col("__q")).as("__qsum"))
-      .join(nearDupDomains.select(col("registered_domain"),
-        col("n_near_dup")), Seq("registered_domain"), "left")
+      .join(broadcast(nearDupDomains.select(col("registered_domain"),
+        col("n_near_dup"))), Seq("registered_domain"), "left")
       .select(col("registered_domain"), col("n_docs"), col("n_canonical"),
         col("n_hosts"), col("total_chars"),
         ((col("n_docs") - col("n_canonical")).cast("double") / col("n_docs"))

@@ -45,19 +45,29 @@ import org.apache.spark.sql.functions.{coalesce, hash, lit, pmod}
   */
 object BoundedWindow {
 
+  /** The constant-valued, non-foldable partition key. `anchor` may
+    * carry a SortOrder wrapper (.asc / .desc); hash() needs the bare
+    * value node underneath — unwrapped at the ColumnNode level via the
+    * bridge shim (the catalyst view of a Column is a lazy
+    * ColumnNodeExpression, so a catalyst-SortOrder match would never
+    * fire).
+    */
+  private def constKey(anchor: Column): Column =
+    coalesce(pmod(hash(org.apache.spark.sql.graft.bridge.unsort(anchor)),
+      lit(1)), lit(0))
+
   /** Ordered single-partition spec for a bounded frame; `cols` must be
-    * non-empty (there is no unordered use — every site ranks or
-    * running-sums).
+    * non-empty.
     */
   def orderBy(cols: Column*): WindowSpec = {
     require(cols.nonEmpty, "boundedWindow needs at least one ordering column")
-    // the first ordering column may carry a SortOrder wrapper (.asc /
-    // .desc); hash() needs the bare value node underneath — unwrapped
-    // at the ColumnNode level via the bridge shim (the catalyst view of
-    // a Column is a lazy ColumnNodeExpression, so a catalyst-SortOrder
-    // match would never fire)
-    val key = org.apache.spark.sql.graft.bridge.unsort(cols.head)
-    Window.partitionBy(coalesce(pmod(hash(key), lit(1)), lit(0)))
-      .orderBy(cols: _*)
+    Window.partitionBy(constKey(cols.head)).orderBy(cols: _*)
   }
+
+  /** Unordered whole-frame spec for a bounded frame — the
+    * share-of-total shape (`sum(x).over(all frame)`); `anchor` is any
+    * input column, used only to form the constant key.
+    */
+  def all(anchor: Column): WindowSpec =
+    Window.partitionBy(constKey(anchor))
 }
