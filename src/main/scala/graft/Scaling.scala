@@ -60,7 +60,9 @@ object Scaling {
     "q177_delta_agg_retract"     -> "events",
     "q183_frequency_chunk_filter" -> "documents",
     "q190_sorted_neighbor_pairs" -> "part",
-    "q191_modularity"            -> "lineitem")
+    "q191_modularity"            -> "lineitem",
+    "q204_label_propagation"     -> "lineitem",
+    "q206_domain_reputation"     -> "documents")
 
   /** Documented super-linear-BY-INTENT queries: q27 materializes exact
     * all-pairs Jaccard evidence and q47 exact winnowing-fingerprint

@@ -25,7 +25,8 @@ object SparkEntry {
     analytics.BehaviorQueries.queries ++
     analytics.RecipeQueries.queries ++
     analytics.WebCurationQueries.queries ++
-    analytics.ImageQueries.queries
+    analytics.ImageQueries.queries ++
+    analytics.AudioQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
