@@ -311,5 +311,114 @@ object WebCurationQueries {
                CAST(coalesce(nd.n_near_dup, 0) AS DOUBLE) / n_docs
                  AS near_dup_rate
         FROM cen c LEFT JOIN nddom nd USING (registered_domain)
-        ORDER BY registered_domain""")))
+        ORDER BY registered_domain""")),
+
+    // ------------------------------------------------------------------
+    // q209: HTML → main-text extraction with block-level boilerplate
+    // removal ([[graft.ext.HtmlText.htmlExtract]]) — the step BEFORE
+    // every text operator in a web pipeline: segment markup into block
+    // fragments, keep the long low-link-density blocks (article
+    // prose), drop nav/ad/footer units. The fixture wraps each
+    // document's text in a deterministic page skeleton (title, 3-link
+    // nav, optional 2-link ad div on doc_id % 3, 2-link footer) —
+    // mirrored expression-for-expression in the oracle (the q200
+    // synthesis discipline), which then replays segmentation, link
+    // counting, tag stripping, the integer keep rule, and the md5 of
+    // the extracted text. Pure map-side expression work at any scale.
+    GraftQuery(
+      "q209_html_extract",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val half = (length(col("text")) / lit(2)).cast("int")
+        val c1 = col("text").substr(lit(1), half)
+        val c2 = col("text").substr(half + lit(1),
+          length(col("text")))
+        val html = concat(
+          lit("<html><head><title>doc "), col("doc_id").cast("string"),
+          lit("</title></head><body>"),
+          lit("<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+            "<a href=\"/c\">Contact</a></nav>"),
+          lit("<p>"), c1, lit("</p>"),
+          when(col("doc_id") % 3 === 0,
+            lit("<div><a href=\"/buy\">Buy</a> <a href=\"/now\">now</a> " +
+              "great deals</div>")).otherwise(lit("")),
+          lit("<p>"), c2, lit("</p>"),
+          lit("<footer><a href=\"/tos\">Terms</a> " +
+            "<a href=\"/priv\">Privacy</a> (c) site"),
+          (col("doc_id") % 5).cast("string"),
+          lit("</footer></body></html>"))
+        graft.ext.HtmlText.htmlExtract(
+            t.documents.where(col("text").isNotNull), col("doc_id"), html)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH src AS (SELECT doc_id, text FROM documents
+                     WHERE text IS NOT NULL),
+        h AS (
+          SELECT doc_id,
+            '<html><head><title>doc ' || doc_id
+            || '</title></head><body>'
+            || '<nav><a href="/">Home</a> <a href="/a">About</a> '
+            || '<a href="/c">Contact</a></nav>'
+            || '<p>' || substr(text, 1, length(text) // 2) || '</p>'
+            || CASE WHEN doc_id % 3 = 0
+                    THEN '<div><a href="/buy">Buy</a> '
+                         || '<a href="/now">now</a> great deals</div>'
+                    ELSE '' END
+            || '<p>' || substr(text, length(text) // 2 + 1) || '</p>'
+            || '<footer><a href="/tos">Terms</a> '
+            || '<a href="/priv">Privacy</a> (c) site' || (doc_id % 5)
+            || '</footer></body></html>' AS html
+          FROM src),
+        frags AS (
+          SELECT doc_id, list_filter(list_transform(
+                   string_split_regex(html,
+                     '(?i)</?(?:html|head|body|title|p|div|nav|footer|header|section|article|aside|ul|ol|li|h[1-6]|table|tr|td|br)[^>]*>'),
+                   f -> trim(f)), f -> f <> '') AS fr
+          FROM h),
+        scored AS (
+          SELECT doc_id, list_transform(fr, f -> struct_pack(
+                   links := len(string_split(f, '<a ')) - 1,
+                   txt := trim(regexp_replace(regexp_replace(f,
+                     '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')))) AS sc0
+          FROM frags),
+        sc2 AS (
+          SELECT doc_id, list_transform(sc0, s -> struct_pack(
+                   links := struct_extract(s, 'links'),
+                   txt := struct_extract(s, 'txt'),
+                   words := CASE WHEN struct_extract(s, 'txt') = '' THEN 0
+                                 ELSE len(string_split(
+                                   struct_extract(s, 'txt'), ' ')) END))
+                 AS sc
+          FROM scored),
+        k AS (
+          SELECT doc_id, sc,
+                 list_filter(sc, s -> struct_extract(s, 'words') >= 5
+                   AND struct_extract(s, 'links') * 10
+                       <= struct_extract(s, 'words')) AS kept
+          FROM sc2)
+        SELECT doc_id,
+               CAST(len(sc) AS INT) AS n_blocks,
+               CAST(len(kept) AS INT) AS n_kept,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(sc, s -> CAST(struct_extract(s, 'words')
+                   AS BIGINT))), (a, b) -> a + b) AS BIGINT) AS total_words,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(kept, s -> CAST(struct_extract(s, 'words')
+                   AS BIGINT))), (a, b) -> a + b) AS BIGINT) AS kept_words,
+               CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(sc, s -> CAST(struct_extract(s,
+                        'words') AS BIGINT))), (a, b) -> a + b) > 0
+                    THEN CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(kept, s -> CAST(struct_extract(s,
+                        'words') AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
+                      / list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(sc, s -> CAST(struct_extract(s,
+                          'words') AS BIGINT))), (a, b) -> a + b)
+               END AS kept_frac,
+               CASE WHEN len(kept) > 0
+                    THEN md5(array_to_string(list_transform(kept,
+                      s -> struct_extract(s, 'txt')), ' '))
+               END AS extracted_md5
+        FROM k ORDER BY doc_id""")))
 }
