@@ -3,7 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
-import graft.ext.{ImageHash, Multimodal}
+import graft.ext.{ImageHash, JpegCodec, Multimodal}
 
 /** Round-13/14 widening: pixel-level image near-dup (VERDICT r12 item
   * 2, r13 item 5) — REAL decode paths for the two formats decodable in
@@ -230,7 +230,120 @@ object ImageQueries {
                     ELSE upper(lpad(hex(hi), 8, '0')
                                || lpad(hex(lo), 8, '0')) END AS dhash_hex,
                NOT bad AS ok
+        FROM bits""")),
+
+    // ------------------------------------------------------------------
+    // q210: JPEG decode + dHash ([[graft.ext.JpegCodec]]) — the q202
+    // pixel-formula discipline pushed through a from-scratch baseline
+    // JPEG path (marker walk, DHT Huffman, zigzag run-length,
+    // dequantize, IDCT, fixed-point YCbCr) instead of zlib or LZW.
+    // JPEG is lossy, so the fixture is chosen where the transform is
+    // EXACT: 8×8-block-constant images under a flat (all-ones) quant
+    // table carry only DC energy — DC = 8·(v−128) is integer-exact and
+    // the DC-only IDCT reconstructs v bit-exactly (JpegCodecSpec pins
+    // the bound). Image dims are 72×64, so each 9×8 dHash cell is
+    // EXACTLY one JPEG block and the oracle replays cell means from
+    // the block formula directly — any defect in the Huffman walk,
+    // coefficient placement, restart handling (even ids declare
+    // DRI=4), COM skipping (ids % 5), or the color path (ids % 3 ≠ 0
+    // are RGB through both fixed-point conversions) desynchronizes
+    // the replayed dHash. doc_id % 37 rows carry raw text (the
+    // fail-closed arm). Map-side only: media bytes never cross a
+    // shuffle; pairing needs no new query — dhashPairs is
+    // format-agnostic (q203). Cross-codec agreement with PNG/GIF is
+    // spec-pinned (JpegCodecSpec) rather than oracle-pinned, since
+    // this corpus is block- rather than pixel-granular.
+    GraftQuery(
+      "q210_jpeg_dhash",
+      (spark, dir) => {
+        JpegCodec.extractJpegHash(jpegFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("mime"), col("width"), col("height"),
+            col("color_type"), col("raw_len"), col("dhash_hex"), col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH img AS (
+          SELECT doc_id,
+                 doc_id % 7 AS b, doc_id % 11 AS m11, doc_id % 13 AS m13,
+                 doc_id % 37 = 0 AS bad,
+                 CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS ncomp
+          FROM documents),
+        means AS (
+          SELECT *, list_transform(range(0, 8), gy ->
+                    list_transform(range(0, 9), gx ->
+                      (23 * b + 5 * gx * gx + 3 * gy * gy
+                        + (gx + gy) * m11) % 251
+                        + CASE WHEN (gx * gy) % 13 = m13
+                               THEN 2 ELSE 0 END)) AS mm
+          FROM img),
+        bits AS (
+          SELECT *,
+            CAST(list_sum(flatten(list_transform(range(0, 4), gy ->
+              list_transform(range(0, 8), gx ->
+                CASE WHEN mm[gy + 1][gx + 2] > mm[gy + 1][gx + 1]
+                     THEN (1::BIGINT << (gy * 8 + gx)) ELSE 0 END))))
+              AS BIGINT) AS lo,
+            CAST(list_sum(flatten(list_transform(range(4, 8), gy ->
+              list_transform(range(0, 8), gx ->
+                CASE WHEN mm[gy + 1][gx + 2] > mm[gy + 1][gx + 1]
+                     THEN (1::BIGINT << ((gy - 4) * 8 + gx)) ELSE 0 END))))
+              AS BIGINT) AS hi
+          FROM means)
+        SELECT doc_id AS media_id,
+               CASE WHEN bad THEN 'application/octet-stream'
+                    ELSE 'image/jpeg' END AS mime,
+               CAST(CASE WHEN bad THEN 0 ELSE 72 END AS INT) AS width,
+               CAST(CASE WHEN bad THEN 0 ELSE 64 END AS INT) AS height,
+               CAST(CASE WHEN bad THEN 0 ELSE ncomp END AS INT)
+                 AS color_type,
+               CAST(CASE WHEN bad THEN 0 ELSE 72 * 64 * ncomp END AS BIGINT)
+                 AS raw_len,
+               CASE WHEN bad THEN ''
+                    ELSE upper(lpad(hex(hi), 8, '0')
+                               || lpad(hex(lo), 8, '0')) END AS dhash_hex,
+               NOT bad AS ok
         FROM bits""")))
+
+  /** Synthesized JPEG corpus for q210: the q202 formula evaluated at
+    * BLOCK granularity (each 8×8 block constant — the profile where
+    * the lossy transform is exact; see the q210 comment), encoded
+    * through [[graft.ext.JpegCodec]] with a flat quant table.
+    * Variants walk the decoder's branch surface: grayscale vs RGB
+    * (ids % 3), restart markers (even ids, DRI=4), COM segments
+    * (ids % 5). Fail-closed arm at doc_id % 37.
+    */
+  private def jpegFixture(spark: SparkSession, dir: String)
+      : Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q210_fixture", dir) {
+      t.documents.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (m, text) =>
+            if (m % 37 == 0)
+              Multimodal.MediaRecord(m, "application/octet-stream",
+                text.getBytes("UTF-8"))
+            else {
+              val b = (m % 7).toInt
+              val m11 = (m % 11).toInt
+              val m13 = (m % 13).toInt
+              def v(bx: Int, by: Int): Int =
+                (23 * b + 5 * bx * bx + 3 * by * by + (bx + by) * m11) % 251 +
+                  (if ((bx * by) % 13 == m13) 2 else 0)
+              val ncomp = if (m % 3 == 0) 1 else 3
+              val bytes = JpegCodec.encode(72, 64, ncomp, (x, y) => {
+                val vv = v(x / 8, y / 8)
+                if (ncomp == 1) Array(vv) else Array(vv, vv, vv)
+              },
+                restartInterval = if (m % 2 == 0) 4 else 0,
+                comment = if (m % 5 == 0) Some("graft q210") else None)
+              Multimodal.MediaRecord(m, "image/jpeg", bytes)
+            }
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
 
   /** Synthesized GIF corpus for q207: the q202 pixel formula encoded
     * through [[graft.ext.ImageHash.Gif]] with a grayscale palette

@@ -620,9 +620,9 @@ object ImageHash {
     * error rows, never task aborts. Shared by both codecs; `rawLen`
     * is the format's oracle-derivable decoded-size surrogate.
     */
-  private def extractDHash(media: Dataset[Multimodal.MediaRecord],
-                           decode: Array[Byte] => Option[Decoded],
-                           rawLen: Decoded => Long)
+  def extractWith(media: Dataset[Multimodal.MediaRecord],
+                  decode: Array[Byte] => Option[Decoded],
+                  rawLen: Decoded => Long)
       : Dataset[MediaDHash] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -652,7 +652,7 @@ object ImageHash {
     */
   def extractPngHash(media: Dataset[Multimodal.MediaRecord])
       : Dataset[MediaDHash] =
-    extractDHash(media, Png.decode(_), d => {
+    extractWith(media, Png.decode(_), d => {
       val ch = d.colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
       d.height.toLong * (1 + d.width.toLong * ch)
     })
@@ -663,7 +663,7 @@ object ImageHash {
     */
   def extractGifHash(media: Dataset[Multimodal.MediaRecord])
       : Dataset[MediaDHash] =
-    extractDHash(media, Gif.decode(_),
+    extractWith(media, Gif.decode(_),
       d => d.width.toLong * d.height.toLong)
 
   /** Near-dup pairs among 64-bit dHashes with Hamming distance ≤
