@@ -116,6 +116,196 @@ object AudioQueries {
                     ELSE upper(lpad(hex(hi), 8, '0')
                                || lpad(hex(lo), 8, '0')) END AS fp_hex,
                NOT bad AS ok
-        FROM bits"""))
+        FROM bits""")),
+
+    // ------------------------------------------------------------------
+    // q213: MPEG-audio frame-header walk
+    // ([[graft.ext.Multimodal.Mp3Header]]) — compressed-audio metadata
+    // for the dominant real-corpus audio container: structural ID3v2
+    // skip (syncsafe size), per-frame header re-validation, the ISO
+    // bitrate/sample-rate/frame-length tables, VBR detection, exact
+    // integer duration, optional ID3v1 trailer. The oracle replays
+    // EVERY formula — including the per-frame VBR frame-length sum
+    // that must land the walk exactly at the container's last byte
+    // (`byte_len`), so one mis-sized frame anywhere desynchronizes
+    // the walk and flips ok=false against the oracle. Variants sweep
+    // MPEG-1/2 × Layers I/II/III × 3 sample rates × CBR/VBR ×
+    // mono/stereo × tag layouts; doc_id % 23 rows carry raw text
+    // (fail-closed arm). Map-side only.
+    GraftQuery(
+      "q213_mp3_meta",
+      (spark, dir) => {
+        Multimodal.extractMp3Meta(mp3Fixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("mime"),
+            // container length only when parsed: for fail-arm rows the
+            // oracle cannot know the UTF-8 byte count (DuckDB length()
+            // counts characters), and a zero keeps the gate on the
+            // walk-consumed-everything property, which is what matters
+            when(col("ok"), col("byteLen")).otherwise(0L).as("byte_len"),
+            col("version"), col("layer"),
+            col("bitrateKbps").as("bitrate_kbps"),
+            col("sampleRate").as("sample_rate"), col("channels"),
+            col("nFrames").as("n_frames"),
+            col("durationMs").as("duration_ms"),
+            col("vbr"), col("hasId3v2").as("has_id3v2"), col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, doc_id % 23 = 0 AS bad,
+                 CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS ver,
+                 CAST(doc_id % 3 AS INT) + 1 AS layer,
+                 CAST(doc_id % 3 AS INT) AS rate_idx,
+                 CAST(doc_id % 4 AS INT) AS mode,
+                 3 + CAST(doc_id % 9 AS INT) AS n,
+                 doc_id % 4 = 0 AS vbr,
+                 doc_id % 5 = 0 AS has_id3,
+                 doc_id % 7 = 0 AS has_tag
+          FROM documents),
+        d AS (
+          SELECT *,
+            (CASE rate_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                           ELSE 32000 END)
+              // (CASE WHEN ver = 1 THEN 1 ELSE 2 END) AS rate,
+            CASE WHEN mode = 3 THEN 1 ELSE 2 END AS ch,
+            CASE WHEN layer = 1 THEN 384
+                 WHEN layer = 2 THEN 1152
+                 WHEN ver = 1 THEN 1152 ELSE 576 END AS spf,
+            CASE WHEN ver = 1 AND layer = 1 THEN list_value(32, 64, 96,
+                   128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+                 WHEN ver = 1 AND layer = 2 THEN list_value(32, 48, 56,
+                   64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+                 WHEN ver = 1 THEN list_value(32, 40, 48, 56, 64, 80,
+                   96, 112, 128, 160, 192, 224, 256, 320)
+                 WHEN layer = 1 THEN list_value(32, 48, 56, 64, 80, 96,
+                   112, 128, 144, 160, 176, 192, 224, 256)
+                 ELSE list_value(8, 16, 24, 32, 40, 48, 56, 64, 80, 96,
+                   112, 128, 144, 160) END AS brt
+          FROM p),
+        f AS (
+          SELECT *,
+            brt[1 + CAST(doc_id % 14 AS INT)] AS br0,
+            list_sum(list_transform(range(0, n), j ->
+              (CASE WHEN layer = 1 THEN 4 ELSE 1 END) *
+              ((CASE WHEN layer = 1 THEN 12 ELSE
+                  CASE WHEN layer = 2 OR ver = 1 THEN 144 ELSE 72 END
+                END) * 1000 *
+               (CASE WHEN vbr THEN brt[1 + CAST((doc_id + j) % 14 AS INT)]
+                     ELSE brt[1 + CAST(doc_id % 14 AS INT)] END) // rate
+               + CAST((doc_id + j) % 2 AS INT)))) AS frames_len
+          FROM d)
+        SELECT doc_id AS media_id,
+               CASE WHEN bad THEN 'application/octet-stream'
+                    ELSE 'audio/mpeg' END AS mime,
+               CAST(CASE WHEN bad THEN 0
+                    ELSE (CASE WHEN has_id3
+                               THEN 20 + CAST(doc_id % 100 AS INT)
+                               ELSE 0 END)
+                         + frames_len
+                         + (CASE WHEN has_tag THEN 128 ELSE 0 END) END
+                 AS BIGINT) AS byte_len,
+               CAST(CASE WHEN bad THEN 0 ELSE ver END AS INT) AS version,
+               CAST(CASE WHEN bad THEN 0 ELSE layer END AS INT) AS layer,
+               CAST(CASE WHEN bad THEN 0 ELSE br0 END AS INT)
+                 AS bitrate_kbps,
+               CAST(CASE WHEN bad THEN 0 ELSE rate END AS INT)
+                 AS sample_rate,
+               CAST(CASE WHEN bad THEN 0 ELSE ch END AS INT) AS channels,
+               CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_frames,
+               CAST(CASE WHEN bad THEN 0
+                         ELSE n * spf * 1000 // rate END AS BIGINT)
+                 AS duration_ms,
+               (NOT bad) AND vbr AS vbr,
+               (NOT bad) AND has_id3 AS has_id3v2,
+               NOT bad AS ok
+        FROM f
+        ORDER BY media_id"""))
   )
+
+  /** Synthesized MPEG-audio corpus for q213: headers + deterministic
+    * filler payloads assembled from the same integer formulas the
+    * oracle replays (frame length, tag sizes — see the q213 comment).
+    * The fixture builder intentionally re-derives the ISO tables
+    * inline rather than calling the parser's — encoder and decoder
+    * sharing one table would hide a transposed entry.
+    */
+  private def mp3Fixture(spark: SparkSession, dir: String)
+      : Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q213_fixture", dir) {
+      t.documents.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val v1 = Array(Array(0), // layer index 1..3
+            Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+              384, 416, 448),
+            Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+              256, 320, 384),
+            Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+              224, 256, 320))
+          val v2 = Array(Array(0),
+            Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176,
+              192, 224, 256),
+            Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+              144, 160),
+            Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+              144, 160))
+          it.map { case (m, text) =>
+            if (m % 23 == 0)
+              Multimodal.MediaRecord(m, "application/octet-stream",
+                text.getBytes("UTF-8"))
+            else {
+              val ver = if (m % 2 == 0) 1 else 2
+              val layer = (m % 3).toInt + 1
+              val rateIdx = (m % 3).toInt
+              val rate = Array(44100, 48000, 32000)(rateIdx) /
+                (if (ver == 1) 1 else 2)
+              val mode = (m % 4).toInt
+              val n = 3 + (m % 9).toInt
+              val vbr = m % 4 == 0
+              val brTab = if (ver == 1) v1(layer) else v2(layer)
+              val out = new java.io.ByteArrayOutputStream
+              if (m % 5 == 0) { // ID3v2, syncsafe size, no footer
+                val s = (m % 100).toInt + 10
+                out.write('I'); out.write('D'); out.write('3')
+                out.write(3); out.write(0); out.write(0)
+                out.write(0); out.write(0); out.write(0); out.write(s)
+                var z = 0
+                while (z < s) { out.write(0); z += 1 }
+              }
+              var j = 0
+              while (j < n) {
+                val brIdx =
+                  if (vbr) 1 + ((m + j) % 14).toInt else 1 + (m % 14).toInt
+                val br = brTab(brIdx)
+                val pad = ((m + j) % 2).toInt
+                val len =
+                  if (layer == 1) (12 * br * 1000 / rate + pad) * 4
+                  else if (layer == 2 || ver == 1)
+                    144 * br * 1000 / rate + pad
+                  else 72 * br * 1000 / rate + pad
+                val verBits = if (ver == 1) 3 else 2
+                val layerBits = 4 - layer // L1=3, L2=2, L3=1
+                out.write(0xff)
+                out.write(0xe0 | (verBits << 3) | (layerBits << 1) | 1)
+                out.write((brIdx << 4) | (rateIdx << 2) | (pad << 1))
+                out.write(mode << 6)
+                var k = 4
+                while (k < len) {
+                  out.write(((m + j * 31 + k) % 251).toInt); k += 1
+                }
+                j += 1
+              }
+              if (m % 7 == 0) { // ID3v1 trailer
+                out.write('T'); out.write('A'); out.write('G')
+                var z = 0
+                while (z < 125) { out.write(0); z += 1 }
+              }
+              Multimodal.MediaRecord(m, "audio/mpeg", out.toByteArray)
+            }
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
 }

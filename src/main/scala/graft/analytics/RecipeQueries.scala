@@ -1,5 +1,6 @@
 package graft.analytics
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
@@ -1101,6 +1102,182 @@ object RecipeQueries {
         SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
                TRUE AS formats_agree
         FROM supplier
-        ORDER BY s_suppkey"""))
+        ORDER BY s_suppkey""")),
+
+    // ------------------------------------------------------------------
+    // q211: bloom-filter semi-join pruning ([[graft.ext.BloomPrune]])
+    // — the runtime-filter shape: a mergeable bitset aggregator over
+    // the dim keys (one m/8-byte driver transfer), then a pure-builtin
+    // probe predicate (xxhash64 + pmod + element_at + shiftleft,
+    // codegen'd, scan-side, below the exchange) pruning the fact
+    // before the exact semi-join sweeps the false positives. The
+    // oracle is the PLAIN semi-join — a single false negative (a
+    // matching fact row the bloom dropped) would flip the hash red,
+    // so the gate pins the no-false-negative property end-to-end;
+    // BloomPruneSpec pins the SQL-vs-JVM hash-family agreement and
+    // measures the false-positive rate the sizing note claims.
+    GraftQuery(
+      "q211_bloom_semi_join",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val dim = t.part.filter(col("p_type") === "PROMO")
+        graft.ext.BloomPrune.bloomSemiJoin(
+            t.lineitem, col("l_partkey"), dim, col("p_partkey"),
+            mBits = 1 << 16) // ≥16 bits/key at the largest test SF
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            countDistinct(col("l_partkey")).as("n_parts"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        FROM lineitem
+        WHERE l_partkey IN
+          (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        GROUP BY 1
+        ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // q212: gzip-compressed text ingestion parity
+    // ([[graft.sources.TextFixtures]]) — the q199 JSONL content
+    // gzipped byte-deterministically and read back through Spark's
+    // codec-by-extension path, joined to the UNCOMPRESSED file with
+    // every column null-safe compared (TRUE-pinned `codec_agrees`).
+    // DuckDB decompresses the same .gz bytes on its side, so the gate
+    // prices both engines' gzip paths against each other. Compressed
+    // text is how real corpora arrive (WET/WARC dumps, log shards);
+    // gzip is splittable-hostile, so at 100 TB the parallelism unit
+    // is the FILE — many ~100 MB .gz shards, one task each — which
+    // this reader shape (schema'd per-file scan, no repartition
+    // before the first wide op) preserves.
+    GraftQuery(
+      "q212_gzip_ingest",
+      (spark, dir) => {
+        import org.apache.spark.sql.types._
+        graft.sources.TextFixtures.ensure(spark, dir)
+        val sch = StructType(Seq(
+          StructField("nation_key", IntegerType),
+          StructField("name", StringType),
+          StructField("region_key", IntegerType),
+          StructField("note", StringType),
+          StructField("score", DoubleType),
+          StructField("flag", BooleanType)))
+        val gz = spark.read.schema(sch)
+          .json(graft.sources.TextFixtures.jsonGzPath)
+        val plain = spark.read.schema(sch)
+          .json(graft.sources.TextFixtures.jsonPath)
+          .select(col("nation_key").as("p_key"), col("name").as("p_name"),
+            col("region_key").as("p_region"), col("note").as("p_note"),
+            col("score").as("p_score"), col("flag").as("p_flag"))
+        gz.join(plain, col("nation_key") === col("p_key"))
+          .select(col("nation_key"), col("name"), col("region_key"),
+            col("note"), col("score"), col("flag"),
+            (col("name") <=> col("p_name") &&
+              col("region_key") <=> col("p_region") &&
+              col("note") <=> col("p_note") &&
+              col("score") <=> col("p_score") &&
+              col("flag") <=> col("p_flag")).as("codec_agrees"))
+          .orderBy(col("nation_key"))
+      },
+      Some(s"""
+        WITH g AS (
+          SELECT * FROM read_json(
+            '${graft.sources.TextFixtures.jsonGzPath}',
+            format = 'newline_delimited', compression = 'gzip',
+            columns = {'nation_key': 'INTEGER', 'name': 'VARCHAR',
+                       'region_key': 'INTEGER', 'note': 'VARCHAR',
+                       'score': 'DOUBLE', 'flag': 'BOOLEAN'})),
+        p AS (
+          SELECT * FROM read_json(
+            '${graft.sources.TextFixtures.jsonPath}',
+            format = 'newline_delimited',
+            columns = {'nation_key': 'INTEGER', 'name': 'VARCHAR',
+                       'region_key': 'INTEGER', 'note': 'VARCHAR',
+                       'score': 'DOUBLE', 'flag': 'BOOLEAN'}))
+        SELECT g.nation_key, g.name, g.region_key, g.note, g.score, g.flag,
+               TRUE AS codec_agrees
+        FROM g JOIN p USING (nation_key)
+        ORDER BY g.nation_key""")),
+
+    // ------------------------------------------------------------------
+    // q214: small-file compaction through write-audit-publish
+    // ([[graft.sinks.Compaction]]) — the OPTIMIZE maintenance op over
+    // the [[graft.sinks.AtomicPublish]] commit: a 64-part-file
+    // published snapshot of `documents` is rewritten into 8
+    // right-sized files, row-count-audited over the read-back staged
+    // data, atomically published, and the superseded generation
+    // vacuumed (published + predecessor survive — pinned). The gate
+    // compares the COMPACTED files' full content (md5 of text + every
+    // metadata column, full-outer join) against the live documents
+    // table, plus the measured before/after file counts — a dropped
+    // or duplicated row, a value mangled in the rewrite, an empty
+    // output partition, or a vacuum eating the live generation all
+    // flip the hash red. File counts are metadata listings; the
+    // rewrite itself is ONE round-robin exchange sized by the target
+    // — the same plan a 100 TB per-partition compaction runs.
+    GraftQuery(
+      "q214_compaction",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val sfName = dir.replaceAll(".*/", "")
+        val srcDir = s"/tmp/graft-compact/$sfName/src"
+        val dstDir = s"/tmp/graft-compact/$sfName/out"
+        ensureCompactSeed(spark, dir, srcDir)
+        val stats = graft.sinks.Compaction.compactPublished(
+          spark, srcDir, dstDir, targetFiles = 8)
+        val survives =
+          graft.sinks.AtomicPublish.currentGeneration(dstDir)
+            .contains(stats.generation) &&
+          graft.sinks.AtomicPublish.readPublished(spark, dstDir)
+            .count() == stats.rows
+        val c = graft.sinks.AtomicPublish.readPublished(spark, dstDir)
+          .select(col("doc_id").as("c_id"), col("lang").as("c_lang"),
+            col("source").as("c_source"), col("n_chars").as("c_n"),
+            md5(col("text")).as("c_md5"))
+        val s = t.documents.select(col("doc_id"), col("lang"),
+          col("source"), col("n_chars"), md5(col("text")).as("s_md5"))
+        s.join(c, col("doc_id") === col("c_id"), "full_outer")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("doc_id").isNotNull && col("c_id").isNotNull &&
+              (col("lang") <=> col("c_lang")) &&
+              (col("source") <=> col("c_source")) &&
+              (col("n_chars") <=> col("c_n")) &&
+              (col("s_md5") <=> col("c_md5")), 1L).otherwise(0L))
+              .as("n_agree"))
+          .select(col("n").as("rows"),
+            lit(stats.filesBefore).as("files_before"),
+            lit(stats.filesAfter).as("files_after"),
+            (col("n_agree") === col("n") &&
+              col("n") === lit(stats.rows)).as("content_agrees"),
+            lit(survives).as("published_survives_vacuum"))
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS rows,
+               CAST(64 AS INT) AS files_before,
+               CAST(8 AS INT) AS files_after,
+               TRUE AS content_agrees,
+               TRUE AS published_survives_vacuum
+        FROM documents"""))
   )
+
+  /** Seed the q214 source table once per scale factor: the documents
+    * table published as an intentionally over-parallel 64-file
+    * snapshot (the accreted-small-files state compaction exists to
+    * fix). Content is a pure function of the corpus, so a seed left
+    * by an earlier session or another partition regime is identical.
+    */
+  private def ensureCompactSeed(spark: SparkSession, dir: String,
+                                srcDir: String): Unit = synchronized {
+    if (graft.sinks.AtomicPublish.currentGeneration(srcDir).isEmpty) {
+      val docs = new Tables(spark, dir).documents
+      val r = graft.sinks.AtomicPublish.publish(
+        docs.repartition(64), srcDir)
+      require(r.isInstanceOf[graft.sinks.AtomicPublish.Published],
+        s"seed publish failed: $r")
+    }
+  }
 }

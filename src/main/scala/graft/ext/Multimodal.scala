@@ -253,6 +253,204 @@ object Multimodal {
     }
   }
 
+  final case class Mp3Meta(
+      media_id: Long,
+      mime: String,
+      byteLen: Long,
+      version: Int,       // 1 = MPEG-1, 2 = MPEG-2, 25 = MPEG-2.5
+      layer: Int,         // 1..3
+      bitrateKbps: Int,   // first frame's
+      sampleRate: Int,
+      channels: Int,
+      nFrames: Long,
+      durationMs: Long,
+      vbr: Boolean,
+      hasId3v2: Boolean,
+      ok: Boolean,
+      error: Option[String])
+
+  /** MPEG-audio (MP3 family) frame-header walking — the compressed-
+    * audio sibling of [[WavHeader]]: pure big-endian bit slicing over
+    * the frame sequence, no codec. An optional ID3v2 tag (syncsafe
+    * size, optional footer) is skipped structurally; each frame's
+    * 4-byte header is then re-validated and the walk jumps by the
+    * layer/version frame-length formula (payload bytes are never
+    * scanned, so a frame's content can contain sync-like bytes).
+    * Every frame must share the first frame's version/layer/sample
+    * rate (a real decoder's constraint); the bitrate may vary per
+    * frame (VBR — surfaced as a flag). Strict profile: the first
+    * frame must start immediately after the (optional) tag — no junk
+    * scanning — and after the last frame only an optional 128-byte
+    * ID3v1 "TAG" trailer may remain (the exact-size contract).
+    * Duration is exact integer math: frames × samples-per-frame ×
+    * 1000 / rate. The ISO bitrate/sample-rate tables are public spec
+    * data (ISO 11172-3 / 13818-3).
+    */
+  object Mp3Header {
+    // bitrate tables in kbps, index 1..14 (0 = free, 15 = invalid)
+    private val V1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256,
+      288, 320, 352, 384, 416, 448)
+    private val V1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128,
+      160, 192, 224, 256, 320, 384)
+    private val V1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
+      128, 160, 192, 224, 256, 320)
+    private val V2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128,
+      144, 160, 176, 192, 224, 256)
+    private val V2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64,
+      80, 96, 112, 128, 144, 160)
+
+    private def bitrateKbps(version: Int, layer: Int, idx: Int): Int =
+      (version, layer) match {
+        case (1, 1) => V1L1(idx)
+        case (1, 2) => V1L2(idx)
+        case (1, 3) => V1L3(idx)
+        case (_, 1) => V2L1(idx)
+        case _ => V2L23(idx)
+      }
+
+    private def sampleRate(version: Int, idx: Int): Int = {
+      val v1 = Array(44100, 48000, 32000)
+      version match {
+        case 1 => v1(idx)
+        case 2 => v1(idx) / 2
+        case _ => v1(idx) / 4
+      }
+    }
+
+    private def samplesPerFrame(version: Int, layer: Int): Int =
+      layer match {
+        case 1 => 384
+        case 2 => 1152
+        case _ => if (version == 1) 1152 else 576
+      }
+
+    /** Whole-frame byte length including the 4 header bytes. */
+    private def frameLen(version: Int, layer: Int, brKbps: Int,
+                         rate: Int, pad: Int): Int = layer match {
+      case 1 => (12 * brKbps * 1000 / rate + pad) * 4
+      case 2 => 144 * brKbps * 1000 / rate + pad
+      case _ =>
+        if (version == 1) 144 * brKbps * 1000 / rate + pad
+        else 72 * brKbps * 1000 / rate + pad
+    }
+
+    /** (version, layer, brKbps, rate, channels, pad) of one header. */
+    private def header(b: Array[Byte], at: Int)
+        : Option[(Int, Int, Int, Int, Int, Int)] = {
+      if (at + 4 > b.length) return None
+      val b1 = b(at) & 0xff; val b2 = b(at + 1) & 0xff
+      val b3 = b(at + 2) & 0xff; val b4 = b(at + 3) & 0xff
+      if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return None
+      val version = (b2 >> 3) & 3 match {
+        case 3 => 1
+        case 2 => 2
+        case 0 => 25
+        case _ => return None // reserved
+      }
+      val layer = (b2 >> 1) & 3 match {
+        case 1 => 3
+        case 2 => 2
+        case 3 => 1
+        case _ => return None // reserved
+      }
+      val brIdx = (b3 >> 4) & 0xf
+      val rateIdx = (b3 >> 2) & 3
+      if (brIdx == 0 || brIdx == 15 || rateIdx == 3) return None
+      val pad = (b3 >> 1) & 1
+      if ((b4 & 3) == 2) return None // reserved emphasis
+      val mode = (b4 >> 6) & 3
+      val channels = if (mode == 3) 1 else 2
+      Some((version, layer,
+        bitrateKbps(if (version == 1) 1 else 2, layer, brIdx),
+        sampleRate(version, rateIdx), channels, pad))
+    }
+
+    /** (version, layer, firstBitrateKbps, rate, channels, frames,
+      * durationMs, vbr, hasId3v2), or None on anything outside the
+      * strict profile.
+      */
+    def parse(b: Array[Byte])
+        : Option[(Int, Int, Int, Int, Int, Long, Long, Boolean, Boolean)] = {
+      if (b == null || b.length < 4) return None
+      var pos = 0
+      var hasId3 = false
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        val flags = b(5) & 0xff
+        // syncsafe 28-bit size (no byte may have its high bit set),
+        // excluding the 10-byte header
+        if ((b(6) | b(7) | b(8) | b(9)) < 0) return None
+        val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+          ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+        pos = 10 + size + (if ((flags & 0x10) != 0) 10 else 0)
+        if (pos >= b.length) return None
+        hasId3 = true
+      }
+      val first = header(b, pos) match {
+        case Some(h) => h
+        case None => return None
+      }
+      val (ver, layer, br0, rate, ch, _) = first
+      var frames = 0L
+      var vbr = false
+      var done = false
+      while (!done) {
+        header(b, pos) match {
+          case Some((v2, l2, br, r2, c2, pad)) =>
+            // all frames must agree on everything but the bitrate
+            if (v2 != ver || l2 != layer || r2 != rate || c2 != ch)
+              return None
+            if (br != br0) vbr = true
+            val len = frameLen(ver, layer, br, rate, pad)
+            if (len <= 4 || pos + len > b.length) return None
+            frames += 1
+            pos += len
+          case None => done = true
+        }
+        if (pos >= b.length) done = true
+      }
+      // exact-size contract: nothing after the last frame but an
+      // optional ID3v1 trailer
+      val rest = b.length - pos
+      if (rest != 0 &&
+          !(rest == 128 && b(pos) == 'T' && b(pos + 1) == 'A' &&
+            b(pos + 2) == 'G')) return None
+      if (frames == 0) return None
+      val spf = samplesPerFrame(ver, layer)
+      Some((ver, layer, br0, rate, ch, frames,
+        frames * spf * 1000L / rate, vbr, hasId3))
+    }
+  }
+
+  /** MP3 metadata extraction stage: same per-partition discipline as
+    * [[extractAudioMeta]]; unparseable payloads become zero rows with
+    * ok=false, exceptions error rows — never task aborts.
+    */
+  def extractMp3Meta(media: Dataset[MediaRecord]): Dataset[Mp3Meta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          Mp3Header.parse(r.media) match {
+            case Some((v, l, br, rate, ch, n, dur, vbr, id3)) =>
+              Mp3Meta(r.media_id, r.mime, r.media.length.toLong,
+                v, l, br, rate, ch, n, dur, vbr, id3, ok = true, None)
+            case None =>
+              Mp3Meta(r.media_id, r.mime, r.media.length.toLong,
+                0, 0, 0, 0, 0, 0L, 0L, vbr = false, hasId3v2 = false,
+                ok = false, None)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Mp3Meta(r.media_id, r.mime, r.media.length.toLong,
+              0, 0, 0, 0, 0, 0L, 0L, vbr = false, hasId3v2 = false,
+              ok = false,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      }
+    }
+  }
+
   final case class VideoMeta(
       media_id: Long,
       mime: String,

@@ -28,6 +28,7 @@ object TextFixtures {
   val dir = "/tmp/graft-textsrc"
   val csvPath = s"$dir/nation.csv"
   val jsonPath = s"$dir/nation.jsonl"
+  val jsonGzPath = s"$dir/nation-gz.jsonl.gz"
 
   /** Quote/escape/newline-rich note, a pure function of the row. */
   def note(k: Int, name: String): String = {
@@ -53,12 +54,28 @@ object TextFixtures {
       case c => c.toString
     } + "\""
 
-  private def writeAtomic(path: String, content: String): Unit = {
+  private def writeAtomic(path: String, content: String): Unit =
+    writeAtomicBytes(path, content.getBytes(StandardCharsets.UTF_8))
+
+  private def writeAtomicBytes(path: String, bytes: Array[Byte]): Unit = {
     val target = Paths.get(path)
     val tmp = Files.createTempFile(target.getParent, ".graft-textsrc", ".tmp")
-    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, bytes)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Deterministic gzip of `content`: java's GZIPOutputStream writes a
+    * fixed header (mtime 0, no name/comment) and Deflater is
+    * level-deterministic, so every run produces byte-identical output
+    * — the same static-path contract as the plain files.
+    */
+  private def gzipBytes(content: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(content.getBytes(StandardCharsets.UTF_8))
+    gz.close()
+    bos.toByteArray
   }
 
   /** Materialize both files if absent (25 nation rows — bounded by
@@ -66,7 +83,8 @@ object TextFixtures {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     if (Files.exists(Paths.get(csvPath)) &&
-        Files.exists(Paths.get(jsonPath))) return
+        Files.exists(Paths.get(jsonPath)) &&
+        Files.exists(Paths.get(jsonGzPath))) return
     Files.createDirectories(Paths.get(dir))
     val rows = spark.read.parquet(s"$sfDir/nation.parquet")
       .select(col("n_nationkey").cast("int"), col("n_name"),
@@ -89,5 +107,7 @@ object TextFixtures {
     }
     writeAtomic(csvPath, csv.toString)
     writeAtomic(jsonPath, jsonl.toString)
+    // same JSONL bytes, gzipped: the q212 compressed-ingestion arm
+    writeAtomicBytes(jsonGzPath, gzipBytes(jsonl.toString))
   }
 }
