@@ -582,6 +582,7 @@ object JpegCodec {
     val coef = new Array[Int](64)
     val block = new Array[Int](64)
     val tmp = new Array[Double](64)
+    val rowMask = new Array[Boolean](8)
     val br = new BitReader(b, pos)
     var mcu = 0
     var rst = 0
@@ -598,6 +599,7 @@ object JpegCodec {
         while (c < ncomp) {
           java.util.Arrays.fill(coef, 0)
           val q = qt(compTq(c))
+          var maxK = 0 // highest zigzag index holding a nonzero coef
           // DC
           val t = br.decodeHuff(compDc(c))
           if (t < 0 || t > 15) return None
@@ -622,55 +624,81 @@ object JpegCodec {
               val vb = br.receive(s)
               if (vb < 0) return None
               coef(Zigzag(k)) = extend(vb, s) * q(k)
+              maxK = k
               k += 1
             }
           }
           if (k > 64) return None
-          // separable IDCT: rows (u), then columns (v)
-          var v = 0
-          while (v < 8) {
-            var x = 0
-            while (x < 8) {
-              var s2 = 0.0
-              var u = 0
-              while (u < 8) {
-                s2 += CU(u) * coef(v * 8 + u) * CosT(x)(u)
-                u += 1
+          if (maxK == 0) {
+            // DC-only block (the common case on flat regions — and the
+            // entire q210 profile): the separable IDCT reduces to the
+            // SAME two-step product the general path computes (every
+            // dropped term is an exact +0.0, every dropped factor an
+            // exact ×1.0), so this is bit-identical, just without the
+            // 1024 multiply-adds.
+            val t0 = CU(0) * coef(0)
+            val px0 = Math.round(0.25 * (CU(0) * t0)).toInt + 128
+            val pxc = if (px0 < 0) 0 else if (px0 > 255) 255 else px0
+            java.util.Arrays.fill(block, pxc)
+          } else {
+            // separable IDCT: rows (u), then columns (v); rows with no
+            // nonzero coefficient are skipped (their terms are exact
+            // zeros — output-identical, libjpeg's pruned-IDCT idea)
+            var v = 0
+            while (v < 8) {
+              var rowNz = false
+              var u0 = 0
+              while (u0 < 8 && !rowNz) {
+                if (coef(v * 8 + u0) != 0) rowNz = true
+                u0 += 1
               }
-              tmp(v * 8 + x) = s2
-              x += 1
-            }
-            v += 1
-          }
-          var yy = 0
-          while (yy < 8) {
-            var x = 0
-            while (x < 8) {
-              var s2 = 0.0
-              var v2 = 0
-              while (v2 < 8) {
-                s2 += CU(v2) * tmp(v2 * 8 + x) * CosT(yy)(v2)
-                v2 += 1
+              rowMask(v) = rowNz
+              if (rowNz) {
+                var x = 0
+                while (x < 8) {
+                  var s2 = 0.0
+                  var u = 0
+                  while (u < 8) {
+                    val cf = coef(v * 8 + u)
+                    if (cf != 0) s2 += CU(u) * cf * CosT(x)(u)
+                    u += 1
+                  }
+                  tmp(v * 8 + x) = s2
+                  x += 1
+                }
               }
-              val px = Math.round(0.25 * s2).toInt + 128
-              block(yy * 8 + x) =
-                if (px < 0) 0 else if (px > 255) 255 else px
-              x += 1
+              v += 1
             }
-            yy += 1
+            var yy = 0
+            while (yy < 8) {
+              var x = 0
+              while (x < 8) {
+                var s2 = 0.0
+                var v2 = 0
+                while (v2 < 8) {
+                  if (rowMask(v2)) s2 += CU(v2) * tmp(v2 * 8 + x) * CosT(yy)(v2)
+                  v2 += 1
+                }
+                val px = Math.round(0.25 * s2).toInt + 128
+                block(yy * 8 + x) =
+                  if (px < 0) 0 else if (px > 255) 255 else px
+                x += 1
+              }
+              yy += 1
+            }
           }
           // place (crop ragged edge blocks)
           val x0 = bx * 8; val y0 = by * 8
           val xMax = math.min(8, w - x0); val yMax = math.min(8, h - y0)
           val p = planes(c)
-          yy = 0
-          while (yy < yMax) {
+          var py = 0
+          while (py < yMax) {
             var x = 0
             while (x < xMax) {
-              p((y0 + yy) * w + x0 + x) = block(yy * 8 + x)
+              p((y0 + py) * w + x0 + x) = block(py * 8 + x)
               x += 1
             }
-            yy += 1
+            py += 1
           }
           c += 1
         }
