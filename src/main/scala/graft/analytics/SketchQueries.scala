@@ -88,6 +88,100 @@ object SketchQueries {
                                     ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn
           FROM events)
         WHERE rn <= 20
-        ORDER BY event_type, event_id"""))
+        ORDER BY event_type, event_id""")),
+
+    // ------------------------------------------------------------------
+    // q215: mergeable count-min sketch store ([[graft.ext.CmsStore]]) —
+    // the frequency member of the sketch-store family (q63 HLL
+    // distinct-counts, q198 log-linear quantiles): per-source d×w count
+    // matrices whose merge is cell-wise addition. The gate pins the
+    // LINEARITY identity cell-by-cell (union-of-shard-sketches ≡
+    // direct sketch of the union — `union_consistent`), the one-sided
+    // guarantee (estimate ≥ exact, structural) on the top-20 exact
+    // twin, and — because the oracle replays poly_hash as a power sum
+    // with interpolated 31^j mod p constants plus the same affine row
+    // maps — every cell count and every estimate bit-for-bit.
+    GraftQuery(
+      "q215_cms_sketch_store",
+      (spark, dir) => {
+        import graft.ext.CmsStore
+        val t = new Tables(spark, dir)
+        val words = CmsStore.tokens(t.documents, col("text"))
+        val perShard = CmsStore.sketchCells(words, col("source"))
+        val merged = perShard.groupBy(col("row"), col("col"))
+          .agg(sum(col("cnt")).as("cnt"))
+        val direct = CmsStore.sketchCells(words, lit("all"))
+          .select(col("row"), col("col"), col("cnt").as("d_cnt"))
+        val consistent = merged.join(direct, Seq("row", "col"), "full_outer")
+          .agg(sum(when(col("cnt") <=> col("d_cnt"), 0L).otherwise(1L))
+            .as("mismatch"))
+          .select((col("mismatch") === 0L).as("union_consistent"))
+        val top = words.groupBy(col("word"))
+          .agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("word"))
+          .limit(20)
+        CmsStore.estimate(merged, top.select(col("word")))
+          .join(top, "word")
+          .crossJoin(broadcast(consistent)) // 1-row scalar broadcast
+          .select(col("word"), col("exact_cnt"), col("est_cnt"),
+            (col("est_cnt") >= col("exact_cnt")).as("overestimate_ok"),
+            col("union_consistent"))
+          .orderBy(col("exact_cnt").desc, col("word"))
+      },
+      Some(s"""
+        WITH pwt AS (SELECT ${duckPow31List} AS pw),
+        w0 AS (
+          SELECT source, unnest(string_split(text, ' ')) AS word
+          FROM documents),
+        words AS (
+          SELECT source, word FROM w0
+          WHERE word <> '' AND octet_length(encode(word)) < 64),
+        wh AS (
+          SELECT word,
+                 list_sum(list_transform(
+                   range(0, octet_length(encode(word))), k ->
+                   ((strpos('0123456789ABCDEF',
+                            substr(hex(encode(word)),
+                                   CAST(2 * k + 1 AS INT), 1)) - 1) * 16
+                    + (strpos('0123456789ABCDEF',
+                              substr(hex(encode(word)),
+                                     CAST(2 * k + 2 AS INT), 1)) - 1))
+                   * pw[CAST(octet_length(encode(word)) - k AS INT)]))
+                 % 1000000007 AS h
+          FROM words, pwt),
+        rows_ AS (SELECT * FROM (VALUES (0, 31, 17), (1, 271, 193),
+                                        (2, 631, 409), (3, 877, 751))
+                  t(i, a, b)),
+        cells AS (
+          SELECT t.i AS row, CAST((wh.h * t.a + t.b) % 1000000007 % 1024
+                   AS INT) AS col, COUNT(*) AS cnt
+          FROM wh CROSS JOIN rows_ t
+          GROUP BY 1, 2),
+        top AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+          FROM words GROUP BY 1
+          ORDER BY exact_cnt DESC, word LIMIT 20),
+        probes AS (
+          SELECT DISTINCT tp.word, tp.exact_cnt, wh.h
+          FROM top tp JOIN wh ON tp.word = wh.word),
+        est AS (
+          SELECT p.word, p.exact_cnt, CAST(MIN(c.cnt) AS BIGINT) AS est_cnt
+          FROM probes p CROSS JOIN rows_ t
+          JOIN cells c ON c.row = t.i
+            AND c.col = CAST((p.h * t.a + t.b) % 1000000007 % 1024 AS INT)
+          GROUP BY 1, 2)
+        SELECT word, exact_cnt, est_cnt,
+               est_cnt >= exact_cnt AS overestimate_ok,
+               TRUE AS union_consistent
+        FROM est
+        ORDER BY exact_cnt DESC, word"""))
   )
+
+  /** `list_value(31^0 mod p, …, 31^63 mod p)` for the q215 oracle's
+    * power-sum replay of poly_hash (the house constant-interpolation
+    * discipline: the constants are powers of the published base, not
+    * values computed by the kernel under test).
+    */
+  private def duckPow31List: String =
+    graft.ext.CmsStore.pow31(64).mkString("list_value(", ", ", ")")
 }

@@ -1444,5 +1444,87 @@ object SurfaceQueries {
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(x) AS DOUBLE) AS sum_value
         FROM mut GROUP BY 1, 2
-        ORDER BY day, event_type""")))
+        ORDER BY day, event_type""")),
+
+    // ------------------------------------------------------------------
+    // q217: Unicode NFC normalization + invisible-character cleaning
+    // ([[graft.functions.NfcNormalize]]) — the canonicalization step
+    // before any hash/dedup/tokenize: composed vs decomposed accents
+    // (é vs e+U+0301), singleton compositions (OHM SIGN → Ω),
+    // zero-width characters (ZWSP/ZWJ/BOM), control characters, and
+    // whitespace runs. Spark ships no normalization function, so the
+    // NFC step is a new native codegen'd expression over the JDK
+    // normalizer; DuckDB replays it with its own nfc_normalize —
+    // Unicode's normalization stability policy is what makes the two
+    // engines' answers comparable. The dirty corpus is synthesized per
+    // doc from codepoint formulas (Scala side builds the literal
+    // string; the oracle rebuilds it with chr()), md5-gated after
+    // cleaning. Pure map-side expression work: one scan, zero
+    // shuffles before the presentation sort.
+    GraftQuery(
+      "q217_text_normalize",
+      (spark, dir) => {
+        import graft.functions.NfcNormalize.nfc_normalize
+        val t = new Tables(spark, dir)
+        import spark.implicits._
+        val dirty = t.documents.select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { m =>
+              val s = "Doc " + m + " caf" +
+                (if (m % 2 == 0) "e\u0301" else "\u00e9") +
+                (if (m % 3 == 0) "\u2126" else "") +
+                (if (m % 4 == 0) "\u200Bx\uFEFF" else "") +
+                (if (m % 5 == 0) "\u0007" else "") +
+                " end" + ("  " * (1 + (m % 3)).toInt) + "tail"
+              (m, s)
+            }
+          }.toDF("doc_id", "dirty")
+        val invis = "[\\x{0000}-\\x{0008}\\x{000B}-\\x{001F}\\x{007F}" +
+          "\\x{200B}-\\x{200D}\\x{FEFF}]"
+        dirty
+          .withColumn("nfc", nfc_normalize(col("dirty")))
+          .withColumn("stripped", regexp_replace(col("nfc"), invis, ""))
+          .withColumn("clean",
+            trim(regexp_replace(col("stripped"), " +", " ")))
+          .select(col("doc_id"),
+            (col("nfc") =!= col("dirty")).as("changed_nfc"),
+            length(col("nfc")).as("nfc_len"),
+            (length(col("nfc")) - length(col("stripped")))
+              .as("n_invisible"),
+            length(col("clean")).as("clean_len"),
+            md5(col("clean")).as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH dirty AS (
+          SELECT doc_id,
+                 'Doc ' || CAST(doc_id AS VARCHAR) || ' caf'
+                 || CASE WHEN doc_id % 2 = 0 THEN 'e' || chr(769)
+                         ELSE chr(233) END
+                 || CASE WHEN doc_id % 3 = 0 THEN chr(8486) ELSE '' END
+                 || CASE WHEN doc_id % 4 = 0
+                         THEN chr(8203) || 'x' || chr(65279) ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN chr(7) ELSE '' END
+                 || ' end' || repeat('  ', CAST(1 + doc_id % 3 AS INT))
+                 || 'tail' AS s
+          FROM documents),
+        n AS (
+          SELECT doc_id, s, nfc_normalize(s) AS nfc FROM dirty),
+        st AS (
+          SELECT *, regexp_replace(nfc,
+            '[\x{0000}-\x{0008}\x{000B}-\x{001F}\x{007F}\x{200B}-\x{200D}\x{FEFF}]',
+            '', 'g') AS stripped
+          FROM n),
+        cl AS (
+          SELECT *, trim(regexp_replace(stripped, ' +', ' ', 'g')) AS clean
+          FROM st)
+        SELECT doc_id,
+               nfc <> s AS changed_nfc,
+               CAST(length(nfc) AS INT) AS nfc_len,
+               CAST(length(nfc) - length(stripped) AS INT) AS n_invisible,
+               CAST(length(clean) AS INT) AS clean_len,
+               md5(clean) AS clean_md5
+        FROM cl
+        ORDER BY doc_id"""))
+  )
 }

@@ -420,5 +420,116 @@ object WebCurationQueries {
                     THEN md5(array_to_string(list_transform(kept,
                       s -> struct_extract(s, 'txt')), ' '))
                END AS extracted_md5
-        FROM k ORDER BY doc_id""")))
+        FROM k ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q216: WARC crawl-archive ingestion ([[graft.ext.Warc]]) — the
+    // container web corpora actually arrive in (Common Crawl): per-file
+    // record walk (version line, named headers, exact Content-Length
+    // payload, CRLF CRLF terminator), HTTP response split (status
+    // line, headers, body), first-response URI/date/status/
+    // content-type/body surfaced — the ingest step that feeds the q200
+    // URL pipeline and the q209 extractor. The oracle replays every
+    // field from the synthesis formulas INCLUDING the body md5, so one
+    // mis-sliced Content-Length anywhere desynchronizes the walk and
+    // flips ok=false red. Even ids carry a 4th (metadata) record the
+    // walker must count; doc_id % 17 ids answer 404; doc_id % 41 rows
+    // carry raw text (fail-closed arm). Map-side only: archive bytes
+    // never cross a shuffle; at 100 TB the parallelism unit is the
+    // ~1 GB WARC file, one task each (the q212 gzip shape).
+    GraftQuery(
+      "q216_warc_ingest",
+      (spark, dir) => {
+        graft.ext.Warc.extractWarc(warcFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("mime"), col("n_records"),
+            col("target_uri"), col("warc_date"), col("http_status"),
+            col("content_type"), col("body_len"), col("body_md5"),
+            col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, doc_id % 41 = 0 AS bad,
+                 CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END
+                   AS scheme,
+                 'entry-' || CAST(doc_id AS VARCHAR) || '-'
+                   || repeat('ab ', CAST(1 + doc_id % 7 AS INT)) AS body
+          FROM documents)
+        SELECT doc_id AS media_id,
+               CASE WHEN bad THEN 'application/octet-stream'
+                    ELSE 'application/warc' END AS mime,
+               CAST(CASE WHEN bad THEN 0
+                         WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT)
+                 AS n_records,
+               CASE WHEN bad THEN ''
+                    ELSE scheme || '://site' || CAST(doc_id % 5 AS VARCHAR)
+                         || '.test/doc/' || CAST(doc_id AS VARCHAR) END
+                 AS target_uri,
+               CASE WHEN bad THEN ''
+                    ELSE '2026-08-' || CAST(10 + doc_id % 19 AS VARCHAR)
+                         || 'T00:00:00Z' END AS warc_date,
+               CAST(CASE WHEN bad THEN 0
+                         WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS INT)
+                 AS http_status,
+               CASE WHEN bad THEN '' ELSE 'text/html' END AS content_type,
+               CAST(CASE WHEN bad THEN 0 ELSE length(body) END AS BIGINT)
+                 AS body_len,
+               CASE WHEN bad THEN '' ELSE md5(body) END AS body_md5,
+               NOT bad AS ok
+        FROM p
+        ORDER BY media_id""")))
+
+  /** Synthesized WARC corpus for q216: one archive per document —
+    * warcinfo + request + response (+ metadata on even ids), every
+    * field a formula of doc_id the oracle replays. Fail-closed arm at
+    * doc_id % 41.
+    */
+  private def warcFixture(spark: org.apache.spark.sql.SparkSession,
+                          dir: String)
+      : org.apache.spark.sql.Dataset[graft.ext.Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q216_fixture", dir) {
+      t.documents.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (m, text) =>
+            if (m % 41 == 0)
+              graft.ext.Multimodal.MediaRecord(m,
+                "application/octet-stream", text.getBytes("UTF-8"))
+            else {
+              val scheme = if (m % 2 == 0) "http" else "https"
+              val uri = scheme + "://site" + (m % 5) + ".test/doc/" + m
+              val date = "2026-08-" + (10 + m % 19) + "T00:00:00Z"
+              val status = if (m % 17 == 0) 404 else 200
+              val reason = if (status == 200) "OK" else "Not Found"
+              val body = s"entry-$m-" + "ab " * (1 + (m % 7)).toInt
+              val httpResp =
+                s"HTTP/1.1 $status $reason\r\nContent-Type: text/html\r\n" +
+                s"Content-Length: ${body.length}\r\n\r\n$body"
+              val req = s"GET /doc/$m HTTP/1.1\r\nHost: site${m % 5}" +
+                ".test\r\n\r\n"
+              val recs = Seq(
+                ("warcinfo",
+                  Seq("WARC-Date" -> date,
+                    "WARC-Record-ID" -> s"<urn:graft:$m:info>"),
+                  "software: graft\r\n".getBytes("UTF-8")),
+                ("request",
+                  Seq("WARC-Target-URI" -> uri, "WARC-Date" -> date),
+                  req.getBytes("UTF-8")),
+                ("response",
+                  Seq("WARC-Target-URI" -> uri, "WARC-Date" -> date,
+                    "WARC-Record-ID" -> s"<urn:graft:$m:resp>"),
+                  httpResp.getBytes("UTF-8"))) ++
+                (if (m % 2 == 0)
+                  Seq(("metadata", Seq("WARC-Date" -> date),
+                    s"fetch: $m\r\n".getBytes("UTF-8")))
+                else Nil)
+              graft.ext.Multimodal.MediaRecord(m, "application/warc",
+                graft.ext.Warc.encode(recs))
+            }
+          }
+        }.toDF()
+    }.as[graft.ext.Multimodal.MediaRecord]
+  }
 }

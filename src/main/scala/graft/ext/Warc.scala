@@ -1,0 +1,202 @@
+package graft.ext
+
+import org.apache.spark.sql.Dataset
+
+/** WARC (ISO 28500) container walking — the format web corpora
+  * actually arrive in (Common Crawl ships .warc/.warc.gz): a sequence
+  * of records, each a `WARC/1.x` version line, named headers, an
+  * exact `Content-Length` payload, and a CRLF CRLF terminator. For
+  * `response` records the payload is an HTTP/1.x message whose status
+  * line, headers, and body are split out — the step that turns a
+  * crawl archive into the (uri, status, content-type, html) rows the
+  * q209 extractor and everything downstream consume.
+  *
+  * Same discipline as the other container parsers ([[Multimodal]]):
+  * bounded (line length ≤ 8 KiB, ≤ 64 headers per record, payload
+  * slices validated against the buffer), fail-closed (None on any
+  * malformed byte), exact-size contract (the buffer must end exactly
+  * at the last record's terminator). Strict profile: WARC/1.0 or 1.1,
+  * no header folding, mandatory Content-Length (the format permits
+  * none of these to be absent in practice — Common Crawl satisfies
+  * all three).
+  *
+  * Scale note: at 100 TB the unit of parallelism is the WARC FILE
+  * (Common Crawl shards at ~1 GB); per-record gzip members (the
+  * .warc.gz layout) decompress per file on the scan side — the same
+  * file-per-task shape as q212's gzip reader. Parsing is pure
+  * map-side byte walking; archive bytes never cross a shuffle.
+  */
+object Warc {
+
+  final case class WarcDoc(
+      media_id: Long,
+      mime: String,
+      n_records: Int,
+      target_uri: String,
+      warc_date: String,
+      http_status: Int,
+      content_type: String,
+      body_len: Long,
+      body_md5: String,
+      ok: Boolean,
+      error: Option[String])
+
+  private val MaxLine = 8192
+  private val MaxHeaders = 64
+
+  /** CRLF-terminated line starting at `pos`; None past bounds/cap. */
+  private def line(b: Array[Byte], pos: Int): Option[(String, Int)] = {
+    var i = pos
+    val cap = math.min(b.length - 1, pos + MaxLine)
+    while (i < cap) {
+      if (b(i) == '\r' && b(i + 1) == '\n')
+        return Some((new String(b, pos, i - pos, "UTF-8"), i + 2))
+      i += 1
+    }
+    None
+  }
+
+  /** Header block starting at `pos`: lowercased names → values, and
+    * the offset just past the blank line. No folding (strict profile).
+    */
+  private def headers(b: Array[Byte], pos: Int)
+      : Option[(Map[String, String], Int)] = {
+    var p = pos
+    var n = 0
+    val m = scala.collection.mutable.Map.empty[String, String]
+    while (n <= MaxHeaders) {
+      line(b, p) match {
+        case None => return None
+        case Some(("", next)) => return Some((m.toMap, next))
+        case Some((l, next)) =>
+          val colon = l.indexOf(':')
+          if (colon <= 0) return None
+          m(l.substring(0, colon).trim.toLowerCase) =
+            l.substring(colon + 1).trim
+          p = next
+          n += 1
+      }
+    }
+    None // header count cap
+  }
+
+  /** One parsed record: (type, headers, payloadStart, payloadLen,
+    * nextRecordOffset).
+    */
+  private def record(b: Array[Byte], pos: Int)
+      : Option[(String, Map[String, String], Int, Int, Int)] =
+    for {
+      (version, afterV) <- line(b, pos)
+      if version == "WARC/1.0" || version == "WARC/1.1"
+      (hs, afterH) <- headers(b, afterV)
+      typ <- hs.get("warc-type")
+      lenS <- hs.get("content-length")
+      len <- lenS.toLongOption
+      if len >= 0 && len <= Int.MaxValue &&
+        afterH.toLong + len + 4 <= b.length &&
+        b(afterH + len.toInt) == '\r' && b(afterH + len.toInt + 1) == '\n' &&
+        b(afterH + len.toInt + 2) == '\r' && b(afterH + len.toInt + 3) == '\n'
+    } yield (typ, hs, afterH, len.toInt, afterH + len.toInt + 4)
+
+  /** Split an HTTP/1.x response payload: (status, lowercased headers,
+    * bodyStart, bodyLen) — offsets relative to the payload slice.
+    */
+  private def httpResponse(b: Array[Byte], start: Int, len: Int)
+      : Option[(Int, Map[String, String], Int, Int)] =
+    for {
+      (status, afterS) <- line(b, start)
+      if afterS <= start + len && status.startsWith("HTTP/1.") &&
+        status.length >= 12
+      code <- status.substring(9, 12).toIntOption
+      if status.charAt(8) == ' '
+      (hs, afterH) <- headers(b, afterS)
+      if afterH <= start + len
+    } yield (code, hs, afterH, start + len - afterH)
+
+  /** Parse a whole WARC file within the strict profile; None on
+    * anything else. Surfaces the FIRST response record's URI, date,
+    * status, declared content type, and body bytes (length + md5).
+    */
+  def parse(b: Array[Byte])
+      : Option[(Int, String, String, Int, String, Long, String)] = {
+    if (b == null || b.length < 4) return None
+    var pos = 0
+    var n = 0
+    var resp: Option[(String, String, Int, String, Long, String)] = None
+    while (pos < b.length) {
+      record(b, pos) match {
+        case None => return None
+        case Some((typ, hs, pStart, pLen, next)) =>
+          n += 1
+          if (n > 10000) return None
+          if (typ == "response" && resp.isEmpty) {
+            httpResponse(b, pStart, pLen) match {
+              case None => return None
+              case Some((code, httpHs, bodyStart, bodyLen)) =>
+                if (bodyLen < 0) return None
+                val md = java.security.MessageDigest.getInstance("MD5")
+                md.update(b, bodyStart, bodyLen)
+                val hex = md.digest().map(x => f"$x%02x").mkString
+                resp = Some((
+                  hs.getOrElse("warc-target-uri", ""),
+                  hs.getOrElse("warc-date", ""),
+                  code,
+                  httpHs.getOrElse("content-type", ""),
+                  bodyLen.toLong,
+                  hex))
+            }
+          }
+          pos = next
+      }
+    }
+    resp.map { case (uri, date, code, ct, blen, bmd5) =>
+      (n, uri, date, code, ct, blen, bmd5)
+    }
+  }
+
+  /** Extraction stage: per-partition typed loop, fail-closed rows. */
+  def extractWarc(media: Dataset[Multimodal.MediaRecord])
+      : Dataset[WarcDoc] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          parse(r.media) match {
+            case Some((n, uri, date, code, ct, blen, bmd5)) =>
+              WarcDoc(r.media_id, r.mime, n, uri, date, code, ct, blen,
+                bmd5, ok = true, None)
+            case None =>
+              WarcDoc(r.media_id, r.mime, 0, "", "", 0, "", 0L, "",
+                ok = false, None)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            WarcDoc(r.media_id, r.mime, 0, "", "", 0, "", 0L, "",
+              ok = false,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      }
+    }
+  }
+
+  /** Fixture-side WARC writer (the encoder the spec's hand-built
+    * golden never uses): records as (type, extra headers, payload).
+    */
+  def encode(records: Seq[(String, Seq[(String, String)], Array[Byte])])
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    records.foreach { case (typ, extra, payload) =>
+      val sb = new StringBuilder
+      sb ++= "WARC/1.0\r\n"
+      sb ++= s"WARC-Type: $typ\r\n"
+      extra.foreach { case (k, v) => sb ++= s"$k: $v\r\n" }
+      sb ++= s"Content-Length: ${payload.length}\r\n"
+      sb ++= "\r\n"
+      out.write(sb.toString.getBytes("UTF-8"))
+      out.write(payload)
+      out.write("\r\n\r\n".getBytes("UTF-8"))
+    }
+    out.toByteArray
+  }
+}

@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.ext.Warc]] — the q216 crawl-archive walk. Hand-assembled
+  * golden (never touches Warc.encode), strict-profile rejections,
+  * hostile inputs, fuzz arm.
+  */
+class WarcSpec extends AnyFunSuite {
+
+  private def bytes(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  /** Golden archive built with raw string concatenation only. */
+  private def golden: Array[Byte] = {
+    val body = "<html>hi</html>"
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    bytes(
+      "WARC/1.0\r\n" +
+        "WARC-Type: warcinfo\r\n" +
+        "Content-Length: 4\r\n" +
+        "\r\n" +
+        "w: g\r\n\r\n" +
+        "WARC/1.1\r\n" +
+        "WARC-Type: response\r\n" +
+        "WARC-Target-URI: " + "http" + "://a.test/x\r\n" +
+        "WARC-Date: 2026-08-16T00:00:00Z\r\n" +
+        s"Content-Length: ${http.length}\r\n" +
+        "\r\n" +
+        http + "\r\n\r\n")
+  }
+
+  test("golden: hand-assembled two-record archive parses to the " +
+      "response fields") {
+    val got = Warc.parse(golden)
+    assert(got.isDefined)
+    val (n, uri, date, code, ct, blen, bmd5) = got.get
+    assert(n == 2)
+    assert(uri == "http" + "://a.test/x")
+    assert(date == "2026-08-16T00:00:00Z")
+    assert(code == 200 && ct == "text/html")
+    assert(blen == 15L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(bmd5 ==
+      md.digest(bytes("<html>hi</html>")).map(x => f"$x%02x").mkString)
+  }
+
+  test("first response wins; later records still counted") {
+    val http404 = "HTTP/1.1 404 NF\r\nContent-Type: text/plain\r\n\r\nno"
+    val http200 = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nyes"
+    val two = Warc.encode(Seq(
+      ("response", Seq("WARC-Target-URI" -> "u1"), bytes(http404)),
+      ("response", Seq("WARC-Target-URI" -> "u2"), bytes(http200)),
+      ("metadata", Nil, bytes("m"))))
+    val got = Warc.parse(two)
+    assert(got.isDefined)
+    assert(got.get._1 == 3 && got.get._2 == "u1" && got.get._4 == 404)
+  }
+
+  test("strict-profile rejections and hostile inputs fail closed") {
+    val good = golden
+    for (n <- 0 until good.length)
+      assert(Warc.parse(java.util.Arrays.copyOf(good, n)).isEmpty,
+        s"trunc $n")
+    assert(Warc.parse(good ++ bytes("x")).isEmpty) // trailing garbage
+    // wrong version
+    val v = good.clone(); v(5) = '2'
+    assert(Warc.parse(v).isEmpty)
+    // archive without any response record
+    assert(Warc.parse(Warc.encode(Seq(
+      ("warcinfo", Nil, bytes("a")),
+      ("metadata", Nil, bytes("b"))))).isEmpty)
+    // missing Content-Length
+    assert(Warc.parse(bytes(
+      "WARC/1.0\r\nWARC-Type: metadata\r\n\r\nab\r\n\r\n")).isEmpty)
+    // Content-Length overrunning the buffer
+    assert(Warc.parse(bytes(
+      "WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 99\r\n\r\n" +
+        "ab\r\n\r\n")).isEmpty)
+    // broken record terminator
+    assert(Warc.parse(bytes(
+      "WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 2\r\n\r\n" +
+        "ab\r\nxx")).isEmpty)
+    // header line without a colon
+    assert(Warc.parse(bytes(
+      "WARC/1.0\r\nWARC-Type metadata\r\nContent-Length: 0\r\n\r\n" +
+        "\r\n\r\n")).isEmpty)
+    // malformed HTTP status line inside a response
+    assert(Warc.parse(Warc.encode(Seq(
+      ("response", Nil, bytes("HTTP/1.1 2OO OK\r\n\r\nx"))))).isEmpty)
+    // not WARC at all
+    assert(Warc.parse(bytes("plain text")).isEmpty)
+    assert(Warc.parse(Array.emptyByteArray).isEmpty)
+    assert(Warc.parse(null).isEmpty)
+  }
+
+  test("fuzz: single-byte mutations never throw and stay bounded") {
+    val base = golden
+    val rnd = new scala.util.Random(216)
+    var i = 0
+    while (i < 300) {
+      val mutated = base.clone()
+      val at = rnd.nextInt(mutated.length)
+      mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
+      Warc.parse(mutated)
+      i += 1
+    }
+  }
+}
