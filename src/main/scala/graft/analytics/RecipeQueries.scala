@@ -1261,8 +1261,125 @@ object RecipeQueries {
                CAST(8 AS INT) AS files_after,
                TRUE AS content_agrees,
                TRUE AS published_survives_vacuum
-        FROM documents"""))
+        FROM documents""")),
+
+    // ------------------------------------------------------------------
+    // q219: WebDataset tar-shard enumeration ([[graft.ext.TarShards]])
+    // — the standard multimodal-training container: USTAR block walk
+    // (octal sizes, verified header checksums, prefix+name join,
+    // typeflag routing, 512-byte rounding, strict two-zero-block
+    // terminator) grouping adjacent files into samples by basename
+    // key and auditing completeness against a required-extension set
+    // ({txt, cls, img}). The oracle replays entry counts, sample
+    // counts, completeness, the byte-exact payload total (a per-file
+    // size formula summed over the sample grid — one padded size
+    // anywhere desynchronizes NOTHING in the sum but the checksum/
+    // terminator walk catches structure, and the md5 of the first
+    // sample's .txt payload pins content slicing). Even doc_ids carry
+    // a directory entry and an extension-less README the grouper must
+    // route correctly; doc_id % 43 rows carry raw text (fail-closed
+    // arm). Map-side only; shard bytes never cross a shuffle.
+    GraftQuery(
+      "q219_tar_shards",
+      (spark, dir) => {
+        graft.ext.TarShards.extractTar(tarFixture(spark, dir),
+            required = Set("txt", "cls", "img"))
+          .toDF()
+          .select(col("media_id"), col("mime"), col("n_entries"),
+            col("n_dirs"), col("n_samples"), col("n_complete"),
+            col("payload_bytes"), col("first_sample"),
+            col("first_txt_md5"), col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, doc_id % 43 = 0 AS bad,
+                 2 + CAST(doc_id % 3 AS INT) AS k,
+                 length(CAST(doc_id AS VARCHAR)) AS L,
+                 doc_id % 4 = 0 AS extra
+          FROM documents),
+        calc AS (
+          SELECT *,
+            CAST(2 * k + (k + 1) // 2
+                 + CASE WHEN extra THEN 1 ELSE 0 END AS INT) AS n_entries_c,
+            CAST(CASE WHEN extra THEN 1 ELSE 0 END AS INT) AS n_dirs_c,
+            CAST((k + 1) // 2 AS INT) AS n_complete_c,
+            CAST(list_sum(list_transform(range(0, k), i ->
+                   8 + L + 3 * (1 + (doc_id + i) % 5) + 1
+                   + CASE WHEN i % 2 = 0
+                          THEN 10 + (doc_id + i) % 7 ELSE 0 END))
+                 + CASE WHEN extra THEN 6 ELSE 0 END AS BIGINT)
+              AS payload_c
+          FROM p)
+        SELECT doc_id AS media_id,
+               CASE WHEN bad THEN 'application/octet-stream'
+                    ELSE 'application/x-tar' END AS mime,
+               CASE WHEN bad THEN 0 ELSE n_entries_c END AS n_entries,
+               CASE WHEN bad THEN 0 ELSE n_dirs_c END AS n_dirs,
+               CAST(CASE WHEN bad THEN 0 ELSE k END AS INT) AS n_samples,
+               CASE WHEN bad THEN 0 ELSE n_complete_c END AS n_complete,
+               CAST(CASE WHEN bad THEN 0 ELSE payload_c END AS BIGINT)
+                 AS payload_bytes,
+               CASE WHEN bad THEN ''
+                    ELSE 's' || CAST(doc_id AS VARCHAR) || '-0' END
+                 AS first_sample,
+               CASE WHEN bad THEN ''
+                    ELSE md5('text-' || CAST(doc_id AS VARCHAR) || '-0-'
+                             || repeat('ab ', CAST(1 + doc_id % 5 AS INT)))
+                 END AS first_txt_md5,
+               NOT bad AS ok
+        FROM calc
+        ORDER BY media_id"""))
   )
+
+  /** Synthesized WebDataset shard corpus for q219: per document a
+    * USTAR archive of `2 + doc_id % 3` samples — each a `.txt` +
+    * `.cls` pair, even sample indices adding an `.img` — plus a
+    * directory entry and an extension-less README on doc_id % 4.
+    * Every size and payload is a formula of (doc_id, i) the oracle
+    * replays. Fail-closed arm at doc_id % 43.
+    */
+  private def tarFixture(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.ext.Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q219_fixture", dir) {
+      t.documents.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (m, text) =>
+            if (m % 43 == 0)
+              graft.ext.Multimodal.MediaRecord(m,
+                "application/octet-stream", text.getBytes("UTF-8"))
+            else {
+              val k = 2 + (m % 3).toInt
+              val files = scala.collection.mutable.ArrayBuffer
+                .empty[(String, Boolean, Array[Byte])]
+              if (m % 4 == 0) {
+                files += (("data/", true, Array.emptyByteArray))
+                files += (("README", false, "readme".getBytes("US-ASCII")))
+              }
+              var i = 0
+              while (i < k) {
+                val key = s"s$m-$i"
+                val txt = s"text-$m-$i-" +
+                  "ab " * (1 + ((m + i) % 5)).toInt
+                files += ((s"$key.txt", false, txt.getBytes("US-ASCII")))
+                files += ((s"$key.cls", false,
+                  ((m + i) % 10).toString.getBytes("US-ASCII")))
+                if (i % 2 == 0) {
+                  val n = 10 + ((m + i) % 7).toInt
+                  files += ((s"$key.img", false,
+                    Array.tabulate(n)(j => ((m + j) % 256).toByte)))
+                }
+                i += 1
+              }
+              graft.ext.Multimodal.MediaRecord(m, "application/x-tar",
+                graft.ext.TarShards.encode(files.toSeq))
+            }
+          }
+        }.toDF()
+    }.as[graft.ext.Multimodal.MediaRecord]
+  }
 
   /** Seed the q214 source table once per scale factor: the documents
     * table published as an intentionally over-parallel 64-file

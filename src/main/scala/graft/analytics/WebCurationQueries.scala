@@ -478,7 +478,82 @@ object WebCurationQueries {
                CASE WHEN bad THEN '' ELSE md5(body) END AS body_md5,
                NOT bad AS ok
         FROM p
-        ORDER BY media_id""")))
+        ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q218: robots.txt crawl-policy audit ([[graft.ext.Robots]]) — the
+    // RFC 9309 compliance step between q216's ingest and the corpus: a
+    // per-domain policy table parsed from REAL robots.txt text
+    // (groups, comments, mixed case, multi-agent groups, unknown
+    // directives) and evaluated per URL with the standard decision
+    // rules — most-specific agent group (exact token beats *), longest
+    // matching rule path, Allow winning length ties, empty Disallow as
+    // allow-all, no-match/no-robots defaulting to allow. The five
+    // domain policies are chosen so every rule fires somewhere in the
+    // corpus; the oracle re-derives each decision independently from
+    // the URL formulas (never parsing text), so the gate pins
+    // parse → scope → longest-match end-to-end. Scale shape: rules
+    // are domain-sized and broadcast; the corpus joins map-side and
+    // shuffles once on the URL for the per-URL argmax.
+    GraftQuery(
+      "q218_robots_policy",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        import spark.implicits._
+        val bodies = Seq(
+          "site0.test" -> ("# corpus policy\nUser-agent: *\n" +
+            "Disallow: /doc/1\nCrawl-delay: 2\n"),
+          "site1.test" -> ("User-agent: *\nDisallow: /doc/\n\n" +
+            "User-agent: GraftBot\nAllow: /doc/2\nDISALLOW: /doc/\n"),
+          "site2.test" -> ("User-agent: *\nDisallow: /doc/3\n" +
+            "Allow: /doc/3\nDisallow: /doc/4\n"),
+          "site3.test" -> ("User-agent: *\nDisallow: /\n\n" +
+            "User-Agent: graftbot\nDisallow:\n"),
+          "site4.test" -> "") // no policy at all
+        val rules = bodies
+          .flatMap { case (dom, b) => graft.ext.Robots.parse(dom, b) }
+          .toDF()
+        val d5 = (col("doc_id") % 5).cast("string")
+        val urls = t.documents.select(
+          concat(when(col("doc_id") % 2 === 0, "http").otherwise("https"),
+            lit("://site"), d5, lit(".test/doc/"),
+            col("doc_id").cast("string")).as("url"),
+          concat(lit("site"), d5, lit(".test")).as("domain"),
+          concat(lit("/doc/"), col("doc_id").cast("string")).as("path"))
+        graft.ext.Robots.evaluate(urls, rules, "GraftBot")
+          .orderBy(col("url"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+                   || '://site' || CAST(doc_id % 5 AS VARCHAR)
+                   || '.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                 'site' || CAST(doc_id % 5 AS VARCHAR) || '.test' AS domain,
+                 '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+                 CAST(doc_id % 5 AS INT) AS d,
+                 CAST(doc_id AS VARCHAR) AS s
+          FROM documents)
+        SELECT url, domain, path,
+               CASE d WHEN 0 THEN NOT starts_with(s, '1')
+                      WHEN 1 THEN starts_with(s, '2')
+                      WHEN 2 THEN NOT starts_with(s, '4')
+                      ELSE TRUE END AS allowed,
+               CASE WHEN d = 0 AND starts_with(s, '1') THEN '/doc/1'
+                    WHEN d = 1 AND starts_with(s, '2') THEN '/doc/2'
+                    WHEN d = 1 THEN '/doc/'
+                    WHEN d = 2 AND starts_with(s, '3') THEN '/doc/3'
+                    WHEN d = 2 AND starts_with(s, '4') THEN '/doc/4'
+                    WHEN d = 3 THEN ''
+                    ELSE NULL END AS matched_path,
+               CAST(CASE WHEN d = 0 AND starts_with(s, '1') THEN 6
+                         WHEN d = 1 AND starts_with(s, '2') THEN 6
+                         WHEN d = 1 THEN 5
+                         WHEN d = 2 AND (starts_with(s, '3')
+                                         OR starts_with(s, '4')) THEN 6
+                         WHEN d = 3 THEN 0
+                         ELSE NULL END AS INT) AS matched_len
+        FROM u
+        ORDER BY url""")))
 
   /** Synthesized WARC corpus for q216: one archive per document —
     * warcinfo + request + response (+ metadata on even ids), every
