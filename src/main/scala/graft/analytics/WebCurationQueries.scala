@@ -553,7 +553,96 @@ object WebCurationQueries {
                          WHEN d = 3 THEN 0
                          ELSE NULL END AS INT) AS matched_len
         FROM u
-        ORDER BY url""")))
+        ORDER BY url""")),
+
+    // ------------------------------------------------------------------
+    // q220: end-to-end web-curation composite — the REAL operators
+    // chained the way a production crawl-refinement run chains them:
+    // [[graft.ext.Warc.extractWarc]] (archive → responses) → status
+    // filter → [[graft.ext.UrlOps.canonicalizeUrl]]/[[graft.ext.UrlOps.hostOf]]
+    // (URI normalization) → [[graft.ext.Robots.evaluate]] (RFC 9309
+    // compliance, policies broadcast) → canonical-URL dedup → per-domain
+    // rollup (responses, allowed, unique pages, allowed bytes). Each
+    // stage is individually oracle-gated elsewhere (q216/q200/q218);
+    // this gate pins their COMPOSITION: the oracle recomputes the
+    // domain rollup from the synthesis formulas alone, so a fetch
+    // leaking through the status filter, a policy mis-scope, a
+    // canonicalization drift, or a dedup miscount anywhere in the
+    // chain flips the hash. The fixture's paths collide by design
+    // (doc_id % 89) so the dedup stage genuinely merges. Scale shape:
+    // archives map-side, policy rules broadcast, ONE distinct over
+    // (domain-bounded) urls, one domain rollup.
+    GraftQuery(
+      "q220_web_pipeline",
+      (spark, dir) => {
+        import graft.ext.{Robots, UrlOps, Warc}
+        val parsed = Warc.extractWarc(warc220Fixture(spark, dir)).toDF()
+          .filter(col("ok") && col("http_status") === 200)
+          .select(col("media_id"),
+            UrlOps.canonicalizeUrl(col("target_uri")).as("url"),
+            col("body_len"))
+        val rest = substring_index(col("url"), "://", -1)
+        val authority = substring_index(rest, "/", 1)
+        val docs = parsed
+          .withColumn("domain", UrlOps.hostOf(col("url")))
+          .withColumn("path",
+            col("url").substr(
+              length(substring_index(col("url"), "://", 1)) + lit(3) +
+                length(authority) + lit(1),
+              length(col("url"))))
+        val bodies = Seq(
+          "site0.test" -> "User-agent: *\nDisallow: /p/1\n",
+          "site1.test" -> ("User-agent: *\nDisallow: /p/\n\n" +
+            "User-agent: GraftBot\nAllow: /p/2\nDisallow: /p/\n"),
+          "site2.test" -> ("User-agent: *\nDisallow: /p/3\n" +
+            "Allow: /p/3\nDisallow: /p/4\n"),
+          "site3.test" -> ("User-agent: *\nDisallow: /\n\n" +
+            "User-agent: graftbot\nDisallow:\n"),
+          "site4.test" -> "")
+        import spark.implicits._
+        val rules = bodies
+          .flatMap { case (dom, b) => Robots.parse(dom, b) }.toDF()
+        val verdicts = Robots.evaluate(
+          docs.select(col("url"), col("domain"), col("path")), rules,
+          "GraftBot")
+        docs.join(broadcast(verdicts.select(col("url").as("v_url"),
+            col("allowed"))), col("url") === col("v_url"))
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_responses"),
+            sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+            countDistinct(when(col("allowed"), col("url")))
+              .as("n_unique_pages"),
+            sum(when(col("allowed"), col("body_len")).otherwise(0L))
+              .as("bytes_allowed"))
+          .orderBy(col("domain"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id AS m, CAST(doc_id % 5 AS INT) AS dom,
+                 CAST(doc_id % 89 AS VARCHAR) AS ps,
+                 length(CAST(doc_id AS VARCHAR)) AS L
+          FROM documents
+          WHERE doc_id % 43 <> 0 AND doc_id % 17 <> 0),
+        a AS (
+          SELECT *,
+            CASE dom WHEN 0 THEN NOT starts_with(ps, '1')
+                     WHEN 1 THEN starts_with(ps, '2')
+                     WHEN 2 THEN NOT starts_with(ps, '4')
+                     ELSE TRUE END AS allowed,
+            7 + L + 3 * (1 + CAST(m % 7 AS INT)) AS blen
+          FROM d)
+        SELECT 'site' || CAST(dom AS VARCHAR) || '.test' AS domain,
+               CAST(COUNT(*) AS BIGINT) AS n_responses,
+               CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_allowed,
+               CAST(COUNT(DISTINCT CASE WHEN allowed
+                     THEN CAST(m % 2 AS VARCHAR) || ':' || ps END)
+                 AS BIGINT) AS n_unique_pages,
+               CAST(SUM(CASE WHEN allowed THEN blen ELSE 0 END) AS BIGINT)
+                 AS bytes_allowed
+        FROM a
+        GROUP BY 1
+        ORDER BY 1""")))
 
   /** Synthesized WARC corpus for q216: one archive per document —
     * warcinfo + request + response (+ metadata on even ids), every
@@ -602,6 +691,45 @@ object WebCurationQueries {
                 else Nil)
               graft.ext.Multimodal.MediaRecord(m, "application/warc",
                 graft.ext.Warc.encode(recs))
+            }
+          }
+        }.toDF()
+    }.as[graft.ext.Multimodal.MediaRecord]
+  }
+
+  /** The q220 crawl corpus: the q216 synthesis with COLLIDING paths
+    * (doc_id % 89) so the downstream dedup stage genuinely merges,
+    * and the same status/fail arms (404 at % 17, raw text at % 43).
+    */
+  private def warc220Fixture(spark: org.apache.spark.sql.SparkSession,
+                             dir: String)
+      : org.apache.spark.sql.Dataset[graft.ext.Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q220_fixture", dir) {
+      t.documents.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (m, text) =>
+            if (m % 43 == 0)
+              graft.ext.Multimodal.MediaRecord(m,
+                "application/octet-stream", text.getBytes("UTF-8"))
+            else {
+              val scheme = if (m % 2 == 0) "http" else "https"
+              val uri = scheme + "://site" + (m % 5) + ".test/p/" + (m % 89)
+              val date = "2026-08-" + (10 + m % 19) + "T00:00:00Z"
+              val status = if (m % 17 == 0) 404 else 200
+              val reason = if (status == 200) "OK" else "Not Found"
+              val body = s"entry-$m-" + "ab " * (1 + (m % 7)).toInt
+              val httpResp =
+                s"HTTP/1.1 $status $reason\r\nContent-Type: text/html\r\n" +
+                s"Content-Length: ${body.length}\r\n\r\n$body"
+              graft.ext.Multimodal.MediaRecord(m, "application/warc",
+                graft.ext.Warc.encode(Seq(
+                  ("warcinfo", Seq("WARC-Date" -> date),
+                    "software: graft\r\n".getBytes("UTF-8")),
+                  ("response",
+                    Seq("WARC-Target-URI" -> uri, "WARC-Date" -> date),
+                    httpResp.getBytes("UTF-8")))))
             }
           }
         }.toDF()
