@@ -642,7 +642,62 @@ object WebCurationQueries {
                  AS bytes_allowed
         FROM a
         GROUP BY 1
-        ORDER BY 1""")))
+        ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // q221: .warc.gz ingestion ([[graft.ext.Warc.extractWarcGz]]) —
+    // the layout crawl corpora actually SHIP in: each record gzipped
+    // as its own member, members concatenated (random access by
+    // member offset for index readers; one sequential inflate for
+    // scan readers — the JDK's concatenated-member support, with a
+    // bounded-output cap against decompression bombs). Same synthesis
+    // and oracle as q216 modulo the compression, so the gate prices
+    // the multi-member gunzip path end-to-end against the identical
+    // formulas. Fail-closed arm at doc_id % 41 (raw text — not gzip,
+    // rejected by magic); at 100 TB the parallelism unit stays the
+    // shard file (the q212 note).
+    GraftQuery(
+      "q221_warcgz_ingest",
+      (spark, dir) => {
+        graft.ext.Warc.extractWarcGz(warcGzFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("mime"), col("n_records"),
+            col("target_uri"), col("warc_date"), col("http_status"),
+            col("content_type"), col("body_len"), col("body_md5"),
+            col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, doc_id % 41 = 0 AS bad,
+                 CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END
+                   AS scheme,
+                 'entry-' || CAST(doc_id AS VARCHAR) || '-'
+                   || repeat('ab ', CAST(1 + doc_id % 7 AS INT)) AS body
+          FROM documents)
+        SELECT doc_id AS media_id,
+               CASE WHEN bad THEN 'application/octet-stream'
+                    ELSE 'application/warc+gzip' END AS mime,
+               CAST(CASE WHEN bad THEN 0
+                         WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT)
+                 AS n_records,
+               CASE WHEN bad THEN ''
+                    ELSE scheme || '://site' || CAST(doc_id % 5 AS VARCHAR)
+                         || '.test/doc/' || CAST(doc_id AS VARCHAR) END
+                 AS target_uri,
+               CASE WHEN bad THEN ''
+                    ELSE '2026-08-' || CAST(10 + doc_id % 19 AS VARCHAR)
+                         || 'T00:00:00Z' END AS warc_date,
+               CAST(CASE WHEN bad THEN 0
+                         WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS INT)
+                 AS http_status,
+               CASE WHEN bad THEN '' ELSE 'text/html' END AS content_type,
+               CAST(CASE WHEN bad THEN 0 ELSE length(body) END AS BIGINT)
+                 AS body_len,
+               CASE WHEN bad THEN '' ELSE md5(body) END AS body_md5,
+               NOT bad AS ok
+        FROM p
+        ORDER BY media_id""")))
 
   /** Synthesized WARC corpus for q216: one archive per document —
     * warcinfo + request + response (+ metadata on even ids), every
@@ -691,6 +746,57 @@ object WebCurationQueries {
                 else Nil)
               graft.ext.Multimodal.MediaRecord(m, "application/warc",
                 graft.ext.Warc.encode(recs))
+            }
+          }
+        }.toDF()
+    }.as[graft.ext.Multimodal.MediaRecord]
+  }
+
+  /** The q221 corpus: the q216 records, each gzipped as its own
+    * member ([[graft.ext.Warc.encodeGz]]).
+    */
+  private def warcGzFixture(spark: org.apache.spark.sql.SparkSession,
+                            dir: String)
+      : org.apache.spark.sql.Dataset[graft.ext.Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q221_fixture", dir) {
+      t.documents.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (m, text) =>
+            if (m % 41 == 0)
+              graft.ext.Multimodal.MediaRecord(m,
+                "application/octet-stream", text.getBytes("UTF-8"))
+            else {
+              val scheme = if (m % 2 == 0) "http" else "https"
+              val uri = scheme + "://site" + (m % 5) + ".test/doc/" + m
+              val date = "2026-08-" + (10 + m % 19) + "T00:00:00Z"
+              val status = if (m % 17 == 0) 404 else 200
+              val reason = if (status == 200) "OK" else "Not Found"
+              val body = s"entry-$m-" + "ab " * (1 + (m % 7)).toInt
+              val httpResp =
+                s"HTTP/1.1 $status $reason\r\nContent-Type: text/html\r\n" +
+                s"Content-Length: ${body.length}\r\n\r\n$body"
+              val req = s"GET /doc/$m HTTP/1.1\r\nHost: site${m % 5}" +
+                ".test\r\n\r\n"
+              val recs = Seq(
+                ("warcinfo",
+                  Seq("WARC-Date" -> date,
+                    "WARC-Record-ID" -> s"<urn:graft:$m:info>"),
+                  "software: graft\r\n".getBytes("UTF-8")),
+                ("request",
+                  Seq("WARC-Target-URI" -> uri, "WARC-Date" -> date),
+                  req.getBytes("UTF-8")),
+                ("response",
+                  Seq("WARC-Target-URI" -> uri, "WARC-Date" -> date,
+                    "WARC-Record-ID" -> s"<urn:graft:$m:resp>"),
+                  httpResp.getBytes("UTF-8"))) ++
+                (if (m % 2 == 0)
+                  Seq(("metadata", Seq("WARC-Date" -> date),
+                    s"fetch: $m\r\n".getBytes("UTF-8")))
+                else Nil)
+              graft.ext.Multimodal.MediaRecord(m, "application/warc+gzip",
+                graft.ext.Warc.encodeGz(recs))
             }
           }
         }.toDF()

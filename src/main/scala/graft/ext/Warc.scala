@@ -154,6 +154,84 @@ object Warc {
     }
   }
 
+  /** Bounded multi-member gunzip — the `.warc.gz` layout: Common
+    * Crawl gzips each RECORD as its own member and concatenates, so a
+    * reader can random-access records by member offset while a
+    * sequential reader just inflates the concatenation. The JDK's
+    * GZIPInputStream handles concatenated members natively; the
+    * output cap keeps hostile bombs bounded (fail-closed None rather
+    * than OOM), and any CRC/format defect surfaces as None too.
+    */
+  def gunzipAll(b: Array[Byte], maxBytes: Int = 1 << 26)
+      : Option[Array[Byte]] = {
+    if (b == null || b.length < 2 ||
+      (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) return None
+    val out = new java.io.ByteArrayOutputStream
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size > maxBytes) return None
+        n = in.read(buf)
+      }
+      in.close()
+      Some(out.toByteArray)
+    } catch {
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Parse a `.warc.gz` (per-record gzip members or one whole-file
+    * member — both inflate to the same byte stream): gunzip, then the
+    * strict [[parse]].
+    */
+  def parseGz(b: Array[Byte], maxBytes: Int = 1 << 26)
+      : Option[(Int, String, String, Int, String, Long, String)] =
+    gunzipAll(b, maxBytes).flatMap(parse)
+
+  /** Gzip each record of an encoded WARC as its own member and
+    * concatenate — the Common Crawl shard layout (fixture side).
+    */
+  def encodeGz(records: Seq[(String, Seq[(String, String)], Array[Byte])])
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    records.foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(encode(Seq(r)))
+      gz.close() // finishes the member; closing the BAOS is a no-op
+    }
+    out.toByteArray
+  }
+
+  /** Extraction stage over `.warc.gz` payloads. */
+  def extractWarcGz(media: Dataset[Multimodal.MediaRecord])
+      : Dataset[WarcDoc] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          parseGz(r.media) match {
+            case Some((n, uri, date, code, ct, blen, bmd5)) =>
+              WarcDoc(r.media_id, r.mime, n, uri, date, code, ct, blen,
+                bmd5, ok = true, None)
+            case None =>
+              WarcDoc(r.media_id, r.mime, 0, "", "", 0, "", 0L, "",
+                ok = false, None)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            WarcDoc(r.media_id, r.mime, 0, "", "", 0, "", 0L, "",
+              ok = false,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      }
+    }
+  }
+
   /** Extraction stage: per-partition typed loop, fail-closed rows. */
   def extractWarc(media: Dataset[Multimodal.MediaRecord])
       : Dataset[WarcDoc] = {

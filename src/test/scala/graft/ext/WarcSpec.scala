@@ -93,6 +93,33 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parse(null).isEmpty)
   }
 
+  test("gz: per-record members and one whole-file member inflate to " +
+      "the same parse; hostile gz fails closed") {
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nbody!"
+    val recs = Seq(
+      ("warcinfo", Nil, bytes("w: g\r\n")),
+      ("response", Seq("WARC-Target-URI" -> "u"), bytes(http)))
+    val perRecord = Warc.encodeGz(recs)
+    // JDK gzip member starts 1f 8b twice (two members)
+    assert(perRecord.count(_ == 0x1f.toByte) >= 2)
+    val whole = {
+      val out = new java.io.ByteArrayOutputStream
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(Warc.encode(recs)); gz.close()
+      out.toByteArray
+    }
+    val a = Warc.parseGz(perRecord)
+    val b = Warc.parseGz(whole)
+    assert(a.isDefined && a == b)
+    assert(a.get._1 == 2 && a.get._4 == 200 && a.get._6 == 5L)
+    // not gzip at all / truncated member / output cap
+    assert(Warc.parseGz(Warc.encode(recs)).isEmpty) // plain bytes
+    assert(Warc.parseGz(
+      java.util.Arrays.copyOf(perRecord, perRecord.length - 3)).isEmpty)
+    assert(Warc.parseGz(perRecord, maxBytes = 64).isEmpty)
+    assert(Warc.parseGz(null).isEmpty)
+  }
+
   test("fuzz: single-byte mutations never throw and stay bounded") {
     val base = golden
     val rnd = new scala.util.Random(216)
