@@ -493,8 +493,9 @@ object WebCurationQueries {
     // corpus; the oracle re-derives each decision independently from
     // the URL formulas (never parsing text), so the gate pins
     // parse → scope → longest-match end-to-end. Scale shape: rules
-    // are domain-sized and broadcast; the corpus joins map-side and
-    // shuffles once on the URL for the per-URL argmax.
+    // equi-join the corpus on domain (unhinted — AQE broadcasts a
+    // small table, a domain-scale one shuffles instead of OOMing the
+    // driver); one shuffle on the URL for the per-URL argmax.
     GraftQuery(
       "q218_robots_policy",
       (spark, dir) => {
@@ -561,7 +562,9 @@ object WebCurationQueries {
     // [[graft.ext.Warc.extractWarc]] (archive → responses) → status
     // filter → [[graft.ext.UrlOps.canonicalizeUrl]]/[[graft.ext.UrlOps.hostOf]]
     // (URI normalization) → [[graft.ext.Robots.evaluate]] (RFC 9309
-    // compliance, policies broadcast) → canonical-URL dedup → per-domain
+    // compliance, per-response verdicts carried through the policy
+    // aggregation — no corpus-sized re-join) → canonical-URL dedup →
+    // per-domain
     // rollup (responses, allowed, unique pages, allowed bytes). Each
     // stage is individually oracle-gated elsewhere (q216/q200/q218);
     // this gate pins their COMPOSITION: the oracle recomputes the
@@ -570,8 +573,9 @@ object WebCurationQueries {
     // canonicalization drift, or a dedup miscount anywhere in the
     // chain flips the hash. The fixture's paths collide by design
     // (doc_id % 89) so the dedup stage genuinely merges. Scale shape:
-    // archives map-side, policy rules broadcast, ONE distinct over
-    // (domain-bounded) urls, one domain rollup.
+    // archives map-side, policy rules equi-joined on domain (AQE
+    // broadcasts when small, shuffles when domain-scale), ONE
+    // distinct over (domain-bounded) urls, one domain rollup.
     GraftQuery(
       "q220_web_pipeline",
       (spark, dir) => {
@@ -603,10 +607,10 @@ object WebCurationQueries {
         val rules = bodies
           .flatMap { case (dom, b) => Robots.parse(dom, b) }.toDF()
         val verdicts = Robots.evaluate(
-          docs.select(col("url"), col("domain"), col("path")), rules,
-          "GraftBot")
-        docs.join(broadcast(verdicts.select(col("url").as("v_url"),
-            col("allowed"))), col("url") === col("v_url"))
+          docs.select(col("url"), col("domain"), col("path"),
+            col("media_id"), col("body_len")), rules,
+          "GraftBot", carry = Seq("media_id", "body_len"))
+        verdicts
           .groupBy(col("domain"))
           .agg(count(lit(1)).as("n_responses"),
             sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),

@@ -20,10 +20,15 @@ import org.apache.spark.sql.Encoder
   * Scale shape: the build is a mergeable typed [[Aggregator]] — each
   * map task ORs keys into a local bitset, partials OR-merge, ONE
   * bitset row reaches the driver (`m/8` bytes, the same driver
-  * transfer Spark's own AQE runtime filters make). The probe is pure
-  * codegen'd built-ins (xxhash64 + pmod + element_at + shiftleft)
-  * over a literal word array — no UDF, no broadcast join, evaluated
-  * inside the fact scan's WholeStageCodegen stage below the exchange.
+  * transfer Spark's own AQE runtime filters make). The probe is a
+  * native codegen'd expression replaying the same xxhash64 chain; the
+  * word array rides along as a plan REFERENCE OBJECT
+  * (`ctx.addReferenceObj`), not a Catalyst literal — a 2^27-bit
+  * filter is a 16 MB array, which as a literal would bloat plan
+  * serialization/printing and constant handling, but as a reference
+  * ships once per task binary (itself torrent-broadcast). No UDF, no
+  * broadcast join; evaluated inside the fact scan's
+  * WholeStageCodegen stage below the exchange.
   * Sizing: ~10 bits/key at k=3 gives ~2-3% false positives; the
   * filter only PRUNES, so an undersized filter degrades shuffle
   * savings, never correctness.
@@ -90,21 +95,70 @@ object BloomPrune {
       .head()
   }
 
+  /** JVM-side K-probe over a built word array — the single body both
+    * the interpreted and generated paths of [[ProbeExpr]] call, and
+    * exactly the bit positions [[BloomAgg.reduce]] set.
+    */
+  def probeContains(words: Array[Long], key: Long): Boolean = {
+    val mBits = words.length * 64L
+    var i = 0
+    while (i < K) {
+      val pos = java.lang.Math.floorMod(hashChain(key, i), mBits)
+      if ((words((pos >> 6).toInt) & (1L << (pos & 63))) == 0L)
+        return false
+      i += 1
+    }
+    true
+  }
+
+  /** Probe predicate as a native codegen'd expression: the word array
+    * is attached via `ctx.addReferenceObj` (plan reference, not a
+    * literal), so a 2^27-bit filter doesn't become a 2M-element array
+    * literal in the plan; the generated code is one static-call probe
+    * per row inside the scan's codegen span. Null key → null → row
+    * filtered (null keys never match an equi-join anyway).
+    */
+  final case class ProbeExpr(
+      child: org.apache.spark.sql.catalyst.expressions.Expression,
+      words: Array[Long])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "bloom_prune_probe"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case LongType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"bloom_prune_probe requires BIGINT, got ${other.catalogString}")
+      }
+
+    override def nullSafeEval(key: Any): Any =
+      probeContains(words, key.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val ref = ctx.addReferenceObj("bloomPruneWords", words, "long[]")
+      val mod = classOf[BloomPrune.type].getName.stripSuffix("$") +
+        "$.MODULE$"
+      nullSafeCodeGen(ctx, ev, k =>
+        s"${ev.value} = $mod.probeContains($ref, $k);")
+    }
+
+    override protected def withNewChildInternal(
+        newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+        : ProbeExpr = copy(child = newChild)
+  }
+
   /** Probe predicate over a built word array: bit (hash_i mod m) set
-    * for ALL i < K. Pure built-in expressions — codegen'd, scan-side,
-    * no UDF. `shiftleft` goes through `call_function` because the
-    * Scala wrapper only takes a literal shift amount.
+    * for ALL i < K — [[ProbeExpr]] wrapped as a Column.
     */
   def mightContain(words: Array[Long], key: Column): Column = {
-    val mBits = words.length * 64L
-    val wordsLit = typedlit(words.toSeq)
-    (0 until K).map { i =>
-      val pos = pmod(xxhash64(key.cast("long"), lit(i)), lit(mBits))
-      val word = element_at(wordsLit, (pos / 64).cast("int") + 1)
-      word.bitwiseAND(
-        call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!=
-        lit(0L)
-    }.reduce(_ && _)
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(ProbeExpr(bridge.expression(key.cast("long")), words))
   }
 
   /** Fact rows whose `factKey` is present in `dim`'s `dimKey` set:

@@ -17,10 +17,16 @@ import org.apache.spark.sql.functions._
   * overwhelming majority of real rules, and what keeps the decision
   * exactly replayable in the oracle's SQL.
   *
-  * Scale shape: policies are per-DOMAIN (thousands of rows where the
-  * corpus has billions), parsed once into a rule table and BROADCAST;
-  * the per-URL decision is one broadcast join + one aggregation over
-  * the matched rules — the corpus never reshuffles for compliance.
+  * Scale shape: policies are per-DOMAIN (far fewer rows than the
+  * corpus has URLs), parsed once into a rule table; the per-URL
+  * decision is one equi-join on `domain` (the prefix test is a join
+  * residual) + one aggregation over the matched rules. The join is
+  * deliberately UNHINTED by default: at audit scale AQE broadcasts
+  * the rule table on its own, and at web-crawl scale (~10⁸ domains ×
+  * rules — tens of GB, far past broadcast range) the same plan
+  * degrades gracefully to a shuffled join on `domain` instead of
+  * OOMing the driver. Pass `broadcastRules = true` only when the
+  * rule table is known-small and the hint is worth pinning.
   */
 object Robots {
 
@@ -71,36 +77,48 @@ object Robots {
     * applicable agent group (exact token if the domain has one, else
     * `*`), then the longest matching rule path, Allow winning length
     * ties; no matching rule (or no robots at all) = allowed. Pure
-    * relational: `rules` is domain-sized and broadcast; `urls` never
-    * reshuffles.
+    * relational: one equi-join on `domain` (prefix match as residual),
+    * one per-URL argmax.
     *
     * Expects `urls(url, domain, path)`; returns url, domain, allowed,
-    * matched rule path + type (null when no rule matched).
+    * matched rule path + type (null when no rule matched). `carry`
+    * names extra `urls` columns — functionally dependent on `url`
+    * (e.g. a media id, a body length) — threaded through the per-URL
+    * aggregation so callers don't need a corpus-sized re-join to get
+    * them back. `broadcastRules` pins the broadcast hint on the rule
+    * side; the default leaves the method to AQE so a domain-scale rule
+    * table (a real web crawl) falls back to a shuffled equi-join
+    * instead of OOMing the driver.
     */
-  def evaluate(urls: DataFrame, rules: DataFrame, agent: String)
-      : DataFrame = {
+  def evaluate(urls: DataFrame, rules: DataFrame, agent: String,
+               carry: Seq[String] = Nil,
+               broadcastRules: Boolean = false): DataFrame = {
     val a = lower(lit(agent))
+    val hint: DataFrame => DataFrame =
+      if (broadcastRules) broadcast(_) else identity
     // does the domain define a group for this agent?
     val hasExact = rules.filter(lower(col("agent")) === a)
       .select(col("domain").as("he_domain")).distinct()
-    val scoped = rules.join(broadcast(hasExact),
+    val scoped = rules.join(hint(hasExact),
         col("domain") === col("he_domain"), "left")
       .filter(
         when(col("he_domain").isNotNull, lower(col("agent")) === a)
           .otherwise(col("agent") === "*"))
       .select(col("domain").as("r_domain"), col("allow"),
         col("path").as("r_path"))
-    urls.join(broadcast(scoped), col("domain") === col("r_domain") &&
+    urls.join(hint(scoped), col("domain") === col("r_domain") &&
         (col("r_path") === "" ||
           col("path").startsWith(col("r_path"))), "left")
-      .groupBy(col("url"), col("domain"), col("path"))
+      .groupBy(col("url") +: col("domain") +: col("path") +:
+        carry.map(col): _*)
       .agg(max(when(col("r_path").isNotNull,
         struct(length(col("r_path")).as("l"),
           col("allow").cast("int").as("a"),
           col("r_path").as("p")))).as("best"))
-      .select(col("url"), col("domain"), col("path"),
-        coalesce(col("best.a") === 1, lit(true)).as("allowed"),
-        col("best.p").as("matched_path"),
-        col("best.l").as("matched_len"))
+      .select(col("url") +: col("domain") +: col("path") +:
+        carry.map(col) :+
+        coalesce(col("best.a") === 1, lit(true)).as("allowed") :+
+        col("best.p").as("matched_path") :+
+        col("best.l").as("matched_len"): _*)
   }
 }

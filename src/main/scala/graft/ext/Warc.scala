@@ -157,31 +157,90 @@ object Warc {
   /** Bounded multi-member gunzip — the `.warc.gz` layout: Common
     * Crawl gzips each RECORD as its own member and concatenates, so a
     * reader can random-access records by member offset while a
-    * sequential reader just inflates the concatenation. The JDK's
-    * GZIPInputStream handles concatenated members natively; the
-    * output cap keeps hostile bombs bounded (fail-closed None rather
-    * than OOM), and any CRC/format defect surfaces as None too.
+    * sequential reader just inflates the concatenation. Walks the
+    * members by hand (RFC 1952 header fields, raw-deflate
+    * [[java.util.zip.Inflater]], CRC32 + ISIZE trailer check per
+    * member) rather than via GZIPInputStream, which silently treats a
+    * malformed next-member header or trailing garbage as EOF — a
+    * truncated prefix could then end exactly on a record boundary and
+    * pass downstream parsing with records silently dropped. Here
+    * EVERY input byte must be accounted for by a well-formed member
+    * (header CRC16 verified when present) or the whole parse is None;
+    * the output cap keeps hostile bombs bounded (None rather than
+    * OOM).
     */
   def gunzipAll(b: Array[Byte], maxBytes: Int = 1 << 26)
       : Option[Array[Byte]] = {
     if (b == null || b.length < 2 ||
       (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) return None
+    def le32(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
     val out = new java.io.ByteArrayOutputStream
-    try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(b))
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) {
-        out.write(buf, 0, n)
-        if (out.size > maxBytes) return None
-        n = in.read(buf)
+    var pos = 0
+    while (pos < b.length) {
+      // --- member header (RFC 1952 §2.3) ---
+      if (pos + 10 > b.length) return None
+      if ((b(pos) & 0xff) != 0x1f || (b(pos + 1) & 0xff) != 0x8b ||
+        (b(pos + 2) & 0xff) != 8) return None // magic + CM=deflate
+      val flg = b(pos + 3) & 0xff
+      if ((flg & 0xe0) != 0) return None // reserved flag bits
+      var p = pos + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (p + 2 > b.length) return None
+        p += 2 + ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
+        if (p > b.length) return None
       }
-      in.close()
-      Some(out.toByteArray)
-    } catch {
-      case _: java.io.IOException => None
+      if ((flg & 8) != 0) { // FNAME, NUL-terminated
+        while (p < b.length && b(p) != 0) p += 1
+        if (p >= b.length) return None
+        p += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT, NUL-terminated
+        while (p < b.length && b(p) != 0) p += 1
+        if (p >= b.length) return None
+        p += 1
+      }
+      if ((flg & 2) != 0) { // FHCRC: CRC32 low 16 bits over the header
+        if (p + 2 > b.length) return None
+        val hc = new java.util.zip.CRC32
+        hc.update(b, pos, p - pos)
+        if (((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)) !=
+          (hc.getValue & 0xffff)) return None
+        p += 2
+      }
+      // --- raw deflate body, exact consumption tracked ---
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(b, p, b.length - p)
+        val crc = new java.util.zip.CRC32
+        val buf = new Array[Byte](8192)
+        var memberLen = 0L
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch { case _: java.util.zip.DataFormatException =>
+              return None }
+          if (n == 0) {
+            // not finished yet but no progress: truncated stream or
+            // a preset-dictionary demand — both defects here
+            if (inf.needsInput() || inf.needsDictionary()) return None
+          } else {
+            crc.update(buf, 0, n)
+            out.write(buf, 0, n)
+            memberLen += n
+            if (out.size > maxBytes) return None
+          }
+        }
+        p += inf.getBytesRead.toInt
+        // --- trailer: CRC32 + ISIZE (length mod 2^32) ---
+        if (p + 8 > b.length) return None
+        if (le32(p) != crc.getValue) return None
+        if (le32(p + 4) != (memberLen & 0xffffffffL)) return None
+        pos = p + 8
+      } finally inf.end()
     }
+    Some(out.toByteArray)
   }
 
   /** Parse a `.warc.gz` (per-record gzip members or one whole-file

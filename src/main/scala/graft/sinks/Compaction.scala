@@ -55,6 +55,11 @@ object Compaction {
     require(targetFiles > 0)
     val src = AtomicPublish.readPublished(spark, srcTableDir)
     val srcRows = src.count()
+    // capture BEFORE publish: when src == dst (same-table compaction)
+    // the publish flips the manifest and the source's published
+    // generation becomes the compacted one, so a post-publish count
+    // would silently report filesAfter twice.
+    val filesBefore = publishedFileCount(srcTableDir)
     val result = AtomicPublish.publish(
       src.repartition(targetFiles), dstTableDir,
       audit = staged =>
@@ -63,7 +68,7 @@ object Compaction {
     result match {
       case AtomicPublish.Published(gen) =>
         val vacuumed = AtomicPublish.vacuum(dstTableDir)
-        CompactStats(srcRows, publishedFileCount(srcTableDir),
+        CompactStats(srcRows, filesBefore,
           publishedFileCount(dstTableDir), gen, vacuumed)
       case AtomicPublish.AuditRejected(gen, reason) =>
         throw new IllegalStateException(

@@ -58,6 +58,27 @@ class BloomPruneSpec extends AnyFunSuite {
     info(f"false-positive rate at 16 bits/key: $fpRate%.4f")
   }
 
+  test("probe is a plan reference, not a literal: large filters keep " +
+      "the plan small and the expression codegen'd") {
+    import spark.implicits._
+    // 2^22 bits = 64K words — as a typedlit this was a 64K-element
+    // array literal in every probe conjunct; as a reference object the
+    // plan stays O(1) regardless of filter size
+    val bits = BloomPrune.buildBits(
+      Seq(1L, 2L, 3L).toDF("k"), col("k"), mBits = 1 << 22)
+    assert(bits.length == (1 << 22) / 64)
+    val df = spark.range(50).toDF("k")
+      .filter(BloomPrune.mightContain(bits, col("k")))
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("bloom_prune_probe"),
+      s"native probe expression expected in plan:\n$planStr")
+    assert(planStr.length < 20000,
+      s"plan unexpectedly large (${planStr.length} chars) — literal leak?")
+    val got = df.collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 2L, 3L).subsetOf(got), "members must pass")
+    assert(got.size <= 6, s"FP explosion at 2^22 bits over 3 keys: $got")
+  }
+
   test("bloomSemiJoin equals the exact semi-join (null keys and " +
       "duplicate dim keys included)") {
     import spark.implicits._

@@ -65,6 +65,37 @@ class RobotsSpec extends AnyFunSuite {
     assert(got("u7") == (true, None))              // no robots at all
   }
 
+  test("carry columns: one output row per RESPONSE (not per URL), " +
+      "attributes threaded through the aggregation, verdicts intact") {
+    import spark.implicits._
+    val rules = Robots.parse("d.test",
+      "User-agent: *\nDisallow: /x\n").toDF()
+    val urls = Seq(
+      // same url fetched twice — distinct media_ids must both survive
+      ("http://d.test/x/1", "d.test", "/x/1", 10L, 100L),
+      ("http://d.test/x/1", "d.test", "/x/1", 11L, 101L),
+      ("http://d.test/ok", "d.test", "/ok", 12L, 102L))
+      .toDF("url", "domain", "path", "media_id", "body_len")
+    val out = Robots.evaluate(urls, rules, "bot",
+        carry = Seq("media_id", "body_len"))
+      .select("media_id", "body_len", "allowed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assert(out == Set((10L, 100L, false), (11L, 101L, false),
+      (12L, 102L, true)))
+    // plan shape: no forced broadcast by default — the hint only
+    // appears when asked for
+    val plain = Robots.evaluate(urls, rules, "bot")
+      .queryExecution.analyzed.toString
+    assert(!plain.contains("ResolvedHint"),
+      "default plan must be unhinted")
+    val hinted = Robots.evaluate(urls, rules, "bot",
+        broadcastRules = true)
+      .queryExecution.analyzed.toString
+    assert(hinted.contains("ResolvedHint"),
+      "broadcastRules = true must pin the hint")
+  }
+
   test("empty Disallow in the selected group allows everything even " +
       "when * blocks it") {
     import spark.implicits._

@@ -120,6 +120,74 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parseGz(null).isEmpty)
   }
 
+  test("gz byte accounting: trailing garbage, a corrupt later member, " +
+      "and trailer defects all fail closed — never a truncated prefix") {
+    def gzipOne(raw: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(raw); gz.close()
+      out.toByteArray
+    }
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nbody!"
+    val recs = Seq(
+      ("warcinfo", Nil, bytes("w: g\r\n")),
+      ("response", Seq("WARC-Target-URI" -> "u"), bytes(http)))
+    // member 1 alone is a COMPLETE well-formed archive (2 records) —
+    // the dangerous shape: a reader that stops at the first defect
+    // would return ok=true with member 2's record silently dropped
+    val m1 = gzipOne(Warc.encode(recs))
+    val m2 = gzipOne(Warc.encode(Seq(
+      ("metadata", Nil, bytes("m: 1\r\n")))))
+    val both = m1 ++ m2
+    assert(Warc.parseGz(both).exists(_._1 == 3), "3 records expected")
+    // corrupt member 2's magic: GZIPInputStream called this EOF
+    val badMagic = both.clone(); badMagic(m1.length) = 0x00
+    assert(Warc.parseGz(badMagic).isEmpty,
+      "corrupt later member must reject the whole input")
+    // trailing garbage after the last member
+    assert(Warc.parseGz(both ++ bytes("junk")).isEmpty)
+    // flipped CRC32 / ISIZE in the final trailer
+    val badCrc = both.clone()
+    badCrc(both.length - 8) = (badCrc(both.length - 8) ^ 1).toByte
+    assert(Warc.parseGz(badCrc).isEmpty)
+    val badIsize = both.clone()
+    badIsize(both.length - 1) = (badIsize(both.length - 1) ^ 1).toByte
+    assert(Warc.parseGz(badIsize).isEmpty)
+    // optional header fields (FNAME + FEXTRA + FHCRC) are walked, not
+    // rejected: hand-build a member with all three set
+    val raw = Warc.encode(recs)
+    val deflated = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val hdr = new java.io.ByteArrayOutputStream
+    hdr.write(Array[Byte](0x1f, 0x8b.toByte, 8, (1 | 2 | 4 | 8).toByte,
+      0, 0, 0, 0, 0, 0xff.toByte)) // FTEXT|FHCRC|FEXTRA|FNAME
+    hdr.write(Array[Byte](3, 0, 'a', 'b', 'c')) // FEXTRA xlen=3
+    hdr.write(bytes("name.warc")); hdr.write(0) // FNAME
+    val hcrc = new java.util.zip.CRC32
+    hcrc.update(hdr.toByteArray)
+    hdr.write((hcrc.getValue & 0xff).toInt)
+    hdr.write(((hcrc.getValue >> 8) & 0xff).toInt)
+    hdr.write(deflated)
+    val crc = new java.util.zip.CRC32; crc.update(raw)
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    hdr.write(le32(crc.getValue)); hdr.write(le32(raw.length.toLong))
+    assert(Warc.parseGz(hdr.toByteArray).exists(_._1 == 2),
+      "full-featured gzip header must parse")
+    // ...and a WRONG header CRC16 fails closed
+    val badHcrc = hdr.toByteArray.clone()
+    val hcrcOff = 10 + 2 + 3 + "name.warc".length + 1
+    badHcrc(hcrcOff) = (badHcrc(hcrcOff) ^ 1).toByte
+    assert(Warc.parseGz(badHcrc).isEmpty)
+  }
+
   test("fuzz: single-byte mutations never throw and stay bounded") {
     val base = golden
     val rnd = new scala.util.Random(216)

@@ -51,6 +51,25 @@ class CompactionSpec extends AnyFunSuite {
     assert(Compaction.publishedFileCount(dst) == 2)
   }
 
+  test("same-table compaction (src == dst) reports the " +
+      "PRE-compaction file count, not the post-publish one") {
+    import spark.implicits._
+    val dir = freshDir()
+    AtomicPublish.publish(
+      (0 until 200).map(i => (i.toLong, i * 2)).toDF("id", "x")
+        .repartition(16), dir)
+    assert(Compaction.publishedFileCount(dir) == 16)
+    val stats = Compaction.compactPublished(spark, dir, dir,
+      targetFiles = 2)
+    assert(stats.rows == 200)
+    assert(stats.filesBefore == 16,
+      s"filesBefore=${stats.filesBefore}: must be captured before the " +
+        "manifest flip")
+    assert(stats.filesAfter == 2)
+    assert(Compaction.publishedFileCount(dir) == 2)
+    assert(AtomicPublish.readPublished(spark, dir).count() == 200)
+  }
+
   test("compacting an unpublished table fails loudly") {
     val e = intercept[IllegalStateException] {
       Compaction.compactPublished(spark, freshDir(), freshDir(), 2)
