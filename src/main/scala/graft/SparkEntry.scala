@@ -25,6 +25,7 @@ object SparkEntry {
     analytics.BehaviorQueries.queries ++
     analytics.RecipeQueries.queries ++
     analytics.WebCurationQueries.queries ++
+    analytics.DocTextQueries.queries ++
     analytics.ImageQueries.queries ++
     analytics.AudioQueries.queries
 

@@ -1,0 +1,320 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.ext.{DocText, Multimodal}
+
+/** Document TEXT extraction queries — the engine-side replacement for
+  * the reference's one irreducible external dependency: Docling's
+  * PDF/DOCX→text conversion (camel/file-pipeline.yaml:124-167 wraps
+  * it over HTTP; q173/q174 parse each format's METADATA; these gates
+  * extract the words). Fixtures are byte-real documents synthesized
+  * per-row from doc_id formulas (deflate compression, CRC32s, split
+  * text runs, escape/entity traps), and the oracle replays the SAME
+  * text formulas — never parsing bytes in SQL — so the gates pin
+  * inflate → operator/XML walk → escape decode → reassembly
+  * end-to-end.
+  */
+object DocTextQueries {
+
+  // ---------------------------------------------------------------
+  // fixture synthesis (shared formulas with the oracle SQL below)
+  // ---------------------------------------------------------------
+
+  private def zlibDeflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length * 2 + 64)
+    val n = d.deflate(buf); d.end()
+    java.util.Arrays.copyOf(buf, n)
+  }
+
+  private def rawDeflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length * 2 + 64)
+    val n = d.deflate(buf); d.end()
+    java.util.Arrays.copyOf(buf, n)
+  }
+
+  /** Page p's text for doc m — the formula the oracle replays. */
+  private def pdfPageText(m: Long, p: Int): String =
+    s"Doc ($m) p$p: " + "ab " * (1 + ((m + p) % 7)).toInt + "A."
+
+  /** One content stream showing [[pdfPageText]] split across a Tj and
+    * a two-element TJ, parens escaped, the final 'A' as octal \101 —
+    * the extractor must reassemble the formula string exactly.
+    */
+  private def pdfContentStream(m: Long, p: Int): String = {
+    val tp = pdfPageText(m, p)
+    val cut1 = tp.length / 3
+    val cut2 = cut1 + (tp.length - cut1) / 2
+    def esc(x: String): String = x.flatMap {
+      case '(' => "\\("
+      case ')' => "\\)"
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+    val e3 = esc(tp.substring(cut2)).stripSuffix("A.") + "\\101."
+    s"BT /F1 12 Tf (${esc(tp.substring(0, cut1))}) Tj " +
+      s"[(${esc(tp.substring(cut1, cut2))}) -250 ($e3)] TJ ET"
+  }
+
+  /** Minimal but structurally real PDF: one content-stream object per
+    * page (2 pages at m%3==0, FlateDecode at m%2==0), direct /Length,
+    * trailer + %%EOF.
+    */
+  private def buildPdf(m: Long): Array[Byte] = {
+    val pages = if (m % 3 == 0) 2 else 1
+    val out = new java.io.ByteArrayOutputStream
+    out.write(s"%PDF-1.${m % 8}\n".getBytes("ISO-8859-1"))
+    (0 until pages).foreach { p =>
+      val raw = pdfContentStream(m, p).getBytes("ISO-8859-1")
+      val (data, filter) =
+        if (m % 2 == 0) (zlibDeflate(raw), " /Filter /FlateDecode")
+        else (raw, "")
+      out.write((s"${p + 1} 0 obj\n<< /Length ${data.length}$filter " +
+        ">>\nstream\n").getBytes("ISO-8859-1"))
+      out.write(data)
+      out.write("\nendstream\nendobj\n".getBytes("ISO-8859-1"))
+    }
+    out.write((s"trailer\n<< /Size ${pages + 1} >>\nstartxref\n0\n" +
+      "%%EOF\n").getBytes("ISO-8859-1"))
+    out.toByteArray
+  }
+
+  /** Paragraph q's text for doc m — the formula the oracle replays.
+    * Contains raw `&<>` so the XML runs must entity-encode/decode.
+    */
+  private def docxParaText(m: Long, q: Int): String =
+    s"Para $q of $m &<> " + "cd " * (1 + ((m + q) % 5)).toInt + "end"
+
+  private def xmlEscape(s: String): String = s.flatMap {
+    case '&' => "&amp;"
+    case '<' => "&lt;"
+    case '>' => "&gt;"
+    case c => c.toString
+  }
+
+  /** word/document.xml: 1 + m%4 paragraphs, each split across two
+    * `<w:t>` runs (the second with xml:space) so the extractor must
+    * concatenate runs and decode entities.
+    */
+  private def documentXml(m: Long): String = {
+    val np = (1 + m % 4).toInt
+    val body = (0 until np).map { q =>
+      val t = docxParaText(m, q)
+      val cut = t.length / 2
+      "<w:p><w:pPr><w:jc w:val=\"left\"/></w:pPr>" +
+        s"<w:r><w:t>${xmlEscape(t.substring(0, cut))}</w:t></w:r>" +
+        "<w:r><w:t xml:space=\"preserve\">" +
+        s"${xmlEscape(t.substring(cut))}</w:t></w:r></w:p>"
+    }.mkString
+    "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+      "<w:document xmlns:w=\"http://schemas.openxmlformats.org/" +
+      "wordprocessingml/2006/main\"><w:body>" + body +
+      "</w:body></w:document>"
+  }
+
+  /** Byte-real ZIP (local headers + central directory + EOCD, correct
+    * CRC32s and sizes) over the given (name, data, deflate?) entries.
+    */
+  private def buildZip(entries: Seq[(String, Array[Byte], Boolean)])
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    val cd = new java.io.ByteArrayOutputStream
+    def le16(v: Int, o: java.io.ByteArrayOutputStream): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+    }
+    def le32(v: Long, o: java.io.ByteArrayOutputStream): Unit = {
+      o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+      o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+    }
+    entries.foreach { case (name, data, defl) =>
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      val comp = if (defl) rawDeflate(data) else data
+      val method = if (defl) 8 else 0
+      val off = out.size
+      val nameB = name.getBytes("UTF-8")
+      out.write(Array[Byte](0x50, 0x4b, 0x03, 0x04))
+      le16(20, out); le16(0, out); le16(method, out)
+      le16(0, out); le16(0, out)
+      le32(crc.getValue, out); le32(comp.length.toLong, out)
+      le32(data.length.toLong, out)
+      le16(nameB.length, out); le16(0, out)
+      out.write(nameB); out.write(comp)
+      cd.write(Array[Byte](0x50, 0x4b, 0x01, 0x02))
+      le16(20, cd); le16(20, cd); le16(0, cd); le16(method, cd)
+      le16(0, cd); le16(0, cd)
+      le32(crc.getValue, cd); le32(comp.length.toLong, cd)
+      le32(data.length.toLong, cd)
+      le16(nameB.length, cd); le16(0, cd); le16(0, cd)
+      le16(0, cd); le16(0, cd); le32(0L, cd); le32(off.toLong, cd)
+      cd.write(nameB)
+    }
+    val cdOff = out.size
+    val cdBytes = cd.toByteArray
+    out.write(cdBytes)
+    out.write(Array[Byte](0x50, 0x4b, 0x05, 0x06))
+    le16(0, out); le16(0, out)
+    le16(entries.length, out); le16(entries.length, out)
+    le32(cdBytes.length.toLong, out); le32(cdOff.toLong, out)
+    le16(0, out)
+    out.toByteArray
+  }
+
+  private val ctXml =
+    "<?xml version=\"1.0\"?><Types xmlns=\"http://schemas." +
+      "openxmlformats.org/package/2006/content-types\">" +
+      "<Default Extension=\"xml\" ContentType=\"application/xml\"/>" +
+      "</Types>"
+
+  private def pdfFixture(spark: org.apache.spark.sql.SparkSession,
+                         dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q222_fixture", dir) {
+      t.documents.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (m, text) =>
+            if (m % 41 == 0)
+              Multimodal.MediaRecord(m, "application/octet-stream",
+                text.getBytes("UTF-8"))
+            else
+              Multimodal.MediaRecord(m, "application/pdf", buildPdf(m))
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
+  private def docxFixture(spark: org.apache.spark.sql.SparkSession,
+                          dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q223_fixture", dir) {
+      t.documents.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (m, text) =>
+            if (m % 41 == 0)
+              Multimodal.MediaRecord(m, "application/octet-stream",
+                text.getBytes("UTF-8"))
+            else if (m % 29 == 0)
+              // valid ZIP, but no word/document.xml: must fail closed
+              Multimodal.MediaRecord(m, "application/zip",
+                buildZip(Seq(
+                  ("[Content_Types].xml", ctXml.getBytes("UTF-8"), false))))
+            else
+              Multimodal.MediaRecord(m,
+                "application/vnd.openxmlformats-officedocument" +
+                  ".wordprocessingml.document",
+                buildZip(Seq(
+                  ("[Content_Types].xml", ctXml.getBytes("UTF-8"), false),
+                  ("word/document.xml",
+                    documentXml(m).getBytes("UTF-8"), m % 2 == 0))))
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
+  // ---------------------------------------------------------------
+  // queries
+  // ---------------------------------------------------------------
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ------------------------------------------------------------------
+    // q222: PDF content-stream text extraction
+    // ([[graft.ext.DocText.PdfTextExtract]]) — inflate(FlateDecode) →
+    // Tj/TJ walk → escape decode → page reassembly, on byte-real PDFs
+    // whose page text is a doc_id formula emitted SPLIT across a Tj
+    // and a kerned TJ array with escaped parens and an octal \101: a
+    // wrong escape table, a missed TJ element, a bad /Length read, or
+    // an inflate defect all flip the md5. Arms: 2 pages at %3 (page
+    // join = \n), Flate at %2 vs plain, raw-text reject at %41.
+    GraftQuery(
+      "q222_pdf_text",
+      (spark, dir) => {
+        DocText.extractPdfText(pdfFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("mime"), col("n_streams"),
+            col("n_text_ops"), col("text_len"), col("text_md5"),
+            col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m, doc_id % 41 = 0 AS bad,
+                 CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS pages
+          FROM documents),
+        t AS (
+          SELECT *, array_to_string(list_transform(range(0, pages),
+              p -> 'Doc (' || m || ') p' || p || ': '
+                || repeat('ab ', CAST(1 + (m + p) % 7 AS INT)) || 'A.'),
+            chr(10)) AS txt
+          FROM p)
+        SELECT m AS media_id,
+               CASE WHEN bad THEN 'application/octet-stream'
+                    ELSE 'application/pdf' END AS mime,
+               CAST(CASE WHEN bad THEN 0 ELSE pages END AS INT)
+                 AS n_streams,
+               CAST(CASE WHEN bad THEN 0 ELSE 2 * pages END AS INT)
+                 AS n_text_ops,
+               CAST(CASE WHEN bad THEN 0 ELSE length(txt) END AS BIGINT)
+                 AS text_len,
+               CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,
+               NOT bad AS ok
+        FROM t ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q223: DOCX main-document text extraction
+    // ([[graft.ext.DocText.DocxTextExtract]]) — ZIP central directory
+    // → local header → raw-deflate inflate (exact consumption) →
+    // CRC32 verify → <w:p>/<w:t> walk with entity decode, on
+    // byte-real OOXML packages whose paragraph text is a doc_id
+    // formula split across two runs containing raw `&<>` (so the
+    // fixture entity-encodes and the extractor must decode). Arms:
+    // deflated document.xml at %2 vs stored, a document-less ZIP at
+    // %29 (conformance reject), raw text at %41.
+    GraftQuery(
+      "q223_docx_text",
+      (spark, dir) => {
+        DocText.extractDocxText(docxFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("mime"), col("n_paragraphs"),
+            col("n_runs"), col("text_len"), col("text_md5"), col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m, doc_id % 41 = 0 AS bad,
+                 doc_id % 41 <> 0 AND doc_id % 29 = 0 AS nopart,
+                 CAST(1 + doc_id % 4 AS INT) AS np
+          FROM documents),
+        t AS (
+          SELECT *, NOT bad AND NOT nopart AS good,
+            array_to_string(list_transform(range(0, np),
+              q -> 'Para ' || q || ' of ' || m || ' &<> '
+                || repeat('cd ', CAST(1 + (m + q) % 5 AS INT)) || 'end'),
+            chr(10)) AS txt
+          FROM p)
+        SELECT m AS media_id,
+               CASE WHEN bad THEN 'application/octet-stream'
+                    WHEN nopart THEN 'application/zip'
+                    ELSE 'application/vnd.openxmlformats-officedocument'
+                      || '.wordprocessingml.document' END AS mime,
+               CAST(CASE WHEN good THEN np ELSE 0 END AS INT)
+                 AS n_paragraphs,
+               CAST(CASE WHEN good THEN 2 * np ELSE 0 END AS INT)
+                 AS n_runs,
+               CAST(CASE WHEN good THEN length(txt) ELSE 0 END AS BIGINT)
+                 AS text_len,
+               CASE WHEN good THEN md5(txt) ELSE '' END AS text_md5,
+               good AS ok
+        FROM t ORDER BY media_id"""))
+  )
+}

@@ -1,0 +1,581 @@
+package graft.ext
+
+import org.apache.spark.sql.Dataset
+
+/** Native document TEXT extraction — the one Docling capability the
+  * engine can reproduce offline (the reference's entire purpose is
+  * converting PDF/DOCX to text via an external HTTP service,
+  * camel/file-pipeline.yaml:124-167; q173/q174 already parse the
+  * METADATA of both formats, this module extracts the words). Two
+  * restricted-profile parsers, both fail-closed (None on any
+  * construct outside the profile — never a silently truncated or
+  * garbled text):
+  *
+  * PDF (ISO 32000-1): walk `<< dict >> stream … endstream` objects
+  * using the dict's direct-integer `/Length` (indirect lengths are a
+  * profile violation), inflate `/FlateDecode` streams (zlib) or take
+  * plain bytes, then interpret the content-stream text operators:
+  * literal strings `(…)` with the full escape set (\n \r \t \b \f
+  * \( \) \\ \ooo, backslash-EOL continuation, balanced unescaped
+  * parens), shown by `Tj`, array-`TJ` (string elements concatenated,
+  * kern numbers skipped), and the `'`/`"` next-line forms (leading
+  * newline). Hex strings, indirect lengths, non-Flate filters, and
+  * shows outside BT/ET are profile violations. Byte→char mapping is
+  * ISO-8859-1 (WinAnsi and Standard encoding agree with it on the
+  * printable ASCII the profile targets). Streams are joined with
+  * `\n`; intra-block positioning (Td/TD/Tm/T*) is deliberately NOT
+  * rendered as line structure — that is layout reconstruction, out
+  * of profile.
+  *
+  * DOCX (ECMA-376): locate the ZIP central directory (the q174
+  * walk), find `word/document.xml`, read its LOCAL header, inflate
+  * (method 8, raw deflate, exact input consumption) or slice
+  * (method 0), verify CRC32 and size against the central directory,
+  * then walk the XML: `<w:p>` opens a paragraph (joined with `\n`),
+  * `<w:t>` runs contribute text with the five XML entities decoded
+  * (`&amp; &lt; &gt; &quot; &apos;` — anything else entity-shaped is
+  * a violation). Missing `word/document.xml` is a violation: a
+  * conformant DOCX must carry the main document part.
+  *
+  * Scale shape: both extractions are map-side per-document kernels —
+  * O(bytes) work, no shuffle; the parallelism unit is the document,
+  * same as the q216 archive discipline.
+  */
+object DocText {
+
+  // ------------------------------------------------------------------
+  // shared
+  // ------------------------------------------------------------------
+
+  private[ext] def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** zlib-wrapped inflate, all-or-nothing with an output cap. */
+  private def inflateZlib(data: Array[Byte], cap: Int)
+      : Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (n == 0) {
+          if (inf.needsInput() || inf.needsDictionary()) return None
+        } else {
+          out.write(buf, 0, n)
+          if (out.size > cap) return None
+        }
+      }
+      Some(out.toByteArray)
+    } finally inf.end()
+  }
+
+  // ------------------------------------------------------------------
+  // PDF
+  // ------------------------------------------------------------------
+
+  final case class PdfText(
+      media_id: Long,
+      mime: String,
+      n_streams: Int,
+      n_text_ops: Int,
+      text_len: Long,
+      text_md5: String,
+      ok: Boolean,
+      error: Option[String])
+
+  object PdfTextExtract {
+    private val outputCap = 1 << 24
+
+    /** (nStreams, nTextOps, text), or None on any profile violation. */
+    def parse(b: Array[Byte]): Option[(Int, Int, String)] = {
+      if (b == null || b.length < 16) return None
+      // ISO-8859-1 is byte-transparent: char offsets == byte offsets
+      val s = new String(b, "ISO-8859-1")
+      if (!s.startsWith("%PDF-")) return None
+      if (!s.contains("%%EOF")) return None
+      var cursor = 0
+      var nStreams = 0
+      var nOps = 0
+      val text = new StringBuilder
+      var found = true
+      while (found) {
+        val at = s.indexOf("stream", cursor)
+        if (at < 0) found = false
+        else {
+          // a stream KEYWORD follows its dict's ">>" (possibly with
+          // whitespace); "endstream" never qualifies (preceded by 'd')
+          var q = at - 1
+          while (q >= 0 && (s(q) == ' ' || s(q) == '\r' || s(q) == '\n' ||
+            s(q) == '\t')) q -= 1
+          if (q < 1 || s(q) != '>' || s(q - 1) != '>') cursor = at + 6
+          else {
+            val dict = dictBefore(s, q - 1) match {
+              case Some(d) => d
+              case None => return None
+            }
+            val len = directLength(dict) match {
+              case Some(l) => l
+              case None => return None // indirect /Length: out of profile
+            }
+            // data starts after the keyword's EOL (CRLF or LF)
+            var dataAt = at + 6
+            if (dataAt < s.length && s(dataAt) == '\r') dataAt += 1
+            if (dataAt >= s.length || s(dataAt) != '\n') return None
+            dataAt += 1
+            if (dataAt + len > b.length) return None
+            var after = dataAt + len
+            if (after < s.length && s(after) == '\r') after += 1
+            if (after < s.length && s(after) == '\n') after += 1
+            if (!s.startsWith("endstream", after)) return None
+            val raw = java.util.Arrays.copyOfRange(b, dataAt, dataAt + len)
+            val content = filterOf(dict) match {
+              case Right(false) => raw
+              case Right(true) => inflateZlib(raw, outputCap) match {
+                case Some(x) => x
+                case None => return None
+              }
+              case Left(()) => return None // non-Flate filter
+            }
+            tokenizeContent(new String(content, "ISO-8859-1")) match {
+              case Some((ops, t)) =>
+                if (nStreams > 0) text.append('\n')
+                text.append(t)
+                nStreams += 1
+                nOps += ops
+              case None => return None
+            }
+            cursor = after + 9
+          }
+        }
+      }
+      Some((nStreams, nOps, text.toString))
+    }
+
+    /** The balanced `<< … >>` whose closing `>>` starts at `ggAt-1`
+      * (i.e. `s(ggAt-1) == s(ggAt) == '>'`), scanned backward.
+      */
+    private def dictBefore(s: String, ggAt: Int): Option[String] = {
+      var depth = 1
+      var j = ggAt - 1
+      while (j >= 1 && depth > 0) {
+        if (s(j) == '>' && s(j - 1) == '>') { depth += 1; j -= 2 }
+        else if (s(j) == '<' && s(j - 1) == '<') {
+          depth -= 1
+          if (depth == 0) return Some(s.substring(j - 1, ggAt + 1))
+          j -= 2
+        } else j -= 1
+      }
+      None
+    }
+
+    /** Direct-integer /Length, or None (absent or indirect `N 0 R`). */
+    private def directLength(dict: String): Option[Int] = {
+      val at = dict.indexOf("/Length")
+      if (at < 0) return None
+      var j = at + 7
+      while (j < dict.length && dict(j) == ' ') j += 1
+      val start = j
+      while (j < dict.length && dict(j).isDigit) j += 1
+      if (j == start || j - start > 9) return None
+      // indirect reference "12 0 R" — the digits must NOT be followed
+      // by " <gen> R"
+      var k = j
+      while (k < dict.length && dict(k) == ' ') k += 1
+      val kd = k
+      while (k < dict.length && dict(k).isDigit) k += 1
+      if (k > kd) {
+        while (k < dict.length && dict(k) == ' ') k += 1
+        if (k < dict.length && dict(k) == 'R') return None
+      }
+      Some(dict.substring(start, j).toInt)
+    }
+
+    /** Right(true)=FlateDecode, Right(false)=no filter,
+      * Left(())=anything else.
+      */
+    private def filterOf(dict: String): Either[Unit, Boolean] = {
+      val at = dict.indexOf("/Filter")
+      if (at < 0) return Right(false)
+      var j = at + 7
+      while (j < dict.length && (dict(j) == ' ' || dict(j) == '[')) j += 1
+      if (dict.startsWith("/FlateDecode", j)) {
+        // a filter CHAIN (array with more members) is out of profile
+        var k = j + 12
+        while (k < dict.length && dict(k) == ' ') k += 1
+        if (k < dict.length && dict(k) == '/') Left(())
+        else Right(true)
+      } else Left(())
+    }
+
+    /** Interpret one decoded content stream: (nTextOps, text), or
+      * None on a profile violation (hex string, show outside BT/ET,
+      * dict-in-text, unterminated string).
+      */
+    private[ext] def tokenizeContent(c: String): Option[(Int, String)] = {
+      val out = new StringBuilder
+      var i = 0
+      var inBT = false
+      var ops = 0
+      var lastString: String = null
+      var inArray = false
+      val arrayItems = new StringBuilder
+      while (i < c.length) {
+        val ch = c(i)
+        if (ch == ' ' || ch == '\r' || ch == '\n' || ch == '\t') i += 1
+        else if (ch == '(') {
+          parseLiteral(c, i) match {
+            case Some((str, next)) =>
+              lastString = str
+              if (inArray) arrayItems.append(str)
+              i = next
+            case None => return None
+          }
+        } else if (ch == '[') { inArray = true; arrayItems.clear(); i += 1 }
+        else if (ch == ']') { inArray = false; i += 1 }
+        else if (ch == '<') return None // hex string or inline dict
+        else if (ch == '/') { // name: skip to delimiter
+          i += 1
+          while (i < c.length && !" \r\n\t()[]<>/".contains(c(i))) i += 1
+        } else if (ch == '-' || ch == '+' || ch == '.' || ch.isDigit) {
+          i += 1
+          while (i < c.length && (c(i).isDigit || c(i) == '.')) i += 1
+        } else if (ch == '\'' || ch == '"') { // next-line show forms
+          if (!inBT || lastString == null) return None
+          out.append('\n').append(lastString)
+          ops += 1
+          i += 1
+        } else { // operator token
+          val start = i
+          while (i < c.length && (c(i).isLetter || c(i) == '*')) i += 1
+          if (i == start) return None // unknown byte
+          c.substring(start, i) match {
+            case "BT" => if (inBT) return None else inBT = true
+            case "ET" => if (!inBT) return None else inBT = false
+            case "Tj" =>
+              if (!inBT || lastString == null) return None
+              out.append(lastString)
+              ops += 1
+            case "TJ" =>
+              if (!inBT) return None
+              out.append(arrayItems)
+              ops += 1
+            case _ => // Tf, Td, TD, Tm, T*, graphics ops: positioning
+              // and styling, not text content (profile note above)
+          }
+        }
+      }
+      if (inBT) None else Some((ops, out.toString))
+    }
+
+    /** Literal string starting at `(`: (decoded, indexAfter). Handles
+      * balanced unescaped parens, the full escape set, octal (1-3
+      * digits), and backslash-EOL continuation.
+      */
+    private[ext] def parseLiteral(c: String, open: Int)
+        : Option[(String, Int)] = {
+      val sb = new StringBuilder
+      var i = open + 1
+      var depth = 1
+      while (i < c.length) {
+        c(i) match {
+          case '(' => depth += 1; sb.append('('); i += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0) return Some((sb.toString, i + 1))
+            sb.append(')'); i += 1
+          case '\\' =>
+            if (i + 1 >= c.length) return None
+            c(i + 1) match {
+              case 'n' => sb.append('\n'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case 'b' => sb.append('\b'); i += 2
+              case 'f' => sb.append('\f'); i += 2
+              case '(' => sb.append('('); i += 2
+              case ')' => sb.append(')'); i += 2
+              case '\\' => sb.append('\\'); i += 2
+              case '\n' => i += 2 // line continuation
+              case '\r' =>
+                i += 2
+                if (i < c.length && c(i) == '\n') i += 1
+              case d if d >= '0' && d <= '7' =>
+                var v = 0; var n = 0; i += 1
+                while (n < 3 && i < c.length &&
+                  c(i) >= '0' && c(i) <= '7') {
+                  v = v * 8 + (c(i) - '0'); i += 1; n += 1
+                }
+                sb.append((v & 0xff).toChar)
+              case other => sb.append(other); i += 2 // spec: drop the \
+            }
+          case ch => sb.append(ch); i += 1
+        }
+      }
+      None // unterminated
+    }
+  }
+
+  /** PDF text-extraction stage: per-partition map, unparseable or
+    * out-of-profile payloads become zeroed ok=false rows, exceptions
+    * become error rows — never task aborts.
+    */
+  def extractPdfText(media: Dataset[Multimodal.MediaRecord])
+      : Dataset[PdfText] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          PdfTextExtract.parse(r.media) match {
+            case Some((ns, ops, t)) =>
+              PdfText(r.media_id, r.mime, ns, ops, t.length.toLong,
+                md5Hex(t), ok = true, None)
+            case None =>
+              PdfText(r.media_id, r.mime, 0, 0, 0L, "", ok = false, None)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            PdfText(r.media_id, r.mime, 0, 0, 0L, "", ok = false,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // DOCX
+  // ------------------------------------------------------------------
+
+  final case class DocxText(
+      media_id: Long,
+      mime: String,
+      n_paragraphs: Int,
+      n_runs: Int,
+      text_len: Long,
+      text_md5: String,
+      ok: Boolean,
+      error: Option[String])
+
+  object DocxTextExtract {
+    private val outputCap = 1 << 24
+
+    /** (nParagraphs, nRuns, text), or None on any structural defect
+      * or profile violation.
+      */
+    def parse(b: Array[Byte]): Option[(Int, Int, String)] = {
+      val xml = documentXml(b) match {
+        case Some(x) => x
+        case None => return None
+      }
+      walkXml(new String(xml, "UTF-8"))
+    }
+
+    private def le16(b: Array[Byte], i: Int): Int =
+      ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+    private def le32(b: Array[Byte], i: Int): Long =
+      ((b(i + 3) & 0xffL) << 24) | ((b(i + 2) & 0xffL) << 16) |
+        ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+
+    /** `word/document.xml` bytes, decompressed and CRC/size-verified
+      * against the central directory, or None.
+      */
+    private[ext] def documentXml(b: Array[Byte]): Option[Array[Byte]] = {
+      if (b == null || b.length < 22) return None
+      // EOCD scan (the q174 walk)
+      var eocd = -1
+      var i = b.length - 22
+      val stop = math.max(0, b.length - 22 - 65535)
+      while (eocd < 0 && i >= stop) {
+        if (b(i) == 0x50 && b(i + 1) == 0x4b &&
+          b(i + 2) == 0x05 && b(i + 3) == 0x06) eocd = i
+        else i -= 1
+      }
+      if (eocd < 0) return None
+      val nTotal = le16(b, eocd + 10)
+      val cdOff = le32(b, eocd + 16)
+      val cdEnd = (cdOff + le32(b, eocd + 12)).toInt
+      if (cdOff < 0 || cdEnd > eocd) return None
+      var at = cdOff.toInt
+      var n = 0
+      var hit: Option[(Int, Long, Long, Long, Long)] = None // method,comp,uncomp,crc,off
+      while (at + 46 <= cdEnd &&
+        b(at) == 0x50 && b(at + 1) == 0x4b &&
+        b(at + 2) == 0x01 && b(at + 3) == 0x02) {
+        val method = le16(b, at + 10)
+        val crc = le32(b, at + 16)
+        val comp = le32(b, at + 20)
+        val uncomp = le32(b, at + 24)
+        val nameLen = le16(b, at + 28)
+        val extraLen = le16(b, at + 30)
+        val commentLen = le16(b, at + 32)
+        val localOff = le32(b, at + 42)
+        if (at + 46 + nameLen > cdEnd) return None
+        val name = new String(b, at + 46, nameLen, "UTF-8")
+        if (name == "word/document.xml")
+          hit = Some((method, comp, uncomp, crc, localOff))
+        n += 1
+        at += 46 + nameLen + extraLen + commentLen
+      }
+      if (n != nTotal) return None
+      val (method, comp, uncomp, crc, off) = hit match {
+        case Some(h) => h
+        case None => return None // a DOCX must carry the document part
+      }
+      if (uncomp > outputCap) return None
+      // local header → data offset
+      val lo = off.toInt
+      if (lo < 0 || lo + 30 > b.length) return None
+      if (!(b(lo) == 0x50 && b(lo + 1) == 0x4b &&
+        b(lo + 2) == 0x03 && b(lo + 3) == 0x04)) return None
+      val dataAt = lo + 30 + le16(b, lo + 26) + le16(b, lo + 28)
+      if (dataAt + comp > b.length) return None
+      val data = method match {
+        case 0 =>
+          if (comp != uncomp) return None
+          java.util.Arrays.copyOfRange(b, dataAt, (dataAt + comp).toInt)
+        case 8 =>
+          val inf = new java.util.zip.Inflater(true)
+          try {
+            inf.setInput(b, dataAt, comp.toInt)
+            val out = new Array[Byte](uncomp.toInt)
+            var got = 0
+            while (got < out.length && !inf.finished()) {
+              val k =
+                try inf.inflate(out, got, out.length - got)
+                catch { case _: java.util.zip.DataFormatException =>
+                  return None }
+              if (k == 0 && (inf.needsInput() || inf.needsDictionary()))
+                return None
+              got += k
+            }
+            // exact size both ways: all output produced, all input used
+            if (got != out.length) return None
+            if (!inf.finished() &&
+              inf.inflate(new Array[Byte](1)) > 0) return None
+            if (inf.getBytesRead != comp) return None
+            out
+          } finally inf.end()
+        case _ => return None
+      }
+      val check = new java.util.zip.CRC32
+      check.update(data)
+      if (check.getValue != crc) None else Some(data)
+    }
+
+    /** Walk document.xml: `<w:p>` paragraphs joined with `\n`,
+      * `<w:t>` run text with the five XML entities decoded. Comments,
+      * CDATA, DTD (`<!…`), processing instructions other than the
+      * prolog, and unknown entities are profile violations.
+      */
+    private[ext] def walkXml(x: String): Option[(Int, Int, String)] = {
+      val paras = scala.collection.mutable.ArrayBuffer.empty[String]
+      var cur: StringBuilder = null
+      var runs = 0
+      var i = 0
+      while (i < x.length) {
+        val lt = x.indexOf('<', i)
+        if (lt < 0) { i = x.length }
+        else {
+          val gt = x.indexOf('>', lt)
+          if (gt < 0) return None
+          val tag = x.substring(lt + 1, gt)
+          if (tag.startsWith("?")) { i = gt + 1 } // prolog
+          else if (tag.startsWith("!")) return None // comment/DTD/CDATA
+          else {
+            val selfClosing = tag.endsWith("/")
+            val body = if (selfClosing) tag.dropRight(1) else tag
+            val name = body.takeWhile(ch => ch != ' ' && ch != '\t' &&
+              ch != '\r' && ch != '\n')
+            name match {
+              case "w:p" if !selfClosing =>
+                if (cur != null) return None // nested paragraphs
+                cur = new StringBuilder
+                i = gt + 1
+              case "/w:p" =>
+                if (cur == null) return None
+                paras += cur.toString
+                cur = null
+                i = gt + 1
+              case "w:t" =>
+                if (cur == null) return None // run outside a paragraph
+                runs += 1
+                if (selfClosing) i = gt + 1
+                else {
+                  val end = x.indexOf("</w:t>", gt + 1)
+                  if (end < 0) return None
+                  unescape(x.substring(gt + 1, end)) match {
+                    case Some(t) => cur.append(t)
+                    case None => return None
+                  }
+                  i = end + 6
+                }
+              case _ => i = gt + 1 // other tags: structure, not text
+            }
+          }
+          if (lt >= i) return None // safety: always advance
+        }
+      }
+      if (cur != null) None // unclosed paragraph
+      else Some((paras.length, runs, paras.mkString("\n")))
+    }
+
+    /** The five XML 1.0 predefined entities; anything else
+      * entity-shaped (including numeric refs) is out of profile.
+      */
+    private[ext] def unescape(t: String): Option[String] = {
+      if (t.indexOf('&') < 0) return Some(t)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if (c != '&') { sb.append(c); i += 1 }
+        else {
+          val semi = t.indexOf(';', i)
+          if (semi < 0 || semi - i > 6) return None
+          t.substring(i + 1, semi) match {
+            case "amp" => sb.append('&')
+            case "lt" => sb.append('<')
+            case "gt" => sb.append('>')
+            case "quot" => sb.append('"')
+            case "apos" => sb.append('\'')
+            case _ => return None
+          }
+          i = semi + 1
+        }
+      }
+      Some(sb.toString)
+    }
+  }
+
+  /** DOCX text-extraction stage: same per-partition discipline as
+    * [[extractPdfText]].
+    */
+  def extractDocxText(media: Dataset[Multimodal.MediaRecord])
+      : Dataset[DocxText] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          DocxTextExtract.parse(r.media) match {
+            case Some((np, nr, t)) =>
+              DocxText(r.media_id, r.mime, np, nr, t.length.toLong,
+                md5Hex(t), ok = true, None)
+            case None =>
+              DocxText(r.media_id, r.mime, 0, 0, 0L, "", ok = false, None)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            DocxText(r.media_id, r.mime, 0, 0, 0L, "", ok = false,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      }
+    }
+  }
+}

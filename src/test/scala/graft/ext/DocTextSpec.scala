@@ -1,0 +1,226 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.ext.DocText]] — the q222/q223 document-text extractors.
+  * Goldens are hand-assembled (never via the fixture builders, so an
+  * encoder/decoder bug can't cancel out), profile violations must be
+  * fail-closed Nones, and single-byte fuzz must never throw.
+  */
+class DocTextSpec extends AnyFunSuite {
+
+  private def bytes(s: String) = s.getBytes("ISO-8859-1")
+
+  // ------------------------------------------------------------------
+  // PDF
+  // ------------------------------------------------------------------
+
+  private def pdf(body: String): Array[Byte] =
+    bytes(s"%PDF-1.4\n$body\ntrailer\n<< /Size 2 >>\nstartxref\n0\n%%EOF\n")
+
+  private def streamObj(content: String, filter: String = ""): String = {
+    s"1 0 obj\n<< /Length ${content.length}$filter >>\nstream\n" +
+      content + "\nendstream\nendobj"
+  }
+
+  test("pdf golden: Tj + TJ + escapes + octal + balanced parens " +
+      "reassemble exactly; streams join with newline") {
+    val c1 = "BT (He) Tj [(llo \\(w\\)) -120 (orld)] TJ ET"
+    val c2 = "BT (tab\\there \\101 (nest)ed \\\\ done) Tj ET"
+    val doc = pdf(
+      s"1 0 obj\n<< /Length ${c1.length} >>\nstream\n$c1\nendstream\nendobj\n" +
+      s"2 0 obj\n<< /Length ${c2.length} >>\nstream\n$c2\nendstream\nendobj")
+    val Some((ns, ops, t)) = DocText.PdfTextExtract.parse(doc)
+    assert(ns == 2 && ops == 3)
+    assert(t == "Hello (w)orld\ntab\there A (nest)ed \\ done")
+  }
+
+  test("pdf: FlateDecode stream inflates; ' and \" show forms prepend " +
+      "a newline") {
+    val content = "BT (a) Tj (b) ' ET"
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(bytes(content)); d.finish()
+      val buf = new Array[Byte](256)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val out = new java.io.ByteArrayOutputStream
+    out.write(bytes("%PDF-1.4\n1 0 obj\n<< /Length " +
+      s"${deflated.length} /Filter /FlateDecode >>\nstream\n"))
+    out.write(deflated)
+    out.write(bytes("\nendstream\nendobj\ntrailer\n<< /Size 2 >>\n" +
+      "startxref\n0\n%%EOF\n"))
+    val Some((ns, ops, t)) = DocText.PdfTextExtract.parse(out.toByteArray)
+    assert(ns == 1 && ops == 2 && t == "a\nb")
+  }
+
+  test("pdf profile violations all fail closed") {
+    // hex string
+    assert(DocText.PdfTextExtract.parse(
+      pdf(streamObj("BT <48656c6c6f> Tj ET"))).isEmpty)
+    // indirect /Length
+    assert(DocText.PdfTextExtract.parse(pdf(
+      "1 0 obj\n<< /Length 5 0 R >>\nstream\nBT (x) Tj ET\nendstream\nendobj"))
+      .isEmpty)
+    // non-Flate filter
+    assert(DocText.PdfTextExtract.parse(pdf(streamObj("BT (x) Tj ET",
+      " /Filter /LZWDecode"))).isEmpty)
+    // filter chain
+    assert(DocText.PdfTextExtract.parse(pdf(streamObj("BT (x) Tj ET",
+      " /Filter [ /FlateDecode /ASCIIHexDecode ]"))).isEmpty)
+    // show outside BT/ET
+    assert(DocText.PdfTextExtract.parse(
+      pdf(streamObj("(loose) Tj"))).isEmpty)
+    // unbalanced BT
+    assert(DocText.PdfTextExtract.parse(
+      pdf(streamObj("BT (x) Tj"))).isEmpty)
+    // unterminated literal
+    assert(DocText.PdfTextExtract.parse(
+      pdf(streamObj("BT (x Tj ET"))).isEmpty)
+    // /Length overruns the file
+    assert(DocText.PdfTextExtract.parse(pdf(
+      "1 0 obj\n<< /Length 99999 >>\nstream\nBT (x) Tj ET\nendstream\nendobj"))
+      .isEmpty)
+    // declared length cuts the stream short of endstream
+    assert(DocText.PdfTextExtract.parse(pdf(
+      "1 0 obj\n<< /Length 3 >>\nstream\nBT (x) Tj ET\nendstream\nendobj"))
+      .isEmpty)
+    // corrupt flate bytes
+    assert(DocText.PdfTextExtract.parse(pdf(streamObj("garbagegarbage",
+      " /Filter /FlateDecode"))).isEmpty)
+    // not a PDF / no EOF / empty / null
+    assert(DocText.PdfTextExtract.parse(bytes("plain text here")).isEmpty)
+    assert(DocText.PdfTextExtract.parse(
+      bytes("%PDF-1.4\n" + streamObj("BT (x) Tj ET"))).isEmpty)
+    assert(DocText.PdfTextExtract.parse(Array.emptyByteArray).isEmpty)
+    assert(DocText.PdfTextExtract.parse(null).isEmpty)
+  }
+
+  test("pdf: a no-stream but well-formed file extracts empty text; " +
+      "positioning ops contribute nothing") {
+    val Some((ns, ops, t)) =
+      DocText.PdfTextExtract.parse(pdf("1 0 obj\n<< /Type /Catalog >>\nendobj"))
+    assert(ns == 0 && ops == 0 && t == "")
+    val Some((_, ops2, t2)) = DocText.PdfTextExtract.parse(
+      pdf(streamObj("BT /F1 12 Tf 10 20 Td 1 0 0 1 5 5 Tm T* (x) Tj ET")))
+    assert(ops2 == 1 && t2 == "x")
+  }
+
+  test("pdf fuzz: single-byte mutations never throw") {
+    val base = pdf(streamObj("BT (Hello \\(w\\) world) Tj ET"))
+    val rnd = new scala.util.Random(222)
+    (0 until 300).foreach { _ =>
+      val m = base.clone()
+      val at = rnd.nextInt(m.length)
+      m(at) = (m(at) ^ (1 << rnd.nextInt(8))).toByte
+      DocText.PdfTextExtract.parse(m)
+    }
+    // truncation at every byte
+    (0 until base.length).foreach { n =>
+      DocText.PdfTextExtract.parse(java.util.Arrays.copyOf(base, n))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // DOCX
+  // ------------------------------------------------------------------
+
+  /** Hand-rolled single-entry zip (stored) — independent of the
+    * fixture's buildZip.
+    */
+  private def storedZip(name: String, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = (0 until 4).foreach(i =>
+      out.write(((v >> (8 * i)) & 0xff).toInt))
+    val crc = new java.util.zip.CRC32; crc.update(data)
+    val nameB = name.getBytes("UTF-8")
+    out.write(Array[Byte](0x50, 0x4b, 0x03, 0x04)); le16(20); le16(0)
+    le16(0); le16(0); le16(0); le32(crc.getValue)
+    le32(data.length.toLong); le32(data.length.toLong)
+    le16(nameB.length); le16(0); out.write(nameB); out.write(data)
+    val cdOff = out.size
+    out.write(Array[Byte](0x50, 0x4b, 0x01, 0x02)); le16(20); le16(20)
+    le16(0); le16(0); le16(0); le16(0); le32(crc.getValue)
+    le32(data.length.toLong); le32(data.length.toLong)
+    le16(nameB.length); le16(0); le16(0); le16(0); le16(0); le32(0L)
+    le32(0L); out.write(nameB)
+    val cdLen = out.size - cdOff
+    out.write(Array[Byte](0x50, 0x4b, 0x05, 0x06)); le16(0); le16(0)
+    le16(1); le16(1); le32(cdLen.toLong); le32(cdOff.toLong); le16(0)
+    out.toByteArray
+  }
+
+  test("docx golden: runs concatenate, paragraphs join with newline, " +
+      "entities decode, self-closing w:t is an empty run") {
+    val xml = "<?xml version=\"1.0\"?><w:document><w:body>" +
+      "<w:p><w:r><w:t>He said &quot;5 &lt; 7 &amp;</w:t></w:r>" +
+      "<w:r><w:t xml:space=\"preserve\"> 9 &gt; 2&apos;\"</w:t></w:r></w:p>" +
+      "<w:p><w:r><w:t/></w:r><w:r><w:t>second</w:t></w:r></w:p>" +
+      "</w:body></w:document>"
+    val Some((np, nr, t)) = DocText.DocxTextExtract.parse(
+      storedZip("word/document.xml", xml.getBytes("UTF-8")))
+    assert(np == 2 && nr == 4) // 2 + self-closing empty + 1
+    assert(t == "He said \"5 < 7 & 9 > 2'\"\nsecond")
+  }
+
+  test("docx: tag-name boundaries — w:pPr and w:tbl never open " +
+      "paragraphs or runs") {
+    val xml = "<w:document><w:body><w:p><w:pPr><w:jc/></w:pPr>" +
+      "<w:tbl></w:tbl><w:r><w:t>only</w:t></w:r></w:p></w:body></w:document>"
+    val Some((np, nr, t)) = DocText.DocxTextExtract.parse(
+      storedZip("word/document.xml", xml.getBytes("UTF-8")))
+    assert(np == 1 && nr == 1 && t == "only")
+  }
+
+  test("docx profile violations and structural defects fail closed") {
+    def z(xml: String) = storedZip("word/document.xml",
+      xml.getBytes("UTF-8"))
+    // unknown entity / numeric entity
+    assert(DocText.DocxTextExtract.parse(z(
+      "<w:p><w:r><w:t>&nbsp;</w:t></w:r></w:p>")).isEmpty)
+    assert(DocText.DocxTextExtract.parse(z(
+      "<w:p><w:r><w:t>&#65;</w:t></w:r></w:p>")).isEmpty)
+    // comment
+    assert(DocText.DocxTextExtract.parse(z(
+      "<!-- c --><w:p><w:r><w:t>x</w:t></w:r></w:p>")).isEmpty)
+    // run outside a paragraph / unclosed paragraph / nested paragraph
+    assert(DocText.DocxTextExtract.parse(z(
+      "<w:r><w:t>loose</w:t></w:r>")).isEmpty)
+    assert(DocText.DocxTextExtract.parse(z(
+      "<w:p><w:r><w:t>x</w:t></w:r>")).isEmpty)
+    assert(DocText.DocxTextExtract.parse(z(
+      "<w:p><w:p></w:p></w:p>")).isEmpty)
+    // missing document part
+    assert(DocText.DocxTextExtract.parse(
+      storedZip("word/styles.xml", "<a/>".getBytes("UTF-8"))).isEmpty)
+    // CRC mismatch
+    val good = z("<w:p><w:r><w:t>x</w:t></w:r></w:p>")
+    val bad = good.clone()
+    // flip a payload byte (name + header = 30 + 17; payload follows)
+    bad(30 + "word/document.xml".length + 2) =
+      (bad(30 + "word/document.xml".length + 2) ^ 1).toByte
+    assert(DocText.DocxTextExtract.parse(bad).isEmpty)
+    // not a zip / empty / null
+    assert(DocText.DocxTextExtract.parse("nope".getBytes).isEmpty)
+    assert(DocText.DocxTextExtract.parse(Array.emptyByteArray).isEmpty)
+    assert(DocText.DocxTextExtract.parse(null).isEmpty)
+  }
+
+  test("docx fuzz: single-byte mutations and truncations never throw") {
+    val xml = "<w:document><w:body><w:p><w:r><w:t>Hello &amp; bye" +
+      "</w:t></w:r></w:p></w:body></w:document>"
+    val base = storedZip("word/document.xml", xml.getBytes("UTF-8"))
+    val rnd = new scala.util.Random(223)
+    (0 until 300).foreach { _ =>
+      val m = base.clone()
+      val at = rnd.nextInt(m.length)
+      m(at) = (m(at) ^ (1 << rnd.nextInt(8))).toByte
+      DocText.DocxTextExtract.parse(m)
+    }
+    (0 until base.length).foreach { n =>
+      DocText.DocxTextExtract.parse(java.util.Arrays.copyOf(base, n))
+    }
+  }
+}
