@@ -62,7 +62,8 @@ object Scaling {
     "q190_sorted_neighbor_pairs" -> "part",
     "q191_modularity"            -> "lineitem",
     "q204_label_propagation"     -> "lineitem",
-    "q206_domain_reputation"     -> "documents")
+    "q206_domain_reputation"     -> "documents",
+    "q224_extract_curate_pipeline" -> "documents")
 
   /** Documented super-linear-BY-INTENT queries: q27 materializes exact
     * all-pairs Jaccard evidence and q47 exact winnowing-fingerprint

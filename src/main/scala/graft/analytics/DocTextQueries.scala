@@ -221,6 +221,78 @@ object DocTextQueries {
     }.as[Multimodal.MediaRecord]
   }
 
+  /** One-stream PDF carrying exactly `c` (the q226 arm). */
+  private def simplePdf(c: String, flate: Boolean): Array[Byte] = {
+    val esc = c.flatMap {
+      case '(' => "\\("
+      case ')' => "\\)"
+      case '\\' => "\\\\"
+      case ch => ch.toString
+    }
+    val raw = s"BT ($esc) Tj ET".getBytes("ISO-8859-1")
+    val (data, filter) =
+      if (flate) (zlibDeflate(raw), " /Filter /FlateDecode") else (raw, "")
+    val out = new java.io.ByteArrayOutputStream
+    out.write((s"%PDF-1.4\n1 0 obj\n<< /Length ${data.length}$filter " +
+      ">>\nstream\n").getBytes("ISO-8859-1"))
+    out.write(data)
+    out.write(("\nendstream\nendobj\ntrailer\n<< /Size 2 >>\n" +
+      "startxref\n0\n%%EOF\n").getBytes("ISO-8859-1"))
+    out.toByteArray
+  }
+
+  /** One-paragraph DOCX carrying exactly `c` (the q226 arm). */
+  private def simpleDocx(c: String, defl: Boolean): Array[Byte] =
+    buildZip(Seq(
+      ("[Content_Types].xml", ctXml.getBytes("UTF-8"), false),
+      ("word/document.xml",
+        ("<?xml version=\"1.0\"?><w:document><w:body><w:p><w:r><w:t>" +
+          xmlEscape(c) + "</w:t></w:r></w:p></w:body></w:document>")
+          .getBytes("UTF-8"), defl)))
+
+  /** Boilerplate-wrapped HTML page whose one kept block is `c`. */
+  private def htmlPage(c: String): String =
+    "<html><head><title>t</title></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+      "<a href=\"/c\">Contact</a></nav><p>" + c + "</p></body></html>"
+
+  /** The q226 mixed-format corpus: the SAME content formula arrives as
+    * PDF / DOCX / HTML / plain text by doc_id % 4 (keyed on doc_id %
+    * 251, so cross-format exact duplicates exist by construction);
+    * doc_id % 41 rows are corrupt PDFs (fail-closed arm).
+    */
+  private def mixedFixture(spark: org.apache.spark.sql.SparkSession,
+                           dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q226_fixture", dir) {
+      t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { m =>
+            val r = (m % 251).toInt
+            val c = s"Shared content $r body " +
+              "ef " * (1 + r % 6) + "tail."
+            if (m % 41 == 0)
+              Multimodal.MediaRecord(m, "application/pdf",
+                "%PDF-1.4\nbroken, no eof marker".getBytes("ISO-8859-1"))
+            else (m % 4) match {
+              case 0 => Multimodal.MediaRecord(m, "application/pdf",
+                simplePdf(c, m % 8 == 0))
+              case 1 => Multimodal.MediaRecord(m,
+                "application/vnd.openxmlformats-officedocument" +
+                  ".wordprocessingml.document",
+                simpleDocx(c, m % 2 == 0))
+              case 2 => Multimodal.MediaRecord(m, "text/html",
+                htmlPage(c).getBytes("UTF-8"))
+              case _ => Multimodal.MediaRecord(m, "text/plain",
+                c.getBytes("UTF-8"))
+            }
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
   // ---------------------------------------------------------------
   // queries
   // ---------------------------------------------------------------
@@ -315,6 +387,84 @@ object DocTextQueries {
                  AS text_len,
                CASE WHEN good THEN md5(txt) ELSE '' END AS text_md5,
                good AS ok
-        FROM t ORDER BY media_id"""))
+        FROM t ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q226: mixed-format corpus unification
+    // ([[graft.ext.DocText.extractAnyText]]) — the Docling-replacement
+    // story end-to-end: the SAME logical content arrives as PDF, DOCX,
+    // HTML, and plain text (magic-byte dispatch, never the mime
+    // string), is extracted into ONE uniform text table
+    // (PdfTextExtract / DocxTextExtract / htmlExtractText / identity),
+    // and the unified table feeds a token census and a cross-format
+    // EXACT dedup (aggregate on md5(text), keep-min-id canonical) —
+    // catching the duplicate a single-format pipeline structurally
+    // cannot (the same doc crawled as HTML and archived as PDF). The
+    // fixture keys content on doc_id % 251 so cross-format dup groups
+    // exist by construction; corrupt-PDF arm at %41 fails closed.
+    // Scale shape: extraction map-side; ONE content-hash aggregation
+    // + one hash-keyed join back (aggregate-then-join).
+    GraftQuery(
+      "q226_mixed_corpus_unify",
+      (spark, dir) => {
+        import graft.ext.HtmlText
+        val any = DocText.extractAnyText(mixedFixture(spark, dir)).toDF()
+        val htmlU = HtmlText.htmlExtractText(
+            any.filter(col("needs_html")), col("media_id"), col("raw"))
+          .select(col("doc_id").as("media_id"), lit("html").as("format"),
+            coalesce(col("extracted"), lit("")).as("text"),
+            col("extracted").isNotNull.as("ok"))
+        val unified = any.filter(!col("needs_html"))
+          .select(col("media_id"), col("format"),
+            col("raw").as("text"), col("ok"))
+          .unionByName(htmlU)
+        val groups = unified.filter(col("ok"))
+          .groupBy(md5(col("text")).as("text_md5"))
+          .agg(count(lit(1)).as("n_copies"),
+            min(col("media_id")).as("keeper"))
+        unified
+          .withColumn("text_md5",
+            when(col("ok"), md5(col("text"))).otherwise(lit("")))
+          .withColumn("n_tokens",
+            when(col("ok"), size(split(col("text"), " ", -1)))
+              .otherwise(lit(0)))
+          .join(groups, Seq("text_md5"), "left")
+          .select(col("media_id"), col("format"), col("ok"),
+            col("n_tokens"), col("text_md5"),
+            coalesce(col("n_copies"), lit(0L)).as("n_copies"),
+            (col("ok") && col("media_id") === col("keeper"))
+              .as("is_canonical"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m, doc_id % 41 = 0 AS bad,
+                 CAST(doc_id % 4 AS INT) AS arm,
+                 CAST(doc_id % 251 AS INT) AS r
+          FROM documents),
+        t AS (
+          SELECT *, 'Shared content ' || r || ' body '
+            || repeat('ef ', CAST(1 + r % 6 AS INT)) || 'tail.' AS c
+          FROM p),
+        g AS (
+          SELECT c, CAST(count(*) AS BIGINT) AS n_copies,
+                 min(m) AS keeper
+          FROM t WHERE NOT bad GROUP BY c)
+        SELECT m AS media_id,
+               CASE WHEN bad THEN ''
+                    WHEN arm = 0 THEN 'pdf'
+                    WHEN arm = 1 THEN 'docx'
+                    WHEN arm = 2 THEN 'html'
+                    ELSE 'txt' END AS format,
+               NOT bad AS ok,
+               CAST(CASE WHEN bad THEN 0
+                         ELSE len(string_split(c, ' ')) END AS INT)
+                 AS n_tokens,
+               CASE WHEN bad THEN '' ELSE md5(c) END AS text_md5,
+               CAST(CASE WHEN bad THEN 0 ELSE g.n_copies END AS BIGINT)
+                 AS n_copies,
+               NOT bad AND m = g.keeper AS is_canonical
+        FROM t LEFT JOIN g USING (c)
+        ORDER BY m"""))
   )
 }

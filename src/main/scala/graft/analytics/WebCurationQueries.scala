@@ -701,7 +701,346 @@ object WebCurationQueries {
                CASE WHEN bad THEN '' ELSE md5(body) END AS body_md5,
                NOT bad AS ok
         FROM p
-        ORDER BY media_id""")))
+        ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q224: extract-and-curate composite v2 — the TEXT-side sibling of
+    // q220's URL-side pipeline, chaining the four curation kernels the
+    // way a crawl-refinement run chains them:
+    // [[graft.ext.HtmlText.htmlExtractText]] (boilerplate removal,
+    // text RETAINED) → [[graft.functions.NfcNormalize]] (the fixture
+    // plants a DECOMPOSED e+U+0301 inside a kept paragraph; the
+    // oracle writes the COMPOSED form, so the md5 only matches if
+    // normalization really ran) → [[graft.ext.TextAnalysis.qualityScore]]
+    // (10⁻⁴-quantized) → [[graft.ext.Dedup.minhashPairs]] near-dup
+    // over the NORMALIZED EXTRACTED text (doc_id % 53 docs share a
+    // template body, so the dedup stage genuinely fires) → per-doc
+    // verdict (quality ≥ 0.7 AND not a near-dup loser). Each stage is
+    // oracle-gated alone (q209/q217/q33/q28); this pins the
+    // COMPOSITION. Scale shape: extraction/normalization/quality are
+    // map-side expression work; the pair stage is the q28 banded LSH
+    // (8-byte keys only); the loser join is doc-keyed and unhinted.
+    GraftQuery(
+      "q224_extract_curate_pipeline",
+      (spark, dir) => {
+        import graft.ext.{Dedup, HtmlText, TextAnalysis}
+        val t = new Tables(spark, dir)
+        val body = when(col("doc_id") % 53 === 0,
+          concat(lit("dup template "), (col("doc_id") % 3).cast("string"),
+            lit(" shared body text repeated for near duplicate " +
+              "detection across documents")))
+          .otherwise(col("text"))
+        val src = t.documents.where(col("text").isNotNull)
+          .select(col("doc_id"), body.as("__body"))
+        val half = (length(col("__body")) / lit(2)).cast("int")
+        val html = concat(
+          lit("<html><head><title>doc "), col("doc_id").cast("string"),
+          lit("</title></head><body>"),
+          lit("<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+            "<a href=\"/c\">Contact</a></nav>"),
+          lit("<p>"), col("__body").substr(lit(1), half), lit("</p>"),
+          when(col("doc_id") % 3 === 0,
+            lit("<div><a href=\"/buy\">Buy</a> <a href=\"/now\">now</a> " +
+              "great deals</div>")).otherwise(lit("")),
+          lit("<p>"),
+          col("__body").substr(half + lit(1), length(col("__body"))),
+          lit(" Caf"), lit("é"), lit(" fin.</p>"),
+          lit("<footer><a href=\"/tos\">Terms</a> " +
+            "<a href=\"/priv\">Privacy</a> (c) site"),
+          (col("doc_id") % 5).cast("string"),
+          lit("</footer></body></html>"))
+        val extracted = HtmlText.htmlExtractText(src, col("doc_id"), html)
+        val norm = extracted
+          .withColumn("norm",
+            graft.functions.NfcNormalize.nfc_normalize(col("extracted")))
+          .withColumn("q_micro",
+            round(TextAnalysis.qualityScore(col("norm")) * 10000)
+              .cast("long"))
+        val losers = Dedup.minhashPairs(
+            norm.where(col("norm").isNotNull), col("doc_id"), col("norm"),
+            n = 3, threshold = 0.8)
+          .select(col("id_b").as("doc_id")).distinct()
+          .withColumn("__loser", lit(true))
+        norm.join(losers, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_blocks"), col("kept_words"),
+            length(col("norm")).as("text_len"),
+            md5(col("norm")).as("text_md5"),
+            col("q_micro"),
+            coalesce(col("__loser"), lit(false)).as("near_dup_loser"),
+            (coalesce(col("q_micro") >= 7000, lit(false)) &&
+              !coalesce(col("__loser"), lit(false))).as("retained"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH src AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 53 = 0
+                      THEN 'dup template ' || (doc_id % 3)
+                        || ' shared body text repeated for near'
+                        || ' duplicate detection across documents'
+                      ELSE text END AS body
+          FROM documents WHERE text IS NOT NULL),
+        h AS (
+          SELECT doc_id,
+            '<html><head><title>doc ' || doc_id
+            || '</title></head><body>'
+            || '<nav><a href="/">Home</a> <a href="/a">About</a> '
+            || '<a href="/c">Contact</a></nav>'
+            || '<p>' || substr(body, 1, length(body) // 2) || '</p>'
+            || CASE WHEN doc_id % 3 = 0
+                    THEN '<div><a href="/buy">Buy</a> '
+                         || '<a href="/now">now</a> great deals</div>'
+                    ELSE '' END
+            || '<p>' || substr(body, length(body) // 2 + 1)
+            || ' Caf' || chr(233) || ' fin.</p>'
+            || '<footer><a href="/tos">Terms</a> '
+            || '<a href="/priv">Privacy</a> (c) site' || (doc_id % 5)
+            || '</footer></body></html>' AS html
+          FROM src),
+        frags AS (
+          SELECT doc_id, list_filter(list_transform(
+                   string_split_regex(html,
+                     '(?i)</?(?:html|head|body|title|p|div|nav|footer|header|section|article|aside|ul|ol|li|h[1-6]|table|tr|td|br)[^>]*>'),
+                   f -> trim(f)), f -> f <> '') AS fr
+          FROM h),
+        sc2 AS (
+          SELECT doc_id, list_transform(list_transform(fr,
+                   f -> struct_pack(
+                     links := len(string_split(f, '<a ')) - 1,
+                     txt := trim(regexp_replace(regexp_replace(f,
+                       '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')))),
+                 s -> struct_pack(
+                   links := struct_extract(s, 'links'),
+                   txt := struct_extract(s, 'txt'),
+                   words := CASE WHEN struct_extract(s, 'txt') = '' THEN 0
+                                 ELSE len(string_split(
+                                   struct_extract(s, 'txt'), ' ')) END))
+                 AS sc
+          FROM frags),
+        k AS (
+          SELECT doc_id, sc,
+                 list_filter(sc, s -> struct_extract(s, 'words') >= 5
+                   AND struct_extract(s, 'links') * 10
+                       <= struct_extract(s, 'words')) AS kept
+          FROM sc2),
+        ex AS (
+          SELECT doc_id,
+                 CAST(len(sc) AS INT) AS n_blocks,
+                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(kept, s -> CAST(struct_extract(s,
+                     'words') AS BIGINT))), (a, b) -> a + b) AS BIGINT)
+                   AS kept_words,
+                 CASE WHEN len(kept) > 0
+                      THEN nfc_normalize(array_to_string(
+                        list_transform(kept, s -> struct_extract(s,
+                          'txt')), ' '))
+                 END AS norm
+          FROM k),
+        sig AS (
+          SELECT doc_id, n_blocks, kept_words, norm,
+            CAST(length(norm) AS DOUBLE) AS nc,
+            CAST(len(string_split(norm, ' ')) AS DOUBLE) AS nw,
+            CAST(len(list_filter(string_split(norm, ' '),
+              x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS nstop,
+            CAST(length(norm) - length(regexp_replace(norm, '[.,;:!?]',
+              '', 'g')) AS DOUBLE) AS npunct,
+            CAST(length(norm) - length(regexp_replace(norm, '[A-Z]',
+              '', 'g')) AS DOUBLE) AS nupper
+          FROM ex),
+        qual AS (
+          SELECT doc_id, n_blocks, kept_words, norm,
+            CAST(round(
+              (CASE WHEN nc = 0 THEN 0.0 ELSE
+               floor((0.35 * (CASE WHEN nc BETWEEN 100 AND 10000
+                              THEN 1.0 ELSE 0.3 END)
+                   + 0.25 * (CASE WHEN (nc - (nw - 1)) / nw
+                             BETWEEN 3 AND 10 THEN 1.0 ELSE 0.4 END)
+                   + 0.2 * least((nstop / nw) * 5, 1.0)
+                   + 0.1 * (1.0 - npunct / nc)
+                   + 0.1 * (1.0 - nupper / nc)) * 10000 + 0.5) / 10000
+               END) * 10000) AS BIGINT) AS q_micro
+          FROM sig),
+        words AS (SELECT doc_id, string_split(norm, ' ') AS w
+                  FROM qual WHERE norm IS NOT NULL),
+        shingles AS (SELECT doc_id, CASE WHEN len(w) >= 3
+               THEN list_distinct(list_transform(
+                 generate_series(1, len(w) - 2),
+                 i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
+               ELSE [array_to_string(w, ' ')] END AS sh FROM words),
+        exsh AS (SELECT doc_id, unnest(sh) AS s FROM shingles),
+        sizes AS (SELECT doc_id, len(sh) AS n FROM shingles),
+        ndcand AS (SELECT a.doc_id ia, b.doc_id ib, count(*) AS inter
+          FROM exsh a JOIN exsh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        losers AS (SELECT DISTINCT ib AS doc_id
+          FROM ndcand JOIN sizes sa ON ia = sa.doc_id
+                      JOIN sizes sb ON ib = sb.doc_id
+          WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.8)
+        SELECT q.doc_id, n_blocks, kept_words,
+               CAST(length(norm) AS INT) AS text_len,
+               md5(norm) AS text_md5,
+               q_micro,
+               l.doc_id IS NOT NULL AS near_dup_loser,
+               COALESCE(q_micro >= 7000, FALSE)
+                 AND l.doc_id IS NULL AS retained
+        FROM qual q LEFT JOIN losers l ON q.doc_id = l.doc_id
+        ORDER BY q.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q225: CDX member index over .warc.gz ([[graft.ext.Warc.cdxIndex]])
+    // — the random-access side table crawl infrastructure publishes
+    // next to each archive: one row per gzip MEMBER with the contained
+    // record's type, target URI, and payload length (the byte
+    // offset/length handles are verified structurally by the walk's
+    // all-bytes-accounted contract and pinned by WarcSpec's
+    // slice-and-reparse test; they are deflate-size-dependent, so the
+    // formula oracle gates the structural columns). Same corpus as
+    // q221 (fixture shared), so the gate also pins the one-record-per-
+    // member profile: a multi-record member or raw-text arm (%41)
+    // fails closed to a single ok=false row. Scale shape: map-side
+    // member walk per archive file; the index rows are the ONLY thing
+    // that leaves the scan.
+    GraftQuery(
+      "q225_warcgz_cdx_index",
+      (spark, dir) => {
+        graft.ext.Warc.extractCdx(warcGzFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("mime"), col("member_idx"),
+            col("record_type"), col("target_uri"), col("payload_len"),
+            col("ok"))
+          .orderBy(col("media_id"), col("member_idx"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m, doc_id % 41 = 0 AS bad,
+                 CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END
+                   AS scheme,
+                 CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS status,
+                 CASE WHEN doc_id % 17 = 0 THEN 'Not Found' ELSE 'OK' END
+                   AS reason,
+                 'entry-' || CAST(doc_id AS VARCHAR) || '-'
+                   || repeat('ab ', CAST(1 + doc_id % 7 AS INT)) AS body
+          FROM documents),
+        f AS (
+          SELECT m, bad,
+                 scheme || '://site' || CAST(m % 5 AS VARCHAR)
+                   || '.test/doc/' || CAST(m AS VARCHAR) AS uri,
+                 'GET /doc/' || CAST(m AS VARCHAR) || ' HTTP/1.1'
+                   || chr(13) || chr(10) || 'Host: site'
+                   || CAST(m % 5 AS VARCHAR) || '.test'
+                   || chr(13) || chr(10) || chr(13) || chr(10) AS req,
+                 'HTTP/1.1 ' || status || ' ' || reason
+                   || chr(13) || chr(10) || 'Content-Type: text/html'
+                   || chr(13) || chr(10) || 'Content-Length: '
+                   || length(body) || chr(13) || chr(10)
+                   || chr(13) || chr(10) || body AS resp
+          FROM p),
+        mem AS (
+          SELECT m, bad,
+            CASE WHEN bad THEN
+              [struct_pack(idx := 0, typ := '', uri2 := '',
+                 plen := CAST(0 AS BIGINT))]
+            ELSE list_concat(
+              [struct_pack(idx := 0, typ := 'warcinfo', uri2 := '',
+                 plen := CAST(17 AS BIGINT)),
+               struct_pack(idx := 1, typ := 'request', uri2 := uri,
+                 plen := CAST(length(req) AS BIGINT)),
+               struct_pack(idx := 2, typ := 'response', uri2 := uri,
+                 plen := CAST(length(resp) AS BIGINT))],
+              CASE WHEN m % 2 = 0 THEN
+                [struct_pack(idx := 3, typ := 'metadata', uri2 := '',
+                   plen := CAST(length('fetch: ' || CAST(m AS VARCHAR))
+                     + 2 AS BIGINT))]
+              ELSE [] END)
+            END AS ms
+          FROM f),
+        u AS (SELECT m, bad, unnest(ms) AS r FROM mem)
+        SELECT m AS media_id,
+               CASE WHEN bad THEN 'application/octet-stream'
+                    ELSE 'application/warc+gzip' END AS mime,
+               CAST(struct_extract(r, 'idx') AS INT) AS member_idx,
+               struct_extract(r, 'typ') AS record_type,
+               struct_extract(r, 'uri2') AS target_uri,
+               struct_extract(r, 'plen') AS payload_len,
+               NOT bad AS ok
+        FROM u
+        ORDER BY media_id, member_idx""")),
+
+    // ------------------------------------------------------------------
+    // q227: crawl-refresh diff — the INCREMENTAL-ingest census a
+    // periodically re-crawled corpus needs: snapshot A (the q216
+    // corpus, fixture shared) vs snapshot B (same synthesis, a
+    // different fail arm and a content drift at doc_id % 7), compared
+    // by (url, body digest) after each side's archive walk + status
+    // filter: per domain, how many pages are unchanged / changed /
+    // added (B only) / removed (A only). The arms make every status
+    // reachable: A's bad arm (%41) becomes ADDED in B (B parses
+    // there), B's bad arm (%43) becomes REMOVED, %7 bodies get a
+    // "-v2" suffix (CHANGED), 404s (%17) are excluded from both.
+    // Scale shape: both walks map-side; ONE url-keyed full-outer join
+    // (both sides co-keyed on url — no broadcast, no skew), then a
+    // domain-sized rollup.
+    GraftQuery(
+      "q227_crawl_refresh_diff",
+      (spark, dir) => {
+        import graft.ext.Warc
+        val a = Warc.extractWarc(warcFixture(spark, dir)).toDF()
+          .filter(col("ok") && col("http_status") === 200)
+          .select(col("target_uri").as("url"),
+            col("body_md5").as("md5_a"))
+        val b = Warc.extractWarc(warcRefreshFixture(spark, dir)).toDF()
+          .filter(col("ok") && col("http_status") === 200)
+          .select(col("target_uri").as("url"),
+            col("body_md5").as("md5_b"))
+        val domain = substring_index(
+          substring_index(col("url"), "://", -1), "/", 1)
+        a.join(b, Seq("url"), "full_outer")
+          .select(domain.as("domain"),
+            when(col("md5_a").isNotNull && col("md5_b").isNotNull &&
+              col("md5_a") === col("md5_b"), "unchanged")
+              .when(col("md5_a").isNotNull && col("md5_b").isNotNull,
+                "changed")
+              .when(col("md5_b").isNotNull, "added")
+              .otherwise("removed").as("status"))
+          .groupBy(col("domain"))
+          .agg(
+            sum(when(col("status") === "unchanged", 1L).otherwise(0L))
+              .as("n_unchanged"),
+            sum(when(col("status") === "changed", 1L).otherwise(0L))
+              .as("n_changed"),
+            sum(when(col("status") === "added", 1L).otherwise(0L))
+              .as("n_added"),
+            sum(when(col("status") === "removed", 1L).otherwise(0L))
+              .as("n_removed"))
+          .orderBy(col("domain"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m,
+                 doc_id % 41 = 0 AS bad_a,
+                 doc_id % 43 = 0 AS bad_b,
+                 doc_id % 17 = 0 AS p404,
+                 doc_id % 7 = 0 AS drift
+          FROM documents),
+        s AS (
+          SELECT 'site' || CAST(m % 5 AS VARCHAR) || '.test' AS domain,
+                 NOT bad_a AND NOT p404 AS in_a,
+                 NOT bad_b AND NOT p404 AS in_b,
+                 drift
+          FROM p
+          WHERE (NOT bad_a OR NOT bad_b) AND NOT p404)
+        SELECT domain,
+               CAST(SUM(CASE WHEN in_a AND in_b AND NOT drift
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+               CAST(SUM(CASE WHEN in_a AND in_b AND drift
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+               CAST(SUM(CASE WHEN NOT in_a AND in_b
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+               CAST(SUM(CASE WHEN in_a AND NOT in_b
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        FROM s
+        GROUP BY domain
+        ORDER BY domain""")))
 
   /** Synthesized WARC corpus for q216: one archive per document —
     * warcinfo + request + response (+ metadata on even ids), every
@@ -801,6 +1140,46 @@ object WebCurationQueries {
                 else Nil)
               graft.ext.Multimodal.MediaRecord(m, "application/warc+gzip",
                 graft.ext.Warc.encodeGz(recs))
+            }
+          }
+        }.toDF()
+    }.as[graft.ext.Multimodal.MediaRecord]
+  }
+
+  /** The q227 refresh snapshot: the q216 synthesis with the fail arm
+    * moved to doc_id % 43 (so A's bad rows become ADDED and B's become
+    * REMOVED) and a "-v2" body drift at doc_id % 7 (CHANGED).
+    */
+  private def warcRefreshFixture(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String)
+      : org.apache.spark.sql.Dataset[graft.ext.Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q227_fixture", dir) {
+      t.documents.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (m, text) =>
+            if (m % 43 == 0)
+              graft.ext.Multimodal.MediaRecord(m,
+                "application/octet-stream", text.getBytes("UTF-8"))
+            else {
+              val scheme = if (m % 2 == 0) "http" else "https"
+              val uri = scheme + "://site" + (m % 5) + ".test/doc/" + m
+              val date = "2026-08-" + (10 + m % 19) + "T00:00:00Z"
+              val status = if (m % 17 == 0) 404 else 200
+              val reason = if (status == 200) "OK" else "Not Found"
+              val body = s"entry-$m-" + "ab " * (1 + (m % 7)).toInt +
+                (if (m % 7 == 0) "-v2" else "")
+              val httpResp =
+                s"HTTP/1.1 $status $reason\r\nContent-Type: text/html\r\n" +
+                s"Content-Length: ${body.length}\r\n\r\n$body"
+              graft.ext.Multimodal.MediaRecord(m, "application/warc",
+                graft.ext.Warc.encode(Seq(
+                  ("warcinfo", Seq("WARC-Date" -> date),
+                    "software: graft\r\n".getBytes("UTF-8")),
+                  ("response",
+                    Seq("WARC-Target-URI" -> uri, "WARC-Date" -> date),
+                    httpResp.getBytes("UTF-8")))))
             }
           }
         }.toDF()

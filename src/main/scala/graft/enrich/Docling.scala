@@ -56,6 +56,121 @@ final class LocalDocling(
   }
 }
 
+/** Engine-side Docling: REAL text extraction for the two payload
+  * formats the reference actually transfers (goanywhere-config.md:123
+  * monitors `*.pdf;*.docx`), with no external service — the offline
+  * binding that makes [[graft.stream.FilePipeline]] produce text out
+  * of real documents instead of [[LocalDocling]]'s deterministic
+  * fake. `fetch` resolves the request's `source` URI to bytes (an
+  * [[graft.sinks.ObjectStore]] getter in the pipeline, a map in
+  * tests — the reference equivalently passes an s3:// URI and lets
+  * Docling pull it, camel/file-pipeline.yaml:129). Dispatch is on
+  * MAGIC BYTES, never the caller's format string; extraction is
+  * [[graft.ext.DocText]]'s restricted-profile parsers; the result is
+  * the same docling/v1 JSON shape [[LocalDocling]] emits, with the
+  * `text` field real. Malformed, out-of-profile, or unresolvable
+  * documents throw RuntimeException — NonFatal, so [[RetryPolicy]]
+  * retries and the pipeline's error column routes to the DLQ branch,
+  * the X1 failure contract.
+  */
+final class ExtractingDocling(fetch: String => Array[Byte])
+    extends DoclingClient {
+
+  override def convert(requestJson: String): String = {
+    val source = ExtractingDocling.stringField(requestJson, "source")
+      .getOrElse(throw new RuntimeException(
+        "docling: request carries no source URI"))
+    val bytes =
+      try fetch(source)
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new RuntimeException(
+          s"docling: cannot fetch $source: ${e.getMessage}", e)
+      }
+    if (bytes == null)
+      throw new RuntimeException(s"docling: cannot fetch $source")
+    val (format, pages, units, text) =
+      if (bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
+        bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-')
+        graft.ext.DocText.PdfTextExtract.parse(bytes) match {
+          case Some((ns, ops, t)) => ("pdf", ns, ops, t)
+          case None => throw new RuntimeException(
+            s"docling: malformed or out-of-profile pdf: $source")
+        }
+      else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == 'K')
+        graft.ext.DocText.DocxTextExtract.parse(bytes) match {
+          case Some((np, nr, t)) => ("docx", np, nr, t)
+          case None => throw new RuntimeException(
+            s"docling: malformed or out-of-profile docx: $source")
+        }
+      else throw new RuntimeException(
+        s"docling: unsupported format (magic bytes) for $source")
+    s"""{"schema":"docling/v1","format":"$format","pages":$pages,""" +
+      s""""units":$units,"text":"${ExtractingDocling.jsonEscape(text)}"}"""
+  }
+}
+
+object ExtractingDocling {
+
+  /** Minimal string-field read over the request JSON (the envelope's
+    * P4 template): first occurrence of `"name"` as a KEY, its string
+    * value unescaped. The request is engine-authored (`to_json` over a
+    * struct), so the first occurrence IS the key — documented profile,
+    * not a general JSON parser.
+    */
+  private[enrich] def stringField(json: String, name: String)
+      : Option[String] = {
+    val key = "\"" + name + "\""
+    val at = json.indexOf(key)
+    if (at < 0) return None
+    var i = at + key.length
+    while (i < json.length && (json(i) == ' ' || json(i) == ':')) i += 1
+    if (i >= json.length || json(i) != '"') return None
+    i += 1
+    val sb = new StringBuilder
+    while (i < json.length) {
+      json(i) match {
+        case '"' => return Some(sb.toString)
+        case '\\' if i + 1 < json.length =>
+          json(i + 1) match {
+            case '"' => sb.append('"')
+            case '\\' => sb.append('\\')
+            case '/' => sb.append('/')
+            case 'n' => sb.append('\n')
+            case 't' => sb.append('\t')
+            case 'r' => sb.append('\r')
+            case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case 'u' if i + 5 < json.length =>
+              sb.append(Integer.parseInt(
+                json.substring(i + 2, i + 6), 16).toChar)
+              i += 4
+            case other => sb.append(other)
+          }
+          i += 1
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    None // unterminated string
+  }
+
+  /** JSON string escape: quote, backslash, and all control chars. */
+  private[enrich] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' =>
+        sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+}
+
 /** Connection settings for [[HttpDocling]], mirroring the reference's
   * client config (application.properties:73-74: 30 s connect timeout,
   * 300 s socket timeout; camel/file-pipeline.yaml:153-158: POST to

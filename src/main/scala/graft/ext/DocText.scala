@@ -553,6 +553,74 @@ object DocText {
     }
   }
 
+  // ------------------------------------------------------------------
+  // unified multi-format dispatch
+  // ------------------------------------------------------------------
+
+  final case class AnyText(
+      media_id: Long,
+      mime: String,
+      format: String,
+      raw: String,
+      needs_html: Boolean,
+      ok: Boolean,
+      error: Option[String])
+
+  /** Magic-byte format dispatch over a mixed-format corpus — the
+    * unification step a real crawl+archive pipeline needs (the same
+    * logical document arrives as PDF from a document store, DOCX from
+    * an inbox, HTML from a crawl, plain text from an export):
+    * `%PDF-` → [[PdfTextExtract]], `PK` → [[DocxTextExtract]],
+    * leading `<` → decoded as markup with `needs_html = true` (the
+    * caller runs [[HtmlText.htmlExtractText]] over those rows —
+    * boilerplate removal is DataFrame-expression work, not a byte
+    * kernel), anything else valid-UTF-8 → plain text as-is. Dispatch
+    * is structural (never the caller's mime string); per-format
+    * profile violations fail closed.
+    */
+  def extractAnyText(media: Dataset[Multimodal.MediaRecord])
+      : Dataset[AnyText] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          val b = r.media
+          if (b != null && b.length >= 5 && b(0) == '%' && b(1) == 'P' &&
+            b(2) == 'D' && b(3) == 'F' && b(4) == '-')
+            PdfTextExtract.parse(b) match {
+              case Some((_, _, t)) =>
+                AnyText(r.media_id, r.mime, "pdf", t,
+                  needs_html = false, ok = true, None)
+              case None => AnyText(r.media_id, r.mime, "", "",
+                needs_html = false, ok = false, None)
+            }
+          else if (b != null && b.length >= 4 && b(0) == 'P' && b(1) == 'K')
+            DocxTextExtract.parse(b) match {
+              case Some((_, _, t)) =>
+                AnyText(r.media_id, r.mime, "docx", t,
+                  needs_html = false, ok = true, None)
+              case None => AnyText(r.media_id, r.mime, "", "",
+                needs_html = false, ok = false, None)
+            }
+          else if (b != null && b.length >= 1 && b(0) == '<')
+            AnyText(r.media_id, r.mime, "html",
+              new String(b, "UTF-8"), needs_html = true, ok = true, None)
+          else if (b != null && b.length >= 1)
+            AnyText(r.media_id, r.mime, "txt",
+              new String(b, "UTF-8"), needs_html = false, ok = true, None)
+          else AnyText(r.media_id, r.mime, "", "",
+            needs_html = false, ok = false, None)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            AnyText(r.media_id, r.mime, "", "", needs_html = false,
+              ok = false,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      }
+    }
+  }
+
   /** DOCX text-extraction stage: same per-partition discipline as
     * [[extractPdfText]].
     */

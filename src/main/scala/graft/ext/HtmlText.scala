@@ -88,4 +88,41 @@ object HtmlText {
         when(col("__nk") > 0, md5(col("__extracted"))))
       .drop("__extracted", "__nk")
   }
+
+  /** [[htmlExtract]] variant that RETURNS the extracted main text —
+    * the composite-pipeline entry point (q224): downstream stages
+    * (normalization, quality scoring, near-dup) consume the text
+    * itself, not its digest. Same segmentation chain, same integer
+    * keep rule, same expression-binding discipline; `extracted` is
+    * NULL when nothing survives.
+    */
+  def htmlExtractText(df: DataFrame, id: Column, html: Column,
+                      minWords: Int = 5): DataFrame = {
+    val frags = filter(
+      transform(split(html, BlockTagPattern), f => trim(f)),
+      f => f =!= "")
+    val base = transform(frags, f => struct(
+      (size(split(f, "<a ", -1)) - 1).as("links"),
+      trim(regexp_replace(regexp_replace(f, "<[^>]*>", " "),
+        "\\s+", " ")).as("text")))
+    val scored = transform(base, s => struct(
+      s.getField("links").as("links"),
+      s.getField("text").as("text"),
+      when(s.getField("text") === "", 0)
+        .otherwise(size(split(s.getField("text"), " ", -1)))
+        .as("words")))
+    df.select(id.as("doc_id"), scored.as("__sc"))
+      .withColumn("__kept", filter(col("__sc"), s =>
+        s.getField("words") >= minWords &&
+          s.getField("links") * 10 <= s.getField("words")))
+      .select(
+        col("doc_id"),
+        size(col("__sc")).as("n_blocks"),
+        size(col("__kept")).as("n_kept"),
+        aggregate(col("__kept"), lit(0L),
+          (a, s) => a + s.getField("words")).as("kept_words"),
+        when(size(col("__kept")) > 0,
+          array_join(transform(col("__kept"), s => s.getField("text")),
+            " ")).as("extracted"))
+  }
 }

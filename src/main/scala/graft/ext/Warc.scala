@@ -170,13 +170,29 @@ object Warc {
     * OOM).
     */
   def gunzipAll(b: Array[Byte], maxBytes: Int = 1 << 26)
-      : Option[Array[Byte]] = {
+      : Option[Array[Byte]] =
+    gzMembers(b, maxBytes).map { ms =>
+      val out = new java.io.ByteArrayOutputStream
+      ms.foreach { case (_, _, data) => out.write(data) }
+      out.toByteArray
+    }
+
+  /** The member walk behind [[gunzipAll]] and [[cdxIndex]]: one
+    * (byteOffset, compressedLength, inflatedBytes) per gzip member,
+    * with the same all-bytes-accounted fail-closed contract. Offsets
+    * and lengths are the random-access handles a CDX index records —
+    * `b[offset, offset+length)` is a self-contained gzip member.
+    */
+  def gzMembers(b: Array[Byte], maxBytes: Int = 1 << 26)
+      : Option[Seq[(Long, Long, Array[Byte])]] = {
     if (b == null || b.length < 2 ||
       (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) return None
     def le32(i: Int): Long =
       (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
         ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
-    val out = new java.io.ByteArrayOutputStream
+    val members =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Byte])]
+    var total = 0L
     var pos = 0
     while (pos < b.length) {
       // --- member header (RFC 1952 §2.3) ---
@@ -215,7 +231,7 @@ object Warc {
         inf.setInput(b, p, b.length - p)
         val crc = new java.util.zip.CRC32
         val buf = new Array[Byte](8192)
-        var memberLen = 0L
+        val mout = new java.io.ByteArrayOutputStream
         while (!inf.finished()) {
           val n =
             try inf.inflate(buf)
@@ -227,20 +243,109 @@ object Warc {
             if (inf.needsInput() || inf.needsDictionary()) return None
           } else {
             crc.update(buf, 0, n)
-            out.write(buf, 0, n)
-            memberLen += n
-            if (out.size > maxBytes) return None
+            mout.write(buf, 0, n)
+            total += n
+            if (total > maxBytes) return None
           }
         }
         p += inf.getBytesRead.toInt
         // --- trailer: CRC32 + ISIZE (length mod 2^32) ---
         if (p + 8 > b.length) return None
         if (le32(p) != crc.getValue) return None
-        if (le32(p + 4) != (memberLen & 0xffffffffL)) return None
+        if (le32(p + 4) != (mout.size.toLong & 0xffffffffL)) return None
+        members += ((pos.toLong, (p + 8 - pos).toLong, mout.toByteArray))
         pos = p + 8
       } finally inf.end()
     }
-    Some(out.toByteArray)
+    Some(members.toSeq)
+  }
+
+  /** Random-access member fetch — the CDX SERVING path: inflate
+    * EXACTLY the member at `(offset, length)` from the index, never
+    * touching the rest of the file (at crawl scale this is the range
+    * request a record reader issues against the archive store). The
+    * slice must be one whole well-formed member; anything else is
+    * fail-closed None.
+    */
+  def fetchMember(b: Array[Byte], offset: Long, length: Long,
+                  maxBytes: Int = 1 << 26): Option[Array[Byte]] = {
+    if (b == null || offset < 0 || length < 18 ||
+      offset + length > b.length) return None
+    val slice = java.util.Arrays.copyOfRange(
+      b, offset.toInt, (offset + length).toInt)
+    gzMembers(slice, maxBytes) match {
+      case Some(Seq((0L, l, data))) if l == length => Some(data)
+      case _ => None
+    }
+  }
+
+  final case class CdxRow(
+      media_id: Long,
+      mime: String,
+      member_idx: Int,
+      offset: Long,
+      member_len: Long,
+      record_type: String,
+      target_uri: String,
+      payload_len: Long,
+      ok: Boolean,
+      error: Option[String])
+
+  /** CDX-style member index of a `.warc.gz` — the random-access side
+    * table Common Crawl publishes next to each archive: one row per
+    * gzip member with its byte offset + compressed length (the range
+    * a reader fetches to decompress exactly one record without
+    * touching the rest of the file) and the contained record's type,
+    * target URI, and payload length. Restricted profile: exactly ONE
+    * record per member (the CC layout — it is what makes member
+    * offsets usable as record addresses); a multi-record member or
+    * any walk defect is fail-closed None.
+    */
+  def cdxIndex(b: Array[Byte], maxBytes: Int = 1 << 26)
+      : Option[Seq[(Int, Long, Long, String, String, Long)]] =
+    gzMembers(b, maxBytes).flatMap { ms =>
+      val out = Vector.newBuilder[(Int, Long, Long, String, String, Long)]
+      var idx = 0
+      val it = ms.iterator
+      while (it.hasNext) {
+        val (off, clen, data) = it.next()
+        record(data, 0) match {
+          case Some((typ, hs, _, pLen, next)) if next == data.length =>
+            out += ((idx, off, clen, typ,
+              hs.getOrElse("warc-target-uri", ""), pLen.toLong))
+          case _ => return None
+        }
+        idx += 1
+      }
+      Some(out.result())
+    }
+
+  /** CDX extraction stage over `.warc.gz` payloads: one row per
+    * member for parseable archives, one ok=false row otherwise —
+    * the same per-partition discipline as [[extractWarc]].
+    */
+  def extractCdx(media: Dataset[Multimodal.MediaRecord])
+      : Dataset[CdxRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      try {
+        cdxIndex(r.media) match {
+          case Some(rows) => rows.map { case (i, off, clen, typ, uri, plen) =>
+            CdxRow(r.media_id, r.mime, i, off, clen, typ, uri, plen,
+              ok = true, None)
+          }
+          case None =>
+            Seq(CdxRow(r.media_id, r.mime, 0, 0L, 0L, "", "", 0L,
+              ok = false, None))
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Seq(CdxRow(r.media_id, r.mime, 0, 0L, 0L, "", "", 0L,
+            ok = false,
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName))))
+      }
+    }
   }
 
   /** Parse a `.warc.gz` (per-record gzip members or one whole-file

@@ -1,0 +1,136 @@
+package graft.enrich
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.enrich.ExtractingDocling]] — the engine-side Docling: the
+  * binding that makes the pipeline produce REAL text from real
+  * PDF/DOCX bytes offline. Pins magic-byte dispatch (never the
+  * request's format string), the docling/v1 result shape with the
+  * text round-trippable through the JSON escape, the NonFatal failure
+  * contract under [[RetryPolicy]], and the full
+  * [[graft.stream.FilePipeline.enrich]] path end-to-end.
+  */
+class ExtractingDoclingSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  private def bytes(s: String) = s.getBytes("ISO-8859-1")
+
+  private def pdf(content: String): Array[Byte] =
+    bytes(s"%PDF-1.4\n1 0 obj\n<< /Length ${content.length} >>\nstream\n" +
+      content + "\nendstream\nendobj\ntrailer\n<< /Size 2 >>\n" +
+      "startxref\n0\n%%EOF\n")
+
+  private def docx(xml: String): Array[Byte] = {
+    val data = xml.getBytes("UTF-8")
+    val out = new java.io.ByteArrayOutputStream
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = (0 until 4).foreach(i =>
+      out.write(((v >> (8 * i)) & 0xff).toInt))
+    val crc = new java.util.zip.CRC32; crc.update(data)
+    val name = "word/document.xml".getBytes("UTF-8")
+    out.write(Array[Byte](0x50, 0x4b, 0x03, 0x04)); le16(20); le16(0)
+    le16(0); le16(0); le16(0); le32(crc.getValue)
+    le32(data.length.toLong); le32(data.length.toLong)
+    le16(name.length); le16(0); out.write(name); out.write(data)
+    val cdOff = out.size
+    out.write(Array[Byte](0x50, 0x4b, 0x01, 0x02)); le16(20); le16(20)
+    le16(0); le16(0); le16(0); le16(0); le32(crc.getValue)
+    le32(data.length.toLong); le32(data.length.toLong)
+    le16(name.length); le16(0); le16(0); le16(0); le16(0); le32(0L)
+    le32(0L); out.write(name)
+    val cdLen = out.size - cdOff
+    out.write(Array[Byte](0x50, 0x4b, 0x05, 0x06)); le16(0); le16(0)
+    le16(1); le16(1); le32(cdLen.toLong); le32(cdOff.toLong); le16(0)
+    out.toByteArray
+  }
+
+  private val store: Map[String, Array[Byte]] = Map(
+    "mem://a.pdf" -> pdf("BT (Real \\(pdf\\) text: \"quoted\") Tj ET"),
+    "mem://b.docx" -> docx("<w:document><w:body><w:p><w:r>" +
+      "<w:t>Real docx &amp; text</w:t></w:r></w:p></w:body></w:document>"),
+    "mem://mislabeled.docx" -> pdf("BT (actually a pdf) Tj ET"),
+    "mem://raw.bin" -> bytes("just some text, no container"),
+    // /Length overruns the declared stream: out of profile
+    "mem://broken.pdf" -> bytes("%PDF-1.4\n1 0 obj\n<< /Length 99 >>\n" +
+      "stream\nBT (x) Tj ET\nendstream\nendobj\n%%EOF\n"))
+
+  private val client = new ExtractingDocling(store.apply)
+
+  private def req(source: String, fmt: String = "pdf"): String =
+    s"""{"source":"$source","options":{"from_format":"$fmt"}}"""
+
+  test("pdf and docx convert to docling/v1 results carrying the REAL " +
+      "extracted text, JSON-escape round-tripped") {
+    val r1 = client.convert(req("mem://a.pdf"))
+    assert(r1.contains("\"schema\":\"docling/v1\""))
+    assert(ExtractingDocling.stringField(r1, "format").contains("pdf"))
+    assert(ExtractingDocling.stringField(r1, "text")
+      .contains("Real (pdf) text: \"quoted\""))
+    val r2 = client.convert(req("mem://b.docx", "docx"))
+    assert(ExtractingDocling.stringField(r2, "format").contains("docx"))
+    assert(ExtractingDocling.stringField(r2, "text")
+      .contains("Real docx & text"))
+  }
+
+  test("dispatch is on magic bytes, not the request's format string") {
+    val r = client.convert(req("mem://mislabeled.docx", "docx"))
+    assert(ExtractingDocling.stringField(r, "format").contains("pdf"))
+    assert(ExtractingDocling.stringField(r, "text")
+      .contains("actually a pdf"))
+  }
+
+  test("failures throw NonFatal and exhaust RetryPolicy: unknown " +
+      "source, raw bytes, out-of-profile pdf, missing source field") {
+    Seq(req("mem://nope.pdf"), req("mem://raw.bin"),
+        req("mem://broken.pdf"), """{"options":{}}""").foreach { rq =>
+      intercept[RuntimeException](client.convert(rq))
+      val retry = RetryPolicy(sleeper = _ => ())
+      retry.run(() => client.convert(rq)) match {
+        case Left((_, attempts)) => assert(attempts == 3)
+        case Right(_) => fail(s"expected failure for $rq")
+      }
+    }
+  }
+
+  test("json escape round-trips controls, quotes, backslashes") {
+    val hostile = "line1\nline2\t\"q\" \\  end"
+    val escaped = ExtractingDocling.jsonEscape(hostile)
+    assert(!escaped.exists(_ < ' '))
+    assert(ExtractingDocling
+      .stringField(s"""{"text":"$escaped"}""", "text").contains(hostile))
+  }
+
+  test("end-to-end: FilePipeline.enrich with ExtractingDocling — real " +
+      "text on the success branch, DLQ routing on the failure branch") {
+    import spark.implicits._
+    import graft.stream.{FilePipeline, PipelineConfig, PipelineRecord}
+    val ts = java.sql.Timestamp.valueOf("2026-08-16 00:00:00")
+    def rec(name: String, source: String) = PipelineRecord(
+      fileName = name, contentType = "application/pdf", fileSize = 10L,
+      transferId = s"t-$name", checksum = "c", correlationId = s"x-$name",
+      eventTime = ts, deliveryCount = 1, processingDate = "2026/08/16",
+      s3IncomingKey = s"incoming/$name", s3ProcessedKey = s"processed/$name",
+      s3FailedKey = s"failed/$name", doclingRequest = req(source))
+    val prepared = Seq(
+      rec("a.pdf", "mem://a.pdf"),
+      rec("b.docx", "mem://b.docx"),
+      rec("raw.bin", "mem://raw.bin")).toDS().toDF()
+    // bind a LOCAL val: `store.apply` would close over the (non-
+    // serializable) spec instance; the Map itself serializes fine
+    val localStore = store
+    val enriched = FilePipeline.enrich(prepared,
+      new ExtractingDocling(localStore),
+      PipelineConfig(retry = RetryPolicy(sleeper = _ => ())))
+    val (ok, failed) = FilePipeline.route(enriched)
+    val okRows = ok.collect().map(r => r.fileName -> r.doclingResult.get).toMap
+    assert(okRows.keySet == Set("a.pdf", "b.docx"))
+    assert(ExtractingDocling.stringField(okRows("a.pdf"), "text")
+      .contains("Real (pdf) text: \"quoted\""))
+    assert(ExtractingDocling.stringField(okRows("b.docx"), "text")
+      .contains("Real docx & text"))
+    val failRows = failed.collect()
+    assert(failRows.length == 1 && failRows(0).fileName == "raw.bin")
+    assert(failRows(0).attempts == 3 &&
+      failRows(0).error.exists(_.contains("unsupported format")))
+  }
+}

@@ -208,6 +208,45 @@ class DocTextSpec extends AnyFunSuite {
     assert(DocText.DocxTextExtract.parse(null).isEmpty)
   }
 
+  test("extractAnyText: magic-byte dispatch over a mixed corpus — " +
+      "pdf/docx/html/txt each to their extractor, defects fail closed") {
+    import org.apache.spark.sql.functions.col
+    val spark0 = graft.TestSpark.spark
+    import spark0.implicits._
+    val docxXml = "<w:document><w:body><w:p><w:r><w:t>from docx" +
+      "</w:t></w:r></w:p></w:body></w:document>"
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "application/pdf",
+        pdf(streamObj("BT (from pdf) Tj ET"))),
+      Multimodal.MediaRecord(2L, "wrong/mime", // dispatch ignores mime
+        storedZip("word/document.xml", docxXml.getBytes("UTF-8"))),
+      Multimodal.MediaRecord(3L, "text/plain", // '<' wins: html
+        "<html><body><p>from html page body text</p></body></html>"
+          .getBytes("UTF-8")),
+      Multimodal.MediaRecord(4L, "text/plain",
+        "just plain text".getBytes("UTF-8")),
+      Multimodal.MediaRecord(5L, "application/pdf",
+        bytes("%PDF-1.4\nno eof")), // corrupt pdf: fail closed
+      Multimodal.MediaRecord(6L, "application/zip",
+        bytes("PKgarbage"))) // corrupt zip: fail closed
+    val got = DocText.extractAnyText(rows.toDS())
+      .collect().map(a => a.media_id ->
+        (a.format, a.raw, a.needs_html, a.ok)).toMap
+    assert(got(1L) == (("pdf", "from pdf", false, true)))
+    assert(got(2L) == (("docx", "from docx", false, true)))
+    assert(got(3L)._1 == "html" && got(3L)._3 && got(3L)._4)
+    assert(got(4L) == (("txt", "just plain text", false, true)))
+    assert(!got(5L)._4 && !got(6L)._4)
+    // the html row flows through the DataFrame extractor downstream
+    val htmlText = HtmlText.htmlExtractText(
+        DocText.extractAnyText(rows.toDS()).toDF()
+          .filter(col("needs_html")),
+        col("media_id"), col("raw"))
+      .collect()
+    assert(htmlText.length == 1 &&
+      htmlText(0).getString(4) == "from html page body text")
+  }
+
   test("docx fuzz: single-byte mutations and truncations never throw") {
     val xml = "<w:document><w:body><w:p><w:r><w:t>Hello &amp; bye" +
       "</w:t></w:r></w:p></w:body></w:document>"

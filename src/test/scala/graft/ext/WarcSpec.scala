@@ -188,6 +188,54 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parseGz(badHcrc).isEmpty)
   }
 
+  test("cdx: member offsets are exact random-access handles — a " +
+      "sliced member re-parses alone; multi-record members fail closed") {
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nbody!"
+    val recs = Seq(
+      ("warcinfo", Nil, bytes("w: g\r\n")),
+      ("response", Seq("WARC-Target-URI" -> "u"), bytes(http)),
+      ("metadata", Nil, bytes("m: 1\r\n")))
+    val gz = Warc.encodeGz(recs)
+    val Some(idx) = Warc.cdxIndex(gz)
+    assert(idx.map(_._1) == Seq(0, 1, 2))
+    assert(idx.map(_._4) == Seq("warcinfo", "response", "metadata"))
+    assert(idx(1)._5 == "u" && idx(1)._6 == http.length.toLong)
+    // contiguity + total coverage: offsets partition the file exactly
+    assert(idx.head._2 == 0L)
+    idx.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 + a._3 == b._2, "members must be contiguous")
+    }
+    assert(idx.last._2 + idx.last._3 == gz.length.toLong)
+    // random access: the (offset, length) slice is a self-contained
+    // member whose single record is the indexed one
+    val slice = java.util.Arrays.copyOfRange(gz,
+      idx(1)._2.toInt, (idx(1)._2 + idx(1)._3).toInt)
+    val Some(members) = Warc.gzMembers(slice)
+    assert(members.length == 1)
+    // the serving path: fetchMember inflates exactly that member and
+    // the bytes re-parse as the indexed record (a 1-record archive)
+    val Some(one) = Warc.fetchMember(gz, idx(1)._2, idx(1)._3)
+    assert(java.util.Arrays.equals(one, members.head._3))
+    assert(Warc.parse(one).exists(p => p._1 == 1 && p._2 == "u"))
+    // off-by-one handles are rejected, not mis-inflated
+    assert(Warc.fetchMember(gz, idx(1)._2 + 1, idx(1)._3).isEmpty)
+    assert(Warc.fetchMember(gz, idx(1)._2, idx(1)._3 - 1).isEmpty)
+    assert(Warc.fetchMember(gz, 0L, gz.length.toLong).isEmpty) // 3 members
+    // a whole-file single member (3 records in one member) is a valid
+    // ARCHIVE (parseGz) but not a valid CDX layout (record != member)
+    val whole = {
+      val out = new java.io.ByteArrayOutputStream
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(Warc.encode(recs)); g.close()
+      out.toByteArray
+    }
+    assert(Warc.parseGz(whole).isDefined)
+    assert(Warc.cdxIndex(whole).isEmpty)
+    // not gzip at all
+    assert(Warc.cdxIndex(Warc.encode(recs)).isEmpty)
+    assert(Warc.cdxIndex(null).isEmpty)
+  }
+
   test("fuzz: single-byte mutations never throw and stay bounded") {
     val base = golden
     val rnd = new scala.util.Random(216)
