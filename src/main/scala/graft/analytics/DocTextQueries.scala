@@ -293,6 +293,59 @@ object DocTextQueries {
     }.as[Multimodal.MediaRecord]
   }
 
+  /** The q228 Avro corpus — written with the REAL Avro library (the
+    * jar ships with Spark; only the DataSource connector is absent),
+    * so the from-scratch reader is pinned against genuine
+    * library-encoded bytes: K = 1 + doc_id % 4 records of (id long,
+    * body string), deflate codec on even ids, an explicit sync every
+    * 2 records (deterministic block count = ceil(K/2)), deterministic
+    * 16-byte sync marker derived from doc_id. Fail arm at %41.
+    */
+  private def avroFixture(spark: org.apache.spark.sql.SparkSession,
+                          dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q228_fixture", dir) {
+      t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val schema = new org.apache.avro.Schema.Parser().parse(
+            """{"type":"record","name":"doc","fields":[""" +
+              """{"name":"id","type":"long"},""" +
+              """{"name":"body","type":"string"}]}""")
+          it.map { m =>
+            if (m % 41 == 0)
+              Multimodal.MediaRecord(m, "application/octet-stream",
+                s"not avro $m".getBytes("UTF-8"))
+            else {
+              val k = (1 + m % 4).toInt
+              val out = new java.io.ByteArrayOutputStream
+              val fw = new org.apache.avro.file.DataFileWriter(
+                new org.apache.avro.generic.GenericDatumWriter[
+                  org.apache.avro.generic.GenericRecord](schema))
+              if (m % 2 == 0)
+                fw.setCodec(
+                  org.apache.avro.file.CodecFactory.deflateCodec(6))
+              val sync = java.security.MessageDigest.getInstance("MD5")
+                .digest(s"graft-sync-$m".getBytes("UTF-8"))
+              fw.create(schema, out, sync)
+              (0 until k).foreach { i =>
+                val r = new org.apache.avro.generic.GenericData.Record(
+                  schema)
+                r.put("id", m * 10 + i)
+                r.put("body",
+                  s"av-$m-$i-" + "x " * (1 + ((m + i) % 5)).toInt)
+                fw.append(r)
+                if (i % 2 == 1) fw.sync()
+              }
+              fw.close()
+              Multimodal.MediaRecord(m, "avro/binary", out.toByteArray)
+            }
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
   // ---------------------------------------------------------------
   // queries
   // ---------------------------------------------------------------
@@ -465,6 +518,58 @@ object DocTextQueries {
                  AS n_copies,
                NOT bad AND m = g.keeper AS is_canonical
         FROM t LEFT JOIN g USING (c)
-        ORDER BY m"""))
+        ORDER BY m""")),
+
+    // ------------------------------------------------------------------
+    // q228: Avro OCF ingestion ([[graft.ext.AvroOcf]]) — the third
+    // from-scratch container walk (WARC q216, .warc.gz q221): magic,
+    // metadata map, schema profile check, per-block count/size/sync
+    // verification, null + raw-deflate codecs, exact byte consumption
+    // per record and per file. The fixture is written by the REAL
+    // Avro library (jar present; the Spark connector is not), so the
+    // gate pins the reader against genuine library bytes; the oracle
+    // replays every output from the record formulas. Arms: deflate at
+    // %2 vs null codec, block count forced to ceil(K/2) by explicit
+    // syncs, raw-text reject at %41. Scale shape: file-per-task
+    // map-side walk (the q216 note).
+    GraftQuery(
+      "q228_avro_ingest",
+      (spark, dir) => {
+        graft.ext.AvroOcf.extractAvro(avroFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("mime"), col("n_blocks"),
+            col("n_records"), col("codec"), col("sum_ids"),
+            col("bodies_md5"), col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m, doc_id % 41 = 0 AS bad,
+                 CAST(1 + doc_id % 4 AS INT) AS k
+          FROM documents),
+        t AS (
+          SELECT *,
+            list_transform(range(0, k), i -> m * 10 + i) AS ids,
+            list_transform(range(0, k),
+              i -> 'av-' || m || '-' || i || '-'
+                || repeat('x ', CAST(1 + (m + i) % 5 AS INT))) AS bodies
+          FROM p)
+        SELECT m AS media_id,
+               CASE WHEN bad THEN 'application/octet-stream'
+                    ELSE 'avro/binary' END AS mime,
+               CAST(CASE WHEN bad THEN 0 ELSE (k + 1) // 2 END AS INT)
+                 AS n_blocks,
+               CAST(CASE WHEN bad THEN 0 ELSE k END AS BIGINT)
+                 AS n_records,
+               CASE WHEN bad THEN ''
+                    WHEN m % 2 = 0 THEN 'deflate' ELSE 'null' END
+                 AS codec,
+               CAST(CASE WHEN bad THEN 0 ELSE list_sum(ids) END AS BIGINT)
+                 AS sum_ids,
+               CASE WHEN bad THEN ''
+                    ELSE md5(array_to_string(bodies, chr(10))) END
+                 AS bodies_md5,
+               NOT bad AS ok
+        FROM t ORDER BY m"""))
   )
 }

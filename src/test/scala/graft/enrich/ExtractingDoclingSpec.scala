@@ -120,7 +120,11 @@ class ExtractingDoclingSpec extends AnyFunSuite {
     val localStore = store
     val enriched = FilePipeline.enrich(prepared,
       new ExtractingDocling(localStore),
-      PipelineConfig(retry = RetryPolicy(sleeper = _ => ())))
+      PipelineConfig(retry = RetryPolicy(sleeper = _ => ()),
+        // private breaker: the registry is executor-local and shared
+        // across suites in one JVM — the default "docling" name may
+        // arrive OPEN from another spec's failure scenarios
+        breakerName = "docling-extract-spec"))
     val (ok, failed) = FilePipeline.route(enriched)
     val okRows = ok.collect().map(r => r.fileName -> r.doclingResult.get).toMap
     assert(okRows.keySet == Set("a.pdf", "b.docx"))
