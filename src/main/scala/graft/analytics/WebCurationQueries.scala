@@ -1040,6 +1040,78 @@ object WebCurationQueries {
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
         FROM s
         GROUP BY domain
+        ORDER BY domain""")),
+
+    // ------------------------------------------------------------------
+    // q229: sitemap coverage audit ([[graft.ext.Sitemap]]) — the
+    // scheduling complement to q218's robots compliance: parse each
+    // domain's sitemap.xml (urlset groups, required <loc>, optional
+    // <lastmod>, skipped extensions, entity decode — the &amp; in the
+    // per-domain extra URL only counts as a query URL if decoding
+    // really ran) and join it against the q216 crawl snapshot
+    // (fixture shared) per URL: listed+crawled, listed-but-uncrawled
+    // (the refresh backlog), crawled-but-unlisted (discovery side),
+    // and the freshest lastmod. Scale shape: sitemap parse map-side;
+    // ONE url-keyed full-outer join (co-keyed, unhinted); domain
+    // rollup.
+    GraftQuery(
+      "q229_sitemap_coverage",
+      (spark, dir) => {
+        import graft.ext.{Sitemap, Warc}
+        val listed = Sitemap.extractSitemap(sitemapFixture(spark, dir))
+          .toDF()
+          .filter(col("ok"))
+          .select(col("loc").as("url"), col("lastmod"))
+          .withColumn("l", lit(true))
+        val crawled = Warc.extractWarc(warcFixture(spark, dir)).toDF()
+          .filter(col("ok") && col("http_status") === 200)
+          .select(col("target_uri").as("url"))
+          .withColumn("c", lit(true))
+        val domain = substring_index(
+          substring_index(col("url"), "://", -1), "/", 1)
+        listed.join(crawled, Seq("url"), "full_outer")
+          .select(domain.as("domain"), col("l"), col("c"),
+            col("lastmod"), col("url"))
+          .groupBy(col("domain"))
+          .agg(
+            sum(when(col("l"), 1L).otherwise(0L)).as("n_listed"),
+            sum(when(col("l") && col("c"), 1L).otherwise(0L))
+              .as("n_crawled_listed"),
+            sum(when(col("l") && col("c").isNull, 1L).otherwise(0L))
+              .as("n_listed_uncrawled"),
+            sum(when(col("l").isNull && col("c"), 1L).otherwise(0L))
+              .as("n_crawled_unlisted"),
+            sum(when(col("url").contains("&b="), 1L).otherwise(0L))
+              .as("n_query_urls"),
+            max(when(col("l"), col("lastmod"))).as("max_lastmod"))
+          .orderBy(col("domain"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m, CAST(doc_id % 5 AS INT) AS d,
+                 doc_id % 3 <> 0 AS listed,
+                 doc_id % 41 <> 0 AND doc_id % 17 <> 0 AS crawled,
+                 '2026-08-' || CAST(10 + doc_id % 19 AS VARCHAR) AS lm
+          FROM documents),
+        base AS (SELECT * FROM p WHERE listed OR crawled),
+        agg AS (
+          SELECT 'site' || CAST(d AS VARCHAR) || '.test' AS domain,
+            SUM(CASE WHEN listed THEN 1 ELSE 0 END) AS nl,
+            SUM(CASE WHEN listed AND crawled THEN 1 ELSE 0 END) AS ncl,
+            SUM(CASE WHEN listed AND NOT crawled THEN 1 ELSE 0 END)
+              AS nlu,
+            SUM(CASE WHEN crawled AND NOT listed THEN 1 ELSE 0 END)
+              AS ncu,
+            max(CASE WHEN listed THEN lm END) AS max_lm
+          FROM base GROUP BY 1)
+        SELECT domain,
+               CAST(nl + 1 AS BIGINT) AS n_listed,
+               CAST(ncl AS BIGINT) AS n_crawled_listed,
+               CAST(nlu + 1 AS BIGINT) AS n_listed_uncrawled,
+               CAST(ncu AS BIGINT) AS n_crawled_unlisted,
+               CAST(1 AS BIGINT) AS n_query_urls,
+               max_lm AS max_lastmod
+        FROM agg
         ORDER BY domain""")))
 
   /** Synthesized WARC corpus for q216: one archive per document —
@@ -1182,6 +1254,46 @@ object WebCurationQueries {
                     httpResp.getBytes("UTF-8")))))
             }
           }
+        }.toDF()
+    }.as[graft.ext.Multimodal.MediaRecord]
+  }
+
+  /** The q229 sitemaps: one urlset per domain listing the doc_id % 3
+    * ≠ 0 URLs of that domain (same URL formulas as q216, so the
+    * coverage join is real) plus one never-crawled extra URL whose
+    * query string is entity-encoded (decode trap). Deterministic:
+    * entries sorted by doc_id.
+    */
+  private def sitemapFixture(spark: org.apache.spark.sql.SparkSession,
+                             dir: String)
+      : org.apache.spark.sql.Dataset[graft.ext.Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q229_fixture", dir) {
+      t.documents
+        .filter(col("doc_id") % 3 =!= 0)
+        .select((col("doc_id") % 5).as("d"), col("doc_id"))
+        .groupBy(col("d"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .as[(Long, Seq[Long])]
+        .map { case (d, ids) =>
+          val sb = new StringBuilder
+          sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>")
+          sb.append("<urlset xmlns=\"http://www.sitemaps.org/schemas/" +
+            "sitemap/0.9\">")
+          ids.foreach { m =>
+            val scheme = if (m % 2 == 0) "http" else "https"
+            sb.append("<url><loc>").append(scheme).append("://site")
+              .append(d).append(".test/doc/").append(m)
+              .append("</loc><lastmod>2026-08-").append(10 + m % 19)
+              .append("</lastmod><priority>0.5</priority></url>")
+          }
+          sb.append("<url><loc>https://site").append(d)
+            .append(".test/extra?a=1&amp;b=2</loc>")
+            .append("<lastmod>2026-08-01</lastmod></url>")
+          sb.append("</urlset>")
+          graft.ext.Multimodal.MediaRecord(d, "application/xml",
+            sb.toString.getBytes("UTF-8"))
         }.toDF()
     }.as[graft.ext.Multimodal.MediaRecord]
   }
