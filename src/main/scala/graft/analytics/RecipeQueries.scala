@@ -658,7 +658,9 @@ object RecipeQueries {
         val tags = full.groupBy(col("cluster_id"))
           .agg(sum(when(col("direct"), 1L).otherwise(0L))
             .as("n_tagged_in_cluster"))
-        full.join(broadcast(tags), "cluster_id")
+        // tags is CLUSTER-sized (grows with the corpus) — unhinted,
+        // cluster-keyed both sides
+        full.join(tags, "cluster_id")
           .select(col("doc_id"), col("cluster_id"), col("direct"),
             (col("n_tagged_in_cluster") > 0).as("tainted"),
             col("n_tagged_in_cluster"))
@@ -1005,7 +1007,10 @@ object RecipeQueries {
         // evaluation half: total Q·4m² of the produced partition vs the
         // all-singletons baseline (−Σ deg² — every e_c = 0), both exact
         val edges = SharedGraph.undirected(spark, dir)
-        val mod = graft.ext.Graph.modularity(edges, broadcast(labels))
+        // labels is NODE-sized (one row per graph node) — unhinted so
+        // the modularity joins degrade to shuffled equi-joins at graph
+        // scale instead of forcing a node-table broadcast
+        val mod = graft.ext.Graph.modularity(edges, labels)
         val qTot = mod.agg(sum(col("q_contrib_scaled")
           .cast("decimal(38,0)")).as("q_scaled"))
         val deg = edges.select(col("src").as("node"))

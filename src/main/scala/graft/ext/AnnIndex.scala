@@ -99,7 +99,10 @@ object AnnIndex {
     else {
       val tomb = spark.read.parquet(tombPath.toString)
         .groupBy(col("vec_id")).agg(max(col("gen")).as("__tomb_gen"))
-      corpus.join(broadcast(tomb), Seq("vec_id"), "left")
+      // unhinted: tombstones are maintenance-bounded (cleared by every
+      // compaction) but unbounded between compactions — AQE broadcasts
+      // the normal small case and falls back if a compaction is overdue
+      corpus.join(tomb, Seq("vec_id"), "left")
         .filter(col("__tomb_gen").isNull || col("gen") >= col("__tomb_gen"))
         .drop("__tomb_gen")
     }

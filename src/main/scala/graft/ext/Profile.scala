@@ -174,7 +174,10 @@ object Profile {
   def erasureAudit(deleted: DataFrame, deletedId: Column,
                    refs: Seq[(String, DataFrame, Column)]): DataFrame = {
     require(refs.nonEmpty, "erasure audit with zero tables")
-    val ids = broadcast(deleted.select(deletedId.as("__del_id")).distinct())
+    // unhinted: an erasure batch is contractually small, but the hint
+    // would remove the fallback if a backfill audit ever passes the
+    // full historical delete log — AQE broadcasts the normal case
+    val ids = deleted.select(deletedId.as("__del_id")).distinct()
     refs.map { case (name, df, fk) =>
       df.select(fk.as("__del_id"))
         .join(ids, "__del_id")

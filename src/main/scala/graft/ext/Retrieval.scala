@@ -119,7 +119,10 @@ object Retrieval {
         // propagation prunes the observed subtree and no metric surfaces
         // — an empty result already tells the caller everything matched
         // nothing)
-        cPost.join(broadcast(dfAll.filter(col("df") <= cap).select("word")),
+        // word-keyed both sides, unhinted: the kept vocabulary (rare
+        // words survive the cap) grows with the corpus — AQE
+        // broadcasts while small, shuffles past broadcast range
+        cPost.join(dfAll.filter(col("df") <= cap).select("word"),
           "word")
       case None => cPost
     }

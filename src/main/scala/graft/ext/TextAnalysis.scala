@@ -159,10 +159,12 @@ object TextAnalysis {
     * across engines.
     *
     * Scale shape: pass 1 trains the model (one shuffle on token,
-    * partial-agg absorbs Zipf skew); the model (vocab-sized — bounded
-    * in practice, cap upstream for open vocabularies) broadcasts into
-    * pass 2, which scores map-side and shuffles only (doc_id, long)
-    * partials. The corpus is never joined shuffle-to-shuffle.
+    * partial-agg absorbs Zipf skew); pass 2 joins it back token-keyed.
+    * That join is deliberately UNHINTED: a vocabulary grows with the
+    * corpus (Heaps' law — an open-vocabulary 100 TB crawl has billions
+    * of types), so AQE broadcasts the model while it is small and
+    * degrades to a shuffled equi-join past broadcast range instead of
+    * OOMing the driver (the q218 lesson).
     */
   def unigramLogPpl(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = docs.select(id.as("doc_id"),
@@ -174,7 +176,7 @@ object TextAnalysis {
         floor(log(col("c").cast("double") / col("total")) * -1000000d + 0.5d)
           .cast("long"))
       .select(col("token"), col("lp_micro"))
-    toks.join(broadcast(model), "token")
+    toks.join(model, "token")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("lp_micro")).as("__s"))
       .withColumn("log_ppl",
@@ -213,7 +215,9 @@ object TextAnalysis {
     val vocab = uni.agg(count(lit(1)).as("v"))
     val model = bi.groupBy(col("w1"), col("bigram"))
       .agg(count(lit(1)).as("c12"))
-      .join(broadcast(uni), "w1")
+      // token-keyed both sides, unhinted: unigram vocab grows with
+      // the corpus (see unigramLogPpl's scale note)
+      .join(uni, "w1")
       .crossJoin(broadcast(vocab))
       .withColumn("lp_micro",
         floor(-log((col("c12") + lit(0.5)) /
@@ -254,7 +258,9 @@ object TextAnalysis {
         floor(log(col("n_docs").cast("double") / col("df")) * 1000000d + 0.5d)
           .cast("long"))
       .select(col("term"), col("idf_micro"))
-    val scored = tf.join(broadcast(df_), "term")
+    // term-keyed both sides, unhinted: the term vocabulary grows with
+    // the corpus (see unigramLogPpl's scale note)
+    val scored = tf.join(df_, "term")
       .withColumn("score_micro", col("tf") * col("idf_micro"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_micro").desc, col("term"))

@@ -250,8 +250,12 @@ object UrlOps {
         countDistinct(col("__host")).as("n_hosts"),
         sum(col("__chars")).cast("long").as("total_chars"),
         sum(col("__q")).as("__qsum"))
-      .join(broadcast(nearDupDomains.select(col("registered_domain"),
-        col("n_near_dup"))), Seq("registered_domain"), "left")
+      // deliberately UNHINTED (the q218 lesson): both sides are
+      // domain-keyed aggregates — AQE broadcasts while they are small
+      // and degrades to a shuffled equi-join at web-crawl domain
+      // counts instead of OOMing the driver
+      .join(nearDupDomains.select(col("registered_domain"),
+        col("n_near_dup")), Seq("registered_domain"), "left")
       .select(col("registered_domain"), col("n_docs"), col("n_canonical"),
         col("n_hosts"), col("total_chars"),
         ((col("n_docs") - col("n_canonical")).cast("double") / col("n_docs"))

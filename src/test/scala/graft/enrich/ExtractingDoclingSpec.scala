@@ -100,6 +100,51 @@ class ExtractingDoclingSpec extends AnyFunSuite {
       .stringField(s"""{"text":"$escaped"}""", "text").contains(hostile))
   }
 
+  test("full runBatch: ExtractingDocling fetches from the just-written " +
+      "incoming/ store (the reference's S3 flow) — real text lands in " +
+      "processed/, the defect lands in failed/") {
+    import org.apache.spark.sql.Row
+    import graft.stream.{BatchMetrics, FilePipeline, PipelineConfig}
+    import graft.ops.Envelope
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-docling-e2e").toString
+    val ts = java.sql.Timestamp.valueOf("2026-08-16 01:02:03")
+    def row(fn: String, body: Array[Byte]) = Row(
+      fn, "application/pdf", body.length.toLong, s"T-$fn", "c" * 64,
+      s"corr-$fn", body, ts, 1)
+    val env = spark.createDataFrame(java.util.Arrays.asList(
+      row("a.pdf", pdf("BT (Full pipeline text) Tj ET")),
+      row("b.docx", docx("<w:document><w:body><w:p><w:r><w:t>docx " +
+        "through the store</w:t></w:r></w:p></w:body></w:document>")),
+      row("bad.bin", bytes("no container at all"))),
+      Envelope.envelopeSchema)
+    // the fetch side IS the object store runBatch just wrote (K1
+    // happens before enrichment, exactly the reference's Docling-
+    // pulls-from-S3 contract, camel/file-pipeline.yaml:129)
+    val client = new ExtractingDocling(key =>
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, key)))
+    val m = FilePipeline.runBatch(env, out, client,
+      PipelineConfig(retry = RetryPolicy(sleeper = _ => ()),
+        breakerName = java.util.UUID.randomUUID().toString))
+    assert(m == BatchMetrics(3, 2, 1, 0))
+    def slurp(sub: String): Seq[String] = {
+      val dir = java.nio.file.Paths.get(out, sub)
+      val files = java.nio.file.Files.walk(dir).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(java.nio.file.Files.isRegularFile(_))
+      files.map(p => new String(java.nio.file.Files.readAllBytes(p),
+        "UTF-8")).toSeq
+    }
+    val processed = slurp("processed")
+    assert(processed.length == 2)
+    assert(processed.exists(_.contains("Full pipeline text")))
+    assert(processed.exists(_.contains("docx through the store")))
+    val failed = slurp("failed")
+    assert(failed.length == 1 &&
+      failed(0).contains("unsupported format"))
+  }
+
   test("end-to-end: FilePipeline.enrich with ExtractingDocling — real " +
       "text on the success branch, DLQ routing on the failure branch") {
     import spark.implicits._
