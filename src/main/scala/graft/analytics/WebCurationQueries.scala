@@ -1112,7 +1112,127 @@ object WebCurationQueries {
                CAST(1 AS BIGINT) AS n_query_urls,
                max_lm AS max_lastmod
         FROM agg
-        ORDER BY domain""")))
+        ORDER BY domain""")),
+
+    // ------------------------------------------------------------------
+    // q230: fetch-frontier scheduling — the capstone of the crawl arc
+    // (q216 ingest → q218 compliance → q229 coverage → q227 refresh):
+    // build the NEXT fetch list. Candidates: sitemap-listed pages the
+    // last crawl missed (priority 1, 'discover' — q229's backlog,
+    // derived by an anti-join against the snapshot) ∪ pages whose
+    // content drifted between snapshots (priority 2, 'recrawl' —
+    // q227's changed set). Every candidate then passes
+    // [[graft.ext.Robots.evaluate]] (verdict carried through the
+    // aggregation, the q220 shape); disallowed candidates are counted,
+    // never fetched. Output per domain: candidate counts by class,
+    // blocked count, and the top-3 fetch order (priority, then URL).
+    // Scale shape: all joins URL- or domain-keyed and unhinted; the
+    // per-domain top-3 is a bounded sort_array over an
+    // already-aggregated list.
+    GraftQuery(
+      "q230_fetch_frontier",
+      (spark, dir) => {
+        import graft.ext.{Robots, Warc}
+        import spark.implicits._
+        val a = Warc.extractWarc(warcFixture(spark, dir)).toDF()
+          .filter(col("ok") && col("http_status") === 200)
+          .select(col("target_uri").as("url"), col("body_md5").as("m_a"))
+        val b = Warc.extractWarc(warcRefreshFixture(spark, dir)).toDF()
+          .filter(col("ok") && col("http_status") === 200)
+          .select(col("target_uri").as("url"), col("body_md5").as("m_b"))
+        val recrawl = a.join(b, Seq("url"))
+          .filter(col("m_a") =!= col("m_b"))
+          .select(col("url"), lit(2).as("priority"))
+        val discover = graft.ext.Sitemap
+          .extractSitemap(sitemapFixture(spark, dir)).toDF()
+          .filter(col("ok"))
+          .select(col("loc").as("url"))
+          .join(a.select(col("url")), Seq("url"), "left_anti")
+          .select(col("url"), lit(1).as("priority"))
+        val cand = discover.unionByName(recrawl)
+        val rest = substring_index(col("url"), "://", -1)
+        val withDom = cand
+          .withColumn("domain", substring_index(rest, "/", 1))
+          .withColumn("path",
+            col("url").substr(
+              length(substring_index(col("url"), "://", 1)) + lit(3) +
+                length(substring_index(rest, "/", 1)) + lit(1),
+              length(col("url"))))
+        val bodies = Seq(
+          "site0.test" -> ("# corpus policy\nUser-agent: *\n" +
+            "Disallow: /doc/1\nCrawl-delay: 2\n"),
+          "site1.test" -> ("User-agent: *\nDisallow: /doc/\n\n" +
+            "User-agent: GraftBot\nAllow: /doc/2\nDISALLOW: /doc/\n"),
+          "site2.test" -> ("User-agent: *\nDisallow: /doc/3\n" +
+            "Allow: /doc/3\nDisallow: /doc/4\n"),
+          "site3.test" -> ("User-agent: *\nDisallow: /\n\n" +
+            "User-Agent: graftbot\nDisallow:\n"),
+          "site4.test" -> "")
+        val rules = bodies
+          .flatMap { case (dom, t) => Robots.parse(dom, t) }.toDF()
+        val verdicts = Robots.evaluate(
+          withDom.select(col("url"), col("domain"), col("path"),
+            col("priority")),
+          rules, "GraftBot", carry = Seq("priority"))
+        verdicts
+          .withColumn("__k",
+            when(col("allowed"),
+              concat(col("priority").cast("string"), lit("|"),
+                col("url"))))
+          .groupBy(col("domain"))
+          .agg(
+            sum(when(col("allowed") && col("priority") === 1, 1L)
+              .otherwise(0L)).as("n_discover"),
+            sum(when(col("allowed") && col("priority") === 2, 1L)
+              .otherwise(0L)).as("n_recrawl"),
+            sum(when(!col("allowed"), 1L).otherwise(0L)).as("n_blocked"),
+            transform(
+              slice(sort_array(collect_list(col("__k"))), 1, 3),
+              k => k.substr(lit(3), length(k))).as("top_urls"))
+          .orderBy(col("domain"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m, CAST(doc_id % 5 AS INT) AS d,
+                 CAST(doc_id AS VARCHAR) AS s,
+                 doc_id % 41 = 0 AS bad_a, doc_id % 43 = 0 AS bad_b,
+                 doc_id % 17 = 0 AS p404,
+                 doc_id % 3 <> 0 AS listed, doc_id % 7 = 0 AS drift,
+                 (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+                   || '://site' || CAST(doc_id % 5 AS VARCHAR)
+                   || '.test/doc/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents),
+        c AS (
+          SELECT d, url, 1 AS pri, s, FALSE AS extra FROM p
+          WHERE listed AND (bad_a OR p404)
+          UNION ALL
+          SELECT d, url, 2, s, FALSE FROM p
+          WHERE NOT bad_a AND NOT bad_b AND NOT p404 AND drift
+          UNION ALL
+          SELECT d, 'https://site' || CAST(d AS VARCHAR)
+                   || '.test/extra?a=1&b=2', 1, '', TRUE
+          FROM (SELECT DISTINCT CAST(doc_id % 5 AS INT) AS d
+                FROM documents)),
+        v AS (
+          SELECT *, CASE WHEN extra THEN TRUE
+                 WHEN d = 0 THEN NOT starts_with(s, '1')
+                 WHEN d = 1 THEN starts_with(s, '2')
+                 WHEN d = 2 THEN NOT starts_with(s, '4')
+                 ELSE TRUE END AS allowed,
+               CAST(pri AS VARCHAR) || '|' || url AS k
+          FROM c)
+        SELECT 'site' || CAST(d AS VARCHAR) || '.test' AS domain,
+               CAST(SUM(CASE WHEN allowed AND pri = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_discover,
+               CAST(SUM(CASE WHEN allowed AND pri = 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_recrawl,
+               CAST(SUM(CASE WHEN NOT allowed THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_blocked,
+               list_transform(
+                 list_slice(list_sort(list(k) FILTER (WHERE allowed)),
+                   1, 3),
+                 x -> x[3:]) AS top_urls
+        FROM v GROUP BY d ORDER BY 1""")))
 
   /** Synthesized WARC corpus for q216: one archive per document —
     * warcinfo + request + response (+ metadata on even ids), every
