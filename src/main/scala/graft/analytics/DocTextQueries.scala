@@ -100,7 +100,10 @@ object DocTextQueries {
 
   /** word/document.xml: 1 + m%4 paragraphs, each split across two
     * `<w:t>` runs (the second with xml:space) so the extractor must
-    * concatenate runs and decode entities.
+    * concatenate runs and decode entities. The xmlns value is the
+    * ECMA-376 standard's namespace IDENTIFIER (a format constant like
+    * a magic number, required for a conformant part) — not a network
+    * endpoint; nothing dereferences it.
     */
   private def documentXml(m: Long): String = {
     val np = (1 + m % 4).toInt

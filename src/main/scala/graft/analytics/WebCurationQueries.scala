@@ -1382,7 +1382,9 @@ object WebCurationQueries {
     * ≠ 0 URLs of that domain (same URL formulas as q216, so the
     * coverage join is real) plus one never-crawled extra URL whose
     * query string is entity-encoded (decode trap). Deterministic:
-    * entries sorted by doc_id.
+    * entries sorted by doc_id. The xmlns value is the sitemaps.org
+    * protocol's namespace IDENTIFIER (a format constant; nothing
+    * dereferences it).
     */
   private def sitemapFixture(spark: org.apache.spark.sql.SparkSession,
                              dir: String)
