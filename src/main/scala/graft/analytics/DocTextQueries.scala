@@ -349,6 +349,56 @@ object DocTextQueries {
     }.as[Multimodal.MediaRecord]
   }
 
+  /** The q231 corpus: like [[mixedFixture]] but each format's copy of
+    * the shared content carries a FORMAT-SPECIFIC tail (" via pdf."
+    * etc.) so copies are near-identical, never byte-identical — the
+    * shape real cross-format extraction produces. Word counts are
+    * fixed (24 words, 22 distinct 3-gram shingles), so the Jaccard
+    * landscape is exact and well-separated: same-content same-format
+    * 1.0, same-content cross-format 21/23 ≈ 0.913, different-content
+    * ≈ 0 — the 0.8 threshold cuts cleanly. The body words are
+    * CONTENT-KEYED (w{r}_i, never shared across groups) deliberately:
+    * a first cut shared them globally, which put every cross-group
+    * pair at J ≈ 0.6 — correct (below threshold) but catastrophic for
+    * the banded LSH cost model (at b=64, r=2 a 0.6-similar pair is a
+    * candidate with probability ≈ 1, so the candidate set went
+    * quadratic in the corpus: 109 s at sf0.1 vs ~3 s now). The lesson
+    * generalizes: boilerplate must be stripped (q209) or the banding
+    * re-tuned BEFORE pairing a corpus whose baseline similarity
+    * approaches the threshold.
+    */
+  private def mixed231Fixture(spark: org.apache.spark.sql.SparkSession,
+                              dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q231b_fixture", dir) {
+      t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { m =>
+            val r = (m % 251).toInt
+            val core = s"Shared content r$r stuff r$r body " +
+              (0 to 15).map(i => s"w${r}_$i").mkString(" ")
+            if (m % 41 == 0)
+              Multimodal.MediaRecord(m, "application/pdf",
+                "%PDF-1.4\nbroken, no eof marker".getBytes("ISO-8859-1"))
+            else (m % 4) match {
+              case 0 => Multimodal.MediaRecord(m, "application/pdf",
+                simplePdf(core + " via pdf.", m % 8 == 0))
+              case 1 => Multimodal.MediaRecord(m,
+                "application/vnd.openxmlformats-officedocument" +
+                  ".wordprocessingml.document",
+                simpleDocx(core + " via docx.", m % 2 == 0))
+              case 2 => Multimodal.MediaRecord(m, "text/html",
+                htmlPage(core + " via html.").getBytes("UTF-8"))
+              case _ => Multimodal.MediaRecord(m, "text/plain",
+                (core + " via txt.").getBytes("UTF-8"))
+            }
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
   // ---------------------------------------------------------------
   // queries
   // ---------------------------------------------------------------
@@ -573,6 +623,66 @@ object DocTextQueries {
                     ELSE md5(array_to_string(bodies, chr(10))) END
                  AS bodies_md5,
                NOT bad AS ok
-        FROM t ORDER BY m"""))
+        FROM t ORDER BY m""")),
+
+    // ------------------------------------------------------------------
+    // q231: cross-format NEAR-dup census — the case q226's exact dedup
+    // structurally cannot catch: the same logical document extracted
+    // from different containers is near-identical, never
+    // byte-identical (format-specific tails here; extraction noise in
+    // production). Unify with [[graft.ext.DocText.extractAnyText]] +
+    // [[graft.ext.HtmlText.htmlExtractText]], then
+    // [[graft.ext.Dedup.minhashPairs]] over the unified TEXT, then a
+    // (format, format) pair census. The fixture's Jaccard landscape is
+    // exact and separated (1.0 / 0.913 / ≤0.63 vs the 0.8 threshold),
+    // so the oracle derives the full pair census from per-(content,
+    // format) group cardinalities alone — any recall miss, threshold
+    // drift, or shingle disagreement flips a count. Scale shape:
+    // extraction map-side; the pair stage is the q28 banded LSH; the
+    // census is a tiny aggregate over pairs.
+    GraftQuery(
+      "q231_cross_format_near_dup",
+      (spark, dir) => {
+        import graft.ext.{Dedup, DocText, HtmlText}
+        val any = DocText.extractAnyText(mixed231Fixture(spark, dir))
+          .toDF()
+        val htmlU = HtmlText.htmlExtractText(
+            any.filter(col("needs_html")), col("media_id"), col("raw"))
+          .select(col("doc_id").as("media_id"), lit("html").as("format"),
+            col("extracted").as("text"))
+          .filter(col("text").isNotNull)
+        val unified = any.filter(!col("needs_html") && col("ok"))
+          .select(col("media_id"), col("format"), col("raw").as("text"))
+          .unionByName(htmlU)
+        val pairs = Dedup.minhashPairs(unified, col("media_id"),
+          col("text"), n = 3, threshold = 0.8)
+        val fmt = unified.select(col("media_id"), col("format"))
+        pairs
+          .join(fmt.select(col("media_id").as("id_a"),
+            col("format").as("f_a")), Seq("id_a"))
+          .join(fmt.select(col("media_id").as("id_b"),
+            col("format").as("f_b")), Seq("id_b"))
+          .groupBy(least(col("f_a"), col("f_b")).as("fa"),
+            greatest(col("f_a"), col("f_b")).as("fb"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("fa"), col("fb"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m, CAST(doc_id % 251 AS INT) AS r,
+                 CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+                   WHEN 2 THEN 'html' ELSE 'txt' END AS f
+          FROM documents WHERE doc_id % 41 <> 0),
+        c AS (SELECT r, f, count(*) AS n FROM p GROUP BY 1, 2),
+        np AS (
+          SELECT f AS fa, f AS fb, n * (n - 1) / 2 AS k FROM c
+          UNION ALL
+          SELECT a.f, b.f, a.n * b.n
+          FROM c a JOIN c b ON a.r = b.r AND a.f < b.f)
+        SELECT fa, fb, CAST(SUM(k) AS BIGINT) AS n_pairs
+        FROM np GROUP BY 1, 2
+        HAVING SUM(k) > 0
+        ORDER BY 1, 2"""))
   )
 }
