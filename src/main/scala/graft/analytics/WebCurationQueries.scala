@@ -1186,9 +1186,14 @@ object WebCurationQueries {
             sum(when(col("allowed") && col("priority") === 2, 1L)
               .otherwise(0L)).as("n_recrawl"),
             sum(when(!col("allowed"), 1L).otherwise(0L)).as("n_blocked"),
-            transform(
-              slice(sort_array(collect_list(col("__k"))), 1, 3),
-              k => k.substr(lit(3), length(k))).as("top_urls"))
+            // Serialized with array_join (the SurfaceQueries.scala
+            // convention): the oracle harness hashes cell values and
+            // cannot hash raw arrays — r15's q230 red row.
+            array_join(
+              transform(
+                slice(sort_array(collect_list(col("__k"))), 1, 3),
+                k => k.substr(lit(3), length(k))),
+              "|").as("top_urls"))
           .orderBy(col("domain"))
       },
       Some("""
@@ -1228,10 +1233,11 @@ object WebCurationQueries {
                  AS BIGINT) AS n_recrawl,
                CAST(SUM(CASE WHEN NOT allowed THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_blocked,
-               list_transform(
-                 list_slice(list_sort(list(k) FILTER (WHERE allowed)),
-                   1, 3),
-                 x -> x[3:]) AS top_urls
+               array_to_string(
+                 list_transform(
+                   list_slice(list_sort(list(k) FILTER (WHERE allowed)),
+                     1, 3),
+                   x -> x[3:]), '|') AS top_urls
         FROM v GROUP BY d ORDER BY 1""")))
 
   /** Synthesized WARC corpus for q216: one archive per document —

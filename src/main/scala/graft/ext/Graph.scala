@@ -91,7 +91,12 @@ object Graph {
       if (broadcastRank) broadcast(df) else df
     for (i <- 1 to iterations) {
       val contrib = e
-        .join(broadcast(deg.withColumnRenamed("node", "src")), "src")
+        // deg is NODE-sized, so it must follow the same policy as the
+        // rank vector: broadcast only under `broadcastRank`. In shuffle
+        // mode (web graphs whose node set exceeds driver memory) the
+        // src-keyed exchange is shared with the rank join below and
+        // reused across iterations (ReusedExchange).
+        .join(hint(deg.withColumnRenamed("node", "src")), "src")
         .join(hint(rank.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"), expr("r div outdeg").as("c"))
       val summed = contrib.groupBy(col("node")).agg(sum(col("c")).as("s"))
@@ -344,9 +349,11 @@ object Graph {
     * hash probes over arrays whose length the orientation already
     * bounds at O(√m) (measured 3× total-query speedup at sf0.1).
     *
-    * The degree table rides BROADCAST joins unconditionally (it is
-    * node-sized, not edge-sized — same policy as [[pageRank]]'s).
-    * `broadcastAdj` additionally broadcasts the packed ADJACENCY table
+    * The degree table is node-sized, so it rides BROADCAST joins only
+    * under `broadcastAdj` (same policy as [[pageRank]]'s rank vector:
+    * at web scale the node set itself exceeds driver memory, and the
+    * shuffle join is the scale-out). `broadcastAdj` also broadcasts
+    * the packed ADJACENCY table
     * to the per-edge intersection joins — node-count rows carrying
     * Σoutdeg = m longs in total (an order of magnitude smaller than
     * the edge stream with per-row overheads), so the edge scan never
@@ -354,8 +361,14 @@ object Graph {
     * (tens of millions of edges); leave it off for web-scale edge
     * sets, where the same plan runs on tail-/head-keyed shuffle joins.
     */
-  def triangleCounts(edges: DataFrame,
-                     broadcastAdj: Boolean = false): DataFrame = {
+  /** The oriented-adjacency plan of [[triangleCounts]] BEFORE lineage
+    * truncation — exposed so GraphSpec can pin that shuffle mode
+    * carries no broadcast hint on the node-sized degree table (the
+    * eager localCheckpoint in [[triangleCounts]] hides this subtree
+    * from the final plan).
+    */
+  private[ext] def orientedAdjacency(edges: DataFrame,
+                                     broadcastAdj: Boolean): DataFrame = {
     // canonical undirected edge set (u < v), self-loops dropped
     val und = edges
       .select(least(col("src"), col("dst")).as("u"),
@@ -375,18 +388,26 @@ object Graph {
     // strictly above the node's — then pack them into one SORTED array
     // per node. Oriented out-degree is O(√m) by construction, so the
     // arrays are bounded regardless of the degree distribution.
-    val adj = dirs
-      .join(broadcast(deg.withColumnRenamed("node", "nbr")
+    def hintD(df: DataFrame): DataFrame =
+      if (broadcastAdj) broadcast(df) else df
+    dirs
+      .join(hintD(deg.withColumnRenamed("node", "nbr")
         .withColumnRenamed("d", "dn")), "nbr")
-      .join(broadcast(deg), "node")
+      .join(hintD(deg), "node")
       .where(col("dn") > col("d") ||
              (col("dn") === col("d") && col("nbr") > col("node")))
       .groupBy(col("node"))
       .agg(sort_array(collect_list(col("nbr"))).as("nbrs"))
-      // feeds both the wedge-tail scan and the head-side lookup; one
-      // node-sized materialization truncates the shared derivation
-      // (same policy as [[pageRank]]'s broadcast mode)
-      .localCheckpoint()
+  }
+
+  def triangleCounts(edges: DataFrame,
+                     broadcastAdj: Boolean = false): DataFrame = {
+    val isLongIdIn = edges.schema("src").dataType ==
+      org.apache.spark.sql.types.LongType
+    // feeds both the wedge-tail scan and the head-side lookup; one
+    // node-sized materialization truncates the shared derivation
+    // (same policy as [[pageRank]]'s broadcast mode)
+    val adj = orientedAdjacency(edges, broadcastAdj).localCheckpoint()
     // each triangle a→b, a→c, b→c is found EXACTLY once: at its (a, b)
     // edge, as c ∈ adj(a) ∩ adj(b). The inner head join is lossless: a
     // head with no out-edges closes no triangle at this edge. On BIGINT
@@ -397,10 +418,8 @@ object Graph {
       val a = adj.select(col("node").as("head"), col("nbrs").as("nh"))
       if (broadcastAdj) broadcast(a) else a
     }
-    val isLongId = und.schema("u").dataType ==
-      org.apache.spark.sql.types.LongType
     def intersect(a: Column, b: Column): Column =
-      if (isLongId) graft.functions.SketchFns.sorted_intersect(a, b)
+      if (isLongIdIn) graft.functions.SketchFns.sorted_intersect(a, b)
       else array_intersect(a, b)
     val tri = adj
       .select(col("node").as("tail"), col("nbrs").as("nt"),

