@@ -399,6 +399,141 @@ object DocTextQueries {
     }.as[Multimodal.MediaRecord]
   }
 
+  /** Hex string for `t` in ISO-8859-1 bytes: uppercase digits at
+    * m%3==0, interior whitespace every 8 digits when `ws`.
+    */
+  private def pdfHex(t: String, upper: Boolean, ws: Boolean): String = {
+    val digits = t.getBytes("ISO-8859-1").flatMap { b =>
+      val h = f"${b & 0xff}%02x"
+      (if (upper) h.toUpperCase else h).toCharArray
+    }
+    val body =
+      if (!ws) new String(digits)
+      else digits.grouped(8).map(new String(_)).mkString(" ")
+    s"<$body>"
+  }
+
+  /** Page text for the q232 hex-string corpus — ends in 'P' (0x50) so
+    * the final hex string can exercise the odd-nibble pad rule
+    * (`<…5>` padded with 0 → 0x50).
+    */
+  private def hexPageText(m: Long): String =
+    s"Hex doc $m: " + "gh " * (1 + (m % 5)).toInt + "ZP"
+
+  /** One content stream showing [[hexPageText]] as hex Tj + mixed
+    * hex/literal TJ + an odd-nibble hex Tj — all three string forms
+    * in one stream.
+    */
+  private def hexContentStream(m: Long): String = {
+    val t = hexPageText(m)
+    val cut1 = t.length / 3
+    val cut2 = cut1 + (t.length - cut1) / 2
+    val upper = m % 3 == 0
+    // last char 'P' (0x50) rides the odd-nibble arm: "5" + implicit 0
+    s"BT /F1 12 Tf ${pdfHex(t.substring(0, cut1), upper, ws = false)} " +
+      s"Tj [${pdfHex(t.substring(cut1, cut2), upper, ws = true)} -250 " +
+      s"(${t.substring(cut2, t.length - 1)})] TJ <5> Tj ET"
+  }
+
+  private def hexPdfFixture(spark: org.apache.spark.sql.SparkSession,
+                            dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q232_fixture", dir) {
+      t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { m =>
+            val content =
+              if (m % 41 == 0) "BT <48g5> Tj ET" // non-hex digit: reject
+              else hexContentStream(m)
+            val raw = content.getBytes("ISO-8859-1")
+            val (data, filter) =
+              if (m % 2 == 0) (zlibDeflate(raw), " /Filter /FlateDecode")
+              else (raw, "")
+            val out = new java.io.ByteArrayOutputStream
+            out.write(s"%PDF-1.${m % 8}\n".getBytes("ISO-8859-1"))
+            out.write((s"1 0 obj\n<< /Length ${data.length}$filter " +
+              ">>\nstream\n").getBytes("ISO-8859-1"))
+            out.write(data)
+            out.write(("\nendstream\nendobj\ntrailer\n<< /Size 2 >>\n" +
+              "startxref\n0\n%%EOF\n").getBytes("ISO-8859-1"))
+            Multimodal.MediaRecord(m, "application/pdf", out.toByteArray)
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
+  /** Body paragraph q of doc m for the q233 corpus. */
+  private def tblBodyText(m: Long, q: Int): String = s"Body $q of $m"
+
+  /** Cell (t, r, c) of doc m — two paragraphs (joined `\n`) on the
+    * (m+t+r+c)%4 arm.
+    */
+  private def tblCellText(m: Long, t: Int, r: Int, c: Int): String = {
+    val base = s"cell $t.$r.$c of $m v" + ((m + r * 7 + c * 3) % 50)
+    if ((m + t + r + c) % 4 == 0) base + "\nmore " + c else base
+  }
+
+  /** word/document.xml with m%3 tables after 1+m%3 body paragraphs;
+    * table t: 1+(m+t)%3 rows × 1+(m+t)%2 cols, `<w:tblPr/>` noise,
+    * multi-paragraph cells on the %4 arm. The %29 arm nests a table
+    * inside a cell — out of profile, must fail closed.
+    */
+  private def tableDocumentXml(m: Long): String = {
+    val body = (0 until (1 + m % 3).toInt).map { q =>
+      s"<w:p><w:r><w:t>${xmlEscape(tblBodyText(m, q))}</w:t></w:r></w:p>"
+    }.mkString
+    def cellXml(t: Int, r: Int, c: Int): String = {
+      val paras = tblCellText(m, t, r, c).split("\n", -1).map { p =>
+        s"<w:p><w:r><w:t>${xmlEscape(p)}</w:t></w:r></w:p>"
+      }.mkString
+      val nested =
+        if (m % 29 == 0 && t == 0 && r == 0 && c == 0)
+          "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>x</w:t></w:r></w:p>" +
+            "</w:tc></w:tr></w:tbl>"
+        else ""
+      s"<w:tc><w:tcPr/>$paras$nested</w:tc>"
+    }
+    val tables = (0 until (m % 3).toInt).map { t =>
+      val rows = (0 until (1 + (m + t) % 3).toInt).map { r =>
+        val cells = (0 until (1 + (m + t) % 2).toInt)
+          .map(c => cellXml(t, r, c)).mkString
+        s"<w:tr><w:trPr/>$cells</w:tr>"
+      }.mkString
+      s"<w:tbl><w:tblPr/>$rows</w:tbl>"
+    }.mkString
+    "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+      "<w:document xmlns:w=\"http://schemas.openxmlformats.org/" +
+      "wordprocessingml/2006/main\"><w:body>" + body + tables +
+      "</w:body></w:document>"
+  }
+
+  private def docxTableFixture(spark: org.apache.spark.sql.SparkSession,
+                               dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q233_fixture", dir) {
+      t.documents.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (m, text) =>
+            if (m % 41 == 0)
+              Multimodal.MediaRecord(m, "application/octet-stream",
+                text.getBytes("UTF-8"))
+            else
+              Multimodal.MediaRecord(m,
+                "application/vnd.openxmlformats-officedocument" +
+                  ".wordprocessingml.document",
+                buildZip(Seq(
+                  ("[Content_Types].xml", ctXml.getBytes("UTF-8"), false),
+                  ("word/document.xml",
+                    tableDocumentXml(m).getBytes("UTF-8"), m % 2 == 0))))
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
   // ---------------------------------------------------------------
   // queries
   // ---------------------------------------------------------------
@@ -683,6 +818,117 @@ object DocTextQueries {
         SELECT fa, fb, CAST(SUM(k) AS BIGINT) AS n_pairs
         FROM np GROUP BY 1, 2
         HAVING SUM(k) > 0
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // ------------------------------------------------------------------
+    // q232: PDF HEX-string text extraction — the first profile
+    // widening of q222's parser (VERDICT r15 item 5: `<48656c6c6f>`
+    // strings are ubiquitous in real PDFs and were a profile
+    // violation). Each content stream shows its formula text through
+    // all THREE string forms at once — a plain hex Tj, a TJ array
+    // mixing a whitespace-interrupted hex string with a literal, and
+    // an odd-nibble-count hex Tj (`<5>` → 0x50 'P', the §7.3.4.3 pad
+    // rule) — with upper/lowercase digits by %3 and Flate by %2, so a
+    // wrong nibble order, a dropped pad, case sensitivity, or
+    // whitespace intolerance all flip the md5. The %41 arm plants a
+    // non-hex digit inside the string: STILL a profile violation,
+    // pinning that the widening stayed fail-closed at its new edge.
+    GraftQuery(
+      "q232_pdf_hex_text",
+      (spark, dir) => {
+        DocText.extractPdfText(hexPdfFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("mime"), col("n_streams"),
+            col("n_text_ops"), col("text_len"), col("text_md5"),
+            col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m, doc_id % 41 = 0 AS bad FROM documents),
+        t AS (
+          SELECT *, 'Hex doc ' || m || ': '
+            || repeat('gh ', CAST(1 + m % 5 AS INT)) || 'ZP' AS txt
+          FROM p)
+        SELECT m AS media_id, 'application/pdf' AS mime,
+               CAST(CASE WHEN bad THEN 0 ELSE 1 END AS INT) AS n_streams,
+               CAST(CASE WHEN bad THEN 0 ELSE 3 END AS INT) AS n_text_ops,
+               CAST(CASE WHEN bad THEN 0 ELSE length(txt) END AS BIGINT)
+                 AS text_len,
+               CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,
+               NOT bad AS ok
+        FROM t ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q233: DOCX TABLE extraction ([[graft.ext.DocText
+    // .extractDocxTables]]) — the tables → rows → cells product the
+    // reference's Docling emits (k8s/configmaps.yaml:20-26,
+    // table_structure: true) and q159's cell analytics consume,
+    // extracted from byte-real OOXML instead of synthesized JSON:
+    // m%3 tables of 1+(m+t)%3 rows × 1+(m+t)%2 cols after 1+m%3 body
+    // paragraphs, multi-paragraph cells on the %4 arm (joined \n),
+    // tblPr/trPr/tcPr structural noise skipped. cells_md5 hashes the
+    // canonical cell serialization (cells \t, rows \n, tables \f), so
+    // a transposed cell, a dropped row, or body/cell text bleeding
+    // into each other all flip a hash. Arms: deflated document.xml at
+    // %2, raw text at %41, and a NESTED table at %29 — out of
+    // profile, must fail closed, pinning the walker's balance checks.
+    GraftQuery(
+      "q233_docx_tables",
+      (spark, dir) => {
+        DocText.extractDocxTables(docxTableFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("mime"), col("n_paragraphs"),
+            col("n_tables"), col("n_rows"), col("n_cells"),
+            col("text_md5"), col("cells_md5"), col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m, doc_id % 41 = 0 AS bad,
+                 doc_id % 41 <> 0 AND doc_id % 29 = 0
+                   AND doc_id % 3 > 0 AS nested,
+                 CAST(1 + doc_id % 3 AS INT) AS np,
+                 CAST(doc_id % 3 AS INT) AS nt
+          FROM documents),
+        f AS (
+          SELECT *, NOT bad AND NOT nested AS good,
+            array_to_string(list_transform(range(0, np),
+              q -> 'Body ' || q || ' of ' || m), chr(10)) AS txt,
+            list_transform(range(0, nt), t ->
+              struct_pack(
+                nr := 1 + (m + t) % 3,
+                nc := 1 + (m + t) % 2,
+                s := array_to_string(
+                  list_transform(range(0, 1 + (m + t) % 3), r ->
+                    array_to_string(
+                      list_transform(range(0, 1 + (m + t) % 2), c ->
+                        'cell ' || t || '.' || r || '.' || c || ' of '
+                          || m || ' v' || ((m + r * 7 + c * 3) % 50)
+                          || CASE WHEN (m + t + r + c) % 4 = 0
+                             THEN chr(10) || 'more ' || c ELSE '' END),
+                      chr(9))),
+                  chr(10)))) AS tabs
+          FROM p)
+        SELECT m AS media_id,
+               CASE WHEN bad THEN 'application/octet-stream'
+                    ELSE 'application/vnd.openxmlformats-officedocument'
+                      || '.wordprocessingml.document' END AS mime,
+               CAST(CASE WHEN good THEN np ELSE 0 END AS INT)
+                 AS n_paragraphs,
+               CAST(CASE WHEN good THEN nt ELSE 0 END AS INT) AS n_tables,
+               CAST(CASE WHEN good
+                 THEN coalesce(list_sum(list_transform(tabs, t -> t.nr)), 0)
+                 ELSE 0 END AS INT) AS n_rows,
+               CAST(CASE WHEN good
+                 THEN coalesce(
+                   list_sum(list_transform(tabs, t -> t.nr * t.nc)), 0)
+                 ELSE 0 END AS INT) AS n_cells,
+               CASE WHEN good THEN md5(txt) ELSE '' END AS text_md5,
+               CASE WHEN good AND nt > 0 THEN md5(array_to_string(
+                 list_transform(tabs, t -> t.s), chr(12)))
+                 ELSE '' END AS cells_md5,
+               good AS ok
+        FROM f ORDER BY media_id"""))
   )
 }

@@ -88,24 +88,35 @@ final class ExtractingDocling(fetch: String => Array[Byte])
       }
     if (bytes == null)
       throw new RuntimeException(s"docling: cannot fetch $source")
-    val (format, pages, units, text) =
+    val (format, pages, units, text, tables) =
       if (bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
         bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-')
         graft.ext.DocText.PdfTextExtract.parse(bytes) match {
-          case Some((ns, ops, t)) => ("pdf", ns, ops, t)
+          case Some((ns, ops, t)) =>
+            ("pdf", ns, ops, t,
+              Vector.empty[Vector[Vector[String]]])
           case None => throw new RuntimeException(
             s"docling: malformed or out-of-profile pdf: $source")
         }
       else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == 'K')
-        graft.ext.DocText.DocxTextExtract.parse(bytes) match {
-          case Some((np, nr, t)) => ("docx", np, nr, t)
+        graft.ext.DocText.DocxTextExtract.parseFull(bytes) match {
+          case Some(d) =>
+            ("docx", d.paragraphs.length, d.runs, d.text, d.tables)
           case None => throw new RuntimeException(
             s"docling: malformed or out-of-profile docx: $source")
         }
       else throw new RuntimeException(
         s"docling: unsupported format (magic bytes) for $source")
+    // tables in the q159 consumer shape: tables → rows → cells
+    // (k8s/configmaps.yaml:20-26, table_structure: true)
+    val tablesJson = tables.map { t =>
+      "{\"rows\":[" + t.map(row =>
+        row.map(c => "\"" + ExtractingDocling.jsonEscape(c) + "\"")
+          .mkString("[", ",", "]")).mkString(",") + "]}"
+    }.mkString("[", ",", "]")
     s"""{"schema":"docling/v1","format":"$format","pages":$pages,""" +
-      s""""units":$units,"text":"${ExtractingDocling.jsonEscape(text)}"}"""
+      s""""units":$units,"tables":$tablesJson,""" +
+      s""""text":"${ExtractingDocling.jsonEscape(text)}"}"""
   }
 }
 

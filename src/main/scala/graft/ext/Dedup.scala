@@ -432,10 +432,80 @@ object Dedup {
     * keeps the result exact. Candidates carry only ids + band keys; the
     * shingle arrays are joined back only for the (few) candidates.
     */
+  /** The (id, band, bucket) LSH index both [[minhashPairs]] and
+    * [[minhashBucketAudit]] hang off — map-side signature + banding,
+    * 8-byte keys only.
+    */
+  private def bandedKeys(docs: DataFrame, id: Column, text: Column,
+                         n: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = docs.select(id.as("id"),
+      SketchFns.minhash_signature(
+        SketchFns.hashed_shingles(text, n), numHashes).as("sig"))
+    sigs.select(col("id"),
+      posexplode(SketchFns.band_buckets(col("sig"), bands))
+        .as(Seq("band", "bucket")))
+  }
+
+  /** LSH operating-point PRE-FLIGHT: the candidate-pair census
+    * [[minhashPairs]] would generate, estimated from bucket sizes
+    * alone (Σ C(|bucket|, 2)) — one shuffle over 8-byte keys, BEFORE
+    * any pairing work. Productizes the q231 lesson (VERDICT r15 item
+    * 6): a corpus whose BASELINE cross-doc similarity approaches the
+    * threshold makes nearly every pair an LSH candidate (at b=64, r=2
+    * a 0.6-similar pair collides with P ≈ 1), so the candidate set
+    * goes quadratic — a 65× blowup in the q231 fixture's first cut.
+    * Strip boilerplate (q209) or re-tune banding when the guard
+    * fires; same discipline as [[Retrieval.postingJoinAudit]] /
+    * [[Skew.joinCardinalityAudit]], whose conventions this follows
+    * (top-K hot buckets, exact decimal census carried as strings).
+    *
+    * Output: one row per top-K hot bucket — `skew_rank, band, bucket,
+    * n_docs, contrib, total_candidates, n_hot_buckets, n_docs_total,
+    * candidates_per_doc, explosive` — where `explosive` is the guard
+    * verdict (`candidates_per_doc > maxCandidatesPerDoc`). An empty
+    * result means no bucket holds two docs: nothing to pair at all.
+    */
+  def minhashBucketAudit(docs: DataFrame, id: Column, text: Column,
+                         n: Int, numHashes: Int = 128, bands: Int = 64,
+                         topK: Int = 20,
+                         maxCandidatesPerDoc: Double = 8.0): DataFrame = {
+    val banded = bandedKeys(docs, id, text, n, numHashes, bands)
+    val hot = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      // decimal(38,0): explosion is exactly the regime where Long n²
+      // wraps (the joinCardinalityAudit rationale)
+      .withColumn("contrib",
+        (col("n_docs").cast("decimal(38,0)")
+          * (col("n_docs") - 1).cast("decimal(38,0)") / lit(2))
+          .cast("decimal(38,0)"))
+    val totals = hot.agg(
+      sum(col("contrib")).as("total_candidates"),
+      count(lit(1)).as("n_hot_buckets"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs_total"))
+    hot.orderBy(col("contrib").desc, col("band"), col("bucket"))
+      .limit(topK)
+      .withColumn("skew_rank", row_number().over(
+        graft.functions.BoundedWindow.orderBy(
+          col("contrib").desc, col("band"), col("bucket"))))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(corpus))
+      .withColumn("candidates_per_doc",
+        col("total_candidates").cast("double")
+          / col("n_docs_total").cast("double"))
+      .select(col("skew_rank").cast("int").as("skew_rank"),
+        col("band"), col("bucket"), col("n_docs"),
+        col("contrib").cast("string").as("contrib"),
+        col("total_candidates").cast("string").as("total_candidates"),
+        col("n_hot_buckets"), col("n_docs_total"),
+        col("candidates_per_doc"),
+        (col("candidates_per_doc") > maxCandidatesPerDoc).as("explosive"))
+  }
+
   def minhashPairs(docs: DataFrame, id: Column, text: Column, n: Int,
                    threshold: Double, numHashes: Int = 128,
                    bands: Int = 64): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
     // No persist anywhere: the shingle+signature kernels are codegen'd
     // map-side work over the text scan (measured at well under a second
     // per corpus pass at sf0.1), so recomputing them for the two verify
@@ -443,17 +513,11 @@ object Dedup {
     // shingle arrays for the session lifetime. At real corpus scale the
     // signature table would be written out once (columnar, partitioned)
     // and every stage below would read that — same plan shape.
-    val sigs = docs.select(id.as("id"),
-      SketchFns.minhash_signature(
-        SketchFns.hashed_shingles(text, n), numHashes).as("sig"))
     // banded index carries ONLY (id, band, bucket): nothing below this
     // point ever shuffles a shingle array or the signature itself —
     // band_buckets collapses the signature to `bands` 8-byte keys in one
     // native pass
-    val banded = sigs
-      .select(col("id"),
-        posexplode(SketchFns.band_buckets(col("sig"), bands))
-          .as(Seq("band", "bucket")))
+    val banded = bandedKeys(docs, id, text, n, numHashes, bands)
     // candidate generation via the shared one-shuffle groupBy+expand core
     // (see [[Lsh.bucketPairs]]); pathological mega-buckets come from
     // exact-identical docs — run [[exact]] dedup upstream, where they

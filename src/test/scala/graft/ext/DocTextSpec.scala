@@ -55,10 +55,56 @@ class DocTextSpec extends AnyFunSuite {
     assert(ns == 1 && ops == 2 && t == "a\nb")
   }
 
-  test("pdf profile violations all fail closed") {
-    // hex string
+  test("pdf hex strings decode: even/odd nibbles, case, whitespace, " +
+      "TJ mixing — and the new edges stay fail-closed") {
+    // golden: <48656c6c6f> = Hello (was a violation until r16)
+    val Some((_, ops, t)) = DocText.PdfTextExtract.parse(
+      pdf(streamObj("BT <48656c6c6f> Tj ET")))
+    assert(ops == 1 && t == "Hello")
+    // odd nibble count pads 0: <48655> = He + 0x50 = HeP
+    val Some((_, _, t2)) = DocText.PdfTextExtract.parse(
+      pdf(streamObj("BT <48655> Tj ET")))
+    assert(t2 == "HeP")
+    // uppercase digits + interior whitespace; hex mixes with literals
+    // in a TJ array
+    val Some((_, _, t3)) = DocText.PdfTextExtract.parse(
+      pdf(streamObj("BT [<4865 6C\t6C6F> -120 ( there)] TJ ET")))
+    assert(t3 == "Hello there")
+    // hex next-line show form
+    val Some((_, _, t4)) = DocText.PdfTextExtract.parse(
+      pdf(streamObj("BT (a) Tj <62> ' ET")))
+    assert(t4 == "a\nb")
+    // non-hex digit inside: fail closed
     assert(DocText.PdfTextExtract.parse(
-      pdf(streamObj("BT <48656c6c6f> Tj ET"))).isEmpty)
+      pdf(streamObj("BT <48g5> Tj ET"))).isEmpty)
+    // unterminated hex string: fail closed
+    assert(DocText.PdfTextExtract.parse(
+      pdf(streamObj("BT <4865 Tj ET"))).isEmpty)
+    // hex show outside BT/ET: still a violation
+    assert(DocText.PdfTextExtract.parse(
+      pdf(streamObj("<48> Tj"))).isEmpty)
+  }
+
+  test("pdf: /Length key match requires a delimiter — /Length1 in a " +
+      "font-stream dict is never read as THE stream length") {
+    // dict carries /Length1 BEFORE /Length: a bare indexOf would read
+    // the /Length1 value (wrong length → mis-slice); the fixed parser
+    // reads the real /Length and extracts cleanly
+    val c = "BT (ok) Tj ET"
+    val Some((_, _, t)) = DocText.PdfTextExtract.parse(pdf(
+      s"1 0 obj\n<< /Length1 99 /Length ${c.length} >>\nstream\n" +
+        s"$c\nendstream\nendobj"))
+    assert(t == "ok")
+    // only /Length1 present, no /Length: fail closed, never mis-sliced
+    assert(DocText.PdfTextExtract.parse(pdf(
+      s"1 0 obj\n<< /Length1 ${c.length} >>\nstream\n" +
+        s"$c\nendstream\nendobj")).isEmpty)
+  }
+
+  test("pdf profile violations all fail closed") {
+    // inline dict in a content stream (`<<` still out of profile)
+    assert(DocText.PdfTextExtract.parse(
+      pdf(streamObj("BT << /K 1 >> (x) Tj ET"))).isEmpty)
     // indirect /Length
     assert(DocText.PdfTextExtract.parse(pdf(
       "1 0 obj\n<< /Length 5 0 R >>\nstream\nBT (x) Tj ET\nendstream\nendobj"))
@@ -165,13 +211,79 @@ class DocTextSpec extends AnyFunSuite {
     assert(t == "He said \"5 < 7 & 9 > 2'\"\nsecond")
   }
 
-  test("docx: tag-name boundaries — w:pPr and w:tbl never open " +
+  test("docx: tag-name boundaries — w:pPr/w:tblPr noise never opens " +
       "paragraphs or runs") {
     val xml = "<w:document><w:body><w:p><w:pPr><w:jc/></w:pPr>" +
-      "<w:tbl></w:tbl><w:r><w:t>only</w:t></w:r></w:p></w:body></w:document>"
+      "<w:r><w:t>only</w:t></w:r></w:p></w:body></w:document>"
     val Some((np, nr, t)) = DocText.DocxTextExtract.parse(
       storedZip("word/document.xml", xml.getBytes("UTF-8")))
     assert(np == 1 && nr == 1 && t == "only")
+  }
+
+  test("docx tables golden: cells route to the table, body text stays " +
+      "clean, multi-paragraph cells join with newline") {
+    val xml = "<w:document><w:body>" +
+      "<w:p><w:r><w:t>before</w:t></w:r></w:p>" +
+      "<w:tbl><w:tblPr/>" +
+      "<w:tr><w:trPr/>" +
+      "<w:tc><w:tcPr/><w:p><w:r><w:t>a1</w:t></w:r></w:p></w:tc>" +
+      "<w:tc><w:p><w:r><w:t>b1x</w:t></w:r></w:p>" +
+      "<w:p><w:r><w:t>b1y</w:t></w:r></w:p></w:tc></w:tr>" +
+      "<w:tr><w:tc><w:p><w:r><w:t>a2</w:t></w:r></w:p></w:tc>" +
+      "<w:tc><w:p><w:r><w:t>b&amp;2</w:t></w:r></w:p></w:tc></w:tr>" +
+      "</w:tbl>" +
+      "<w:p><w:r><w:t>after</w:t></w:r></w:p>" +
+      "</w:body></w:document>"
+    val Some(d) = DocText.DocxTextExtract.parseFull(
+      storedZip("word/document.xml", xml.getBytes("UTF-8")))
+    // body flow excludes cell paragraphs
+    assert(d.paragraphs == Vector("before", "after"))
+    assert(d.tables == Vector(Vector(
+      Vector("a1", "b1x\nb1y"),
+      Vector("a2", "b&2"))))
+    // parse() (the text view) agrees
+    val Some((np, _, t)) = DocText.DocxTextExtract.parse(
+      storedZip("word/document.xml", xml.getBytes("UTF-8")))
+    assert(np == 2 && t == "before\nafter")
+  }
+
+  test("docx table structural defects fail closed") {
+    def z(xml: String) = storedZip("word/document.xml",
+      ("<w:document><w:body>" + xml + "</w:body></w:document>")
+        .getBytes("UTF-8"))
+    def cell(s: String) = s"<w:tc><w:p><w:r><w:t>$s</w:t></w:r></w:p></w:tc>"
+    // nested table inside a cell
+    assert(DocText.DocxTextExtract.parseFull(z(
+      "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>x</w:t></w:r></w:p>" +
+        "<w:tbl><w:tr>" + cell("y") + "</w:tr></w:tbl>" +
+        "</w:tc></w:tr></w:tbl>")).isEmpty)
+    // empty table / empty row / empty cell (ECMA-376 wants a paragraph)
+    assert(DocText.DocxTextExtract.parseFull(z(
+      "<w:tbl></w:tbl>")).isEmpty)
+    assert(DocText.DocxTextExtract.parseFull(z(
+      "<w:tbl><w:tr></w:tr></w:tbl>")).isEmpty)
+    assert(DocText.DocxTextExtract.parseFull(z(
+      "<w:tbl><w:tr><w:tc></w:tc></w:tr></w:tbl>")).isEmpty)
+    // self-closing tbl/tr/tc
+    assert(DocText.DocxTextExtract.parseFull(z("<w:tbl/>")).isEmpty)
+    assert(DocText.DocxTextExtract.parseFull(z(
+      "<w:tbl><w:tr/></w:tbl>")).isEmpty)
+    assert(DocText.DocxTextExtract.parseFull(z(
+      "<w:tbl><w:tr><w:tc/></w:tr></w:tbl>")).isEmpty)
+    // cell/row/table left open at EOF
+    assert(DocText.DocxTextExtract.parseFull(z(
+      "<w:tbl><w:tr>" + cell("x"))).isEmpty)
+    // row outside a table, cell outside a row, table inside a paragraph
+    assert(DocText.DocxTextExtract.parseFull(z(
+      "<w:tr>" + cell("x") + "</w:tr>")).isEmpty)
+    assert(DocText.DocxTextExtract.parseFull(z(
+      "<w:tbl>" + cell("x") + "</w:tbl>")).isEmpty)
+    assert(DocText.DocxTextExtract.parseFull(z(
+      "<w:p><w:tbl><w:tr>" + cell("x") + "</w:tr></w:tbl></w:p>"))
+      .isEmpty)
+    // close-tag mismatches
+    assert(DocText.DocxTextExtract.parseFull(z(
+      "<w:tbl><w:tr>" + cell("x") + "</w:tbl></w:tr>")).isEmpty)
   }
 
   test("docx profile violations and structural defects fail closed") {
@@ -245,6 +357,45 @@ class DocTextSpec extends AnyFunSuite {
       .collect()
     assert(htmlText.length == 1 &&
       htmlText(0).getString(4) == "from html page body text")
+  }
+
+  test("extractAnyText: BOM/whitespace-led HTML routes to the html arm; " +
+      "malformed UTF-8 fails closed (no silent U+FFFD)") {
+    val spark0 = graft.TestSpark.spark
+    import spark0.implicits._
+    val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte)
+    val rows = Seq(
+      // leading whitespace before markup (ADVICE r15: used to route
+      // to the txt arm as raw markup)
+      Multimodal.MediaRecord(1L, "text/html",
+        "\n  \t<html><body><p>ws led</p></body></html>".getBytes("UTF-8")),
+      // BOM + whitespace before markup
+      Multimodal.MediaRecord(2L, "text/html",
+        bom ++ " <html><body><p>bom led</p></body></html>"
+          .getBytes("UTF-8")),
+      // BOM-led plain text: BOM stripped, leading whitespace KEPT
+      Multimodal.MediaRecord(3L, "text/plain",
+        bom ++ "  indented text".getBytes("UTF-8")),
+      // malformed UTF-8 (lone continuation byte): fail closed
+      Multimodal.MediaRecord(4L, "text/plain",
+        Array[Byte]('a', 0x80.toByte, 'b')),
+      // malformed UTF-8 behind a '<': html arm also fails closed
+      Multimodal.MediaRecord(5L, "text/html",
+        Array[Byte]('<', 'p', '>', 0xc3.toByte)),
+      // valid multi-byte UTF-8 text survives strict decode
+      Multimodal.MediaRecord(6L, "text/plain",
+        "café naïve".getBytes("UTF-8")))
+    val got = DocText.extractAnyText(rows.toDS())
+      .collect().map(a => a.media_id ->
+        (a.format, a.raw, a.needs_html, a.ok)).toMap
+    assert(got(1L)._1 == "html" && got(1L)._3 && got(1L)._4)
+    assert(got(1L)._2.startsWith("<html>"))
+    assert(got(2L)._1 == "html" && got(2L)._4 &&
+      got(2L)._2.startsWith("<html>"))
+    assert(got(3L) == (("txt", "  indented text", false, true)))
+    assert(!got(4L)._4 && got(4L)._1 == "")
+    assert(!got(5L)._4 && got(5L)._1 == "")
+    assert(got(6L) == (("txt", "café naïve", false, true)))
   }
 
   test("docx fuzz: single-byte mutations and truncations never throw") {

@@ -22,6 +22,39 @@ class ExtSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("minhashBucketAudit: the guard fires on a boilerplate corpus " +
+      "and stays quiet on a well-separated one") {
+    // boilerplate corpus — the q231 first-cut shape: every doc shares
+    // a long global template, so cross-doc Jaccard sits near the LSH
+    // operating point and the candidate set goes quadratic
+    val template = (0 until 40).map(i => s"common$i").mkString(" ")
+    val boiler = (0L until 200L).map(i =>
+      (i, s"$template unique${i}a unique${i}b")).toDF("id", "text")
+    val fired = Dedup.minhashBucketAudit(boiler, col("id"), col("text"),
+        n = 3).collect()
+    assert(fired.nonEmpty, "boilerplate corpus must surface hot buckets")
+    val cpd = fired.head.getAs[Double]("candidates_per_doc")
+    assert(fired.forall(_.getAs[Boolean]("explosive")) && cpd > 8.0,
+      s"guard must fire on the boilerplate corpus (got $cpd cand/doc)")
+    // and the census is consistent: total ≥ the top bucket's contrib
+    assert(BigInt(fired.head.getAs[String]("total_candidates")) >=
+      BigInt(fired.head.getAs[String]("contrib")))
+    // well-separated corpus: disjoint vocabularies per doc — any stray
+    // collision stays far under the threshold
+    val clean = (0L until 200L).map(i =>
+      (i, (0 until 12).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("id", "text")
+    val quiet = Dedup.minhashBucketAudit(clean, col("id"), col("text"),
+        n = 3).collect()
+    assert(quiet.isEmpty || quiet.forall(r =>
+      !r.getAs[Boolean]("explosive")),
+      "guard must stay quiet on the separated corpus")
+    // pre-flight agrees with reality: the boilerplate corpus' audited
+    // candidate mass is the quadratic regime the q231 lesson warns
+    // about (≳ n²/8 with these bands), not a mild bump
+    assert(cpd > 200.0 / 8.0)
+  }
+
   test("simhash distance 0 for identical docs; near-dup pairs overlap jaccard pairs") {
     val twice = docs.limit(5).select(col("doc_id"), col("text"))
       .union(docs.limit(5).select(col("doc_id") + 100000, col("text")))
