@@ -63,7 +63,18 @@ object Scaling {
     "q191_modularity"            -> "lineitem",
     "q204_label_propagation"     -> "lineitem",
     "q206_domain_reputation"     -> "documents",
-    "q224_extract_curate_pipeline" -> "documents")
+    "q224_extract_curate_pipeline" -> "documents",
+    // web/media decode family (VERDICT r15 item 4 / r14 item 6): the
+    // gunzip and pixel/byte-walk kernels are the CPU-bound map-side
+    // stages whose 100× behavior matters — all claim linear in the
+    // driving corpus
+    "q210_jpeg_dhash"            -> "documents",
+    "q216_warc_ingest"           -> "documents",
+    "q220_web_pipeline"          -> "documents",
+    "q221_warcgz_ingest"         -> "documents",
+    "q225_warcgz_cdx_index"      -> "documents",
+    "q226_mixed_corpus_unify"    -> "documents",
+    "q233_docx_tables"           -> "documents")
 
   /** Documented super-linear-BY-INTENT queries: q27 materializes exact
     * all-pairs Jaccard evidence and q47 exact winnowing-fingerprint

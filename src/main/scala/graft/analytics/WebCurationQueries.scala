@@ -1238,7 +1238,91 @@ object WebCurationQueries {
                    list_slice(list_sort(list(k) FILTER (WHERE allowed)),
                      1, 3),
                    x -> x[3:]), '|') AS top_urls
-        FROM v GROUP BY d ORDER BY 1""")))
+        FROM v GROUP BY d ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
+    // q235: two-level sitemap TREE resolution ([[graft.ext.Sitemap
+    // .resolveTree]]) — the shape real sites publish (the 50k-URL
+    // cap forces a <sitemapindex> over child sitemaps; q229 covered
+    // one flat urlset per domain). Each site's index lists 1+m%3
+    // children; a child is MISSING from the fetch at (m+k)%7 (the
+    // scheduler's backlog), fetched-but-unparseable at %41 (surfaces
+    // as BOTH unparsed and missing — refetch either way), and an
+    // UN-INDEXED orphan sitemap exists at %11 (pages with null
+    // index_url). The rollup pins attribution (indexed vs orphan
+    // pages), both gap classes, and an md5 over the sorted page set —
+    // a wrong join key, a dropped entity decode, or a page attributed
+    // to the wrong parent all flip a column. Scale shape: map-side
+    // XML walks + two site-local url-keyed equi-joins, unhinted.
+    GraftQuery(
+      "q235_sitemap_tree",
+      (spark, dir) => {
+        val flat = graft.ext.Sitemap.resolveTree(
+          sitemapTreeFixture(spark, dir))
+        flat
+          .groupBy(col("site_id"))
+          .agg(
+            sum(when(col("role") === "page", 1L).otherwise(0L))
+              .as("n_pages"),
+            sum(when(col("role") === "page" &&
+              col("index_url").isNotNull, 1L).otherwise(0L))
+              .as("n_indexed_pages"),
+            sum(when(col("role") === "page" && col("index_url").isNull,
+              1L).otherwise(0L)).as("n_orphan_pages"),
+            sum(when(col("role") === "missing_child", 1L).otherwise(0L))
+              .as("n_missing_children"),
+            sum(when(col("role") === "unparsed", 1L).otherwise(0L))
+              .as("n_unparsed"),
+            max(when(col("role") === "page", col("lastmod")))
+              .as("max_lastmod"),
+            md5(array_join(sort_array(collect_list(
+              when(col("role") === "page", col("page_url")))), "|"))
+              .as("pages_md5"))
+          .orderBy(col("site_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m, CAST(1 + doc_id % 3 AS INT) AS nc
+          FROM documents),
+        t AS (
+          SELECT *,
+            flatten(list_transform(range(0, nc), k ->
+              CASE WHEN (m + k) % 7 = 0 OR (m % 41 = 0 AND k = 0)
+                THEN []
+                ELSE list_transform(range(0, 2 + (m + k) % 3), j ->
+                  struct_pack(
+                    u := 'https://s' || m || '.test/p' || k || '_' || j
+                      || CASE WHEN j = 0 AND m % 5 = 0
+                         THEN '?a=1&b=2' ELSE '' END,
+                    lm := CASE WHEN j % 2 = 0
+                      THEN '2024-03-0' || (1 + (m + j) % 7) ELSE '' END,
+                    idx := TRUE))
+              END))
+            || CASE WHEN m % 11 = 0 THEN
+                 [struct_pack(u := 'https://s' || m || '.test/px_0',
+                    lm := '', idx := FALSE)]
+               ELSE [] END AS pages,
+            len(list_filter(range(0, nc), k -> (m + k) % 7 = 0))
+              + CASE WHEN m % 41 = 0 AND m % 7 <> 0 THEN 1 ELSE 0 END
+              AS n_missing,
+            CASE WHEN m % 41 = 0 AND m % 7 <> 0 THEN 1 ELSE 0 END
+              AS n_unparsed
+          FROM p)
+        SELECT m AS site_id,
+               CAST(len(pages) AS BIGINT) AS n_pages,
+               CAST(len(list_filter(pages, x -> x.idx)) AS BIGINT)
+                 AS n_indexed_pages,
+               CAST(len(list_filter(pages, x -> NOT x.idx)) AS BIGINT)
+                 AS n_orphan_pages,
+               CAST(n_missing AS BIGINT) AS n_missing_children,
+               CAST(n_unparsed AS BIGINT) AS n_unparsed,
+               CASE WHEN len(pages) = 0 THEN NULL
+                    ELSE list_max(list_transform(pages, x -> x.lm)) END
+                 AS max_lastmod,
+               md5(coalesce(array_to_string(
+                 list_sort(list_transform(pages, x -> x.u)), '|'), ''))
+                 AS pages_md5
+        FROM t ORDER BY site_id""")))
 
   /** Synthesized WARC corpus for q216: one archive per document —
     * warcinfo + request + response (+ metadata on even ids), every
@@ -1424,6 +1508,80 @@ object WebCurationQueries {
             sb.toString.getBytes("UTF-8"))
         }.toDF()
     }.as[graft.ext.Multimodal.MediaRecord]
+  }
+
+  /** The q235 fetched-sitemap corpus: per site m, a sitemapindex at
+    * /sitemap_index.xml listing 1+m%3 children; child k's urlset is
+    * MISSING from the fetch at (m+k)%7, garbage bytes (fetched but
+    * unparseable) at m%41 for k=0, else 2+(m+k)%3 pages (lastmod on
+    * even j, an &amp;-escaped query URL at j=0 when m%5==0); an
+    * un-indexed orphan sitemap at m%11. Every formula replayed by the
+    * oracle.
+    */
+  private def sitemapTreeFixture(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q235_fixture", dir) {
+      t.documents.select(col("doc_id")).as[Long]
+        .flatMap { m =>
+          val host = s"https://s$m.test"
+          val nc = (1 + m % 3).toInt
+          def urlset(pages: Seq[(String, String)]): Array[Byte] = {
+            val sb = new StringBuilder
+            sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>")
+            sb.append("<urlset xmlns=\"http://www.sitemaps.org/" +
+              "schemas/sitemap/0.9\">")
+            pages.foreach { case (u, lm) =>
+              sb.append("<url><loc>")
+                .append(u.replace("&", "&amp;")).append("</loc>")
+              if (lm.nonEmpty)
+                sb.append("<lastmod>").append(lm).append("</lastmod>")
+              sb.append("</url>")
+            }
+            sb.append("</urlset>")
+            sb.toString.getBytes("UTF-8")
+          }
+          val idx = {
+            val sb = new StringBuilder
+            sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>")
+            sb.append("<sitemapindex xmlns=\"http://www.sitemaps.org/" +
+              "schemas/sitemap/0.9\">")
+            (0 until nc).foreach { k =>
+              sb.append("<sitemap><loc>").append(host).append("/sm_")
+                .append(k).append(".xml</loc></sitemap>")
+            }
+            sb.append("</sitemapindex>")
+            (m, s"$host/sitemap_index.xml",
+              sb.toString.getBytes("UTF-8"))
+          }
+          val children = (0 until nc).flatMap { k =>
+            if ((m + k) % 7 == 0) None // fetch gap: the backlog arm
+            else if (m % 41 == 0 && k == 0)
+              Some((m, s"$host/sm_$k.xml",
+                s"fetched garbage $m".getBytes("UTF-8")))
+            else {
+              val np = (2 + (m + k) % 3).toInt
+              val pages = (0 until np).map { j =>
+                val u = s"$host/p${k}_$j" +
+                  (if (j == 0 && m % 5 == 0) "?a=1&b=2" else "")
+                val lm =
+                  if (j % 2 == 0) "2024-03-0" + (1 + (m + j) % 7) else ""
+                (u, lm)
+              }
+              Some((m, s"$host/sm_$k.xml", urlset(pages)))
+            }
+          }
+          val orphan =
+            if (m % 11 == 0)
+              Seq((m, s"$host/sm_x.xml",
+                urlset(Seq((s"$host/px_0", "")))))
+            else Nil
+          Seq(idx) ++ children ++ orphan
+        }
+        .toDF("site_id", "url", "media")
+    }
   }
 
   /** The q220 crawl corpus: the q216 synthesis with COLLIDING paths

@@ -100,6 +100,50 @@ class ExtractingDoclingSpec extends AnyFunSuite {
       .stringField(s"""{"text":"$escaped"}""", "text").contains(hostile))
   }
 
+  test("docx tables ride the result JSON in the q159 consumer shape " +
+      "(tables -> rows -> cells), hostile cell text escape-safe") {
+    import org.apache.spark.sql.functions.{col, from_json, posexplode}
+    val xml = "<w:document><w:body>" +
+      "<w:p><w:r><w:t>body para</w:t></w:r></w:p>" +
+      "<w:tbl>" +
+      "<w:tr><w:tc><w:p><w:r><w:t>k</w:t></w:r></w:p></w:tc>" +
+      "<w:tc><w:p><w:r><w:t>v \"q\" &amp; 2</w:t></w:r></w:p></w:tc></w:tr>" +
+      "<w:tr><w:tc><w:p><w:r><w:t>x</w:t></w:r></w:p></w:tc>" +
+      "<w:tc><w:p><w:r><w:t>7</w:t></w:r></w:p></w:tc></w:tr>" +
+      "</w:tbl></w:body></w:document>"
+    val c = new ExtractingDocling(
+      Map("mem://t.docx" -> docx(xml)).apply)
+    val result = c.convert(req("mem://t.docx", "docx"))
+    // text view: body only, cells never bleed into the flow
+    assert(ExtractingDocling.stringField(result, "text")
+      .contains("body para"))
+    // the q159 cell analytics parse THIS json with their own schema —
+    // engine-extracted output is a drop-in for the synthesized fixture
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "`schema` STRING, " +
+        "tables ARRAY<STRUCT<`rows`: ARRAY<ARRAY<STRING>>>>")
+    import spark.implicits._
+    val cells = Seq(result).toDF("doclingResult")
+      .select(from_json(col("doclingResult"), schema).as("doc"))
+      .select(posexplode(col("doc.tables")).as(Seq("ti", "tbl")))
+      .select(col("ti"), posexplode(col("tbl.rows")).as(Seq("ri", "row")))
+      .select(col("ti"), col("ri"), posexplode(col("row"))
+        .as(Seq("ci", "cell")))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(cells == Set(
+      (0, 0, 0, "k"), (0, 0, 1, "v \"q\" & 2"),
+      (0, 1, 0, "x"), (0, 1, 1, "7")))
+    // a table-free pdf carries an empty tables array, same schema
+    val pdfResult = client.convert(req("mem://a.pdf"))
+    val n = Seq(pdfResult).toDF("j")
+      .select(from_json(col("j"), schema).as("doc"))
+      .select(org.apache.spark.sql.functions.size(col("doc.tables")))
+      .head().getInt(0)
+    assert(n == 0)
+  }
+
   test("full runBatch: ExtractingDocling fetches from the just-written " +
       "incoming/ store (the reference's S3 flow) — real text lands in " +
       "processed/, the defect lands in failed/") {

@@ -101,11 +101,51 @@ class DocTextSpec extends AnyFunSuite {
         s"$c\nendstream\nendobj")).isEmpty)
   }
 
+  test("pdf real-world widenings: indirect /Length resolves; typed " +
+      "streams (xref/font/image) are skipped, not tokenized") {
+    val c = "BT (real content) Tj ET"
+    // indirect /Length: the value object resolves
+    val Some((ns1, _, t1)) = DocText.PdfTextExtract.parse(pdf(
+      s"1 0 obj\n<< /Length 5 0 R >>\nstream\n$c\nendstream\nendobj\n" +
+        s"5 0 obj\n${c.length}\nendobj"))
+    assert(ns1 == 1 && t1 == "real content")
+    // a later redefinition wins (incremental-update files append)
+    val Some((_, _, t1b)) = DocText.PdfTextExtract.parse(pdf(
+      s"5 0 obj\n7\nendobj\n" +
+        s"1 0 obj\n<< /Length 5 0 R >>\nstream\n$c\nendstream\nendobj\n" +
+        s"5 0 obj\n${c.length}\nendobj"))
+    assert(t1b == "real content")
+    // typed streams carry binary that must never reach the tokenizer:
+    // an xref stream, a font program, an image — interleaved with real
+    // content; only the typeless stream contributes
+    val bin = new String(Array.tabulate(64)(i => (i * 37 % 256).toByte),
+      "ISO-8859-1")
+    val Some((ns2, ops2, t2)) = DocText.PdfTextExtract.parse(pdf(
+      s"2 0 obj\n<< /Type /XRef /Length ${bin.length} /W [1 2 1] " +
+        s">>\nstream\n$bin\nendstream\nendobj\n" +
+        s"3 0 obj\n<< /Length ${bin.length} /Subtype /Image " +
+        s">>\nstream\n$bin\nendstream\nendobj\n" +
+        s"1 0 obj\n<< /Length ${c.length} >>\nstream\n$c\nendstream\n" +
+        "endobj\n" +
+        s"4 0 obj\n<< /Type /ObjStm /N 2 /First 9 /Length ${bin.length} " +
+        s">>\nstream\n$bin\nendstream\nendobj"))
+    assert(ns2 == 1 && ops2 == 1 && t2 == "real content")
+    // /TypeX is NOT /Type (name-boundary discipline): such a stream is
+    // typeless, must tokenize — binary fails closed
+    assert(DocText.PdfTextExtract.parse(pdf(
+      s"2 0 obj\n<< /TypeX /Y /Length ${bin.length} >>\nstream\n$bin" +
+        "\nendstream\nendobj")).isEmpty)
+    // typed stream whose declared length overruns: still fail-closed
+    assert(DocText.PdfTextExtract.parse(pdf(
+      "2 0 obj\n<< /Type /XRef /Length 99999 >>\nstream\nxx\n" +
+        "endstream\nendobj")).isEmpty)
+  }
+
   test("pdf profile violations all fail closed") {
     // inline dict in a content stream (`<<` still out of profile)
     assert(DocText.PdfTextExtract.parse(
       pdf(streamObj("BT << /K 1 >> (x) Tj ET"))).isEmpty)
-    // indirect /Length
+    // UNRESOLVABLE indirect /Length (no such integer object)
     assert(DocText.PdfTextExtract.parse(pdf(
       "1 0 obj\n<< /Length 5 0 R >>\nstream\nBT (x) Tj ET\nendstream\nendobj"))
       .isEmpty)

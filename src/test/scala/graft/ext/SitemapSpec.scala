@@ -67,6 +67,52 @@ class SitemapSpec extends AnyFunSuite {
     assert(Sitemap.parse(null).isEmpty)
   }
 
+  test("resolveTree: pages attribute to their index, orphans carry " +
+      "null index, fetch gaps and unparseables surface as roles") {
+    val spark0 = graft.TestSpark.spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.col
+    def urlset(locs: String*): Array[Byte] = b(
+      "<urlset>" + locs.map(l => s"<url><loc>$l</loc></url>").mkString +
+        "</urlset>")
+    val idx = b("<sitemapindex>" +
+      "<sitemap><loc>https://a.test/sm_0.xml</loc></sitemap>" +
+      "<sitemap><loc>https://a.test/sm_1.xml</loc></sitemap>" +
+      "<sitemap><loc>https://a.test/sm_2.xml</loc></sitemap>" +
+      "</sitemapindex>")
+    val rows = Seq(
+      (1L, "https://a.test/sitemap_index.xml", idx),
+      // sm_0 fetched and parsed; sm_1 fetched but garbage; sm_2 never
+      // fetched; sm_x un-indexed orphan
+      (1L, "https://a.test/sm_0.xml",
+        urlset("https://a.test/p0", "https://a.test/p1")),
+      (1L, "https://a.test/sm_1.xml", b("garbage, not xml")),
+      (1L, "https://a.test/sm_x.xml", urlset("https://a.test/px")),
+      // a second site must not cross-contaminate attribution
+      (2L, "https://b.test/sm_0.xml", urlset("https://b.test/q0")))
+      .toDF("site_id", "url", "media")
+    val got = Sitemap.resolveTree(rows)
+      .select(col("site_id"), col("role"), col("page_url"),
+        col("sitemap_url"), col("index_url"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), Option(r.getString(4)))).toSet
+    assert(got == Set(
+      (1L, "page", "https://a.test/p0", Some("https://a.test/sm_0.xml"),
+        Some("https://a.test/sitemap_index.xml")),
+      (1L, "page", "https://a.test/p1", Some("https://a.test/sm_0.xml"),
+        Some("https://a.test/sitemap_index.xml")),
+      (1L, "page", "https://a.test/px", Some("https://a.test/sm_x.xml"),
+        None),
+      (1L, "missing_child", "https://a.test/sm_1.xml", None,
+        Some("https://a.test/sitemap_index.xml")),
+      (1L, "missing_child", "https://a.test/sm_2.xml", None,
+        Some("https://a.test/sitemap_index.xml")),
+      (1L, "unparsed", "https://a.test/sm_1.xml", None, None),
+      (2L, "page", "https://b.test/q0", Some("https://b.test/sm_0.xml"),
+        None)), s"unexpected: $got")
+  }
+
   test("fuzz: single-byte mutations and truncations never throw") {
     val base = b("<?xml version=\"1.0\"?><urlset>" +
       "<url><loc>https://a.test/p?x=1&amp;y=2</loc>" +
