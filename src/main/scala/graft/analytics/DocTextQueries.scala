@@ -1029,6 +1029,45 @@ object DocTextQueries {
                  AS text_len,
                CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,
                NOT bad AS ok
+        FROM t ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q236: Avro arm of the unified extraction dispatch
+    // ([[graft.ext.DocText.extractAnyText]] r16) — a training corpus
+    // routinely arrives as record CONTAINERS next to documents; the
+    // text view of an OCF is every string-typed field's value,
+    // record-major, joined \n (the PDF page-join convention). Reuses
+    // the q228 library-written fixture, so the gate prices magic
+    // dispatch (`Obj\x01`) + the from-scratch OCF walk + the text
+    // join; the %41 raw-text arm routes to the txt arm (ok=true) —
+    // pinning that dispatch boundaries moved correctly when the new
+    // arm landed.
+    GraftQuery(
+      "q236_avro_text_unify",
+      (spark, dir) => {
+        DocText.extractAnyText(avroFixture(spark, dir)).toDF()
+          .select(col("media_id"), col("format"),
+            length(col("raw")).cast("long").as("text_len"),
+            md5(col("raw")).as("text_md5"), col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m, doc_id % 41 = 0 AS bad,
+                 CAST(1 + doc_id % 4 AS INT) AS k
+          FROM documents),
+        t AS (
+          SELECT *, CASE WHEN bad THEN 'not avro ' || m
+            ELSE array_to_string(list_transform(range(0, k),
+              i -> 'av-' || m || '-' || i || '-'
+                || repeat('x ', CAST(1 + (m + i) % 5 AS INT))),
+              chr(10)) END AS txt
+          FROM p)
+        SELECT m AS media_id,
+               CASE WHEN bad THEN 'txt' ELSE 'avro' END AS format,
+               CAST(length(txt) AS BIGINT) AS text_len,
+               md5(txt) AS text_md5,
+               TRUE AS ok
         FROM t ORDER BY media_id"""))
   )
 }

@@ -1322,6 +1322,72 @@ object WebCurationQueries {
                md5(coalesce(array_to_string(
                  list_sort(list_transform(pages, x -> x.u)), '|'), ''))
                  AS pages_md5
+        FROM t ORDER BY site_id""")),
+
+    // ------------------------------------------------------------------
+    // q237: robots.txt sitemap DISCOVERY ([[graft.ext.Robots
+    // .sitemapDirectives]]) — the channel that tells a crawler the
+    // sitemap roots exist at all (RFC 9309 §2.3: group-independent
+    // `Sitemap:` lines). Each site's robots declares its index
+    // (duplicated line — dedup pinned), the orphan sitemap on the %22
+    // arm, and a GHOST sitemap (declared, never fetched) at %13 with
+    // an upper-case `SITEMAP:` key (case-insensitivity pinned);
+    // declarations join the q235 fetched corpus to split
+    // declared+fetched from the ghost backlog. Completes the arc:
+    // DISCOVER (here) → resolve (q235) → comply (q218) → cover
+    // (q229) → refresh (q227) → schedule (q230).
+    GraftQuery(
+      "q237_sitemap_discovery",
+      (spark, dir) => {
+        import spark.implicits._
+        val t = new Tables(spark, dir)
+        val declared = t.documents.select(col("doc_id")).as[Long]
+          .flatMap { m =>
+            val host = s"https://s$m.test"
+            val body = "User-agent: *\nDisallow: /private\n\n" +
+              s"Sitemap: $host/sitemap_index.xml\n" +
+              s"Sitemap: $host/sitemap_index.xml # dup, dropped\n" +
+              (if (m % 22 == 0) s"Sitemap: $host/sm_x.xml\n" else "") +
+              (if (m % 13 == 0) s"SITEMAP: $host/sm_ghost.xml\n" else "")
+            graft.ext.Robots.sitemapDirectives(s"s$m.test", body)
+              .map { case (_, u) => (m, u) }
+          }.toDF("site_id", "url")
+        val fetched = sitemapTreeFixture(spark, dir)
+          .select(col("site_id"), col("url")).distinct()
+          .withColumn("f", lit(true))
+        declared.join(fetched, Seq("site_id", "url"), "left")
+          .groupBy(col("site_id"))
+          .agg(
+            count(lit(1)).as("n_declared"),
+            sum(when(col("f"), 1L).otherwise(0L)).as("n_declared_fetched"),
+            sum(when(col("f").isNull, 1L).otherwise(0L))
+              .as("n_ghost"),
+            md5(array_join(sort_array(collect_list(col("url"))), "|"))
+              .as("declared_md5"))
+          .orderBy(col("site_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m, doc_id % 22 = 0 AS orph,
+                 doc_id % 13 = 0 AS ghost
+          FROM documents),
+        t AS (
+          SELECT *,
+            ['https://s' || m || '.test/sitemap_index.xml']
+            || CASE WHEN orph
+               THEN ['https://s' || m || '.test/sm_x.xml'] ELSE [] END
+            || CASE WHEN ghost
+               THEN ['https://s' || m || '.test/sm_ghost.xml'] ELSE [] END
+              AS declared
+          FROM p)
+        SELECT m AS site_id,
+               CAST(len(declared) AS BIGINT) AS n_declared,
+               CAST(1 + CASE WHEN orph THEN 1 ELSE 0 END AS BIGINT)
+                 AS n_declared_fetched,
+               CAST(CASE WHEN ghost THEN 1 ELSE 0 END AS BIGINT)
+                 AS n_ghost,
+               md5(array_to_string(list_sort(declared), '|'))
+                 AS declared_md5
         FROM t ORDER BY site_id""")))
 
   /** Synthesized WARC corpus for q216: one archive per document —

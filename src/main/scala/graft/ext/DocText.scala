@@ -799,7 +799,9 @@ object DocText {
     * logical document arrives as PDF from a document store, DOCX from
     * an inbox, HTML from a crawl, plain text from an export):
     * `%PDF-` → [[PdfTextExtract]], `PK` → [[DocxTextExtract]],
-    * first non-whitespace byte `<` → decoded as markup with
+    * `Obj` → [[AvroOcf]] (string-typed field values joined, the
+    * container-to-text view), first non-whitespace byte `<` →
+    * decoded as markup with
     * `needs_html = true` (the caller runs [[HtmlText.htmlExtractText]]
     * over those rows — boilerplate removal is DataFrame-expression
     * work, not a byte kernel), anything else valid-UTF-8 → plain text
@@ -842,6 +844,23 @@ object DocText {
             DocxTextExtract.parse(b) match {
               case Some((_, _, t)) =>
                 AnyText(r.media_id, r.mime, "docx", t,
+                  needs_html = false, ok = true, None)
+              case None => AnyText(r.media_id, r.mime, "", "",
+                needs_html = false, ok = false, None)
+            }
+          else if (b != null && b.length >= 4 && b(0) == 'O' &&
+            b(1) == 'b' && b(2) == 'j' && b(3) == 1)
+            // Avro OCF (r16): the text view is every string-typed
+            // field's value, record-major, joined with \n — the same
+            // page-join convention as the PDF arm
+            AvroOcf.parse(b) match {
+              case Some((fields, _, _, records)) =>
+                val strIdx = fields.zipWithIndex
+                  .collect { case ((_, "string"), i) => i }
+                val t = records.iterator.flatMap(rec =>
+                  strIdx.map(i => rec(i).asInstanceOf[String]))
+                  .mkString("\n")
+                AnyText(r.media_id, r.mime, "avro", t,
                   needs_html = false, ok = true, None)
               case None => AnyText(r.media_id, r.mime, "", "",
                 needs_html = false, ok = false, None)

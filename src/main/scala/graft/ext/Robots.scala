@@ -73,6 +73,29 @@ object Robots {
     out.toSeq
   }
 
+  /** `Sitemap:` directives of a robots.txt (RFC 9309 §2.3 / the
+    * sitemaps.org discovery channel) — GROUP-INDEPENDENT by spec, so
+    * this is a separate pass from [[parse]]'s agent-group walk: every
+    * `Sitemap: <absolute-url>` line, case-insensitive key, comments
+    * stripped, order preserved, duplicates dropped. The crawl-arc
+    * discovery step: robots → declared sitemap roots → [[Sitemap
+    * .resolveTree]] over the fetched corpus.
+    */
+  def sitemapDirectives(domain: String, body: String)
+      : Seq[(String, String)] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    body.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+        line.substring(0, colon).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) seen += v
+      }
+    }
+    seen.toSeq.map(u => (domain, u))
+  }
+
   /** Evaluate URLs against a rule table for `agent`: per URL, pick the
     * applicable agent group (exact token if the domain has one, else
     * `*`), then the longest matching rule path, Allow winning length

@@ -399,6 +399,38 @@ class DocTextSpec extends AnyFunSuite {
       htmlText(0).getString(4) == "from html page body text")
   }
 
+  test("extractAnyText: avro containers extract their string fields, " +
+      "record-major; corrupt OCF fails closed") {
+    val spark0 = graft.TestSpark.spark
+    import spark0.implicits._
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"d","fields":[""" +
+        """{"name":"id","type":"long"},""" +
+        """{"name":"title","type":"string"},""" +
+        """{"name":"body","type":"string"}]}""")
+    val out = new java.io.ByteArrayOutputStream
+    val fw = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    fw.create(schema, out)
+    Seq((1L, "t1", "b1"), (2L, "t2", "b2")).foreach { case (i, t, b0) =>
+      val r = new org.apache.avro.generic.GenericData.Record(schema)
+      r.put("id", i); r.put("title", t); r.put("body", b0)
+      fw.append(r)
+    }
+    fw.close()
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "avro/binary", out.toByteArray),
+      // magic present, body truncated: fail closed, not a throw
+      Multimodal.MediaRecord(2L, "avro/binary",
+        java.util.Arrays.copyOf(out.toByteArray, 12)))
+    val got = DocText.extractAnyText(rows.toDS())
+      .collect().map(a => a.media_id -> (a.format, a.raw, a.ok)).toMap
+    // string fields only (id skipped), record-major, joined \n
+    assert(got(1L) == (("avro", "t1\nb1\nt2\nb2", true)))
+    assert(!got(2L)._3 && got(2L)._1 == "")
+  }
+
   test("extractAnyText: BOM/whitespace-led HTML routes to the html arm; " +
       "malformed UTF-8 fails closed (no silent U+FFFD)") {
     val spark0 = graft.TestSpark.spark

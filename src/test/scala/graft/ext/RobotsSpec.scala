@@ -105,4 +105,24 @@ class RobotsSpec extends AnyFunSuite {
     val r = Robots.evaluate(urls, rules, "bot").collect()(0)
     assert(r.getBoolean(3) && r.getString(4) == "")
   }
+
+  test("sitemapDirectives: group-independent, case-insensitive key, " +
+      "comments stripped, duplicates dropped, order kept") {
+    val body =
+      "User-agent: a\nDisallow: /x\n" +
+        "Sitemap: https://d.test/one.xml\n" +
+        "User-agent: b\n" +
+        "sitemap: https://d.test/two.xml # trailing comment\n" +
+        "SITEMAP: https://d.test/one.xml\n" + // dup, dropped
+        "Sitemap:\n" + // empty value, skipped
+        "# Sitemap: https://d.test/commented.xml\n" +
+        "NotSitemap: https://d.test/no.xml\n"
+    assert(Robots.sitemapDirectives("d.test", body) == Seq(
+      ("d.test", "https://d.test/one.xml"),
+      ("d.test", "https://d.test/two.xml")))
+    // rule parsing is untouched by sitemap lines
+    val rules = Robots.parse("d.test", body)
+    assert(rules.map(r => (r.agent, r.path)) == Seq(("a", "/x")))
+    assert(Robots.sitemapDirectives("d.test", "").isEmpty)
+  }
 }
