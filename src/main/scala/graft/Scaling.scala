@@ -74,7 +74,10 @@ object Scaling {
     "q221_warcgz_ingest"         -> "documents",
     "q225_warcgz_cdx_index"      -> "documents",
     "q226_mixed_corpus_unify"    -> "documents",
-    "q233_docx_tables"           -> "documents")
+    "q233_docx_tables"           -> "documents",
+    // CDC chunking: pure map-side per-document pass (the md5 boundary
+    // rule is the oracle-replayability price) — linear by construction
+    "q238_cdc_chunks"            -> "documents")
 
   /** Documented super-linear-BY-INTENT queries: q27 materializes exact
     * all-pairs Jaccard evidence and q47 exact winnowing-fingerprint

@@ -727,6 +727,89 @@ object ExtQueries {
         ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
+    // q238: CONTENT-DEFINED chunking ([[graft.ext.Dedup.cdcChunks]]) —
+    // the shift-robust sibling of q56's fixed windows: boundaries fall
+    // where the trailing 16-gram's md5 lands in the 1/16 band, so a
+    // 7-char prefix insertion (the shifted twin built here) shifts
+    // every byte yet reproduces most chunk hashes once the window
+    // re-synchronizes — exactly what fixed windows structurally cannot
+    // do (every window after the insertion changes). Per doc: both
+    // sides' chunk counts, the DISTINCT-hash intersection, and the
+    // survival fraction. The oracle replays the boundary rule
+    // byte-for-byte (md5 chosen over a rolling hash precisely so it
+    // can), pinning chunk placement, not just counts. Scale shape:
+    // chunking is one codegen'd map-side pass per document; the
+    // census is one hash-keyed join of chunk-hash sets.
+    GraftQuery(
+      "q238_cdc_chunks",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val orig = t.documents.select(col("doc_id"), col("text"))
+        val shifted = orig.select(col("doc_id"),
+          concat(lit("PREFIX "), col("text")).as("text"))
+        // ONE aggregation per side (hash SETS as values): the chunking
+        // pass is the dominant cost, and a separate distinct + count
+        // consumer pair would re-run it per consumer
+        val oAgg = Dedup.cdcChunks(orig, col("doc_id"), col("text"))
+          .groupBy(col("id")).agg(
+            count(lit(1)).as("n_chunks"),
+            collect_set(col("chunk_md5")).as("hs_o"))
+        val sAgg = Dedup.cdcChunks(shifted, col("doc_id"), col("text"))
+          .groupBy(col("id")).agg(
+            count(lit(1)).as("n_chunks_shifted"),
+            collect_set(col("chunk_md5")).as("hs_s"))
+        oAgg.join(sAgg, Seq("id"))
+          .select(col("id").as("doc_id"), col("n_chunks"),
+            size(col("hs_o")).cast("long").as("n_distinct"),
+            col("n_chunks_shifted"),
+            size(array_intersect(col("hs_o"), col("hs_s"))).cast("long")
+              .as("n_shared"),
+            (size(array_intersect(col("hs_o"), col("hs_s")))
+              .cast("double") / size(col("hs_o"))).as("survival"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text AS t1, 'PREFIX ' || text AS t2
+          FROM documents),
+        ch AS (
+          SELECT doc_id, side, t,
+            list_prepend(0,
+              CASE WHEN len(bp) > 0 AND bp[-1] = length(t) THEN bp
+                   ELSE list_append(bp, length(t)) END) AS b
+          FROM (
+            SELECT doc_id, side, t,
+              list_filter(range(16, length(t) + 1),
+                i -> substr(md5(substr(t, CAST(i - 15 AS INT), 16)),
+                  1, 1) = '0') AS bp
+            FROM (SELECT doc_id, 1 AS side, t1 AS t FROM d
+                  UNION ALL
+                  SELECT doc_id, 2, t2 FROM d))),
+        chunks AS (
+          SELECT doc_id, side,
+            list_transform(range(1, len(b)), j ->
+              md5(substr(t, CAST(b[CAST(j AS INT)] + 1 AS INT),
+                CAST(b[CAST(j + 1 AS INT)] - b[CAST(j AS INT)] AS INT))))
+              AS hs
+          FROM ch),
+        per AS (
+          SELECT a.doc_id,
+                 len(a.hs) AS n_chunks,
+                 len(list_distinct(a.hs)) AS n_distinct,
+                 len(b.hs) AS n_chunks_shifted,
+                 len(list_filter(list_distinct(a.hs),
+                   x -> list_contains(b.hs, x))) AS n_shared
+          FROM chunks a JOIN chunks b
+            ON a.doc_id = b.doc_id AND a.side = 1 AND b.side = 2)
+        SELECT doc_id,
+               CAST(n_chunks AS BIGINT) AS n_chunks,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               CAST(n_chunks_shifted AS BIGINT) AS n_chunks_shifted,
+               CAST(n_shared AS BIGINT) AS n_shared,
+               CAST(n_shared AS DOUBLE) / n_distinct AS survival
+        FROM per ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
     // q57: PII redaction over deterministic contact strings synthesized
     // from the customer table (the corpus itself carries no PII, so the
     // query plants emails/IPs/phones from real columns — both engines

@@ -432,6 +432,69 @@ object Dedup {
     * keeps the result exact. Candidates carry only ids + band keys; the
     * shingle arrays are joined back only for the (few) candidates.
     */
+  /** CONTENT-DEFINED chunking — the shift-robust sibling of the
+    * fixed-window [[chunksOf]]: a chunk boundary falls after any
+    * position whose trailing `w`-gram hashes into the target band
+    * (md5 leading nibble '0', p = 1/16 → expected chunk ~16 chars in
+    * this educational profile; production CDC adds FastCDC's min/max
+    * bounds). Because the boundary rule is HASH-LOCAL (a function of
+    * the w bytes ending at the position, nothing else), inserting a
+    * prefix shifts every byte but reproduces the same boundaries once
+    * the window re-synchronizes — fixed windows lose every chunk
+    * after an insertion, CDC loses only the chunk containing it. The
+    * storage/training-data dedup move (LBFS/FastCDC lineage).
+    *
+    * md5 (not a cheaper rolling hash) is deliberate: the DuckDB
+    * oracle replays the exact boundary rule, so the gate pins chunk
+    * placement byte-for-byte. Texts shorter than `w` become one
+    * chunk. Scale shape: pure map-side expression work (one
+    * codegen'd pass per document), no shuffle.
+    *
+    * Output: one row per chunk — `id, chunk_idx, chunk_len,
+    * chunk_md5`.
+    */
+  def cdcChunks(docs: DataFrame, id: Column, text: Column,
+                w: Int = 16): DataFrame = {
+    // SINGLE-REFERENCE expression shape, deliberately: Catalyst
+    // inlines every multi-referenced alias at each reference site
+    // (CollapseProject), so a "natural" boundaries array consumed by
+    // size() + two element_at()s re-ran the md5 boundary FILTER once
+    // per reference per chunk — ~2×chunks full re-evaluations per row
+    // (measured: 8+ min at sf0.1; this shape: seconds). The fold
+    // consumes the boundary array exactly once and builds the chunk
+    // array in one traversal; lambda variables (`st`, `e`) are bound
+    // values, not re-evaluated trees.
+    val t = text
+    val len = length(t)
+    // ascending chunk END positions: every banded window end, plus the
+    // text end (possibly duplicating the last banded end — the fold's
+    // e == prev skip dedupes it). Texts shorter than w get no banded
+    // ends and become one whole-text chunk; an empty text yields no
+    // chunks at all (its only end, 0, equals the fold seed).
+    val ends = concat(
+      filter(
+        when(len >= w, sequence(lit(w), len))
+          .otherwise(array().cast("array<int>")),
+        i => substring(md5(t.substr(i - (w - 1), lit(w))), 1, 1)
+          === "0"),
+      array(len))
+    val chunks = aggregate(
+      ends,
+      struct(lit(0).as("prev"),
+        array().cast("array<string>").as("acc")),
+      (st, e) => when(e === st.getField("prev"), st).otherwise(
+        struct(e.as("prev"),
+          concat(st.getField("acc"),
+            array(t.substr(st.getField("prev") + 1,
+              e - st.getField("prev")))).as("acc"))),
+      st => st.getField("acc"))
+    docs
+      .select(id.as("id"),
+        posexplode(chunks).as(Seq("chunk_idx", "c")))
+      .select(col("id"), col("chunk_idx"),
+        length(col("c")).as("chunk_len"), md5(col("c")).as("chunk_md5"))
+  }
+
   /** The (id, band, bucket) LSH index both [[minhashPairs]] and
     * [[minhashBucketAudit]] hang off — map-side signature + banding,
     * 8-byte keys only.

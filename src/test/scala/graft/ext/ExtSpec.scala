@@ -22,6 +22,37 @@ class ExtSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("cdcChunks: chunks reassemble the text, a prefix insertion " +
+      "preserves most chunk hashes, short texts are one chunk") {
+    import org.apache.spark.sql.functions.concat_ws
+    val txt = docs.limit(20).select(col("doc_id"), col("text"))
+    val ch = Dedup.cdcChunks(txt, col("doc_id"), col("text"))
+    // lossless partition: per-doc chunk lengths sum to the text length
+    val sums = ch.groupBy(col("id"))
+      .agg(sum(col("chunk_len")).as("s"))
+      .join(txt, col("id") === col("doc_id"))
+      .collect()
+    assert(sums.nonEmpty && sums.forall(r =>
+      r.getAs[Long]("s") == r.getAs[String]("text").length.toLong))
+    // shift robustness: ≥60% of distinct chunk hashes survive a
+    // 7-char prefix insertion (fixed windows would keep ~0)
+    val shifted = txt.select(col("doc_id"),
+      concat_ws("", org.apache.spark.sql.functions.lit("PREFIX "),
+        col("text")).as("text"))
+    val a = ch.select(col("id"), col("chunk_md5")).distinct()
+    val b = Dedup.cdcChunks(shifted, col("doc_id"), col("text"))
+      .select(col("id"), col("chunk_md5")).distinct()
+    val nA = a.count()
+    val nShared = a.join(b, Seq("id", "chunk_md5")).count()
+    assert(nShared.toDouble / nA > 0.6,
+      s"CDC lost too much under a shift: $nShared of $nA")
+    // short text (< window) is exactly one whole-text chunk
+    val one = Dedup.cdcChunks(
+      Seq((1L, "tiny")).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).collect()
+    assert(one.length == 1 && one(0).getAs[Int]("chunk_len") == 4)
+  }
+
   test("minhashBucketAudit: the guard fires on a boilerplate corpus " +
       "and stays quiet on a well-separated one") {
     // boilerplate corpus — the q231 first-cut shape: every doc shares
