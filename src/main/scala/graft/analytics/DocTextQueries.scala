@@ -526,6 +526,48 @@ object DocTextQueries {
     }.as[Multimodal.MediaRecord]
   }
 
+  /** Shared text formula for the q239 UTF-16 corpus — deliberately
+    * multi-byte in both encodings (é U+00E9, № U+2116, → U+2192).
+    */
+  private def u16Text(m: Long): String =
+    s"Unicode doc $m café № ${m % 7} → end"
+
+  /** The q239 corpus: the same formula text arrives UTF-16BE (txt),
+    * UTF-16LE (html, whitespace-led at %5), and UTF-8 (control) by
+    * m%3; the %41 arm truncates a UTF-16 stream mid-code-unit — the
+    * strict decoder must fail closed, never emit U+FFFD.
+    */
+  private def utf16Fixture(spark: org.apache.spark.sql.SparkSession,
+                           dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q239_fixture", dir) {
+      t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { m =>
+            val core = u16Text(m)
+            val bytes: Array[Byte] =
+              if (m % 41 == 0) {
+                val be = Array(0xfe.toByte, 0xff.toByte) ++
+                  core.getBytes("UTF-16BE")
+                java.util.Arrays.copyOf(be, be.length - 1) // odd length
+              } else (m % 3) match {
+                case 0 => Array(0xfe.toByte, 0xff.toByte) ++
+                  core.getBytes("UTF-16BE")
+                case 1 =>
+                  val page = (if (m % 5 == 0) "\n  " else "") +
+                    s"<html><body><p>$core</p></body></html>"
+                  Array(0xff.toByte, 0xfe.toByte) ++
+                    page.getBytes("UTF-16LE")
+                case _ => core.getBytes("UTF-8")
+              }
+            Multimodal.MediaRecord(m, "text/plain", bytes)
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
   /** Body paragraph q of doc m for the q233 corpus. */
   private def tblBodyText(m: Long, q: Int): String = s"Body $q of $m"
 
@@ -1068,6 +1110,53 @@ object DocTextQueries {
                CAST(length(txt) AS BIGINT) AS text_len,
                md5(txt) AS text_md5,
                TRUE AS ok
-        FROM t ORDER BY media_id"""))
+        FROM t ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q239: UTF-16 payloads in the unified dispatch
+    // ([[graft.ext.DocText.extractAnyText]] r16) — real exports ship
+    // UTF-16 with a BOM, which the strict UTF-8 arm rightly rejected;
+    // now a BOM of either endianness routes through a strict UTF-16
+    // decode with the same markup-vs-text dispatch on the DECODED
+    // chars. The formula text is deliberately multi-byte in both
+    // encodings (é № →), so a wrong endianness, a swallowed BOM, or a
+    // code-unit slip all flip the md5 (hashes are over the decoded
+    // string's UTF-8 bytes on both engines — the encoding boundary is
+    // crossed exactly once). The %41 arm truncates mid-code-unit and
+    // must fail closed, never U+FFFD.
+    GraftQuery(
+      "q239_utf16_unify",
+      (spark, dir) => {
+        DocText.extractAnyText(utf16Fixture(spark, dir)).toDF()
+          .select(col("media_id"), col("format"),
+            length(col("raw")).cast("long").as("text_len"),
+            when(col("ok"), md5(col("raw"))).otherwise(lit(""))
+              .as("text_md5"),
+            col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m, doc_id % 41 = 0 AS bad,
+                 CAST(doc_id % 3 AS INT) AS arm
+          FROM documents),
+        t AS (
+          SELECT *, 'Unicode doc ' || m || ' café № ' || (m % 7)
+            || ' → end' AS core
+          FROM p),
+        f AS (
+          SELECT *, CASE WHEN bad THEN ''
+            WHEN arm = 1 THEN '<html><body><p>' || core
+              || '</p></body></html>'
+            ELSE core END AS txt
+          FROM t)
+        SELECT m AS media_id,
+               CASE WHEN bad THEN ''
+                    WHEN arm = 1 THEN 'html' ELSE 'txt' END AS format,
+               CAST(CASE WHEN bad THEN 0 ELSE length(txt) END AS BIGINT)
+                 AS text_len,
+               CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,
+               NOT bad AS ok
+        FROM f ORDER BY media_id"""))
   )
 }

@@ -75,6 +75,19 @@ object DocText {
     catch { case _: java.nio.charset.CharacterCodingException => None }
   }
 
+  /** Strict UTF-16 decode (BOM-directed endianness, BOM stripped):
+    * None on malformed input — the [[extractAnyText]] UTF-16 arm
+    * (r16: a UTF-16 payload previously failed the UTF-8 strict
+    * decode and was dropped, though real exports routinely ship it).
+    */
+  private[ext] def decodeUtf16Strict(b: Array[Byte]): Option[String] = {
+    val dec = java.nio.charset.StandardCharsets.UTF_16.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try Some(dec.decode(java.nio.ByteBuffer.wrap(b)).toString)
+    catch { case _: java.nio.charset.CharacterCodingException => None }
+  }
+
   /** zlib-wrapped inflate, all-or-nothing with an output cap. */
   private def inflateZlib(data: Array[Byte], cap: Int)
       : Option[Array[Byte]] = {
@@ -807,8 +820,11 @@ object DocText {
     * work, not a byte kernel), anything else valid-UTF-8 → plain text
     * as-is. Dispatch is structural (never the caller's mime string)
     * and tolerates a UTF-8 BOM and leading whitespace before markup
-    * (real HTML routinely leads with both — ADVICE r15); the PDF/DOCX
-    * magics stay byte-0 anchored, matching the parsers' own contracts.
+    * (real HTML routinely leads with both — ADVICE r15); a UTF-16 BOM
+    * (either endianness) routes through a strict UTF-16 decode with
+    * the same markup-vs-text dispatch on the decoded chars (r16); the
+    * PDF/DOCX magics stay byte-0 anchored, matching the parsers' own
+    * contracts.
     * The html/txt arms decode with a REPORT-mode CharsetDecoder:
     * malformed UTF-8 fails closed instead of silently becoming U+FFFD.
     * Per-format profile violations fail closed.
@@ -865,6 +881,26 @@ object DocText {
               case None => AnyText(r.media_id, r.mime, "", "",
                 needs_html = false, ok = false, None)
             }
+          else if (b != null && b.length >= 2 &&
+            (((b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff) ||
+              ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xfe))) {
+            // UTF-16 BOM (either endianness): decode strictly, then
+            // apply the same markup-vs-text dispatch to the DECODED
+            // chars (html starts at the first '<'; txt keeps leading
+            // whitespace as content)
+            decodeUtf16Strict(b) match {
+              case Some(t) =>
+                val lead = t.indexWhere(c => !(c == ' ' || c == '\t' ||
+                  c == '\r' || c == '\n'))
+                if (lead >= 0 && t(lead) == '<')
+                  AnyText(r.media_id, r.mime, "html", t.substring(lead),
+                    needs_html = true, ok = true, None)
+                else AnyText(r.media_id, r.mime, "txt", t,
+                  needs_html = false, ok = true, None)
+              case None => AnyText(r.media_id, r.mime, "", "",
+                needs_html = false, ok = false, None)
+            }
+          }
           else if (b != null && t0 < b.length && b(t0) == '<')
             decodeUtf8Strict(b, t0) match {
               case Some(t) => AnyText(r.media_id, r.mime, "html", t,

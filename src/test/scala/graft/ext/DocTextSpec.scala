@@ -470,6 +470,36 @@ class DocTextSpec extends AnyFunSuite {
     assert(got(6L) == (("txt", "café naïve", false, true)))
   }
 
+  test("extractAnyText: UTF-16 BOM routes through strict UTF-16 decode " +
+      "(both endiannesses, html dispatch on decoded chars, fail-closed)") {
+    val spark0 = graft.TestSpark.spark
+    import spark0.implicits._
+    val core = "café № 7 → end"
+    def be(s: String) = Array(0xfe.toByte, 0xff.toByte) ++
+      s.getBytes("UTF-16BE")
+    def le(s: String) = Array(0xff.toByte, 0xfe.toByte) ++
+      s.getBytes("UTF-16LE")
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "text/plain", be(core)),
+      Multimodal.MediaRecord(2L, "text/plain", le(core)),
+      // whitespace-led markup in UTF-16: html arm from the first '<'
+      Multimodal.MediaRecord(3L, "text/html",
+        le("\n <html><body><p>x</p></body></html>")),
+      // truncated mid-code-unit: fail closed, never U+FFFD
+      Multimodal.MediaRecord(4L, "text/plain",
+        java.util.Arrays.copyOf(be(core), be(core).length - 1)),
+      // leading whitespace in UTF-16 TEXT stays content
+      Multimodal.MediaRecord(5L, "text/plain", le("  indented")))
+    val got = DocText.extractAnyText(rows.toDS())
+      .collect().map(a => a.media_id -> (a.format, a.raw, a.ok)).toMap
+    assert(got(1L) == (("txt", core, true)))
+    assert(got(2L) == (("txt", core, true)))
+    assert(got(3L)._1 == "html" && got(3L)._3 &&
+      got(3L)._2.startsWith("<html>"))
+    assert(!got(4L)._3 && got(4L)._1 == "")
+    assert(got(5L) == (("txt", "  indented", true)))
+  }
+
   test("docx fuzz: single-byte mutations and truncations never throw") {
     val xml = "<w:document><w:body><w:p><w:r><w:t>Hello &amp; bye" +
       "</w:t></w:r></w:p></w:body></w:document>"
