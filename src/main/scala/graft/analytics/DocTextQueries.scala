@@ -526,6 +526,214 @@ object DocTextQueries {
     }.as[Multimodal.MediaRecord]
   }
 
+  /** Page text for the q240 ObjStm corpus. */
+  private def stmPageText(m: Long): String =
+    s"Stm doc $m text " + "mn " * (1 + (m % 5)).toInt + "fin."
+
+  /** One `/Type /ObjStm` object (ISO 32000-1 §7.5.7): pair table
+    * `objnum offset …` before `/First`, member bodies space-joined
+    * after it, optional FlateDecode. Members are (objnum, body)
+    * pairs — integer bodies become resolvable objects, anything else
+    * exercises the skip-non-integer path.
+    */
+  private def buildObjStm(objnum: Int, members: Seq[(Int, String)],
+                          flate: Boolean): Array[Byte] = {
+    val bodies = members.map(_._2)
+    val offs = bodies.scanLeft(0)((a, b) => a + b.length + 1).init
+    val header = members.zip(offs)
+      .map { case ((n, _), o) => s"$n $o" }.mkString(" ") + " "
+    val payload = (header + bodies.mkString(" ")).getBytes("ISO-8859-1")
+    val (data, filter) =
+      if (flate) (zlibDeflate(payload), " /Filter /FlateDecode")
+      else (payload, "")
+    val out = new java.io.ByteArrayOutputStream
+    out.write((s"$objnum 0 obj\n<< /Type /ObjStm /N ${members.length} " +
+      s"/First ${header.length} /Length ${data.length}$filter " +
+      ">>\nstream\n").getBytes("ISO-8859-1"))
+    out.write(data)
+    out.write("\nendstream\nendobj\n".getBytes("ISO-8859-1"))
+    out.toByteArray
+  }
+
+  /** A modern-writer-shaped PDF whose content stream's `/Length`
+    * target lives ONLY inside an object stream — no direct-integer
+    * objects at all. Arms: content Flate at %2, ObjStm Flate at the
+    * complementary parity, an EARLIER decoy ObjStm defining the same
+    * object with a wrong value at %3 (later file offset must win), a
+    * truncated Flate ObjStm at %41 (must fail the whole doc closed).
+    */
+  private def buildObjStmPdf(m: Long): Array[Byte] = {
+    val raw = (s"BT (${stmPageText(m)
+      .replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")}" +
+      ") Tj ET").getBytes("ISO-8859-1")
+    val (data, filter) =
+      if (m % 2 == 0) (zlibDeflate(raw), " /Filter /FlateDecode")
+      else (raw, "")
+    val out = new java.io.ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w(s"%PDF-1.${5 + m % 3}\n")
+    w(s"1 0 obj\n<< /Length 7 0 R$filter >>\nstream\n")
+    out.write(data)
+    w("\nendstream\nendobj\n")
+    if (m % 3 == 0)
+      out.write(buildObjStm(4,
+        Seq(7 -> (data.length + 3).toString), flate = false))
+    if (m % 41 == 0) {
+      val z = zlibDeflate(s"7 0 ${data.length}".getBytes("ISO-8859-1"))
+      val cut = java.util.Arrays.copyOf(z, z.length / 2)
+      w(s"5 0 obj\n<< /Type /ObjStm /N 1 /First 4 " +
+        s"/Length ${cut.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(cut)
+      w("\nendstream\nendobj\n")
+    } else
+      out.write(buildObjStm(5,
+        Seq(7 -> data.length.toString, 8 -> "<< /K 3 >>"),
+        flate = m % 2 == 1))
+    w("trailer\n<< /Size 9 >>\nstartxref\n0\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def objStmPdfFixture(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q240_fixture", dir) {
+      t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { m =>
+            Multimodal.MediaRecord(m, "application/pdf",
+              buildObjStmPdf(m))
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
+  /** Page text for the q241 filter-chain corpus. */
+  private def chainPageText(m: Long): String =
+    s"Chain doc $m " + "pq " * (1 + (m % 6)).toInt + "done."
+
+  /** ASCIIHex-encode with whitespace every 8 digits and the `>` EOD
+    * marker; uppercase digits at %3==0.
+    */
+  private def hexEncode(data: Array[Byte], upper: Boolean): String = {
+    val sb = new StringBuilder
+    data.zipWithIndex.foreach { case (b, i) =>
+      if (i > 0 && i % 4 == 0) sb.append(if (i % 8 == 0) '\n' else ' ')
+      val h = f"${b & 0xff}%02x"
+      sb.append(if (upper) h.toUpperCase else h)
+    }
+    sb.append('>').toString
+  }
+
+  /** PDFs exercising the r17 filter widening: a plain ASCIIHexDecode
+    * stream (%3==0, uppercase digits), an `[/ASCIIHexDecode
+    * /FlateDecode]` CHAIN applied in order (%3==1 — deflate then
+    * hex-wrap, so decode must hex-strip then inflate), a one-element
+    * `[ /FlateDecode ]` array (%3==2), and a bad hex digit at %41
+    * (fail closed at the widened edge).
+    */
+  private def buildChainPdf(m: Long): Array[Byte] = {
+    val raw = (s"BT (${chainPageText(m)
+      .replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")}" +
+      ") Tj ET").getBytes("ISO-8859-1")
+    val (data, filter) =
+      if (m % 41 == 0)
+        ("48g5>".getBytes("ISO-8859-1"), " /Filter /ASCIIHexDecode")
+      else (m % 3) match {
+        case 0 => (hexEncode(raw, upper = true).getBytes("ISO-8859-1"),
+          " /Filter /ASCIIHexDecode")
+        case 1 => (hexEncode(zlibDeflate(raw), upper = false)
+          .getBytes("ISO-8859-1"),
+          " /Filter [ /ASCIIHexDecode /FlateDecode ]")
+        case _ => (zlibDeflate(raw), " /Filter [/FlateDecode]")
+      }
+    val out = new java.io.ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w(s"%PDF-1.${m % 8}\n")
+    w(s"1 0 obj\n<< /Length ${data.length}$filter >>\nstream\n")
+    out.write(data)
+    w("\nendstream\nendobj\ntrailer\n<< /Size 2 >>\nstartxref\n0\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def chainPdfFixture(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q241_fixture", dir) {
+      t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { m =>
+            Multimodal.MediaRecord(m, "application/pdf",
+              buildChainPdf(m))
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
+  /** Paragraph q of doc m for the q242 whitespace corpus — the
+    * formula the oracle replays: tab and break INSIDE the first run,
+    * a hyperlink-wrapped run, a plain tail run, and a w:cr run on the
+    * (m+q)%3 arm.
+    */
+  private def wsParaText(m: Long, q: Int): String =
+    s"A$m.$q\tB${(m + q) % 9}\nC${m % 7} link ${m % 13} tail $q" +
+      (if ((m + q) % 3 == 0) s"\nZ$q" else "")
+
+  /** word/document.xml whose paragraphs carry `<w:tab/>`, `<w:br/>`,
+    * `<w:cr/>` run content, a `w:hyperlink`-wrapped run, and a
+    * tab-STOP definition trap (`<w:tab w:pos=…/>` inside
+    * `w:pPr/w:tabs` — layout, must contribute NOTHING).
+    */
+  private def wsDocumentXml(m: Long): String = {
+    val np = (1 + m % 3).toInt
+    val body = (0 until np).map { q =>
+      "<w:p><w:pPr><w:tabs><w:tab w:val=\"left\" w:pos=\"720\"/>" +
+        "</w:tabs></w:pPr>" +
+        s"<w:r><w:t>A$m.$q</w:t><w:tab/><w:t>B${(m + q) % 9}</w:t>" +
+        "<w:br/><w:t xml:space=\"preserve\">" +
+        s"C${m % 7} </w:t></w:r>" +
+        "<w:hyperlink r:id=\"rId4\"><w:r><w:t>" +
+        s"link ${m % 13}</w:t></w:r></w:hyperlink>" +
+        "<w:r><w:t xml:space=\"preserve\"> tail " + q + "</w:t>" +
+        "</w:r>" +
+        (if ((m + q) % 3 == 0)
+          s"<w:r><w:cr/><w:t>Z$q</w:t></w:r>" else "") +
+        "</w:p>"
+    }.mkString
+    "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+      "<w:document xmlns:w=\"http://schemas.openxmlformats.org/" +
+      "wordprocessingml/2006/main\"><w:body>" + body +
+      "</w:body></w:document>"
+  }
+
+  private def wsDocxFixture(spark: org.apache.spark.sql.SparkSession,
+                            dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q242_fixture", dir) {
+      t.documents.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (m, text) =>
+            if (m % 41 == 0)
+              Multimodal.MediaRecord(m, "application/octet-stream",
+                text.getBytes("UTF-8"))
+            else
+              Multimodal.MediaRecord(m,
+                "application/vnd.openxmlformats-officedocument" +
+                  ".wordprocessingml.document",
+                buildZip(Seq(
+                  ("[Content_Types].xml", ctXml.getBytes("UTF-8"), false),
+                  ("word/document.xml",
+                    wsDocumentXml(m).getBytes("UTF-8"), m % 2 == 0))))
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
   /** Shared text formula for the q239 UTF-16 corpus — deliberately
     * multi-byte in both encodings (é U+00E9, № U+2116, → U+2192).
     */
@@ -972,7 +1180,9 @@ object DocTextQueries {
     // m%3 tables of 1+(m+t)%3 rows × 1+(m+t)%2 cols after 1+m%3 body
     // paragraphs, multi-paragraph cells on the %4 arm (joined \n),
     // tblPr/trPr/tcPr structural noise skipped. cells_md5 hashes the
-    // canonical cell serialization (cells \t, rows \n, tables \f), so
+    // canonical cell serialization (cells U+001F, rows U+001E, tables
+    // U+001D — C0 separators XML text cannot carry, so the form is
+    // injective even over multi-paragraph/tabbed cells; ADVICE r16), so
     // a transposed cell, a dropped row, or body/cell text bleeding
     // into each other all flip a hash. Arms: deflated document.xml at
     // %2, raw text at %41, and a NESTED table at %29 — out of
@@ -1011,8 +1221,8 @@ object DocTextQueries {
                           || m || ' v' || ((m + r * 7 + c * 3) % 50)
                           || CASE WHEN (m + t + r + c) % 4 = 0
                              THEN chr(10) || 'more ' || c ELSE '' END),
-                      chr(9))),
-                  chr(10)))) AS tabs
+                      chr(31))),
+                  chr(30)))) AS tabs
           FROM p)
         SELECT m AS media_id,
                CASE WHEN bad THEN 'application/octet-stream'
@@ -1030,7 +1240,7 @@ object DocTextQueries {
                  ELSE 0 END AS INT) AS n_cells,
                CASE WHEN good THEN md5(txt) ELSE '' END AS text_md5,
                CASE WHEN good AND nt > 0 THEN md5(array_to_string(
-                 list_transform(tabs, t -> t.s), chr(12)))
+                 list_transform(tabs, t -> t.s), chr(29)))
                  ELSE '' END AS cells_md5,
                good AS ok
         FROM f ORDER BY media_id""")),
@@ -1067,6 +1277,135 @@ object DocTextQueries {
         SELECT m AS media_id, 'application/pdf' AS mime,
                CAST(CASE WHEN bad THEN 0 ELSE 1 END AS INT) AS n_streams,
                CAST(CASE WHEN bad THEN 0 ELSE 1 END AS INT) AS n_text_ops,
+               CAST(CASE WHEN bad THEN 0 ELSE length(txt) END AS BIGINT)
+                 AS text_len,
+               CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,
+               NOT bad AS ok
+        FROM t ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q240: ObjStm-resident /Length resolution (VERDICT r16 item 1 —
+    // the largest remaining real-corpus coverage cut): post-2010
+    // writers keep the whole object table inside `/Type /ObjStm`
+    // object streams, so q234's direct-integer scan finds NOTHING and
+    // the doc failed closed. Now a direct miss inflates the object
+    // streams (§7.5.7 pair table: `/N`, `/First`, `objnum offset …`)
+    // and resolves from their integer members. The fixture has NO
+    // direct-integer objects at all; arms: content Flate at %2 with
+    // the ObjStm Flate at the complementary parity (all four codec
+    // combos), an EARLIER decoy ObjStm defining the length object
+    // with a wrong value at %3 (later-definition-wins — taking the
+    // first mis-slices, trips the endstream check, flips ok), a
+    // non-integer member object alongside the length (the skip path),
+    // and a TRUNCATED Flate ObjStm at %41 — all-or-nothing fail
+    // closed, because a broken ObjStm could shadow any object.
+    GraftQuery(
+      "q240_pdf_objstm",
+      (spark, dir) => {
+        DocText.extractPdfText(objStmPdfFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("mime"), col("n_streams"),
+            col("n_text_ops"), col("text_len"), col("text_md5"),
+            col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m, doc_id % 41 = 0 AS bad FROM documents),
+        t AS (
+          SELECT *, 'Stm doc ' || m || ' text '
+            || repeat('mn ', CAST(1 + m % 5 AS INT)) || 'fin.' AS txt
+          FROM p)
+        SELECT m AS media_id, 'application/pdf' AS mime,
+               CAST(CASE WHEN bad THEN 0 ELSE 1 END AS INT) AS n_streams,
+               CAST(CASE WHEN bad THEN 0 ELSE 1 END AS INT) AS n_text_ops,
+               CAST(CASE WHEN bad THEN 0 ELSE length(txt) END AS BIGINT)
+                 AS text_len,
+               CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,
+               NOT bad AS ok
+        FROM t ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q241: PDF filter CHAINS + ASCIIHexDecode (VERDICT r16 item 3) —
+    // `/Filter` as a plain ASCIIHexDecode name (uppercase digits,
+    // interior whitespace, `>` EOD), as the common two-stage
+    // `[/ASCIIHexDecode /FlateDecode]` chain (applied in order:
+    // hex-strip THEN inflate — a reversed application order cannot
+    // produce the text), and as a one-element `[ /FlateDecode ]`
+    // array. LZW/DCT stay out of profile. The %41 arm plants a
+    // non-hex digit — the widened edge must stay fail-closed.
+    GraftQuery(
+      "q241_pdf_filter_chain",
+      (spark, dir) => {
+        DocText.extractPdfText(chainPdfFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("mime"), col("n_streams"),
+            col("n_text_ops"), col("text_len"), col("text_md5"),
+            col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m, doc_id % 41 = 0 AS bad FROM documents),
+        t AS (
+          SELECT *, 'Chain doc ' || m || ' '
+            || repeat('pq ', CAST(1 + m % 6 AS INT)) || 'done.' AS txt
+          FROM p)
+        SELECT m AS media_id, 'application/pdf' AS mime,
+               CAST(CASE WHEN bad THEN 0 ELSE 1 END AS INT) AS n_streams,
+               CAST(CASE WHEN bad THEN 0 ELSE 1 END AS INT) AS n_text_ops,
+               CAST(CASE WHEN bad THEN 0 ELSE length(txt) END AS BIGINT)
+                 AS text_len,
+               CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,
+               NOT bad AS ok
+        FROM t ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q242: DOCX run-level WHITESPACE (VERDICT r16 item 2) — real
+    // documents separate words with `<w:br/>`, `<w:tab/>`, `<w:cr/>`
+    // run content and wrap runs in `w:hyperlink`; the q223 walk
+    // dropped all four, silently gluing adjacent words and corrupting
+    // every downstream text operator (shingles, quality, tokens).
+    // Each paragraph here carries a tab and a break INSIDE a run, a
+    // hyperlink-wrapped run, a w:cr on the (m+q)%3 arm — and a
+    // tab-STOP definition (`<w:tab w:pos=…/>` inside w:pPr/w:tabs)
+    // that must contribute NOTHING: rendering it as a tab, dropping a
+    // real one, or missing the hyperlink run all flip the md5 or a
+    // run count. Arms: deflate at %2, raw reject at %41.
+    GraftQuery(
+      "q242_docx_whitespace",
+      (spark, dir) => {
+        DocText.extractDocxText(wsDocxFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("mime"), col("n_paragraphs"),
+            col("n_runs"), col("text_len"), col("text_md5"), col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m, doc_id % 41 = 0 AS bad,
+                 CAST(1 + doc_id % 3 AS INT) AS np
+          FROM documents),
+        t AS (
+          SELECT *,
+            array_to_string(list_transform(range(0, np), q ->
+              'A' || m || '.' || q || chr(9) || 'B' || ((m + q) % 9)
+                || chr(10) || 'C' || (m % 7) || ' link ' || (m % 13)
+                || ' tail ' || q
+                || CASE WHEN (m + q) % 3 = 0
+                   THEN chr(10) || 'Z' || q ELSE '' END),
+              chr(10)) AS txt,
+            list_sum(list_transform(range(0, np), q ->
+              5 + CASE WHEN (m + q) % 3 = 0 THEN 1 ELSE 0 END))
+              AS nr
+          FROM p)
+        SELECT m AS media_id,
+               CASE WHEN bad THEN 'application/octet-stream'
+                    ELSE 'application/vnd.openxmlformats-officedocument'
+                      || '.wordprocessingml.document' END AS mime,
+               CAST(CASE WHEN bad THEN 0 ELSE np END AS INT)
+                 AS n_paragraphs,
+               CAST(CASE WHEN bad THEN 0 ELSE nr END AS INT) AS n_runs,
                CAST(CASE WHEN bad THEN 0 ELSE length(txt) END AS BIGINT)
                  AS text_len,
                CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,

@@ -447,8 +447,11 @@ object Dedup {
     * md5 (not a cheaper rolling hash) is deliberate: the DuckDB
     * oracle replays the exact boundary rule, so the gate pins chunk
     * placement byte-for-byte. Texts shorter than `w` become one
-    * chunk. Scale shape: pure map-side expression work (one
-    * codegen'd pass per document), no shuffle.
+    * chunk; an EMPTY text becomes exactly one empty chunk (md5("")),
+    * so the function is total — every input doc yields ≥1 row, and
+    * two empty docs dedup against each other. Scale shape: pure
+    * map-side expression work (one codegen'd pass per document), no
+    * shuffle.
     *
     * Output: one row per chunk — `id, chunk_idx, chunk_len,
     * chunk_md5`.
@@ -469,8 +472,9 @@ object Dedup {
     // ascending chunk END positions: every banded window end, plus the
     // text end (possibly duplicating the last banded end — the fold's
     // e == prev skip dedupes it). Texts shorter than w get no banded
-    // ends and become one whole-text chunk; an empty text yields no
-    // chunks at all (its only end, 0, equals the fold seed).
+    // ends and become one whole-text chunk; an empty text's only end
+    // (0) equals the fold seed, so the fold yields no chunks — the
+    // empty-text wrapper below restores the single empty chunk.
     val ends = concat(
       filter(
         when(len >= w, sequence(lit(w), len))
@@ -488,9 +492,13 @@ object Dedup {
             array(t.substr(st.getField("prev") + 1,
               e - st.getField("prev")))).as("acc"))),
       st => st.getField("acc"))
+    // total over empty texts: one empty chunk, matching the oracle
+    // replay's [0,0] end-pair (ADVICE r16 — the inner-join gate would
+    // otherwise silently drop empty docs on the Spark side only)
+    val chunksTotal = when(len === 0, array(lit(""))).otherwise(chunks)
     docs
       .select(id.as("id"),
-        posexplode(chunks).as(Seq("chunk_idx", "c")))
+        posexplode(chunksTotal).as(Seq("chunk_idx", "c")))
       .select(col("id"), col("chunk_idx"),
         length(col("c")).as("chunk_len"), md5(col("c")).as("chunk_md5"))
   }

@@ -17,17 +17,19 @@ import org.apache.spark.sql.Dataset
   * length-skip TYPED streams (`/Type`//`/Subtype` in the dict: XRef,
   * ObjStm, FontFile, Image, Metadata — binary by design, never page
   * content; §7.5.7 guarantees no content stream hides inside an
-  * object stream), inflate typeless `/FlateDecode` streams (zlib) or
-  * take plain bytes, then interpret the content-stream text operators:
+  * object stream), decode typeless streams through their `/Filter`
+  * chain — FlateDecode (zlib) and ASCIIHexDecode, singly or in
+  * arrays like `[/ASCIIHexDecode /FlateDecode]` (r17) — or take
+  * plain bytes, then interpret the content-stream text operators:
   * literal strings `(…)` with the full escape set (\n \r \t \b \f
   * \( \) \\ \ooo, backslash-EOL continuation, balanced unescaped
   * parens), hex strings `<…>` (even/odd-nibble rule, interior
   * whitespace tolerated — widened in r16, VERDICT item 5), shown by
   * `Tj`, array-`TJ` (string elements concatenated, kern numbers
   * skipped), and the `'`/`"` next-line forms (leading newline).
-  * Unresolvable indirect lengths, non-Flate filters on typeless
-  * streams, inline dicts in content, and shows outside BT/ET are
-  * profile violations. Byte→char mapping is
+  * Unresolvable indirect lengths, filters beyond Flate/ASCIIHex on
+  * typeless streams, inline dicts in content, and shows outside
+  * BT/ET are profile violations. Byte→char mapping is
   * ISO-8859-1 (WinAnsi and Standard encoding agree with it on the
   * printable ASCII the profile targets). Streams are joined with
   * `\n`; intra-block positioning (Td/TD/Tm/T*) is deliberately NOT
@@ -41,8 +43,9 @@ import org.apache.spark.sql.Dataset
   * then walk the XML: `<w:p>` opens a paragraph (joined with `\n`),
   * `<w:t>` runs contribute text with the five XML entities decoded
   * (`&amp; &lt; &gt; &quot; &apos;` — anything else entity-shaped is
-  * a violation). Missing `word/document.xml` is a violation: a
-  * conformant DOCX must carry the main document part.
+  * a violation), and in-run `<w:br/>`/`<w:cr/>`/`<w:tab/>` render as
+  * `\n`/`\n`/`\t` (r17). Missing `word/document.xml` is a violation:
+  * a conformant DOCX must carry the main document part.
   *
   * Scale shape: both extractions are map-side per-document kernels —
   * O(bytes) work, no shuffle; the parallelism unit is the document,
@@ -141,6 +144,18 @@ object DocText {
       * streams cannot contain stream objects, so no content hides
       * inside them — ISO 32000-1 §7.5.7). A typeless stream must
       * still tokenize cleanly; unresolvable lengths fail closed.
+      *
+      * r17 widening (VERDICT r16 item 1): a `/Length` target that is
+      * not a direct-integer object is looked up in the file's OBJECT
+      * STREAMS (`/Type /ObjStm` — where post-2010 writers put the
+      * whole object table). Resolution precedence: direct-integer
+      * objects shadow ObjStm-resident ones (object streams are only
+      * consulted on a direct miss); within each class, the later
+      * file-offset definition wins (incremental updates append).
+      * Because a single malformed object stream could shadow ANY
+      * object, the ObjStm pass is all-or-nothing: once consulted, a
+      * truncated or unparseable ObjStm fails the whole document
+      * closed.
       */
     def parse(b: Array[Byte]): Option[(Int, Int, String)] = {
       if (b == null || b.length < 16) return None
@@ -148,9 +163,11 @@ object DocText {
       val s = new String(b, "ISO-8859-1")
       if (!s.startsWith("%PDF-")) return None
       if (!s.contains("%%EOF")) return None
-      // lazily-built direct-integer object table (only a file that
-      // actually uses an indirect /Length pays the second scan)
+      // lazily-built object tables (only a file that actually uses an
+      // indirect /Length pays the extra scans; object streams are
+      // inflated only when a direct lookup misses)
       var ints: Map[Int, Int] = null
+      var stmInts: Option[Map[Int, Int]] = null
       var cursor = 0
       var nStreams = 0
       var nOps = 0
@@ -176,10 +193,20 @@ object DocText {
               case None =>
                 indirectLengthRef(dict) match {
                   case Some(obj) =>
-                    if (ints == null) ints = intObjects(s)
+                    if (ints == null) ints = intObjects(s, b.length)
                     ints.get(obj) match {
                       case Some(l) => l
-                      case None => return None // unresolvable: fail closed
+                      case None =>
+                        // direct miss → consult the object streams
+                        if (stmInts == null)
+                          stmInts = objStmObjects(s, b, ints)
+                        stmInts match {
+                          case Some(m2) => m2.get(obj) match {
+                            case Some(l) => l
+                            case None => return None // truly undefined
+                          }
+                          case None => return None // malformed ObjStm
+                        }
                     }
                   case None => return None // no usable /Length
                 }
@@ -202,12 +229,11 @@ object DocText {
               val raw =
                 java.util.Arrays.copyOfRange(b, dataAt, dataAt + len)
               val content = filterOf(dict) match {
-                case Right(false) => raw
-                case Right(true) => inflateZlib(raw, outputCap) match {
+                case Right(fs) => decodeChain(raw, fs) match {
                   case Some(x) => x
                   case None => return None
                 }
-                case Left(()) => return None // non-Flate filter
+                case Left(()) => return None // unsupported filter
               }
               tokenizeContent(new String(content, "ISO-8859-1")) match {
                 case Some((ops, t)) =>
@@ -225,15 +251,203 @@ object DocText {
       Some((nStreams, nOps, text.toString))
     }
 
-    /** All direct-integer objects `N G obj <int> endobj` — the form
-      * real writers give out-of-line stream lengths. One linear scan;
-      * later definitions win (incremental-update files append).
+    /** The payload ranges `[dataAt, dataAt+len)` of every stream whose
+      * `/Length` is a DIRECT integer — knowable without any object
+      * resolution, so the integer-object scan can exclude them
+      * (ADVICE r16: payload bytes that happen to spell
+      * `N G obj M endobj` must not shadow a real length object).
+      * Indirect-length payloads are not knowable at this stage; for
+      * those the endstream re-check in [[parse]] remains the
+      * fail-closed backstop against a payload-injected wrong length.
       */
-    private[ext] def intObjects(s: String): Map[Int, Int] = {
+    private def directPayloadRanges(s: String, bLen: Int)
+        : Array[(Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var cursor = 0
+      var go = true
+      while (go) {
+        val at = s.indexOf("stream", cursor)
+        if (at < 0) go = false
+        else {
+          var q = at - 1
+          while (q >= 0 && (s(q) == ' ' || s(q) == '\r' || s(q) == '\n' ||
+            s(q) == '\t')) q -= 1
+          if (q < 1 || s(q) != '>' || s(q - 1) != '>') cursor = at + 6
+          else {
+            val range = for {
+              dict <- dictBefore(s, q - 1)
+              len <- directLength(dict)
+            } yield {
+              var dataAt = at + 6
+              if (dataAt < s.length && s(dataAt) == '\r') dataAt += 1
+              if (dataAt < s.length && s(dataAt) == '\n') dataAt += 1
+              (dataAt, dataAt + len)
+            }
+            range match {
+              case Some((from, to)) if to <= bLen && to > from =>
+                out += ((from, to)); cursor = to
+              case _ => cursor = at + 6
+            }
+          }
+        }
+      }
+      out.toArray
+    }
+
+    /** All direct-integer objects `N G obj <int> endobj` — the form
+      * real writers give out-of-line stream lengths. One linear scan,
+      * SKIPPING matches that start inside a direct-length stream
+      * payload (ADVICE r16); later definitions win
+      * (incremental-update files append).
+      */
+    private[ext] def intObjects(s: String, bLen: Int): Map[Int, Int] = {
+      val ranges = directPayloadRanges(s, bLen)
       val re = ("""(?s)(?<![0-9])([0-9]{1,9})[ \t\r\n]+[0-9]{1,5}""" +
         """[ \t\r\n]+obj[ \t\r\n]+([0-9]{1,9})[ \t\r\n]*endobj""").r
-      re.findAllMatchIn(s).map(m => m.group(1).toInt -> m.group(2).toInt)
-        .toMap
+      var ri = 0 // ranges and match starts are both ascending
+      re.findAllMatchIn(s).filter { m =>
+        while (ri < ranges.length && ranges(ri)._2 <= m.start) ri += 1
+        !(ri < ranges.length && m.start >= ranges(ri)._1)
+      }.map(m => m.group(1).toInt -> m.group(2).toInt).toMap
+    }
+
+    /** Direct non-negative integer value of a dict `key`
+      * (delimiter-terminated name, same discipline as
+      * [[directLength]]); None when absent, non-integer, or indirect.
+      */
+    private def namedInt(dict: String, key: String): Option[Int] = {
+      var at = dict.indexOf(key)
+      while (at >= 0 && at + key.length < dict.length &&
+        !isPdfWs(dict(at + key.length)))
+        at = dict.indexOf(key, at + 1)
+      if (at < 0) return None
+      var j = at + key.length
+      while (j < dict.length && isPdfWs(dict(j))) j += 1
+      val start = j
+      while (j < dict.length && dict(j).isDigit) j += 1
+      if (j == start || j - start > 9) return None
+      Some(dict.substring(start, j).toInt)
+    }
+
+    /** True when dict's `/Type` name value is `/ObjStm`. */
+    private def isObjStm(dict: String): Boolean = {
+      var at = dict.indexOf("/Type")
+      while (at >= 0) {
+        val end = at + 5
+        if (end < dict.length && (isPdfWs(dict(end)) ||
+          dict(end) == '/')) {
+          var j = end
+          while (j < dict.length && isPdfWs(dict(j))) j += 1
+          if (dict.startsWith("/ObjStm", j)) {
+            val e2 = j + 7
+            return e2 >= dict.length || isPdfWs(dict(e2)) ||
+              "/()[]<>".contains(dict(e2))
+          }
+          return false
+        }
+        at = dict.indexOf("/Type", at + 1)
+      }
+      false
+    }
+
+    /** Integer objects living inside `/Type /ObjStm` object streams —
+      * where post-2010 writers keep the whole object table
+      * (ISO 32000-1 §7.5.7: `/N` objects, pair table
+      * `objnum offset …` before `/First`, offsets relative to it).
+      * Some(map) with later-file-offset definitions winning; None
+      * when ANY object stream is malformed (truncated payload, bad
+      * pair table, unsupported filter, unresolvable own length) —
+      * all-or-nothing, because a broken ObjStm could shadow any
+      * object. Non-integer member objects (dicts, arrays, …) are
+      * skipped: only integers can be /Length targets. An ObjStm's own
+      * /Length must resolve directly (or from `direct`) — nesting the
+      * length of one object stream inside another is out of profile.
+      */
+    private[ext] def objStmObjects(s: String, b: Array[Byte],
+                                   direct: Map[Int, Int])
+        : Option[Map[Int, Int]] = {
+      val acc = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+      var cursor = 0
+      var go = true
+      while (go) {
+        val at = s.indexOf("stream", cursor)
+        if (at < 0) go = false
+        else {
+          var q = at - 1
+          while (q >= 0 && (s(q) == ' ' || s(q) == '\r' || s(q) == '\n' ||
+            s(q) == '\t')) q -= 1
+          if (q < 1 || s(q) != '>' || s(q - 1) != '>') cursor = at + 6
+          else dictBefore(s, q - 1) match {
+            case None => cursor = at + 6
+            case Some(dict) if !isObjStm(dict) => cursor = at + 6
+            case Some(dict) =>
+              val len = directLength(dict).orElse(
+                indirectLengthRef(dict).flatMap(direct.get)) match {
+                case Some(l) => l
+                case None => return None
+              }
+              var dataAt = at + 6
+              if (dataAt < s.length && s(dataAt) == '\r') dataAt += 1
+              if (dataAt >= s.length || s(dataAt) != '\n') return None
+              dataAt += 1
+              if (len < 0 || dataAt + len > b.length) return None
+              val raw =
+                java.util.Arrays.copyOfRange(b, dataAt, dataAt + len)
+              val payload = filterOf(dict) match {
+                case Right(fs) => decodeChain(raw, fs) match {
+                  case Some(x) => x
+                  case None => return None // truncated/corrupt: closed
+                }
+                case Left(()) => return None // unsupported filter
+              }
+              val n = namedInt(dict, "/N") match {
+                case Some(v) => v
+                case None => return None
+              }
+              val first = namedInt(dict, "/First") match {
+                case Some(v) => v
+                case None => return None
+              }
+              if (first < 0 || first > payload.length || n < 0)
+                return None
+              val p = new String(payload, "ISO-8859-1")
+              // pair table: exactly N (objnum, offset) integer pairs
+              // in [0, first)
+              val nums = new Array[Int](2 * n)
+              var i = 0
+              var k = 0
+              while (k < 2 * n) {
+                while (i < first && isPdfWs(p(i))) i += 1
+                val st = i
+                while (i < first && p(i).isDigit) i += 1
+                if (i == st || i - st > 9) return None
+                nums(k) = p.substring(st, i).toInt
+                k += 1
+              }
+              // member objects: [first+off, next ascending off) slices
+              val offs = Array.tabulate(n)(j => nums(2 * j + 1))
+              var j = 0
+              while (j < n) {
+                val from = first + offs(j)
+                if (from < first || from > payload.length) return None
+                var to = payload.length
+                var x = 0
+                while (x < n) {
+                  val o = first + offs(x)
+                  if (o > from && o < to) to = o
+                  x += 1
+                }
+                val body = p.substring(from, to).trim
+                if (body.nonEmpty && body.length <= 9 &&
+                  body.forall(_.isDigit))
+                  acc(nums(2 * j)) = body.toInt
+                j += 1
+              }
+              cursor = dataAt + len
+          }
+        }
+      }
+      Some(acc.toMap)
     }
 
     /** The object number of an indirect `/Length N G R`, or None. */
@@ -323,21 +537,88 @@ object DocText {
       Some(dict.substring(start, j).toInt)
     }
 
-    /** Right(true)=FlateDecode, Right(false)=no filter,
-      * Left(())=anything else.
-      */
-    private def filterOf(dict: String): Either[Unit, Boolean] = {
+    /** The `/Filter` decode chain in APPLICATION order (ISO 32000-1
+      * §7.4: a name or an array of names, applied first-to-last to
+      * decode): Right(Nil) = no filter, Right(names) restricted to
+      * FlateDecode / ASCIIHexDecode (r17 widening — chains like
+      * `[/ASCIIHexDecode /FlateDecode]` are common in hand-assembled
+      * and mail-gateway PDFs), Left(()) = any other name
+      * (LZW/DCT/ASCII85/…) or a malformed value. */
+    private def filterOf(dict: String): Either[Unit, List[String]] = {
+      def name(from: Int): Option[(String, Int)] = {
+        if (from >= dict.length || dict(from) != '/') return None
+        var k = from + 1
+        while (k < dict.length && !isPdfWs(dict(k)) &&
+          !"/()[]<>".contains(dict(k))) k += 1
+        if (k == from + 1) None else Some((dict.substring(from + 1, k), k))
+      }
+      def validate(ns: List[String]): Either[Unit, List[String]] =
+        if (ns.nonEmpty && ns.forall(n =>
+          n == "FlateDecode" || n == "ASCIIHexDecode")) Right(ns)
+        else Left(())
       val at = dict.indexOf("/Filter")
-      if (at < 0) return Right(false)
+      if (at < 0) return Right(Nil)
       var j = at + 7
-      while (j < dict.length && (dict(j) == ' ' || dict(j) == '[')) j += 1
-      if (dict.startsWith("/FlateDecode", j)) {
-        // a filter CHAIN (array with more members) is out of profile
-        var k = j + 12
-        while (k < dict.length && dict(k) == ' ') k += 1
-        if (k < dict.length && dict(k) == '/') Left(())
-        else Right(true)
-      } else Left(())
+      while (j < dict.length && isPdfWs(dict(j))) j += 1
+      if (j < dict.length && dict(j) == '[') {
+        j += 1
+        val names = scala.collection.mutable.ListBuffer.empty[String]
+        while (true) {
+          while (j < dict.length && isPdfWs(dict(j))) j += 1
+          if (j >= dict.length) return Left(())
+          if (dict(j) == ']') return validate(names.toList)
+          name(j) match {
+            case Some((n, k)) => names += n; j = k
+            case None => return Left(())
+          }
+        }
+        Left(()) // unreachable
+      } else name(j) match {
+        case Some((n, _)) => validate(List(n))
+        case None => Left(())
+      }
+    }
+
+    /** Apply a decode chain in order; None on any stage failure. */
+    private def decodeChain(raw: Array[Byte], filters: List[String])
+        : Option[Array[Byte]] =
+      filters.foldLeft(Option(raw)) {
+        case (Some(d), "FlateDecode") => inflateZlib(d, outputCap)
+        case (Some(d), "ASCIIHexDecode") => asciiHexDecode(d)
+        case _ => None
+      }
+
+    /** ASCIIHexDecode (§7.4.2): hex digit pairs, interior whitespace
+      * ignored, `>` is the REQUIRED EOD marker (odd final digit padded
+      * with 0); any non-hex non-whitespace byte, a missing EOD, or
+      * non-whitespace trailing bytes after it fail closed.
+      */
+    private[ext] def asciiHexDecode(d: Array[Byte])
+        : Option[Array[Byte]] = {
+      val out = new java.io.ByteArrayOutputStream
+      var hi = -1
+      var i = 0
+      while (i < d.length) {
+        val c = (d(i) & 0xff).toChar
+        if (c == '>') {
+          if (hi >= 0) out.write(hi << 4)
+          var k = i + 1
+          while (k < d.length && isPdfWs((d(k) & 0xff).toChar)) k += 1
+          return if (k == d.length) Some(out.toByteArray) else None
+        }
+        val v =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else if (isPdfWs(c)) -1
+          else return None
+        if (v >= 0) {
+          if (hi < 0) hi = v
+          else { out.write((hi << 4) | v); hi = -1 }
+        }
+        i += 1
+      }
+      None // missing EOD marker
     }
 
     /** Interpret one decoded content stream: (nTextOps, text), or
@@ -663,7 +944,12 @@ object DocText {
     }
 
     /** Walk document.xml: `<w:p>` paragraphs joined with `\n`,
-      * `<w:t>` run text with the five XML entities decoded, and
+      * `<w:t>` run text with the five XML entities decoded, run-level
+      * whitespace structure rendered (r17 — `<w:br/>`/`<w:cr/>` → \n,
+      * `<w:tab/>` → \t when inside a run; the same names OUTSIDE a
+      * run, e.g. tab-stop definitions in `w:pPr/w:tabs`, contribute
+      * nothing), `w:hyperlink`-wrapped runs captured like any other
+      * run, and
       * `w:tbl`/`w:tr`/`w:tc` tables (r16, VERDICT item 7) — cell
       * paragraphs route to the enclosing cell, never the body flow;
       * each structural level is balance-checked. Comments, CDATA, DTD
@@ -680,6 +966,7 @@ object DocText {
       var cells: scala.collection.mutable.ArrayBuffer[String] = null
       var cellParas: scala.collection.mutable.ArrayBuffer[String] = null
       var cur: StringBuilder = null
+      var inRun = false
       var runs = 0
       var i = 0
       while (i < x.length) {
@@ -741,6 +1028,25 @@ object DocText {
                   return None
                 cells += cellParas.mkString("\n")
                 cellParas = null
+                i = gt + 1
+              case "w:r" if !selfClosing =>
+                inRun = true
+                i = gt + 1
+              case "/w:r" =>
+                inRun = false
+                i = gt + 1
+              // Run-content whitespace (ECMA-376 §17.3.3: w:br, w:cr,
+              // w:tab inside a RUN are text content — r17, VERDICT r16
+              // item 2: without them adjacent words glue together and
+              // silently corrupt every downstream text operator).
+              // OUTSIDE a run the same tag names are structure, never
+              // text: <w:tab w:pos=…/> inside w:pPr/w:tabs is a
+              // tab-STOP definition and must contribute nothing.
+              case "w:br" | "w:cr" =>
+                if (inRun && cur != null) cur.append('\n')
+                i = gt + 1
+              case "w:tab" =>
+                if (inRun && cur != null) cur.append('\t')
                 i = gt + 1
               case "w:t" =>
                 if (cur == null) return None // run outside a paragraph
@@ -940,13 +1246,21 @@ object DocText {
       error: Option[String])
 
   /** Canonical serialization of a parsed table set for hashing: cells
-    * joined with `\t`, rows with `\n`, tables with `\f` — printable
-    * delimiters the DuckDB oracle replays with chr(). Empty table set
-    * hashes to the empty string, not md5("").
+    * joined with U+001F (unit sep), rows with U+001E (record sep),
+    * tables with U+001D (group sep) — C0 separators a CONFORMANT
+    * document.xml cannot carry in text (XML 1.0 forbids them), so the
+    * serialization is injective over parsed tables: multi-paragraph
+    * cell text (which contains `\n`) and tab runs (which contain `\t`)
+    * can never collide with a row or cell boundary (ADVICE r16 — the
+    * old `\t`/`\n` delimiters let a two-paragraph cell hash like two
+    * rows). The DuckDB oracle replays them with chr(31)/chr(30)/
+    * chr(29). Empty table set hashes to the empty string, not
+    * md5("").
     */
   private[ext] def cellsKey(tables: Vector[Vector[Vector[String]]])
       : String =
-    tables.map(_.map(_.mkString("\t")).mkString("\n")).mkString("\f")
+    tables.map(_.map(_.mkString("\u001f")).mkString("\u001e"))
+      .mkString("\u001d")
 
   /** DOCX structure-extraction stage ([[DocxTextExtract.parseFull]]):
     * body text plus the tables → rows → cells product, per-partition

@@ -141,6 +141,125 @@ class DocTextSpec extends AnyFunSuite {
         "endstream\nendobj")).isEmpty)
   }
 
+  test("pdf ObjStm resolution: /Length living in an object stream " +
+      "resolves; direct shadows ObjStm; later ObjStm wins; truncated " +
+      "ObjStm fails the doc closed") {
+    val c = "BT (objstm content) Tj ET"
+    // pair table "7 0 8 N " then members "<len> << /K 3 >>" — the
+    // non-integer member must be skipped, not fail the stream
+    def objStm(objnum: Int, lenVal: Int): String = {
+      val bodies = Seq(lenVal.toString, "<< /K 3 >>")
+      val header = s"7 0 8 ${bodies.head.length + 1} "
+      val payload = header + bodies.mkString(" ")
+      s"$objnum 0 obj\n<< /Type /ObjStm /N 2 /First ${header.length} " +
+        s"/Length ${payload.length} >>\nstream\n$payload\nendstream\nendobj"
+    }
+    // the ONLY definition of 7 is inside the ObjStm
+    val Some((ns1, _, t1)) = DocText.PdfTextExtract.parse(pdf(
+      s"1 0 obj\n<< /Length 7 0 R >>\nstream\n$c\nendstream\nendobj\n" +
+        objStm(5, c.length)))
+    assert(ns1 == 1 && t1 == "objstm content")
+    // later ObjStm definition wins over an earlier wrong one
+    val Some((_, _, t2)) = DocText.PdfTextExtract.parse(pdf(
+      objStm(4, c.length + 3) + "\n" +
+        s"1 0 obj\n<< /Length 7 0 R >>\nstream\n$c\nendstream\nendobj\n" +
+        objStm(5, c.length)))
+    assert(t2 == "objstm content")
+    // a DIRECT integer object shadows the ObjStm-resident one (and
+    // then a malformed ObjStm elsewhere is never consulted)
+    val garbage = "5 0 obj\n<< /Type /ObjStm /N 9 /First 2 /Length 4 " +
+      ">>\nstream\nZZZZ\nendstream\nendobj"
+    val Some((_, _, t3)) = DocText.PdfTextExtract.parse(pdf(
+      objStm(4, c.length + 3) + "\n" + garbage + "\n" +
+        s"1 0 obj\n<< /Length 7 0 R >>\nstream\n$c\nendstream\nendobj\n" +
+        s"7 0 obj\n${c.length}\nendobj"))
+    assert(t3 == "objstm content")
+    // but once consulted, ANY malformed ObjStm fails the doc closed
+    // (all-or-nothing: a broken one could shadow any object)
+    assert(DocText.PdfTextExtract.parse(pdf(
+      s"1 0 obj\n<< /Length 7 0 R >>\nstream\n$c\nendstream\nendobj\n" +
+        objStm(5, c.length) + "\n" + garbage)).isEmpty)
+    // truncated FLATE ObjStm: inflate fails → closed
+    val z = {
+      val d = new java.util.zip.Deflater()
+      val in = "7 0 9".getBytes("ISO-8859-1")
+      d.setInput(in); d.finish()
+      val buf = new Array[Byte](64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n / 2)
+    }
+    val cut = new String(z, "ISO-8859-1")
+    assert(DocText.PdfTextExtract.parse(pdf(
+      s"1 0 obj\n<< /Length 7 0 R >>\nstream\n$c\nendstream\nendobj\n" +
+        s"5 0 obj\n<< /Type /ObjStm /N 1 /First 4 /Length ${cut.length} " +
+        s"/Filter /FlateDecode >>\nstream\n$cut\nendstream\nendobj"))
+      .isEmpty)
+    // payload bytes spelling "N G obj M endobj" inside a DIRECT-length
+    // stream are never read as an object (ADVICE r16: the int scan
+    // skips direct payload ranges) — here a LATER payload trap would
+    // shadow the real length under later-wins and mis-slice; skipping
+    // it keeps the parse correct
+    val cx = "BT (x) Tj ET"
+    val trap = "9 0 obj 3 endobj"
+    val Some((_, _, t4)) = DocText.PdfTextExtract.parse(pdf(
+      s"9 0 obj\n${cx.length}\nendobj\n" +
+        s"1 0 obj\n<< /Length 9 0 R >>\nstream\n$cx\nendstream\nendobj\n" +
+        s"2 0 obj\n<< /Type /XRef /Length ${trap.length} >>\nstream\n" +
+        s"$trap\nendstream\nendobj"))
+    assert(t4 == "x")
+  }
+
+  test("pdf filter chains: ASCIIHexDecode alone and chained with " +
+      "FlateDecode decode in application order; hex edges fail closed") {
+    def deflate(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s.getBytes("ISO-8859-1")); d.finish()
+      val buf = new Array[Byte](s.length * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    def hex(b: Array[Byte], upper: Boolean): String =
+      b.map(x => f"${x & 0xff}%02x")
+        .map(h => if (upper) h.toUpperCase else h).mkString
+    val c = "BT (chained) Tj ET"
+    // plain ASCIIHexDecode: uppercase, interior whitespace, EOD
+    val h1 = hex(c.getBytes("ISO-8859-1"), upper = true)
+      .grouped(8).mkString(" ") + ">"
+    val Some((_, _, t1)) = DocText.PdfTextExtract.parse(pdf(
+      streamObj(h1, " /Filter /ASCIIHexDecode")))
+    assert(t1 == "chained")
+    // odd final digit pads with 0: content ends with a space (0x20),
+    // encoded with its trailing '0' dropped — the pad must restore it
+    val body = "BT (P) Tj ET " // trailing space = 0x20
+    val hOdd = hex(body.getBytes("ISO-8859-1"), upper = false)
+      .dropRight(1) + ">" // drop the trailing '0' of 0x20
+    val Some((_, _, tOdd)) = DocText.PdfTextExtract.parse(pdf(
+      streamObj(hOdd, " /Filter /ASCIIHexDecode")))
+    assert(tOdd == "P")
+    // the two-stage chain decodes hex FIRST, then inflates
+    val h2 = hex(deflate(c), upper = false) + ">"
+    val Some((_, _, t2)) = DocText.PdfTextExtract.parse(pdf(
+      streamObj(h2, " /Filter [ /ASCIIHexDecode /FlateDecode ]")))
+    assert(t2 == "chained")
+    // one-element array form
+    val z = new String(deflate(c), "ISO-8859-1")
+    val Some((_, _, t3)) = DocText.PdfTextExtract.parse(pdf(
+      streamObj(z, " /Filter [/FlateDecode]")))
+    assert(t3 == "chained")
+    // hex edges: bad digit, missing EOD, non-ws bytes after EOD
+    assert(DocText.PdfTextExtract.parse(pdf(
+      streamObj("48g5>", " /Filter /ASCIIHexDecode"))).isEmpty)
+    assert(DocText.PdfTextExtract.parse(pdf(
+      streamObj("4865", " /Filter /ASCIIHexDecode"))).isEmpty)
+    assert(DocText.PdfTextExtract.parse(pdf(
+      streamObj("4865>zz", " /Filter /ASCIIHexDecode"))).isEmpty)
+    // empty array and malformed values fail closed
+    assert(DocText.PdfTextExtract.parse(pdf(
+      streamObj(c, " /Filter []"))).isEmpty)
+    assert(DocText.PdfTextExtract.parse(pdf(
+      streamObj(c, " /Filter 7"))).isEmpty)
+  }
+
   test("pdf profile violations all fail closed") {
     // inline dict in a content stream (`<<` still out of profile)
     assert(DocText.PdfTextExtract.parse(
@@ -149,10 +268,13 @@ class DocTextSpec extends AnyFunSuite {
     assert(DocText.PdfTextExtract.parse(pdf(
       "1 0 obj\n<< /Length 5 0 R >>\nstream\nBT (x) Tj ET\nendstream\nendobj"))
       .isEmpty)
-    // non-Flate filter
+    // out-of-profile filters — alone and inside a chain
     assert(DocText.PdfTextExtract.parse(pdf(streamObj("BT (x) Tj ET",
       " /Filter /LZWDecode"))).isEmpty)
-    // filter chain
+    assert(DocText.PdfTextExtract.parse(pdf(streamObj("BT (x) Tj ET",
+      " /Filter [ /FlateDecode /LZWDecode ]"))).isEmpty)
+    // in-profile chain over data that is NOT actually flate: the
+    // decode stage itself must fail closed
     assert(DocText.PdfTextExtract.parse(pdf(streamObj("BT (x) Tj ET",
       " /Filter [ /FlateDecode /ASCIIHexDecode ]"))).isEmpty)
     // show outside BT/ET
@@ -249,6 +371,28 @@ class DocTextSpec extends AnyFunSuite {
       storedZip("word/document.xml", xml.getBytes("UTF-8")))
     assert(np == 2 && nr == 4) // 2 + self-closing empty + 1
     assert(t == "He said \"5 < 7 & 9 > 2'\"\nsecond")
+  }
+
+  test("docx whitespace: in-run w:br/w:cr/w:tab render, tab-STOP " +
+      "definitions contribute nothing, hyperlink runs are captured — " +
+      "no two runs concatenate without their structural whitespace") {
+    val xml = "<w:document><w:body><w:p>" +
+      // tab-stop DEFINITION inside pPr: layout, not content
+      "<w:pPr><w:tabs><w:tab w:val=\"left\" w:pos=\"720\"/></w:tabs>" +
+      "</w:pPr>" +
+      "<w:r><w:t>a</w:t><w:tab/><w:t>b</w:t><w:br/><w:t>c</w:t></w:r>" +
+      "<w:hyperlink r:id=\"rId1\"><w:r><w:t>link</w:t></w:r>" +
+      "</w:hyperlink>" +
+      "<w:r><w:cr/><w:t>d</w:t></w:r>" +
+      "</w:p></w:body></w:document>"
+    val Some((np, nr, t)) = DocText.DocxTextExtract.parse(
+      storedZip("word/document.xml", xml.getBytes("UTF-8")))
+    assert(np == 1 && nr == 5)
+    assert(t == "a\tb\nclink\nd")
+    // adjacent w:t runs with a break between them never glue: the
+    // only places two letters touch is where the XML really has no
+    // separator (c/link above) — pin the negative too
+    assert(!t.contains("ab") && !t.contains("bc"))
   }
 
   test("docx: tag-name boundaries — w:pPr/w:tblPr noise never opens " +

@@ -51,6 +51,16 @@ class ExtSpec extends AnyFunSuite {
       Seq((1L, "tiny")).toDF("doc_id", "text"),
       col("doc_id"), col("text")).collect()
     assert(one.length == 1 && one(0).getAs[Int]("chunk_len") == 4)
+    // empty text is total: exactly one EMPTY chunk (md5("")), so two
+    // empty docs dedup against each other and the q238 inner-join
+    // census never drops a doc the oracle keeps (ADVICE r16)
+    val empty = Dedup.cdcChunks(
+      Seq((1L, ""), (2L, "")).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).collect()
+    assert(empty.length == 2 && empty.forall(r =>
+      r.getAs[Int]("chunk_len") == 0 &&
+        r.getAs[String]("chunk_md5") ==
+          "d41d8cd98f00b204e9800998ecf8427e"))
   }
 
   test("minhashBucketAudit: the guard fires on a boilerplate corpus " +
