@@ -734,6 +734,69 @@ object DocTextQueries {
     }.as[Multimodal.MediaRecord]
   }
 
+  /** The q243 hostile census corpus: twelve arms by m%12 spanning
+    * every dispatch family, ok and failing, with the %41 empty-bytes
+    * override — each arm engineered to land on ONE stable reason
+    * code, so the census histogram is exactly derivable from doc_id
+    * arithmetic.
+    */
+  private def censusFixture(spark: org.apache.spark.sql.SparkSession,
+                            dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q243_fixture", dir) {
+      t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { m =>
+            val b: Array[Byte] =
+              if (m % 41 == 0) Array.emptyByteArray
+              else (m % 12) match {
+                case 0 => simplePdf(s"census $m ok", flate = m % 2 == 0)
+                case 1 =>
+                  // non-hex digit inside a content hex string
+                  val c = "BT <48g5> Tj ET"
+                  (s"%PDF-1.4\n1 0 obj\n<< /Length ${c.length} >>" +
+                    s"\nstream\n$c\nendstream\nendobj\ntrailer\n" +
+                    "<< /Size 2 >>\nstartxref\n0\n%%EOF\n")
+                    .getBytes("ISO-8859-1")
+                case 2 => // indirect /Length with no definition anywhere
+                  ("%PDF-1.4\n1 0 obj\n<< /Length 9 0 R >>\nstream\n" +
+                    "BT (x) Tj ET\nendstream\nendobj\ntrailer\n" +
+                    "<< /Size 2 >>\nstartxref\n0\n%%EOF\n")
+                    .getBytes("ISO-8859-1")
+                case 3 => // LZW: out-of-profile filter
+                  ("%PDF-1.4\n1 0 obj\n<< /Length 4 /Filter " +
+                    "/LZWDecode >>\nstream\nabcd\nendstream\nendobj\n" +
+                    "trailer\n<< /Size 2 >>\nstartxref\n0\n%%EOF\n")
+                    .getBytes("ISO-8859-1")
+                case 4 => simpleDocx(s"census $m ok", defl = m % 2 == 0)
+                case 5 => buildZip(Seq( // no word/document.xml
+                  ("[Content_Types].xml", ctXml.getBytes("UTF-8"),
+                    false)))
+                case 6 => buildZip(Seq( // self-closing w:tbl: violation
+                  ("word/document.xml",
+                    ("<w:document><w:body><w:tbl/></w:body>" +
+                      "</w:document>").getBytes("UTF-8"), false)))
+                case 7 => // ZIP magic, no central directory
+                  Array[Byte](0x50, 0x4b, 0x03, 0x04) ++
+                    s"truncated $m".getBytes("UTF-8")
+                case 8 => // Avro magic, garbage container
+                  Array[Byte]('O', 'b', 'j', 1) ++
+                    s"garbage $m".getBytes("UTF-8")
+                case 9 => s"plain text $m".getBytes("UTF-8")
+                case 10 => // UTF-16BE BOM, truncated mid-code-unit
+                  val be = Array(0xfe.toByte, 0xff.toByte) ++
+                    s"utf16 $m".getBytes("UTF-16BE")
+                  java.util.Arrays.copyOf(be, be.length - 1)
+                case _ => s"<p>html $m</p>".getBytes("UTF-8")
+              }
+            Multimodal.MediaRecord(m, "application/octet-stream", b)
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
   /** Shared text formula for the q239 UTF-16 corpus — deliberately
     * multi-byte in both encodings (é U+00E9, № U+2116, → U+2192).
     */
@@ -1411,6 +1474,74 @@ object DocTextQueries {
                CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,
                NOT bad AS ok
         FROM t ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q243: extraction-coverage CENSUS (VERDICT r16 item 4) — the
+    // number a 100 TB ingest run reads first: per dispatched format,
+    // what fraction of the corpus does the extraction profile cover,
+    // and a STABLE failure-REASON histogram for the rest (the reason
+    // vocabulary is documented at [[graft.ext.DocText
+    // .extractionProbe]] and only grows). The fixture plants twelve
+    // arms spanning every dispatch family — ok and failing PDFs
+    // (content-profile, unresolved length, unsupported filter), ok
+    // and failing DOCX (missing part, XML violation, broken ZIP),
+    // malformed Avro, plain text, truncated UTF-16, HTML, empty — so
+    // every reason code is derivable from doc_id arithmetic and a
+    // drifted code, a mis-dispatched magic, or a silently-ok failure
+    // all flip a row. Scale shape: probe map-side; census one
+    // (format, reason) aggregate + a format-sized join.
+    GraftQuery(
+      "q243_extraction_census",
+      (spark, dir) => {
+        val probe = DocText.extractionProbe(censusFixture(spark, dir))
+          .toDF()
+        val perFmt = probe.groupBy(col("format")).agg(
+          count(lit(1)).as("format_total"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("format_ok"))
+        probe.groupBy(col("format"), col("reason"))
+          .agg(count(lit(1)).as("n"))
+          .join(perFmt, Seq("format"))
+          .select(col("format"), col("reason"), col("n"),
+            col("format_total"),
+            (col("format_ok").cast("double") / col("format_total"))
+              .as("ok_rate"))
+          .orderBy(col("format"), col("reason"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m,
+            CASE WHEN doc_id % 41 = 0 THEN 'unknown'
+                 WHEN doc_id % 12 IN (0,1,2,3) THEN 'pdf'
+                 WHEN doc_id % 12 IN (4,5,6,7) THEN 'docx'
+                 WHEN doc_id % 12 = 8 THEN 'avro'
+                 WHEN doc_id % 12 = 9 THEN 'txt'
+                 WHEN doc_id % 12 = 10 THEN 'utf16'
+                 ELSE 'html' END AS format,
+            CASE WHEN doc_id % 41 = 0 THEN 'empty'
+                 WHEN doc_id % 12 = 0 THEN 'ok'
+                 WHEN doc_id % 12 = 1 THEN 'pdf_content_profile'
+                 WHEN doc_id % 12 = 2 THEN 'pdf_length_unresolved'
+                 WHEN doc_id % 12 = 3 THEN 'pdf_filter_unsupported'
+                 WHEN doc_id % 12 = 4 THEN 'ok'
+                 WHEN doc_id % 12 = 5 THEN 'docx_no_document_part'
+                 WHEN doc_id % 12 = 6 THEN 'docx_xml_profile'
+                 WHEN doc_id % 12 = 7 THEN 'docx_zip'
+                 WHEN doc_id % 12 = 8 THEN 'avro_malformed'
+                 WHEN doc_id % 12 = 9 THEN 'ok'
+                 WHEN doc_id % 12 = 10 THEN 'utf16_malformed'
+                 ELSE 'ok' END AS reason
+          FROM documents),
+        f AS (
+          SELECT format,
+                 CAST(count(*) AS BIGINT) AS format_total,
+                 SUM(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END) AS fok
+          FROM p GROUP BY 1)
+        SELECT p.format, reason, CAST(count(*) AS BIGINT) AS n,
+               format_total,
+               CAST(fok AS DOUBLE) / format_total AS ok_rate
+        FROM p JOIN f USING (format)
+        GROUP BY p.format, reason, format_total, fok
+        ORDER BY 1, 2""")),
 
     // ------------------------------------------------------------------
     // q236: Avro arm of the unified extraction dispatch

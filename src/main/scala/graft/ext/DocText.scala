@@ -157,12 +157,21 @@ object DocText {
       * truncated or unparseable ObjStm fails the whole document
       * closed.
       */
-    def parse(b: Array[Byte]): Option[(Int, Int, String)] = {
-      if (b == null || b.length < 16) return None
+    def parse(b: Array[Byte]): Option[(Int, Int, String)] =
+      parseR(b).toOption
+
+    /** [[parse]] with a stable failure-REASON code on the Left — the
+      * vocabulary the extraction-coverage census (q243) reports:
+      * pdf_magic, pdf_no_eof, pdf_stream_dict, pdf_no_length,
+      * pdf_length_unresolved, pdf_objstm_malformed, pdf_stream_bounds,
+      * pdf_filter_unsupported, pdf_decode_error, pdf_content_profile.
+      */
+    def parseR(b: Array[Byte]): Either[String, (Int, Int, String)] = {
+      if (b == null || b.length < 16) return Left("pdf_magic")
       // ISO-8859-1 is byte-transparent: char offsets == byte offsets
       val s = new String(b, "ISO-8859-1")
-      if (!s.startsWith("%PDF-")) return None
-      if (!s.contains("%%EOF")) return None
+      if (!s.startsWith("%PDF-")) return Left("pdf_magic")
+      if (!s.contains("%%EOF")) return Left("pdf_no_eof")
       // lazily-built object tables (only a file that actually uses an
       // indirect /Length pays the extra scans; object streams are
       // inflated only when a direct lookup misses)
@@ -186,7 +195,7 @@ object DocText {
           else {
             val dict = dictBefore(s, q - 1) match {
               case Some(d) => d
-              case None => return None
+              case None => return Left("pdf_stream_dict")
             }
             val len = directLength(dict) match {
               case Some(l) => l
@@ -203,24 +212,29 @@ object DocText {
                         stmInts match {
                           case Some(m2) => m2.get(obj) match {
                             case Some(l) => l
-                            case None => return None // truly undefined
+                            case None => // truly undefined
+                              return Left("pdf_length_unresolved")
                           }
-                          case None => return None // malformed ObjStm
+                          case None => // malformed ObjStm
+                            return Left("pdf_objstm_malformed")
                         }
                     }
-                  case None => return None // no usable /Length
+                  case None => return Left("pdf_no_length")
                 }
             }
             // data starts after the keyword's EOL (CRLF or LF)
             var dataAt = at + 6
             if (dataAt < s.length && s(dataAt) == '\r') dataAt += 1
-            if (dataAt >= s.length || s(dataAt) != '\n') return None
+            if (dataAt >= s.length || s(dataAt) != '\n')
+              return Left("pdf_stream_bounds")
             dataAt += 1
-            if (dataAt + len > b.length || len < 0) return None
+            if (dataAt + len > b.length || len < 0)
+              return Left("pdf_stream_bounds")
             var after = dataAt + len
             if (after < s.length && s(after) == '\r') after += 1
             if (after < s.length && s(after) == '\n') after += 1
-            if (!s.startsWith("endstream", after)) return None
+            if (!s.startsWith("endstream", after))
+              return Left("pdf_stream_bounds")
             if (hasName(dict, "/Type") || hasName(dict, "/Subtype")) {
               // typed stream: structural/binary, never page text —
               // skip its (length-verified) payload wholesale
@@ -231,9 +245,9 @@ object DocText {
               val content = filterOf(dict) match {
                 case Right(fs) => decodeChain(raw, fs) match {
                   case Some(x) => x
-                  case None => return None
+                  case None => return Left("pdf_decode_error")
                 }
-                case Left(()) => return None // unsupported filter
+                case Left(()) => return Left("pdf_filter_unsupported")
               }
               tokenizeContent(new String(content, "ISO-8859-1")) match {
                 case Some((ops, t)) =>
@@ -241,14 +255,14 @@ object DocText {
                   text.append(t)
                   nStreams += 1
                   nOps += ops
-                case None => return None
+                case None => return Left("pdf_content_profile")
               }
               cursor = after + 9
             }
           }
         }
       }
-      Some((nStreams, nOps, text.toString))
+      Right((nStreams, nOps, text.toString))
     }
 
     /** The payload ranges `[dataAt, dataAt+len)` of every stream whose
@@ -843,12 +857,24 @@ object DocText {
     /** Full parse including `w:tbl`/`w:tr`/`w:tc` tables, or None on
       * any structural defect or profile violation.
       */
-    def parseFull(b: Array[Byte]): Option[DocxDoc] = {
-      val xml = documentXml(b) match {
-        case Some(x) => x
-        case None => return None
+    def parseFull(b: Array[Byte]): Option[DocxDoc] =
+      parseFullR(b).toOption
+
+    /** [[parseFull]] with a stable failure-REASON code on the Left —
+      * the q243 census vocabulary: docx_zip (container structure),
+      * docx_no_document_part, docx_part_oversize, docx_part_corrupt
+      * (inflate/CRC/size disagreement), docx_xml_profile (the walk's
+      * structural/profile violations).
+      */
+    def parseFullR(b: Array[Byte]): Either[String, DocxDoc] = {
+      val xml = documentXmlR(b) match {
+        case Right(x) => x
+        case Left(r) => return Left(r)
       }
-      walkXml(new String(xml, "UTF-8"))
+      walkXml(new String(xml, "UTF-8")) match {
+        case Some(d) => Right(d)
+        case None => Left("docx_xml_profile")
+      }
     }
 
     private def le16(b: Array[Byte], i: Int): Int =
@@ -858,10 +884,11 @@ object DocText {
         ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
 
     /** `word/document.xml` bytes, decompressed and CRC/size-verified
-      * against the central directory, or None.
+      * against the central directory, or a reason code.
       */
-    private[ext] def documentXml(b: Array[Byte]): Option[Array[Byte]] = {
-      if (b == null || b.length < 22) return None
+    private[ext] def documentXmlR(b: Array[Byte])
+        : Either[String, Array[Byte]] = {
+      if (b == null || b.length < 22) return Left("docx_zip")
       // EOCD scan (the q174 walk)
       var eocd = -1
       var i = b.length - 22
@@ -871,11 +898,11 @@ object DocText {
           b(i + 2) == 0x05 && b(i + 3) == 0x06) eocd = i
         else i -= 1
       }
-      if (eocd < 0) return None
+      if (eocd < 0) return Left("docx_zip")
       val nTotal = le16(b, eocd + 10)
       val cdOff = le32(b, eocd + 16)
       val cdEnd = (cdOff + le32(b, eocd + 12)).toInt
-      if (cdOff < 0 || cdEnd > eocd) return None
+      if (cdOff < 0 || cdEnd > eocd) return Left("docx_zip")
       var at = cdOff.toInt
       var n = 0
       var hit: Option[(Int, Long, Long, Long, Long)] = None // method,comp,uncomp,crc,off
@@ -890,29 +917,31 @@ object DocText {
         val extraLen = le16(b, at + 30)
         val commentLen = le16(b, at + 32)
         val localOff = le32(b, at + 42)
-        if (at + 46 + nameLen > cdEnd) return None
+        if (at + 46 + nameLen > cdEnd) return Left("docx_zip")
         val name = new String(b, at + 46, nameLen, "UTF-8")
         if (name == "word/document.xml")
           hit = Some((method, comp, uncomp, crc, localOff))
         n += 1
         at += 46 + nameLen + extraLen + commentLen
       }
-      if (n != nTotal) return None
+      if (n != nTotal) return Left("docx_zip")
       val (method, comp, uncomp, crc, off) = hit match {
         case Some(h) => h
-        case None => return None // a DOCX must carry the document part
+        // a DOCX must carry the document part
+        case None => return Left("docx_no_document_part")
       }
-      if (uncomp > outputCap) return None
+      if (uncomp > outputCap) return Left("docx_part_oversize")
       // local header → data offset
       val lo = off.toInt
-      if (lo < 0 || lo + 30 > b.length) return None
+      if (lo < 0 || lo + 30 > b.length) return Left("docx_zip")
       if (!(b(lo) == 0x50 && b(lo + 1) == 0x4b &&
-        b(lo + 2) == 0x03 && b(lo + 3) == 0x04)) return None
+        b(lo + 2) == 0x03 && b(lo + 3) == 0x04))
+        return Left("docx_zip")
       val dataAt = lo + 30 + le16(b, lo + 26) + le16(b, lo + 28)
-      if (dataAt + comp > b.length) return None
+      if (dataAt + comp > b.length) return Left("docx_zip")
       val data = method match {
         case 0 =>
-          if (comp != uncomp) return None
+          if (comp != uncomp) return Left("docx_part_corrupt")
           java.util.Arrays.copyOfRange(b, dataAt, (dataAt + comp).toInt)
         case 8 =>
           val inf = new java.util.zip.Inflater(true)
@@ -924,23 +953,25 @@ object DocText {
               val k =
                 try inf.inflate(out, got, out.length - got)
                 catch { case _: java.util.zip.DataFormatException =>
-                  return None }
+                  return Left("docx_part_corrupt") }
               if (k == 0 && (inf.needsInput() || inf.needsDictionary()))
-                return None
+                return Left("docx_part_corrupt")
               got += k
             }
             // exact size both ways: all output produced, all input used
-            if (got != out.length) return None
+            if (got != out.length) return Left("docx_part_corrupt")
             if (!inf.finished() &&
-              inf.inflate(new Array[Byte](1)) > 0) return None
-            if (inf.getBytesRead != comp) return None
+              inf.inflate(new Array[Byte](1)) > 0)
+              return Left("docx_part_corrupt")
+            if (inf.getBytesRead != comp) return Left("docx_part_corrupt")
             out
           } finally inf.end()
-        case _ => return None
+        case _ => return Left("docx_part_corrupt")
       }
       val check = new java.util.zip.CRC32
       check.update(data)
-      if (check.getValue != crc) None else Some(data)
+      if (check.getValue != crc) Left("docx_part_corrupt")
+      else Right(data)
     }
 
     /** Walk document.xml: `<w:p>` paragraphs joined with `\n`,
@@ -1228,6 +1259,103 @@ object DocText {
             AnyText(r.media_id, r.mime, "", "", needs_html = false,
               ok = false,
               Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      }
+    }
+  }
+
+  final case class ExtractProbe(
+      media_id: Long,
+      format: String,
+      reason: String,
+      ok: Boolean)
+
+  /** Extraction-coverage CENSUS probe (VERDICT r16 item 4): the same
+    * magic-byte dispatch as [[extractAnyText]], but per document it
+    * reports the DISPATCHED format family and a STABLE failure-reason
+    * code instead of the text — the input to the per-format ok-rate /
+    * failure-histogram census a 100 TB ingest run reads first, to
+    * know what fraction of the corpus the extraction profile covers
+    * and WHY the rest is cut. Reason vocabulary (stable, additive
+    * only): `ok`; `pdf_magic pdf_no_eof pdf_stream_dict pdf_no_length
+    * pdf_length_unresolved pdf_objstm_malformed pdf_stream_bounds
+    * pdf_filter_unsupported pdf_decode_error pdf_content_profile`
+    * ([[PdfTextExtract.parseR]]); `docx_zip docx_no_document_part
+    * docx_part_oversize docx_part_corrupt docx_xml_profile`
+    * ([[DocxTextExtract.parseFullR]]); `avro_malformed`;
+    * `utf16_malformed`; `utf8_malformed` (html and txt arms);
+    * `empty`; `exception` (the catch-all backstop). Scale shape:
+    * pure map-side, one probe per document, no shuffle.
+    */
+  def extractionProbe(media: Dataset[Multimodal.MediaRecord])
+      : Dataset[ExtractProbe] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          val b = r.media
+          val bomEnd =
+            if (b != null && b.length >= 3 && (b(0) & 0xff) == 0xef &&
+              (b(1) & 0xff) == 0xbb && (b(2) & 0xff) == 0xbf) 3 else 0
+          var t0 = bomEnd
+          while (b != null && t0 < b.length && (b(t0) == ' ' ||
+            b(t0) == '\t' || b(t0) == '\r' || b(t0) == '\n')) t0 += 1
+          if (b != null && b.length >= 5 && b(0) == '%' && b(1) == 'P' &&
+            b(2) == 'D' && b(3) == 'F' && b(4) == '-')
+            PdfTextExtract.parseR(b) match {
+              case Right(_) => ExtractProbe(r.media_id, "pdf", "ok",
+                ok = true)
+              case Left(code) => ExtractProbe(r.media_id, "pdf", code,
+                ok = false)
+            }
+          else if (b != null && b.length >= 4 && b(0) == 'P' &&
+            b(1) == 'K')
+            DocxTextExtract.parseFullR(b) match {
+              case Right(_) => ExtractProbe(r.media_id, "docx", "ok",
+                ok = true)
+              case Left(code) => ExtractProbe(r.media_id, "docx", code,
+                ok = false)
+            }
+          else if (b != null && b.length >= 4 && b(0) == 'O' &&
+            b(1) == 'b' && b(2) == 'j' && b(3) == 1)
+            AvroOcf.parse(b) match {
+              case Some(_) => ExtractProbe(r.media_id, "avro", "ok",
+                ok = true)
+              case None => ExtractProbe(r.media_id, "avro",
+                "avro_malformed", ok = false)
+            }
+          else if (b != null && b.length >= 2 &&
+            (((b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff) ||
+              ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xfe)))
+            decodeUtf16Strict(b) match {
+              case Some(t) =>
+                val lead = t.indexWhere(c => !(c == ' ' || c == '\t' ||
+                  c == '\r' || c == '\n'))
+                val fmt = if (lead >= 0 && t(lead) == '<') "html"
+                  else "txt"
+                ExtractProbe(r.media_id, fmt, "ok", ok = true)
+              case None => ExtractProbe(r.media_id, "utf16",
+                "utf16_malformed", ok = false)
+            }
+          else if (b != null && t0 < b.length && b(t0) == '<')
+            decodeUtf8Strict(b, t0) match {
+              case Some(_) => ExtractProbe(r.media_id, "html", "ok",
+                ok = true)
+              case None => ExtractProbe(r.media_id, "html",
+                "utf8_malformed", ok = false)
+            }
+          else if (b != null && b.length >= 1)
+            decodeUtf8Strict(b, bomEnd) match {
+              case Some(_) => ExtractProbe(r.media_id, "txt", "ok",
+                ok = true)
+              case None => ExtractProbe(r.media_id, "txt",
+                "utf8_malformed", ok = false)
+            }
+          else ExtractProbe(r.media_id, "unknown", "empty", ok = false)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            ExtractProbe(r.media_id, "unknown", "exception", ok = false)
         }
       }
     }

@@ -260,6 +260,33 @@ class DocTextSpec extends AnyFunSuite {
       streamObj(c, " /Filter 7"))).isEmpty)
   }
 
+  test("failure REASON codes are stable: parseR/parseFullR land each " +
+      "violation family on its documented code (the q243 vocabulary)") {
+    import DocText.{PdfTextExtract => P, DocxTextExtract => D}
+    assert(P.parseR(bytes("not a pdf at all!!")) == Left("pdf_magic"))
+    assert(P.parseR(bytes("%PDF-1.4\n" + streamObj("BT (x) Tj ET")))
+      == Left("pdf_no_eof"))
+    assert(P.parseR(pdf(streamObj("BT (x) Tj", ""))) ==
+      Left("pdf_content_profile"))
+    assert(P.parseR(pdf(
+      "1 0 obj\n<< /Length 9 0 R >>\nstream\nBT (x) Tj ET\nendstream" +
+        "\nendobj")) == Left("pdf_length_unresolved"))
+    assert(P.parseR(pdf(streamObj("BT (x) Tj ET",
+      " /Filter /LZWDecode"))) == Left("pdf_filter_unsupported"))
+    assert(P.parseR(pdf(streamObj("garbage",
+      " /Filter /FlateDecode"))) == Left("pdf_decode_error"))
+    assert(P.parseR(pdf(
+      "1 0 obj\n<< /Length 99999 >>\nstream\nx\nendstream\nendobj"))
+      == Left("pdf_stream_bounds"))
+    assert(D.parseFullR(bytes("PKtruncated")) ==
+      Left("docx_zip"))
+    assert(D.parseFullR(storedZip("other.xml",
+      "<x/>".getBytes("UTF-8"))) == Left("docx_no_document_part"))
+    assert(D.parseFullR(storedZip("word/document.xml",
+      "<w:document><w:body><w:tbl/></w:body></w:document>"
+        .getBytes("UTF-8"))) == Left("docx_xml_profile"))
+  }
+
   test("pdf profile violations all fail closed") {
     // inline dict in a content stream (`<<` still out of profile)
     assert(DocText.PdfTextExtract.parse(
