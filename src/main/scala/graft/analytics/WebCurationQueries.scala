@@ -1241,6 +1241,142 @@ object WebCurationQueries {
         FROM v GROUP BY d ORDER BY 1""")),
 
     // ------------------------------------------------------------------
+    // q244: POLITE fetch frontier (VERDICT r16 item 5) — q230 ordered
+    // the fetches but nothing rate-limited them; a real scheduler
+    // needs max-fetches-per-domain-per-window. Same candidate build
+    // and robots verdicts as q230, plus [[graft.ext.Robots
+    // .crawlDelayFor]] (group-scoped Crawl-delay: exact-agent group
+    // decides ALONE even when it declares no delay — site3 pins that
+    // against a 7 s decoy in its `*` group — case-insensitive at
+    // site2, exact-group value at site1, default for the silent
+    // site4) and [[graft.ext.Frontier.politeSchedule]]: fetch k of a
+    // domain runs at (k-1)×delay, and `in_window` prices the 6 s
+    // budget. A wrong group scope, a missed delay, or a rank slip
+    // all flip a count, an eta, or the schedule serialization.
+    GraftQuery(
+      "q244_polite_frontier",
+      (spark, dir) => {
+        import graft.ext.{Frontier, Robots, Warc}
+        import spark.implicits._
+        val a = Warc.extractWarc(warcFixture(spark, dir)).toDF()
+          .filter(col("ok") && col("http_status") === 200)
+          .select(col("target_uri").as("url"), col("body_md5").as("m_a"))
+        val b = Warc.extractWarc(warcRefreshFixture(spark, dir)).toDF()
+          .filter(col("ok") && col("http_status") === 200)
+          .select(col("target_uri").as("url"), col("body_md5").as("m_b"))
+        val recrawl = a.join(b, Seq("url"))
+          .filter(col("m_a") =!= col("m_b"))
+          .select(col("url"), lit(2).as("priority"))
+        val discover = graft.ext.Sitemap
+          .extractSitemap(sitemapFixture(spark, dir)).toDF()
+          .filter(col("ok"))
+          .select(col("loc").as("url"))
+          .join(a.select(col("url")), Seq("url"), "left_anti")
+          .select(col("url"), lit(1).as("priority"))
+        val cand = discover.unionByName(recrawl)
+        val rest = substring_index(col("url"), "://", -1)
+        val withDom = cand
+          .withColumn("domain", substring_index(rest, "/", 1))
+          .withColumn("path",
+            col("url").substr(
+              length(substring_index(col("url"), "://", 1)) + lit(3) +
+                length(substring_index(rest, "/", 1)) + lit(1),
+              length(col("url"))))
+        val bodies = Seq(
+          "site0.test" -> ("# corpus policy\nUser-agent: *\n" +
+            "Disallow: /doc/1\nCrawl-delay: 2\n"),
+          "site1.test" -> ("User-agent: *\nDisallow: /doc/\n\n" +
+            "User-agent: GraftBot\nAllow: /doc/2\nDISALLOW: /doc/\n" +
+            "Crawl-delay: 5\n"),
+          "site2.test" -> ("User-agent: *\nDisallow: /doc/3\n" +
+            "Allow: /doc/3\nDisallow: /doc/4\nCRAWL-DELAY: 3\n"),
+          "site3.test" -> ("User-agent: *\nDisallow: /\n" +
+            "Crawl-delay: 7\n\nUser-Agent: graftbot\nDisallow:\n"),
+          "site4.test" -> "")
+        val rules = bodies
+          .flatMap { case (dom, t) => Robots.parse(dom, t) }.toDF()
+        val verdicts = Robots.evaluate(
+          withDom.select(col("url"), col("domain"), col("path"),
+            col("priority")),
+          rules, "GraftBot", carry = Seq("priority"))
+        val delays = bodies
+          .flatMap { case (dom, t) =>
+            Robots.crawlDelayFor(dom, t, "GraftBot").map(d => (dom, d))
+          }.toDF("domain", "delay_s")
+        val sched = Frontier.politeSchedule(
+          verdicts.filter(col("allowed"))
+            .select(col("url"), col("domain"), col("priority")),
+          delays, horizonSec = 6, defaultDelay = 1)
+        sched.withColumn("__k",
+            concat(lpad(col("fetch_rank").cast("string"), 6, "0"),
+              lit("|"), col("url"), lit("@"),
+              col("fetch_at").cast("string")))
+          .groupBy(col("domain"))
+          .agg(
+            max(col("delay_s")).as("delay_s"),
+            count(lit(1)).as("n_allowed"),
+            sum(when(col("in_window"), 1L).otherwise(0L))
+              .as("n_in_window"),
+            max(col("fetch_at")).as("last_eta"),
+            array_join(
+              transform(
+                slice(sort_array(collect_list(col("__k"))), 1, 3),
+                k => k.substr(lit(8), length(k))),
+              "|").as("top3"))
+          .orderBy(col("domain"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m, CAST(doc_id % 5 AS INT) AS d,
+                 CAST(doc_id AS VARCHAR) AS s,
+                 doc_id % 41 = 0 AS bad_a, doc_id % 43 = 0 AS bad_b,
+                 doc_id % 17 = 0 AS p404,
+                 doc_id % 3 <> 0 AS listed, doc_id % 7 = 0 AS drift,
+                 (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+                   || '://site' || CAST(doc_id % 5 AS VARCHAR)
+                   || '.test/doc/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents),
+        c AS (
+          SELECT d, url, 1 AS pri, s, FALSE AS extra FROM p
+          WHERE listed AND (bad_a OR p404)
+          UNION ALL
+          SELECT d, url, 2, s, FALSE FROM p
+          WHERE NOT bad_a AND NOT bad_b AND NOT p404 AND drift
+          UNION ALL
+          SELECT d, 'https://site' || CAST(d AS VARCHAR)
+                   || '.test/extra?a=1&b=2', 1, '', TRUE
+          FROM (SELECT DISTINCT CAST(doc_id % 5 AS INT) AS d
+                FROM documents)),
+        v AS (
+          SELECT *, CASE WHEN extra THEN TRUE
+                 WHEN d = 0 THEN NOT starts_with(s, '1')
+                 WHEN d = 1 THEN starts_with(s, '2')
+                 WHEN d = 2 THEN NOT starts_with(s, '4')
+                 ELSE TRUE END AS allowed
+          FROM c),
+        r AS (
+          SELECT d, url, pri,
+                 ROW_NUMBER() OVER (PARTITION BY d ORDER BY pri, url)
+                   AS rk,
+                 CASE d WHEN 0 THEN 2 WHEN 1 THEN 5 WHEN 2 THEN 3
+                   ELSE 1 END AS delay
+          FROM v WHERE allowed),
+        sch AS (
+          SELECT *, CAST((rk - 1) * delay AS BIGINT) AS fetch_at FROM r)
+        SELECT 'site' || CAST(d AS VARCHAR) || '.test' AS domain,
+               CAST(MAX(delay) AS INT) AS delay_s,
+               CAST(COUNT(*) AS BIGINT) AS n_allowed,
+               CAST(SUM(CASE WHEN fetch_at < 6 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_in_window,
+               CAST(MAX(fetch_at) AS BIGINT) AS last_eta,
+               array_to_string(list_transform(
+                 list_slice(list_sort(list(
+                   lpad(CAST(rk AS VARCHAR), 6, '0') || '|' || url
+                     || '@' || CAST(fetch_at AS VARCHAR))), 1, 3),
+                 x -> x[8:]), '|') AS top3
+        FROM sch GROUP BY d ORDER BY 1""")),
+
+    // ------------------------------------------------------------------
     // q235: two-level sitemap TREE resolution ([[graft.ext.Sitemap
     // .resolveTree]]) — the shape real sites publish (the 50k-URL
     // cap forces a <sitemapindex> over child sitemaps; q229 covered

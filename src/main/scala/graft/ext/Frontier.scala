@@ -56,4 +56,36 @@ object Frontier {
       Seq(col("__b"))).drop("__b")
     localFrontier(local, Nil)
   }
+
+  /** POLITE fetch schedule (VERDICT r16 item 5): turn a prioritized
+    * candidate list into something a rate-limited crawler can
+    * execute. Per domain, candidates are ranked by (priority, url) —
+    * q230's fetch order — and fetch k is scheduled at
+    * `(k-1) × crawl_delay` seconds; `in_window` marks the fetches
+    * that fit the first `horizonSec` seconds, i.e. the per-domain
+    * fetches-per-window budget `ceil(horizon / delay)` the q230
+    * schedule lacked. `delays(domain, delay_s)` comes from
+    * [[Robots.crawlDelayFor]]; missing domains get `defaultDelay`.
+    *
+    * Output: url, domain, priority, fetch_rank, delay_s, fetch_at,
+    * in_window. Scale shape: one domain-partitioned window (row_number
+    * over a domain's candidates — bounded by that domain's frontier,
+    * the unit a polite crawler serializes on anyway) plus one
+    * domain-keyed equi-join against the domain-sized delay table,
+    * unhinted (AQE broadcasts it when small).
+    */
+  def politeSchedule(cand: DataFrame, delays: DataFrame,
+                     horizonSec: Int, defaultDelay: Int): DataFrame = {
+    require(horizonSec > 0 && defaultDelay > 0,
+      "horizon and default delay must be positive")
+    val ranked = cand.withColumn("fetch_rank",
+      row_number().over(Window.partitionBy(col("domain"))
+        .orderBy(col("priority"), col("url"))))
+    ranked.join(delays, Seq("domain"), "left")
+      .withColumn("delay_s",
+        coalesce(col("delay_s"), lit(defaultDelay)))
+      .withColumn("fetch_at",
+        (col("fetch_rank") - 1).cast("long") * col("delay_s"))
+      .withColumn("in_window", col("fetch_at") < horizonSec)
+  }
 }

@@ -96,6 +96,60 @@ object Robots {
     seen.toSeq.map(u => (domain, u))
   }
 
+  /** The `Crawl-delay` (seconds) applicable to `agent` on this
+    * domain, or None when no group declares one. GROUP-SCOPED like
+    * Allow/Disallow (the de-facto extension Bing/Yandex honor —
+    * deliberately skipped by [[sitemapDirectives]], which handles the
+    * group-INDEPENDENT lines): a delay line binds to the user-agent
+    * group it appears in, and group SELECTION mirrors [[evaluate]]:
+    * if the domain declares a group for the exact agent token, that
+    * group alone decides (an exact group WITHOUT a delay means "no
+    * declared delay", even if `*` has one — RFC 9309 §2.2.1, a UA
+    * obeys only its matching group); otherwise the `*` group's delay
+    * applies. Within the deciding group the LAST parseable value wins
+    * (the lenient-consumer convention [[parse]] follows). Non-numeric
+    * values are skipped — fail-open, like every robots.txt consumer;
+    * fractional values are out of profile (real crawlers floor them
+    * anyway). Callers supply a default for domains declaring nothing.
+    */
+  def crawlDelayFor(domain: String, body: String, agent: String)
+      : Option[Int] = {
+    val a = agent.toLowerCase
+    var agents = List.empty[String]
+    var inRules = false
+    var exactSeen = false
+    var exact: Option[Int] = None
+    var star: Option[Int] = None
+    body.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val k = line.substring(0, colon).trim.toLowerCase
+          val v = line.substring(colon + 1).trim
+          k match {
+            case "user-agent" =>
+              if (inRules) { agents = Nil; inRules = false }
+              agents = v.toLowerCase :: agents
+            case "allow" | "disallow" if agents.nonEmpty =>
+              inRules = true
+              if (agents.contains(a)) exactSeen = true
+            case "crawl-delay" if agents.nonEmpty =>
+              inRules = true
+              if (agents.contains(a)) exactSeen = true
+              if (v.nonEmpty && v.length <= 9 && v.forall(_.isDigit)) {
+                val d = v.toInt
+                if (agents.contains(a)) exact = Some(d)
+                if (agents.contains("*")) star = Some(d)
+              }
+            case _ => // sitemap, unknown: skipped
+          }
+        }
+      }
+    }
+    if (exactSeen) exact else star
+  }
+
   /** Evaluate URLs against a rule table for `agent`: per URL, pick the
     * applicable agent group (exact token if the domain has one, else
     * `*`), then the longest matching rule path, Allow winning length

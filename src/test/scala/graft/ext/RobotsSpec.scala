@@ -125,4 +125,32 @@ class RobotsSpec extends AnyFunSuite {
     assert(rules.map(r => (r.agent, r.path)) == Seq(("a", "/x")))
     assert(Robots.sitemapDirectives("d.test", "").isEmpty)
   }
+
+  test("crawlDelayFor: group-scoped, exact group decides alone, " +
+      "case-insensitive, last parseable value wins, junk skipped") {
+    // * group only → its delay applies to any agent
+    assert(Robots.crawlDelayFor("d.test",
+      "User-agent: *\nDisallow: /x\nCrawl-delay: 2\n", "GraftBot")
+      == Some(2))
+    // exact group with a delay wins over *
+    assert(Robots.crawlDelayFor("d.test",
+      "User-agent: *\nCrawl-delay: 9\nDisallow: /\n\n" +
+        "User-agent: graftbot\nAllow: /a\nCRAWL-DELAY: 5\n", "GraftBot")
+      == Some(5))
+    // exact group WITHOUT a delay: no declared delay, * is ignored
+    // (RFC 9309 §2.2.1 — a UA obeys only its matching group)
+    assert(Robots.crawlDelayFor("d.test",
+      "User-agent: *\nDisallow: /\nCrawl-delay: 7\n\n" +
+        "User-Agent: graftbot\nDisallow:\n", "GraftBot").isEmpty)
+    // last parseable value wins within a group; junk is skipped
+    assert(Robots.crawlDelayFor("d.test",
+      "User-agent: *\nDisallow: /x\nCrawl-delay: 2\n" +
+        "Crawl-delay: fast\nCrawl-delay: 4\nCrawl-delay: -1\n",
+      "GraftBot") == Some(4))
+    // a delay line with NO group binds to nothing
+    assert(Robots.crawlDelayFor("d.test",
+      "Crawl-delay: 3\nUser-agent: *\nDisallow: /x\n", "GraftBot")
+      .isEmpty)
+    assert(Robots.crawlDelayFor("d.test", "", "GraftBot").isEmpty)
+  }
 }
