@@ -100,6 +100,38 @@ object StateAudit {
       "min(docs × bands, buckets touched) — one packed row per bucket")
   }
 
+  def auditCdcChunkDedup(spark: SparkSession): Audit = {
+    import spark.implicits._
+    import streaming.{StreamingCdcChunkDedup, StreamingChunkDedup}
+    def words(seed: Long, n: Int): String = {
+      var s = seed
+      (0 until n).map { _ =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        "w" + Math.floorMod(s, 500)
+      }.mkString(" ")
+    }
+    // every 4th doc repeats an earlier text: repeated chunks must fold
+    // into the SAME owner rows, so state is bounded by distinct chunks
+    val docs = (0 until 200).map(i =>
+      StreamingChunkDedup.DocText(i.toLong,
+        words(if (i % 4 == 0) i / 4 else 1000L + i, 40),
+        ts("2024-03-05 01:00:00")))
+    val src = MemoryStream[StreamingChunkDedup.DocText](spark)
+    val out = StreamingCdcChunkDedup.dedup(src.toDS())
+    src.addData(docs)
+    val chk = run(spark, src, out, "cdcchunk")
+    val (rows, keys) = stateRows(spark, chk, Some("owner"))
+    // the bound is structural: the batch twin's distinct chunk count
+    // over the same texts (one owner record per live distinct chunk)
+    val distinctChunks = graft.ext.Dedup.cdcChunks(
+        docs.toDF("docId", "text", "eventTime"),
+        org.apache.spark.sql.functions.col("docId"),
+        org.apache.spark.sql.functions.col("text"))
+      .select("chunk_md5").distinct().count()
+    Audit("StreamingCdcChunkDedup", "owner", docs.size, keys, rows,
+      distinctChunks, "distinct CDC chunks in the TTL window")
+  }
+
   def auditSemanticDedup(spark: SparkSession): Audit = {
     import spark.implicits._
     import streaming.StreamingSemanticDedup
@@ -206,7 +238,8 @@ object StateAudit {
   }
 
   def all(spark: SparkSession): Seq[Audit] = Seq(
-    auditQuota(spark), auditMinhashDedup(spark), auditSemanticDedup(spark),
+    auditQuota(spark), auditMinhashDedup(spark),
+    auditCdcChunkDedup(spark), auditSemanticDedup(spark),
     auditDrift(spark), auditProfile(spark), auditHeavyHitters(spark),
     auditAffinity(spark), auditCusum(spark))
 

@@ -152,6 +152,27 @@ object StreamBench {
       (0 until nBatches).map(batch))
   }
 
+  def benchCdcChunkDedup(spark: SparkSession, perBatch: Int,
+                         nBatches: Int): Bench = {
+    import spark.implicits._
+    import streaming.{StreamingCdcChunkDedup, StreamingChunkDedup}
+    val src = MemoryStream[StreamingChunkDedup.DocText](spark)
+    val out = StreamingCdcChunkDedup.dedup(src.toDS())
+    def text(seed: Long): String =
+      (0 until 12).map(k =>
+        "w" + Math.floorMod(lcg(seed * 31 + k), 5000)).mkString(" ")
+    def batch(b: Int) = (0 until perBatch).map { i =>
+      val id = b.toLong * perBatch + i
+      // every 16th doc repeats ONE text from the previous batch (a dup
+      // pair, not a chain — the benchSimhashDedup rationale)
+      val seed = if (i % 16 == 0) (b - 1).toLong * perBatch + i + 1
+                 else id
+      StreamingChunkDedup.DocText(id, text(seed), minute(b))
+    }
+    drive(spark, src, out, "StreamingCdcChunkDedup", batch(-1),
+      (0 until nBatches).map(batch))
+  }
+
   def benchBloomDedup(spark: SparkSession, perBatch: Int,
                       nBatches: Int): Bench = {
     import spark.implicits._
@@ -272,6 +293,7 @@ object StreamBench {
       benchMinhashDedup(spark, perBatch, nBatches),
       benchMinhashDedup(spark, perBatch, nBatches,
         numHashes = 64, bands = 16),
+      benchCdcChunkDedup(spark, perBatch, nBatches),
       benchBloomDedup(spark, perBatch, nBatches),
       benchHeavyHitters(spark, perBatch, nBatches),
       benchQuota(spark, perBatch, nBatches),

@@ -457,7 +457,19 @@ object Dedup {
     * chunk_md5`.
     */
   def cdcChunks(docs: DataFrame, id: Column, text: Column,
-                w: Int = 16): DataFrame = {
+                w: Int = 16): DataFrame =
+    docs
+      .select(id.as("id"),
+        posexplode(cdcChunkArray(text, w)).as(Seq("chunk_idx", "c")))
+      .select(col("id"), col("chunk_idx"),
+        length(col("c")).as("chunk_len"), md5(col("c")).as("chunk_md5"))
+
+  /** The chunk TEXT array of the content-defined boundary rule — the
+    * expression core shared by [[cdcChunks]] and its streaming twin
+    * ([[graft.streaming.StreamingCdcChunkDedup]]), so batch and
+    * stream chunk the SAME units.
+    */
+  def cdcChunkArray(text: Column, w: Int = 16): Column = {
     // SINGLE-REFERENCE expression shape, deliberately: Catalyst
     // inlines every multi-referenced alias at each reference site
     // (CollapseProject), so a "natural" boundaries array consumed by
@@ -495,12 +507,7 @@ object Dedup {
     // total over empty texts: one empty chunk, matching the oracle
     // replay's [0,0] end-pair (ADVICE r16 — the inner-join gate would
     // otherwise silently drop empty docs on the Spark side only)
-    val chunksTotal = when(len === 0, array(lit(""))).otherwise(chunks)
-    docs
-      .select(id.as("id"),
-        posexplode(chunksTotal).as(Seq("chunk_idx", "c")))
-      .select(col("id"), col("chunk_idx"),
-        length(col("c")).as("chunk_len"), md5(col("c")).as("chunk_md5"))
+    when(len === 0, array(lit(""))).otherwise(chunks)
   }
 
   /** The (id, band, bucket) LSH index both [[minhashPairs]] and

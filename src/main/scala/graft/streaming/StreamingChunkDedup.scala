@@ -122,7 +122,18 @@ object StreamingChunkDedup {
 
   def dedup(docs: Dataset[DocText], chunkWords: Int = 8,
             watermarkDelay: String = "10 minutes",
-            ttlMs: Long = 3600 * 1000L): Dataset[ChunkDecision] = {
+            ttlMs: Long = 3600 * 1000L): Dataset[ChunkDecision] =
+    dedupBy(docs, graft.ext.Dedup.chunksOf(col("text"), chunkWords),
+      watermarkDelay, ttlMs)
+
+  /** The registry/TTL machinery over any chunking EXPRESSION — shared
+    * with [[StreamingCdcChunkDedup]] so both twins claim chunks
+    * through the identical owner/timer state discipline.
+    */
+  private[streaming] def dedupBy(docs: Dataset[DocText],
+                                 chunkArray: org.apache.spark.sql.Column,
+                                 watermarkDelay: String,
+                                 ttlMs: Long): Dataset[ChunkDecision] = {
     require(ttlMs > 0, "ttlMs must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -133,8 +144,7 @@ object StreamingChunkDedup {
       // null text has no chunks to claim.
       .filter(col("eventTime").isNotNull && col("text").isNotNull)
       .select(col("docId"), col("eventTime"),
-        posexplode(graft.ext.Dedup.chunksOf(col("text"), chunkWords))
-          .as(Seq("idx", "chunk")))
+        posexplode(chunkArray).as(Seq("idx", "chunk")))
       .select(col("chunk"), col("docId"), col("idx"), col("eventTime"))
       .withWatermark("eventTime", watermarkDelay)
       .as[ChunkOccurrence]
@@ -144,4 +154,30 @@ object StreamingChunkDedup {
       .transformWithState(new ChunkProcessor(ttlMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+}
+
+/** Streaming CONTENT-DEFINED chunk dedup — the online twin of
+  * [[graft.ext.Dedup.cdcChunks]] (q238) and the sixth dedup family
+  * member to get one (VERDICT r16 item 6): chunk boundaries fall
+  * where the trailing w-gram's md5 lands in the 1/16 band, so the
+  * units are SHIFT-ROBUST — a prefix edit upstream of the stream
+  * reproduces most chunk claims, where the fixed-window twin
+  * ([[StreamingChunkDedup]]) would re-claim everything. The chunk
+  * expression is literally the batch operator's
+  * ([[graft.ext.Dedup.cdcChunkArray]]), so batch and stream dedup
+  * the SAME units; the owner registry, deterministic in-batch
+  * ordering, event-time TTL window, and timer discipline are the
+  * shared [[StreamingChunkDedup.dedupBy]] machinery. State is keyed
+  * by the chunk string; per-key state is one ~24-byte owner record,
+  * bounded by the distinct-chunk traffic of one TTL window.
+  */
+object StreamingCdcChunkDedup {
+
+  def dedup(docs: Dataset[StreamingChunkDedup.DocText], w: Int = 16,
+            watermarkDelay: String = "10 minutes",
+            ttlMs: Long = 3600 * 1000L)
+      : Dataset[StreamingChunkDedup.ChunkDecision] =
+    StreamingChunkDedup.dedupBy(docs,
+      graft.ext.Dedup.cdcChunkArray(col("text"), w), watermarkDelay,
+      ttlMs)
 }
