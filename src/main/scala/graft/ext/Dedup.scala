@@ -581,6 +581,98 @@ object Dedup {
         (col("candidates_per_doc") > maxCandidatesPerDoc).as("explosive"))
   }
 
+  /** LSH operating-point CHOOSER (VERDICT r16 item 7 — the audit
+    * detected the q231-style candidate blowup, but the fix was
+    * manual): given the measured bucket census of THIS corpus, pick
+    * the banding of `numHashes` that keeps candidates/doc under the
+    * guard while still detecting `targetJaccard` near-dups with
+    * probability ≥ `minRecall`. One row per CANDIDATE banding (every
+    * divisor of numHashes as the band count), with the analytic
+    * recall `1-(1-j^r)^b` at the target, the measured candidate
+    * census, both gate verdicts, and `chosen` marking the
+    * recommendation: among recall-passing bandings the one with the
+    * fewest candidates/doc (ties → fewer bands, i.e. the higher
+    * effective threshold). A corpus whose baseline similarity sits AT
+    * the target has no good point — then no row is chosen and the
+    * caller must strip boilerplate first (q209), exactly the audit's
+    * original advice.
+    *
+    * Scale shape: ONE signature pass over the corpus (the per-banding
+    * bucket keys all derive from the same signature row — an
+    * explode over banding structs, not one scan per banding), one
+    * shuffle on (bands, band, bucket) 12-byte keys, then a
+    * bandings-sized (≤ log₂ numHashes + 1 rows) rollup — the final
+    * window is bounded by construction.
+    */
+  def lshOperatingPoint(docs: DataFrame, id: Column, text: Column,
+                        n: Int, numHashes: Int = 128,
+                        targetJaccard: Double = 0.9,
+                        minRecall: Double = 0.9,
+                        maxCandidatesPerDoc: Double = 8.0): DataFrame = {
+    require(numHashes > 0 && targetJaccard > 0 && targetJaccard <= 1,
+      "numHashes and targetJaccard must be positive (j ≤ 1)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bandings = (1 to numHashes).filter(numHashes % _ == 0)
+    val sigs = docs.select(id.as("id"),
+      SketchFns.minhash_signature(
+        SketchFns.hashed_shingles(text, n), numHashes).as("sig"))
+    val combos = array(bandings.map(b =>
+      struct(lit(b).as("bands"),
+        SketchFns.band_buckets(col("sig"), b).as("buckets"))): _*)
+    val keyed = sigs
+      .select(col("id"), explode(combos).as("c"))
+      .select(col("id"), col("c.bands").as("bands"),
+        posexplode(col("c.buckets")).as(Seq("band", "bucket")))
+    val census = keyed.groupBy(col("bands"), col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .groupBy(col("bands"))
+      .agg(
+        sum((col("n_docs").cast("decimal(38,0)")
+          * (col("n_docs") - 1).cast("decimal(38,0)") / lit(2))
+          .cast("decimal(38,0)")).as("total_candidates"),
+        count(lit(1)).as("n_hot_buckets"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs_total"))
+    // analytic recall of each banding at the target similarity — pure
+    // math, no data
+    val recallOf = bandings.map { b =>
+      val r = numHashes / b
+      b -> (1.0 - math.pow(1.0 - math.pow(targetJaccard, r), b))
+    }.toMap
+    val base = bandings.toDF("bands")
+      .join(census, Seq("bands"), "left")
+      .crossJoin(broadcast(corpus))
+      .withColumn("rows_per_band", lit(numHashes) / col("bands"))
+      .withColumn("recall_at_target",
+        element_at(
+          map(recallOf.toSeq.flatMap { case (b, p) =>
+            Seq(lit(b), lit(p)) }: _*),
+          col("bands")))
+      .withColumn("candidates_per_doc",
+        coalesce(col("total_candidates").cast("double"), lit(0.0))
+          / col("n_docs_total").cast("double"))
+      .withColumn("passes_recall", col("recall_at_target") >= minRecall)
+      .withColumn("passes_guard",
+        col("candidates_per_doc") <= maxCandidatesPerDoc)
+    base
+      .withColumn("__rk", row_number().over(
+        graft.functions.BoundedWindow.orderBy(
+          col("passes_recall").desc, col("passes_guard").desc,
+          col("candidates_per_doc").asc, col("bands").asc)))
+      .select(col("bands"),
+        col("rows_per_band").cast("int").as("rows_per_band"),
+        col("recall_at_target"),
+        coalesce(col("n_hot_buckets"), lit(0L)).as("n_hot_buckets"),
+        coalesce(col("total_candidates").cast("string"), lit("0"))
+          .as("total_candidates"),
+        col("n_docs_total"), col("candidates_per_doc"),
+        col("passes_recall"), col("passes_guard"),
+        (col("__rk") === 1 && col("passes_recall") &&
+          col("passes_guard")).as("chosen"))
+      .orderBy(col("bands"))
+  }
+
   def minhashPairs(docs: DataFrame, id: Column, text: Column, n: Int,
                    threshold: Double, numHashes: Int = 128,
                    bands: Int = 64): DataFrame = {

@@ -96,6 +96,46 @@ class ExtSpec extends AnyFunSuite {
     assert(cpd > 200.0 / 8.0)
   }
 
+  test("lshOperatingPoint: recommends the banding that passes both " +
+      "recall and the candidate guard, and the recommendation passes " +
+      "its own audit") {
+    // moderately-similar corpus (cross-doc Jaccard ≈ 0.55-0.6): the
+    // default 128/64 banding collides nearly every pair (explosive),
+    // while longer rows separate the 0.95-target near-dups from the
+    // background — the regime where retuning (not boilerplate
+    // stripping) is the right fix
+    val template = (0 until 30).map(i => s"shared$i").mkString(" ")
+    val uniq = (i: Long) =>
+      (0 until 10).map(j => s"only${i}_$j").mkString(" ")
+    val corpus = (0L until 200L).map(i => (i, s"$template ${uniq(i)}"))
+      .toDF("id", "text")
+    val rows = Dedup.lshOperatingPoint(corpus, col("id"), col("text"),
+      n = 3, numHashes = 128, targetJaccard = 0.95).collect()
+    // one row per divisor of 128, exactly one chosen
+    assert(rows.length == 8)
+    assert(rows.count(_.getAs[Boolean]("chosen")) == 1)
+    val chosen = rows.find(_.getAs[Boolean]("chosen")).get
+    assert(chosen.getAs[Boolean]("passes_recall") &&
+      chosen.getAs[Boolean]("passes_guard"))
+    // analytic: bands ∈ {8..128} pass recall at j=0.95; candidate mass
+    // grows with bands, so the min-candidate recall-passing point is 8
+    assert(chosen.getAs[Int]("bands") == 8)
+    // the default operating point is explosive on this corpus
+    val b64 = rows.find(_.getAs[Int]("bands") == 64).get
+    assert(!b64.getAs[Boolean]("passes_guard") &&
+      b64.getAs[Double]("candidates_per_doc") > 8.0)
+    // the recommended point passes its own audit (VERDICT r16 item 7)
+    val audit = Dedup.minhashBucketAudit(corpus, col("id"), col("text"),
+      n = 3, numHashes = 128,
+      bands = chosen.getAs[Int]("bands")).collect()
+    assert(audit.isEmpty || audit.forall(r =>
+      !r.getAs[Boolean]("explosive")),
+      "the chosen banding must not trip the audit it was derived from")
+    // recall column is the analytic formula: r=1 ⇒ certainty
+    val b128 = rows.find(_.getAs[Int]("bands") == 128).get
+    assert(math.abs(b128.getAs[Double]("recall_at_target") - 1.0) < 1e-9)
+  }
+
   test("simhash distance 0 for identical docs; near-dup pairs overlap jaccard pairs") {
     val twice = docs.limit(5).select(col("doc_id"), col("text"))
       .union(docs.limit(5).select(col("doc_id") + 100000, col("text")))
