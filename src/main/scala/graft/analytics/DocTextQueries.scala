@@ -797,6 +797,89 @@ object DocTextQueries {
     }.as[Multimodal.MediaRecord]
   }
 
+  /** q245 aux-part text formulas — the oracle replays all three. */
+  private def hdrText(m: Long, k: Int): String = s"Hdr $k of $m run&$k"
+  private def ftrText(m: Long): String = s"Ftr of $m page"
+  private def noteText(m: Long, i: Int): String = s"Note $i of $m"
+
+  private def auxPartXml(root: String, paras: Seq[String]): String =
+    s"<?xml version=${"\"1.0\""}?><w:$root xmlns:w=" +
+      "\"http://schemas.openxmlformats.org/wordprocessingml/2006/" +
+      "main\">" +
+      paras.map(p =>
+        s"<w:p><w:r><w:t>${xmlEscape(p)}</w:t></w:r></w:p>").mkString +
+      s"</w:$root>"
+
+  private def footnotesXml(m: Long, n: Int): String =
+    "<?xml version=\"1.0\"?><w:footnotes xmlns:w=" +
+      "\"http://schemas.openxmlformats.org/wordprocessingml/2006/" +
+      "main\">" +
+      (0 until n).map(i =>
+        s"<w:footnote w:id=${"\"" + i + "\""}><w:p><w:r><w:t>" +
+          xmlEscape(noteText(m, i)) +
+          "</w:t></w:r></w:p></w:footnote>").mkString +
+      "</w:footnotes>"
+
+  /** The q245 corpus: headers/footers/footnotes parts alongside the
+    * main document. Arms: two headers at %3, a footer at %2 (also the
+    * deflate parity), footnotes (1+m%2 notes) at %5, raw reject at
+    * %41, header-without-document conformance reject at %29, a
+    * malformed header part (XML comment) at %31 — one bad aux part
+    * fails the whole doc closed.
+    */
+  private def auxDocxFixture(spark: org.apache.spark.sql.SparkSession,
+                             dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q245_fixture", dir) {
+      t.documents.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (m, text) =>
+            val defl = m % 2 == 0
+            def e(name: String, xml: String) =
+              (name, xml.getBytes("UTF-8"), defl)
+            val doc = e("word/document.xml",
+              auxPartXml("document", Seq(s"Body of $m")))
+            val h1 =
+              if (m % 31 == 0)
+                ("word/header1.xml",
+                  ("<w:hdr><!-- bad --><w:p><w:r><w:t>x</w:t></w:r>" +
+                    "</w:p></w:hdr>").getBytes("UTF-8"), defl)
+              else e("word/header1.xml",
+                auxPartXml("hdr", Seq(hdrText(m, 1))))
+            val extras =
+              (if (m % 3 == 0)
+                Seq(e("word/header2.xml",
+                  auxPartXml("hdr", Seq(hdrText(m, 2))))) else Nil) ++
+              (if (m % 2 == 0)
+                Seq(e("word/footer1.xml",
+                  auxPartXml("ftr", Seq(ftrText(m))))) else Nil) ++
+              (if (m % 5 == 0)
+                Seq(e("word/footnotes.xml",
+                  footnotesXml(m, (1 + m % 2).toInt))) else Nil)
+            if (m % 41 == 0)
+              Multimodal.MediaRecord(m, "application/octet-stream",
+                text.getBytes("UTF-8"))
+            else if (m % 29 == 0)
+              // header present, document part missing: conformance
+              // reject even though aux parts exist
+              Multimodal.MediaRecord(m, "application/zip",
+                buildZip(Seq(
+                  ("[Content_Types].xml", ctXml.getBytes("UTF-8"),
+                    false), h1)))
+            else
+              Multimodal.MediaRecord(m,
+                "application/vnd.openxmlformats-officedocument" +
+                  ".wordprocessingml.document",
+                buildZip(Seq(
+                  ("[Content_Types].xml", ctXml.getBytes("UTF-8"),
+                    false), doc, h1) ++ extras))
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
   /** Shared text formula for the q239 UTF-16 corpus — deliberately
     * multi-byte in both encodings (é U+00E9, № U+2116, → U+2192).
     */
@@ -1542,6 +1625,71 @@ object DocTextQueries {
         FROM p JOIN f USING (format)
         GROUP BY p.format, reason, format_total, fok
         ORDER BY 1, 2""")),
+
+    // ------------------------------------------------------------------
+    // q245: DOCX header/footer/footnotes parts ([[graft.ext.DocText
+    // .DocxAuxExtract]]) — the package parts Docling reads that the
+    // q223 main-document walk did not (VERDICT r16 "what's missing"
+    // #3 tail). Every word/headerN.xml / word/footerN.xml /
+    // word/footnotes.xml part rides the generalized ZIP walk and the
+    // SAME paragraph/run XML discipline; texts join in part-name
+    // order; footnote count from <w:footnote> opens with a name
+    // boundary (never w:footnoteRef). Arms: two headers at %3, a
+    // footer at %2 (also deflate parity), 1+m%2 footnotes at %5, raw
+    // reject %41, header-without-document conformance reject %29, a
+    // malformed header at %31 (one bad aux part fails the doc
+    // closed). A dropped part, wrong part order, a miscount, or
+    // body/aux text bleeding all flip a hash.
+    GraftQuery(
+      "q245_docx_aux_parts",
+      (spark, dir) => {
+        DocText.extractDocxAux(auxDocxFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("mime"), col("n_headers"),
+            col("n_footers"), col("n_footnotes"), col("headers_md5"),
+            col("footers_md5"), col("footnotes_md5"), col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m, doc_id % 41 = 0 AS bad,
+                 doc_id % 41 <> 0 AND doc_id % 29 = 0 AS nodoc,
+                 doc_id % 41 <> 0 AND doc_id % 29 <> 0
+                   AND doc_id % 31 = 0 AS badhdr
+          FROM documents),
+        t AS (
+          SELECT *, NOT bad AND NOT nodoc AND NOT badhdr AS good,
+            'Hdr 1 of ' || m || ' run&1'
+              || CASE WHEN m % 3 = 0
+                 THEN chr(10) || 'Hdr 2 of ' || m || ' run&2'
+                 ELSE '' END AS htxt,
+            'Ftr of ' || m || ' page' AS ftxt,
+            CAST(CASE WHEN m % 5 = 0 THEN 1 + m % 2 ELSE 0 END AS INT)
+              AS nn
+          FROM p),
+        f AS (
+          SELECT *, CASE WHEN nn = 0 THEN ''
+            ELSE array_to_string(list_transform(range(0, nn),
+              i -> 'Note ' || i || ' of ' || m), chr(10)) END AS ntxt
+          FROM t)
+        SELECT m AS media_id,
+               CASE WHEN bad THEN 'application/octet-stream'
+                    WHEN nodoc THEN 'application/zip'
+                    ELSE 'application/vnd.openxmlformats-officedocument'
+                      || '.wordprocessingml.document' END AS mime,
+               CAST(CASE WHEN good THEN 1 + CASE WHEN m % 3 = 0 THEN 1
+                 ELSE 0 END ELSE 0 END AS INT) AS n_headers,
+               CAST(CASE WHEN good AND m % 2 = 0 THEN 1 ELSE 0 END
+                 AS INT) AS n_footers,
+               CAST(CASE WHEN good THEN nn ELSE 0 END AS INT)
+                 AS n_footnotes,
+               CASE WHEN good THEN md5(htxt) ELSE '' END AS headers_md5,
+               CASE WHEN good AND m % 2 = 0 THEN md5(ftxt) ELSE '' END
+                 AS footers_md5,
+               CASE WHEN good AND nn > 0 THEN md5(ntxt) ELSE '' END
+                 AS footnotes_md5,
+               good AS ok
+        FROM f ORDER BY media_id""")),
 
     // ------------------------------------------------------------------
     // q236: Avro arm of the unified extraction dispatch

@@ -887,7 +887,23 @@ object DocText {
       * against the central directory, or a reason code.
       */
     private[ext] def documentXmlR(b: Array[Byte])
-        : Either[String, Array[Byte]] = {
+        : Either[String, Array[Byte]] =
+      partsR(b, _ == "word/document.xml") match {
+        case Left(r) => Left(r)
+        // a DOCX must carry the document part
+        case Right(Seq()) => Left("docx_no_document_part")
+        case Right(parts) => Right(parts.head._2)
+      }
+
+    /** Every central-directory entry whose name satisfies `pred`,
+      * inflated and CRC/size-verified, in central-directory order —
+      * the generalized q174 walk ([[documentXmlR]] and the r17 aux
+      * parts — headers/footers/footnotes — both ride it). Left codes:
+      * docx_zip (container structure), docx_part_oversize,
+      * docx_part_corrupt (inflate/CRC/size disagreement).
+      */
+    private[ext] def partsR(b: Array[Byte], pred: String => Boolean)
+        : Either[String, Seq[(String, Array[Byte])]] = {
       if (b == null || b.length < 22) return Left("docx_zip")
       // EOCD scan (the q174 walk)
       var eocd = -1
@@ -905,7 +921,8 @@ object DocText {
       if (cdOff < 0 || cdEnd > eocd) return Left("docx_zip")
       var at = cdOff.toInt
       var n = 0
-      var hit: Option[(Int, Long, Long, Long, Long)] = None // method,comp,uncomp,crc,off
+      val hits = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Int, Long, Long, Long, Long)]
       while (at + 46 <= cdEnd &&
         b(at) == 0x50 && b(at + 1) == 0x4b &&
         b(at + 2) == 0x01 && b(at + 3) == 0x02) {
@@ -919,19 +936,31 @@ object DocText {
         val localOff = le32(b, at + 42)
         if (at + 46 + nameLen > cdEnd) return Left("docx_zip")
         val name = new String(b, at + 46, nameLen, "UTF-8")
-        if (name == "word/document.xml")
-          hit = Some((method, comp, uncomp, crc, localOff))
+        if (pred(name))
+          hits += ((name, method, comp, uncomp, crc, localOff))
         n += 1
         at += 46 + nameLen + extraLen + commentLen
       }
       if (n != nTotal) return Left("docx_zip")
-      val (method, comp, uncomp, crc, off) = hit match {
-        case Some(h) => h
-        // a DOCX must carry the document part
-        case None => return Left("docx_no_document_part")
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Array[Byte])]
+      hits.foreach { case (name, method, comp, uncomp, crc, off) =>
+        extractEntry(b, method, comp, uncomp, crc, off) match {
+          case Right(data) => out += ((name, data))
+          case Left(r) => return Left(r)
+        }
       }
+      Right(out.toSeq)
+    }
+
+    /** One entry's bytes via its local header: slice (method 0) or
+      * raw-deflate inflate with exact consumption (method 8), CRC32
+      * and size verified against the central directory.
+      */
+    private def extractEntry(b: Array[Byte], method: Int, comp: Long,
+                             uncomp: Long, crc: Long, off: Long)
+        : Either[String, Array[Byte]] = {
       if (uncomp > outputCap) return Left("docx_part_oversize")
-      // local header → data offset
       val lo = off.toInt
       if (lo < 0 || lo + 30 > b.length) return Left("docx_zip")
       if (!(b(lo) == 0x50 && b(lo + 1) == 0x4b &&
@@ -1418,6 +1447,129 @@ object DocText {
         } catch {
           case scala.util.control.NonFatal(e) =>
             DocxTables(r.media_id, r.mime, 0, 0, 0, 0, "", "",
+              ok = false,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      }
+    }
+  }
+
+  final case class DocxAux(
+      media_id: Long,
+      mime: String,
+      n_headers: Int,
+      n_footers: Int,
+      n_footnotes: Int,
+      headers_md5: String,
+      footers_md5: String,
+      footnotes_md5: String,
+      ok: Boolean,
+      error: Option[String])
+
+  /** Header/footer/footnotes extraction (r17 — the VERDICT r16
+    * "what's missing" #3 tail: the package parts Docling reads that
+    * the q223 main-document walk did not). Every `word/headerN.xml`
+    * and `word/footerN.xml` part and the `word/footnotes.xml` part
+    * is walked with the SAME paragraph/run discipline as the main
+    * document (entity decode, run whitespace, fail-closed
+    * violations); part texts join with `\n` in part-NAME order — the
+    * deterministic serialization (real header APPLICATION order
+    * needs sectPr references: layout, out of profile).
+    * `n_footnotes` counts `<w:footnote>` elements (separator notes
+    * count like any other — conformant producers emit two separators
+    * plus the content notes; the fixture exercises plain ones). A
+    * package without the main document part stays a conformance
+    * reject even when aux parts exist; one malformed aux part fails
+    * the whole doc closed.
+    */
+  object DocxAuxExtract {
+
+    /** (nHeaders, nFooters, nFootnotes, headersText, footersText,
+      * footnotesText) or the [[DocxTextExtract.parseFullR]] reason
+      * vocabulary.
+      */
+    def parseR(b: Array[Byte])
+        : Either[String, (Int, Int, Int, String, String, String)] = {
+      val parts = DocxTextExtract.partsR(b, n =>
+        n == "word/document.xml" || n == "word/footnotes.xml" ||
+          (n.startsWith("word/header") && n.endsWith(".xml")) ||
+          (n.startsWith("word/footer") && n.endsWith(".xml"))) match {
+        case Right(p) => p
+        case Left(r) => return Left(r)
+      }
+      if (!parts.exists(_._1 == "word/document.xml"))
+        return Left("docx_no_document_part")
+      def textsOf(pred: String => Boolean)
+          : Either[String, Seq[String]] = {
+        val sel = parts.filter(p => pred(p._1)).sortBy(_._1)
+        val out = sel.map { case (_, bytes) =>
+          DocxTextExtract.walkXml(new String(bytes, "UTF-8")) match {
+            case Some(d) => d.text
+            case None => return Left("docx_xml_profile")
+          }
+        }
+        Right(out)
+      }
+      val headers = textsOf(n => n.startsWith("word/header")) match {
+        case Right(t) => t
+        case Left(r) => return Left(r)
+      }
+      val footers = textsOf(n => n.startsWith("word/footer")) match {
+        case Right(t) => t
+        case Left(r) => return Left(r)
+      }
+      val fnParts = parts.filter(_._1 == "word/footnotes.xml")
+      val (nNotes, fnText) = fnParts.headOption match {
+        case None => (0, "")
+        case Some((_, bytes)) =>
+          val x = new String(bytes, "UTF-8")
+          DocxTextExtract.walkXml(x) match {
+            case Some(d) =>
+              // count <w:footnote> OPENS with a name boundary (never
+              // <w:footnoteRef/>)
+              var cnt = 0
+              var at = x.indexOf("<w:footnote")
+              while (at >= 0) {
+                val e = at + 11
+                if (e < x.length && (x(e) == ' ' || x(e) == '>' ||
+                  x(e) == '\t' || x(e) == '\r' || x(e) == '\n'))
+                  cnt += 1
+                at = x.indexOf("<w:footnote", at + 1)
+              }
+              (cnt, d.text)
+            case None => return Left("docx_xml_profile")
+          }
+      }
+      Right((headers.length, footers.length, nNotes,
+        headers.mkString("\n"), footers.mkString("\n"), fnText))
+    }
+  }
+
+  /** DOCX aux-parts stage: same per-partition discipline as
+    * [[extractDocxText]]; absent part families hash to the empty
+    * string (the cells_md5 convention), never md5("").
+    */
+  def extractDocxAux(media: Dataset[Multimodal.MediaRecord])
+      : Dataset[DocxAux] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          DocxAuxExtract.parseR(r.media) match {
+            case Right((nh, nf, nn, ht, ft, nt)) =>
+              DocxAux(r.media_id, r.mime, nh, nf, nn,
+                if (nh == 0) "" else md5Hex(ht),
+                if (nf == 0) "" else md5Hex(ft),
+                if (nn == 0) "" else md5Hex(nt),
+                ok = true, None)
+            case Left(_) =>
+              DocxAux(r.media_id, r.mime, 0, 0, 0, "", "", "",
+                ok = false, None)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            DocxAux(r.media_id, r.mime, 0, 0, 0, "", "", "",
               ok = false,
               Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
         }

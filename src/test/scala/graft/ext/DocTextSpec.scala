@@ -387,6 +387,44 @@ class DocTextSpec extends AnyFunSuite {
     out.toByteArray
   }
 
+  /** Multi-entry stored zip (the storedZip shape, N entries). */
+  private def multiStoredZip(entries: Seq[(String, Array[Byte])])
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    val cd = new java.io.ByteArrayOutputStream
+    def le16(v: Int, o: java.io.ByteArrayOutputStream): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+    }
+    def le32(v: Long, o: java.io.ByteArrayOutputStream): Unit =
+      (0 until 4).foreach(i => o.write(((v >> (8 * i)) & 0xff).toInt))
+    entries.foreach { case (name, data) =>
+      val off = out.size
+      val crc = new java.util.zip.CRC32; crc.update(data)
+      val nameB = name.getBytes("UTF-8")
+      out.write(Array[Byte](0x50, 0x4b, 0x03, 0x04))
+      le16(20, out); le16(0, out); le16(0, out); le16(0, out)
+      le16(0, out); le32(crc.getValue, out)
+      le32(data.length.toLong, out); le32(data.length.toLong, out)
+      le16(nameB.length, out); le16(0, out)
+      out.write(nameB); out.write(data)
+      cd.write(Array[Byte](0x50, 0x4b, 0x01, 0x02))
+      le16(20, cd); le16(20, cd); le16(0, cd); le16(0, cd)
+      le16(0, cd); le16(0, cd); le32(crc.getValue, cd)
+      le32(data.length.toLong, cd); le32(data.length.toLong, cd)
+      le16(nameB.length, cd); le16(0, cd); le16(0, cd); le16(0, cd)
+      le16(0, cd); le32(0L, cd); le32(off.toLong, cd)
+      cd.write(nameB)
+    }
+    val cdOff = out.size
+    val cdB = cd.toByteArray
+    out.write(cdB)
+    out.write(Array[Byte](0x50, 0x4b, 0x05, 0x06))
+    le16(0, out); le16(0, out)
+    le16(entries.length, out); le16(entries.length, out)
+    le32(cdB.length.toLong, out); le32(cdOff.toLong, out); le16(0, out)
+    out.toByteArray
+  }
+
   test("docx golden: runs concatenate, paragraphs join with newline, " +
       "entities decode, self-closing w:t is an empty run") {
     val xml = "<?xml version=\"1.0\"?><w:document><w:body>" +
@@ -420,6 +458,45 @@ class DocTextSpec extends AnyFunSuite {
     // only places two letters touch is where the XML really has no
     // separator (c/link above) — pin the negative too
     assert(!t.contains("ab") && !t.contains("bc"))
+  }
+
+  test("docx aux parts: headers/footers/footnotes extract in part-name " +
+      "order; footnoteRef never counts; one bad part fails closed") {
+    def z(entries: (String, String)*): Array[Byte] = {
+      // minimal stored multi-entry zip via the spec's own builder
+      multiStoredZip(entries.map { case (n, x) =>
+        (n, x.getBytes("UTF-8")) })
+    }
+    val doc = "<w:document><w:body><w:p><w:r><w:t>body</w:t></w:r>" +
+      "</w:p></w:body></w:document>"
+    val h1 = "<w:hdr><w:p><w:r><w:t>h-one</w:t></w:r></w:p></w:hdr>"
+    val h2 = "<w:hdr><w:p><w:r><w:t>h-two</w:t></w:r></w:p></w:hdr>"
+    val f1 = "<w:ftr><w:p><w:r><w:t>f-one</w:t></w:r></w:p></w:ftr>"
+    // a footnoteRef INSIDE a run must not count as a footnote open
+    val fn = "<w:footnotes>" +
+      "<w:footnote w:id=\"0\"><w:p><w:r><w:footnoteRef/>" +
+      "<w:t>n-zero</w:t></w:r></w:p></w:footnote>" +
+      "<w:footnote w:id=\"1\"><w:p><w:r><w:t>n-one</w:t></w:r></w:p>" +
+      "</w:footnote></w:footnotes>"
+    val Right((nh, nf, nn, ht, ft, nt)) = DocText.DocxAuxExtract.parseR(
+      z("word/document.xml" -> doc, "word/header2.xml" -> h2,
+        "word/header1.xml" -> h1, "word/footer1.xml" -> f1,
+        "word/footnotes.xml" -> fn))
+    assert(nh == 2 && nf == 1 && nn == 2)
+    assert(ht == "h-one\nh-two") // NAME order, not zip order
+    assert(ft == "f-one" && nt == "n-zero\nn-one")
+    // no part families at all: zero counts, empty texts
+    val Right((nh2, nf2, nn2, ht2, _, _)) =
+      DocText.DocxAuxExtract.parseR(z("word/document.xml" -> doc))
+    assert(nh2 == 0 && nf2 == 0 && nn2 == 0 && ht2 == "")
+    // header without the main document part: conformance reject
+    assert(DocText.DocxAuxExtract.parseR(z("word/header1.xml" -> h1))
+      == Left("docx_no_document_part"))
+    // one malformed aux part fails the whole doc closed
+    assert(DocText.DocxAuxExtract.parseR(
+      z("word/document.xml" -> doc,
+        "word/header1.xml" -> "<w:hdr><!-- x --></w:hdr>"))
+      == Left("docx_xml_profile"))
   }
 
   test("docx: tag-name boundaries — w:pPr/w:tblPr noise never opens " +
