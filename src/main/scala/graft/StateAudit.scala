@@ -132,6 +132,24 @@ object StateAudit {
       distinctChunks, "distinct CDC chunks in the TTL window")
   }
 
+  def auditRateLimit(spark: SparkSession): Audit = {
+    import spark.implicits._
+    import streaming.StreamingRateLimit
+    val domains = 40
+    val src = MemoryStream[StreamingRateLimit.FetchRequest](spark)
+    val out = StreamingRateLimit.limit(src.toDS(), ratePerSec = 1L,
+      burst = 2L)
+    // 10 requests per domain: state must stay ONE bucket per domain
+    val reqs = for (d <- 0 until domains; i <- 0 until 10)
+      yield StreamingRateLimit.FetchRequest(s"dom$d", s"u$i",
+        ts(f"2024-03-05 01:00:${i}%02d"))
+    src.addData(reqs)
+    val chk = run(spark, src, out, "ratelimit")
+    val (rows, keys) = stateRows(spark, chk, Some("bucket"))
+    Audit("StreamingRateLimit", "bucket", reqs.size, keys, rows,
+      domains.toLong, "one fixed-size token bucket per active domain")
+  }
+
   def auditSemanticDedup(spark: SparkSession): Audit = {
     import spark.implicits._
     import streaming.StreamingSemanticDedup
@@ -239,7 +257,8 @@ object StateAudit {
 
   def all(spark: SparkSession): Seq[Audit] = Seq(
     auditQuota(spark), auditMinhashDedup(spark),
-    auditCdcChunkDedup(spark), auditSemanticDedup(spark),
+    auditCdcChunkDedup(spark), auditRateLimit(spark),
+    auditSemanticDedup(spark),
     auditDrift(spark), auditProfile(spark), auditHeavyHitters(spark),
     auditAffinity(spark), auditCusum(spark))
 

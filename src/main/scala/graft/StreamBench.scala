@@ -173,6 +173,22 @@ object StreamBench {
       (0 until nBatches).map(batch))
   }
 
+  def benchRateLimit(spark: SparkSession, perBatch: Int,
+                     nBatches: Int): Bench = {
+    import spark.implicits._
+    import streaming.StreamingRateLimit
+    val src = MemoryStream[StreamingRateLimit.FetchRequest](spark)
+    val out = StreamingRateLimit.limit(src.toDS(), ratePerSec = 2L,
+      burst = 4L)
+    val nDomains = 500
+    def batch(b: Int) = (0 until perBatch).map { i =>
+      StreamingRateLimit.FetchRequest(s"dom${i % nDomains}",
+        s"u${b.toLong * perBatch + i}", minute(b))
+    }
+    drive(spark, src, out, "StreamingRateLimit", batch(-1),
+      (0 until nBatches).map(batch))
+  }
+
   def benchBloomDedup(spark: SparkSession, perBatch: Int,
                       nBatches: Int): Bench = {
     import spark.implicits._
@@ -294,6 +310,7 @@ object StreamBench {
       benchMinhashDedup(spark, perBatch, nBatches,
         numHashes = 64, bands = 16),
       benchCdcChunkDedup(spark, perBatch, nBatches),
+      benchRateLimit(spark, perBatch, nBatches),
       benchBloomDedup(spark, perBatch, nBatches),
       benchHeavyHitters(spark, perBatch, nBatches),
       benchQuota(spark, perBatch, nBatches),

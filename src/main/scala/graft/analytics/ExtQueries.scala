@@ -810,6 +810,89 @@ object ExtQueries {
         FROM per ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
+    // q246: BOUNDED content-defined chunking ([[graft.ext.Dedup
+    // .cdcChunkArrayBounded]]) — the FastCDC-lineage production
+    // profile q238's scaladoc documented as its gap: banded cuts
+    // closer than minLen=8 to the previous cut are skipped, gaps
+    // beyond maxLen=32 take forced cuts at exact 32-stride (so
+    // low-entropy band-free runs can never produce unbounded chunks —
+    // the property a chunk store sizes pages by). Output per doc:
+    // count, lossless sum, min/max chunk length, and an ORDERED
+    // chunk-md5 rollup — the oracle replays the whole sequential fold
+    // with list_reduce, so a skipped cut taken, a forced cut missed,
+    // or an off-by-one stride all flip the hash. Scale shape: one
+    // codegen'd map-side fold per document + one doc-keyed
+    // aggregation (explode-then-group, not multi-reference — the
+    // CollapseProject lesson).
+    GraftQuery(
+      "q246_cdc_bounded",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        t.documents
+          .select(col("doc_id"),
+            posexplode(Dedup.cdcChunkArrayBounded(col("text")))
+              .as(Seq("idx", "c")))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(length(col("c"))).cast("long").as("sum_len"),
+            min(length(col("c"))).as("min_len"),
+            max(length(col("c"))).as("max_len"),
+            md5(array_join(
+              transform(
+                array_sort(collect_list(
+                  struct(col("idx"), md5(col("c")).as("h")))),
+                s => s.getField("h")),
+              "|")).as("chunks_md5"))
+          .orderBy(col("doc_id"))
+      },
+      // ORACLE NOTE: replayed as a closed-form RECURSION, not
+      // list_reduce — DuckDB 1.0's list_reduce segfaults on this
+      // corpus (reproduced; an oracle must never be able to kill the
+      // harness). The fold's greedy semantics have a closed form:
+      // next cut = least(prev+max, len, min{banded end >= prev+min}).
+      Some("""
+        WITH RECURSIVE d0 AS (SELECT doc_id, text AS t FROM documents),
+        base AS (
+          SELECT doc_id, t, length(t) AS len,
+            list_filter(range(16, length(t) + 1),
+              i -> substr(md5(substr(t, CAST(i - 15 AS INT), 16)),
+                1, 1) = '0') AS ends
+          FROM d0),
+        steps(doc_id, prev, idx) AS (
+          SELECT doc_id, CAST(0 AS BIGINT), 0 FROM base WHERE len > 0
+          UNION ALL
+          SELECT s.doc_id,
+            least(s.prev + 32, b.len,
+              coalesce(list_min(list_filter(b.ends,
+                x -> x >= s.prev + 8 AND x < b.len)), b.len + 32)),
+            s.idx + 1
+          FROM steps s JOIN base b USING (doc_id)
+          WHERE s.prev < b.len),
+        chunks AS (
+          SELECT s.doc_id, s.idx,
+            substr(b.t, CAST(s.prev + 1 AS INT),
+              CAST(lead(s.prev) OVER (PARTITION BY s.doc_id
+                ORDER BY s.idx) - s.prev AS INT)) AS c,
+            lead(s.prev) OVER (PARTITION BY s.doc_id ORDER BY s.idx)
+              AS nxt
+          FROM steps s JOIN base b USING (doc_id)),
+        agg AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_chunks,
+                 CAST(sum(length(c)) AS BIGINT) AS sum_len,
+                 CAST(min(length(c)) AS INT) AS min_len,
+                 CAST(max(length(c)) AS INT) AS max_len,
+                 md5(string_agg(md5(c), '|' ORDER BY idx)) AS chunks_md5
+          FROM chunks WHERE nxt IS NOT NULL GROUP BY doc_id)
+        SELECT * FROM agg
+        UNION ALL
+        SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(0 AS INT), CAST(0 AS INT), md5(md5(''))
+        FROM d0 WHERE length(t) = 0
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
     // q57: PII redaction over deterministic contact strings synthesized
     // from the customer table (the corpus itself carries no PII, so the
     // query plants emails/IPs/phones from real columns — both engines

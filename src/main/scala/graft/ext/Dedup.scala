@@ -510,6 +510,65 @@ object Dedup {
     when(len === 0, array(lit(""))).otherwise(chunks)
   }
 
+  /** BOUNDED content-defined chunking — the FastCDC-lineage
+    * production profile the unbounded [[cdcChunkArray]] documents as
+    * its gap: a banded boundary closer than `minLen` to the previous
+    * cut is SKIPPED (tiny chunks amplify index size), and a gap
+    * longer than `maxLen` FORCES cuts at exact `maxLen` strides
+    * (pathological band-free runs — low-entropy text — can no longer
+    * produce arbitrarily large chunks, the property a chunk STORE
+    * sizes its pages by). The final chunk may be shorter than
+    * `minLen` (the text simply ends); forced chunks are exactly
+    * `maxLen`; every other chunk is in [minLen, maxLen]. Shift
+    * robustness degrades only at the forced/skipped cuts — banded
+    * cuts re-synchronize exactly as in the unbounded rule. Totality:
+    * empty text is one empty chunk. Same single-pass fold shape as
+    * [[cdcChunkArray]] (the CollapseProject lesson): the boundary
+    * FILTER runs once; all per-end arithmetic is cheap and inline.
+    */
+  def cdcChunkArrayBounded(text: Column, w: Int = 16, minLen: Int = 8,
+                           maxLen: Int = 32): Column = {
+    require(w > 0 && minLen > 0 && maxLen >= minLen,
+      "need 0 < minLen <= maxLen and w > 0")
+    val t = text
+    val len = length(t)
+    val ends = concat(
+      filter(
+        when(len >= w, sequence(lit(w), len))
+          .otherwise(array().cast("array<int>")),
+        i => substring(md5(t.substr(i - (w - 1), lit(w))), 1, 1)
+          === "0"),
+      array(len))
+    val chunks = aggregate(
+      ends,
+      struct(lit(0).as("prev"),
+        array().cast("array<string>").as("acc")),
+      (st, e) => {
+        val prev = st.getField("prev")
+        val d = e - prev
+        // forced max-stride cuts across the gap: f = ceil(d/max) - 1
+        val f = greatest(lit(0),
+          floor((d - 1).cast("double") / lit(maxLen)).cast("int"))
+        val base = prev + f * maxLen
+        val rem = d - f * maxLen
+        val isFinal = e === len
+        val tailEmit = (isFinal && rem > 0) ||
+          (!isFinal && rem >= minLen)
+        val forced = when(f >= 1,
+          transform(sequence(lit(1), f),
+            i => t.substr(prev + (i - 1) * maxLen + 1, lit(maxLen))))
+          .otherwise(array().cast("array<string>"))
+        val newPrev = when(isFinal || rem >= minLen, e).otherwise(base)
+        when(e === prev, st).otherwise(
+          struct(newPrev.as("prev"),
+            concat(st.getField("acc"), forced,
+              when(tailEmit, array(t.substr(base + 1, rem)))
+                .otherwise(array().cast("array<string>"))).as("acc")))
+      },
+      st => st.getField("acc"))
+    when(len === 0, array(lit(""))).otherwise(chunks)
+  }
+
   /** The (id, band, bucket) LSH index both [[minhashPairs]] and
     * [[minhashBucketAudit]] hang off — map-side signature + banding,
     * 8-byte keys only.

@@ -63,6 +63,42 @@ class ExtSpec extends AnyFunSuite {
           "d41d8cd98f00b204e9800998ecf8427e"))
   }
 
+  test("cdcChunkArrayBounded: lossless, every chunk ≤ max, non-final " +
+      "non-forced chunks ≥ min, forced cuts at exact max stride") {
+    val txt = docs.limit(30).select(col("doc_id"), col("text"))
+    val ch = txt.select(col("doc_id"),
+      posexplode(Dedup.cdcChunkArrayBounded(col("text")))
+        .as(Seq("idx", "c")))
+      .select(col("doc_id"), col("idx"), length(col("c")).as("l"))
+      .collect()
+    // lossless partition
+    val sums = ch.groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) => d -> rs.map(_.getAs[Int]("l")).sum }
+    val lens = txt.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").length)
+      .toMap
+    assert(sums.nonEmpty && sums.forall { case (d, s) => s == lens(d) })
+    // bounds: all ≤ 32; every chunk except a doc's LAST is ≥ 8 OR
+    // exactly 32 (a forced cut's remainder merges forward, so a
+    // sub-min chunk can only be final)
+    val byDoc = ch.groupBy(_.getAs[Long]("doc_id"))
+    assert(ch.forall(_.getAs[Int]("l") <= 32))
+    byDoc.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("idx"))
+      sorted.init.foreach(r => assert(r.getAs[Int]("l") >= 8))
+    }
+    // a band-free run (uniform text) takes forced cuts at exactly 32
+    val forced = Dedup.cdcChunkArrayBounded(lit("a" * 100))
+    val one = spark.range(1).select(forced.as("cs")).collect()(0)
+      .getSeq[String](0)
+    assert(one.map(_.length) == Seq(32, 32, 32, 4))
+    // degenerate arms: empty text = one empty chunk; short text = one
+    val e = spark.range(1)
+      .select(Dedup.cdcChunkArrayBounded(lit("")).as("cs"))
+      .collect()(0).getSeq[String](0)
+    assert(e == Seq(""))
+  }
+
   test("minhashBucketAudit: the guard fires on a boilerplate corpus " +
       "and stays quiet on a well-separated one") {
     // boilerplate corpus — the q231 first-cut shape: every doc shares
