@@ -78,7 +78,8 @@ object Scaling {
     // CDC chunking: pure map-side per-document pass (the md5 boundary
     // rule is the oracle-replayability price) — linear by construction
     "q238_cdc_chunks"            -> "documents",
-    "q246_cdc_bounded"           -> "documents")
+    "q246_cdc_bounded"           -> "documents",
+    "q247_chunk_store"           -> "documents")
 
   /** Documented super-linear-BY-INTENT queries: q27 materializes exact
     * all-pairs Jaccard evidence and q47 exact winnowing-fingerprint

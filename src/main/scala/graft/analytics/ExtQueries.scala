@@ -893,6 +893,103 @@ object ExtQueries {
         ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
+    // q247: chunk-STORE census — the storage-planning number CDC
+    // dedup exists to produce: over the corpus and its prefix-shifted
+    // re-ingest (the q238 twin), how many bytes does a
+    // dedup-at-chunk-granularity store hold (distinct chunk bytes vs
+    // occurrence bytes), and how many NEW bytes does the second
+    // snapshot add (shifted chunks absent from the original store) —
+    // shift robustness priced in bytes, not ratios. Scale shape:
+    // map-side chunking; one md5-keyed aggregate per side; one
+    // hash-keyed anti-join for the incremental set; single-row
+    // rollup.
+    GraftQuery(
+      "q247_chunk_store",
+      (spark, dir) => {
+        val t = new Tables(spark, dir)
+        val orig = t.documents.select(col("doc_id"), col("text"))
+        val shifted = orig.select(col("doc_id"),
+          concat(lit("PREFIX "), col("text")).as("text"))
+        val oc = Dedup.cdcChunks(orig, col("doc_id"), col("text"))
+        val sc = Dedup.cdcChunks(shifted, col("doc_id"), col("text"))
+        // identical md5 ⇒ identical text ⇒ identical length, so
+        // per-hash length is well-defined via max()
+        val store = oc.groupBy(col("chunk_md5")).agg(
+          count(lit(1)).as("n_occ"),
+          max(col("chunk_len")).as("clen"))
+        val totals = store.agg(
+          sum(col("n_occ")).as("n_chunks"),
+          sum(col("n_occ") * col("clen")).as("total_bytes"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("clen")).as("stored_bytes"))
+        val incr = sc.select(col("chunk_md5"), col("chunk_len"))
+          .groupBy(col("chunk_md5"))
+          .agg(max(col("chunk_len")).as("clen"))
+          .join(store.select(col("chunk_md5")), Seq("chunk_md5"),
+            "left_anti")
+          .agg(coalesce(count(lit(1)), lit(0L)).as("incr_chunks"),
+            coalesce(sum(col("clen")), lit(0L)).as("incr_bytes"))
+        totals.crossJoin(incr)
+          .select(col("n_chunks").cast("long").as("n_chunks"),
+            col("total_bytes").cast("long").as("total_bytes"),
+            col("n_distinct").cast("long").as("n_distinct"),
+            col("stored_bytes").cast("long").as("stored_bytes"),
+            (col("stored_bytes").cast("double")
+              / col("total_bytes").cast("double")).as("dedup_ratio"),
+            col("incr_chunks").cast("long").as("incr_chunks"),
+            col("incr_bytes").cast("long").as("incr_bytes"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text AS t1, 'PREFIX ' || text AS t2
+          FROM documents),
+        ch AS (
+          SELECT doc_id, side, t,
+            list_prepend(0,
+              CASE WHEN len(bp) > 0 AND bp[-1] = length(t) THEN bp
+                   ELSE list_append(bp, length(t)) END) AS b
+          FROM (
+            SELECT doc_id, side, t,
+              list_filter(range(16, length(t) + 1),
+                i -> substr(md5(substr(t, CAST(i - 15 AS INT), 16)),
+                  1, 1) = '0') AS bp
+            FROM (SELECT doc_id, 1 AS side, t1 AS t FROM d
+                  UNION ALL
+                  SELECT doc_id, 2, t2 FROM d))),
+        occ AS (
+          SELECT side, UNNEST(list_transform(range(1, len(b)), j ->
+            struct_pack(
+              h := md5(substr(t, CAST(b[CAST(j AS INT)] + 1 AS INT),
+                CAST(b[CAST(j + 1 AS INT)] - b[CAST(j AS INT)]
+                  AS INT))),
+              l := b[CAST(j + 1 AS INT)] - b[CAST(j AS INT)]))) AS c
+          FROM ch),
+        flat AS (SELECT side, c.h AS h, c.l AS l FROM occ),
+        store AS (
+          SELECT h, count(*) AS n_occ, max(l) AS clen
+          FROM flat WHERE side = 1 GROUP BY h),
+        totals AS (
+          SELECT CAST(sum(n_occ) AS BIGINT) AS n_chunks,
+                 CAST(sum(n_occ * clen) AS BIGINT) AS total_bytes,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(sum(clen) AS BIGINT) AS stored_bytes
+          FROM store),
+        incr AS (
+          SELECT CAST(count(*) AS BIGINT) AS incr_chunks,
+                 CAST(coalesce(sum(clen), 0) AS BIGINT) AS incr_bytes
+          FROM (
+            SELECT s.h, max(s.l) AS clen
+            FROM flat s
+            WHERE s.side = 2
+              AND s.h NOT IN (SELECT h FROM store)
+            GROUP BY s.h))
+        SELECT n_chunks, total_bytes, n_distinct, stored_bytes,
+               CAST(stored_bytes AS DOUBLE) / total_bytes
+                 AS dedup_ratio,
+               incr_chunks, incr_bytes
+        FROM totals, incr""")),
+
+    // ------------------------------------------------------------------
     // q57: PII redaction over deterministic contact strings synthesized
     // from the customer table (the corpus itself carries no PII, so the
     // query plants emails/IPs/phones from real columns — both engines
