@@ -59,7 +59,7 @@ object DocTextQueries {
     }
     val e3 = esc(tp.substring(cut2)).stripSuffix("A.") + "\\101."
     s"BT /F1 12 Tf (${esc(tp.substring(0, cut1))}) Tj " +
-      s"[(${esc(tp.substring(cut1, cut2))}) -250 ($e3)] TJ ET"
+      s"[(${esc(tp.substring(cut1, cut2))}) -120 ($e3)] TJ ET"
   }
 
   /** Minimal but structurally real PDF: one content-stream object per
@@ -431,7 +431,7 @@ object DocTextQueries {
     val upper = m % 3 == 0
     // last char 'P' (0x50) rides the odd-nibble arm: "5" + implicit 0
     s"BT /F1 12 Tf ${pdfHex(t.substring(0, cut1), upper, ws = false)} " +
-      s"Tj [${pdfHex(t.substring(cut1, cut2), upper, ws = true)} -250 " +
+      s"Tj [${pdfHex(t.substring(cut1, cut2), upper, ws = true)} -120 " +
       s"(${t.substring(cut2, t.length - 1)})] TJ <5> Tj ET"
   }
 
@@ -668,6 +668,76 @@ object DocTextQueries {
           it.map { m =>
             Multimodal.MediaRecord(m, "application/pdf",
               buildChainPdf(m))
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
+  /** Words of line l, doc m, for the q248 positioning corpus — the
+    * formula the oracle replays (lines joined \n, words joined ' ').
+    */
+  private def posLineWords(m: Long, l: Int): Seq[String] =
+    (0 until (2 + ((m + l) % 3)).toInt).map(k => s"w$m.$l.$k")
+
+  /** A content stream that places EVERY word and line with
+    * positioning operators — the writer shape that glued under the
+    * show-ops-only profile. Word gaps are -333 TJ adjustments; word 0
+    * is split by a -40 kern (below threshold: must NOT space) and
+    * word 1 by a +250 adjustment (positive tightens: must NOT space).
+    * Line breaks rotate through `0 -14 Td`, `T*`, and the `'`
+    * next-line show by (m+l)%3; an `8 0 Td` horizontal move rides
+    * (m+l)%5 lines and must emit nothing.
+    */
+  private def posContentStream(m: Long): String = {
+    val sb = new StringBuilder("BT /F1 12 Tf 72 720 Td ")
+    (0 until (2 + m % 2).toInt).foreach { l =>
+      val words = posLineWords(m, l)
+      val mech = ((m + l) % 3).toInt
+      if (l > 0 && mech == 2) sb.append(s"(${words.mkString(" ")}) ' ")
+      else {
+        if (l > 0) sb.append(if (mech == 1) "T* " else "0 -14 Td ")
+        if ((m + l) % 5 == 0) sb.append("8 0 Td ")
+        sb.append("[")
+        words.zipWithIndex.foreach { case (w, k) =>
+          if (k > 0) sb.append(" -333 ")
+          k match {
+            case 0 => sb.append(
+              s"(${w.substring(0, 1)}) -40 (${w.substring(1)})")
+            case 1 => sb.append(
+              s"(${w.substring(0, 2)}) 250 (${w.substring(2)})")
+            case _ => sb.append(s"($w)")
+          }
+        }
+        sb.append("] TJ ")
+      }
+    }
+    sb.append("ET").toString
+  }
+
+  private def posPdfFixture(spark: org.apache.spark.sql.SparkSession,
+                            dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q248_fixture", dir) {
+      t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { m =>
+            val content =
+              if (m % 41 == 0) "0 -14 Td BT (x) Tj ET" // Td outside BT
+              else posContentStream(m)
+            val raw = content.getBytes("ISO-8859-1")
+            val (data, filter) =
+              if (m % 2 == 0) (zlibDeflate(raw), " /Filter /FlateDecode")
+              else (raw, "")
+            val out = new java.io.ByteArrayOutputStream
+            out.write(s"%PDF-1.${m % 8}\n".getBytes("ISO-8859-1"))
+            out.write((s"1 0 obj\n<< /Length ${data.length}$filter " +
+              ">>\nstream\n").getBytes("ISO-8859-1"))
+            out.write(data)
+            out.write(("\nendstream\nendobj\ntrailer\n<< /Size 2 >>\n" +
+              "startxref\n0\n%%EOF\n").getBytes("ISO-8859-1"))
+            Multimodal.MediaRecord(m, "application/pdf", out.toByteArray)
           }
         }.toDF()
     }.as[Multimodal.MediaRecord]
@@ -1775,6 +1845,57 @@ object DocTextQueries {
                  AS text_len,
                CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,
                NOT bad AS ok
-        FROM f ORDER BY media_id"""))
+        FROM f ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q248: PDF text-POSITIONING whitespace — the PDF twin of q242's
+    // DOCX word-gluing fix. Real writers place every word and line
+    // with positioning operators (TJ adjustments, Td/TD/T*), which
+    // the show-ops-only profile silently glued, corrupting every
+    // downstream text operator exactly as the DOCX defect did. Now
+    // T* and Td/TD with NEGATIVE ty render \n, and a TJ adjustment at
+    // or below -180/1000 em renders one space ([[graft.ext.DocText
+    // .PdfTextExtract.SpaceKern]] — the fixed-threshold profile of
+    // pdftotext's width-aware rule). Every line here is placed, not
+    // shown: -333 gaps between words, a -40 kern splitting word 0
+    // (must NOT space), a +250 adjustment splitting word 1 (positive
+    // tightens — must NOT space), line breaks rotating Td/T*/' by
+    // (m+l)%3, an `8 0 Td` horizontal move on (m+l)%5 lines (ty=0 —
+    // must emit nothing). The %41 arm runs `0 -14 Td` OUTSIDE BT:
+    // positioning ops share the shows' BT discipline and must fail
+    // closed. Profile note: this widening re-interpreted the
+    // semantic-free -250 kerns the q222/q232 fixtures planted (a
+    // -250 gap IS a space in a real PDF); both now plant -120.
+    GraftQuery(
+      "q248_pdf_pos_whitespace",
+      (spark, dir) => {
+        DocText.extractPdfText(posPdfFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("mime"), col("n_streams"),
+            col("n_text_ops"), col("text_len"), col("text_md5"),
+            col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m, doc_id % 41 = 0 AS bad,
+                 CAST(2 + doc_id % 2 AS INT) AS L
+          FROM documents),
+        t AS (
+          SELECT *, array_to_string(list_transform(range(0, L), l ->
+              array_to_string(list_transform(
+                range(0, 2 + (m + l) % 3), k ->
+                  'w' || m || '.' || l || '.' || k), ' ')),
+            chr(10)) AS txt
+          FROM p)
+        SELECT m AS media_id, 'application/pdf' AS mime,
+               CAST(CASE WHEN bad THEN 0 ELSE 1 END AS INT) AS n_streams,
+               CAST(CASE WHEN bad THEN 0 ELSE L END AS INT)
+                 AS n_text_ops,
+               CAST(CASE WHEN bad THEN 0 ELSE length(txt) END AS BIGINT)
+                 AS text_len,
+               CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,
+               NOT bad AS ok
+        FROM t ORDER BY media_id"""))
   )
 }

@@ -635,9 +635,33 @@ object DocText {
       None // missing EOD marker
     }
 
+    /** TJ adjustments at or below `-SpaceKern` (thousandths of text
+      * space, §9.4.3) render as ONE space; smaller magnitudes are
+      * kerning and contribute nothing. 180 sits between real kerns
+      * (tens) and the inter-word gap every writer emits when it
+      * positions words individually (a space glyph is ~250-333/1000 em
+      * at text size) — the fixed-threshold profile of the width-aware
+      * rule pdftotext/pdf.js apply.
+      */
+    private[ext] val SpaceKern = 180.0
+
     /** Interpret one decoded content stream: (nTextOps, text), or
-      * None on a profile violation (hex string, show outside BT/ET,
-      * dict-in-text, unterminated string).
+      * None on a profile violation (show outside BT/ET, positioning op
+      * outside BT, dict-in-text, unterminated string, malformed
+      * number).
+      *
+      * r17 text-POSITIONING whitespace (the PDF twin of the q242 DOCX
+      * word-gluing fix): writers that place every word and line with
+      * positioning operators produced glued text under the show-ops-
+      * only profile. Now `T*` and `Td`/`TD` with a NEGATIVE ty emit a
+      * newline (moving down a line is how every real writer breaks
+      * lines; a positive or zero ty — indents, superscript returns —
+      * emits nothing), and a TJ array adjustment at or below
+      * -[[SpaceKern]] emits one space (positive adjustments tighten
+      * and never separate). `Tm` stays out of profile (an absolute
+      * matrix carries no relative line semantics without tracking the
+      * full text state — documented cut). Positioning ops outside a
+      * BT/ET block are a profile violation, same discipline as shows.
       */
     private[ext] def tokenizeContent(c: String): Option[(Int, String)] = {
       val out = new StringBuilder
@@ -647,6 +671,8 @@ object DocText {
       var lastString: String = null
       var inArray = false
       val arrayItems = new StringBuilder
+      var n2 = 0.0 // last operand-position number (Td/TD's ty)
+      var nCount = 0 // numbers seen since the last operator token
       while (i < c.length) {
         val ch = c(i)
         if (ch == ' ' || ch == '\r' || ch == '\n' || ch == '\t') i += 1
@@ -677,8 +703,16 @@ object DocText {
           i += 1
           while (i < c.length && !" \r\n\t()[]<>/".contains(c(i))) i += 1
         } else if (ch == '-' || ch == '+' || ch == '.' || ch.isDigit) {
+          val start = i
           i += 1
           while (i < c.length && (c(i).isDigit || c(i) == '.')) i += 1
+          val v =
+            try c.substring(start, i).toDouble
+            catch { case _: NumberFormatException => return None }
+          if (inArray) {
+            // TJ adjustment: a gap at/below -SpaceKern is a word break
+            if (v <= -SpaceKern) arrayItems.append(' ')
+          } else { n2 = v; nCount += 1 }
         } else if (ch == '\'' || ch == '"') { // next-line show forms
           if (!inBT || lastString == null) return None
           out.append('\n').append(lastString)
@@ -699,9 +733,18 @@ object DocText {
               if (!inBT) return None
               out.append(arrayItems)
               ops += 1
-            case _ => // Tf, Td, TD, Tm, T*, graphics ops: positioning
-              // and styling, not text content (profile note above)
+            case "Td" | "TD" =>
+              // tx ty: moving DOWN a line (ty<0) is a line break;
+              // indents / superscript returns (ty>=0) are not
+              if (!inBT || nCount < 2) return None
+              if (n2 < 0) out.append('\n')
+            case "T*" =>
+              if (!inBT) return None
+              out.append('\n')
+            case _ => // Tf, Tm, graphics ops: styling / absolute
+              // positioning, not text content (profile note above)
           }
+          nCount = 0
         }
       }
       if (inBT) None else Some((ops, out.toString))

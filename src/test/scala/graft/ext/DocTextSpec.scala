@@ -333,13 +333,40 @@ class DocTextSpec extends AnyFunSuite {
   }
 
   test("pdf: a no-stream but well-formed file extracts empty text; " +
-      "positioning ops contribute nothing") {
+      "positioning ops render their structural whitespace (r17)") {
     val Some((ns, ops, t)) =
       DocText.PdfTextExtract.parse(pdf("1 0 obj\n<< /Type /Catalog >>\nendobj"))
     assert(ns == 0 && ops == 0 && t == "")
+    // Td ty>0 (indent/first-line move): nothing; Tm: nothing;
+    // T*: newline — the line-break form every writer emits
     val Some((_, ops2, t2)) = DocText.PdfTextExtract.parse(
       pdf(streamObj("BT /F1 12 Tf 10 20 Td 1 0 0 1 5 5 Tm T* (x) Tj ET")))
-    assert(ops2 == 1 && t2 == "x")
+    assert(ops2 == 1 && t2 == "\nx")
+  }
+
+  test("pdf positioning whitespace (r17): Td/TD ty<0 and T* break " +
+      "lines, TJ kerns below -180 are spaces, traps stay silent") {
+    // words placed individually: big negative TJ gaps are the spaces
+    val Some((_, o1, t1)) = DocText.PdfTextExtract.parse(pdf(streamObj(
+      "BT [(He) -40 (llo) -333 (wor) 250 (ld)] TJ ET")))
+    assert(o1 == 1 && t1 == "Hello world")
+    // line breaks: Td with negative ty, TD, T*; ty=0 is horizontal
+    val Some((_, o2, t2)) = DocText.PdfTextExtract.parse(pdf(streamObj(
+      "BT 72 720 Td (a) Tj 0 -14 Td (b) Tj 8 0 Td (c) Tj " +
+        "12 -16 TD (d) Tj T* (e) Tj ET")))
+    assert(o2 == 5 && t2 == "a\nbc\nd\ne")
+    // exactly -180 is a space; -179.9 is a kern
+    val Some((_, _, t3)) = DocText.PdfTextExtract.parse(pdf(streamObj(
+      "BT [(x) -180 (y) -179.9 (z)] TJ ET")))
+    assert(t3 == "x yz")
+    // positioning outside BT is a profile violation, like shows
+    assert(DocText.PdfTextExtract.parse(
+      pdf(streamObj("T* BT (x) Tj ET"))).isEmpty)
+    assert(DocText.PdfTextExtract.parse(
+      pdf(streamObj("0 -14 Td BT (x) Tj ET"))).isEmpty)
+    // Td with fewer than two operands is malformed
+    assert(DocText.PdfTextExtract.parse(
+      pdf(streamObj("BT -14 Td (x) Tj ET"))).isEmpty)
   }
 
   test("pdf fuzz: single-byte mutations never throw") {
