@@ -743,6 +743,58 @@ object DocTextQueries {
     }.as[Multimodal.MediaRecord]
   }
 
+  /** A content stream interleaving text shows with 1+m%3 INLINE
+    * images (`q BI …params… ID <binary> EI Q`). Payload bytes are
+    * non-letter (1..9, so no false terminator can form) with a
+    * spliced `XEI` trap — an `EI` without a whitespace flank must
+    * NOT terminate the data. Text: "Img doc m head" + one " seg i
+    * of m" after each image.
+    */
+  private def inlinePdfContent(m: Long): String = {
+    val sb = new StringBuilder(s"BT (Img doc $m head) Tj ET ")
+    (0 until (1 + m % 3).toInt).foreach { i =>
+      sb.append("q BI /W 4 /H 2 /BPC 8 /CS /G ID ")
+      val n = (8 + (m + i) % 5).toInt
+      (0 until n / 2).foreach(k => sb.append((1 + (m + k) % 9).toChar))
+      sb.append("XEI") // trap: not whitespace-preceded
+      (n / 2 until n).foreach(k => sb.append((1 + (m + k) % 9).toChar))
+      sb.append(s" EI Q BT ( seg $i of $m) Tj ET ")
+    }
+    sb.toString
+  }
+
+  private def inlinePdfFixture(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q249_fixture", dir) {
+      t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { m =>
+            val content =
+              if (m % 41 == 0) // unterminated image data: no EI
+                "BT (x) Tj ET q BI /W 2 /H 1 ID  Q"
+              else if (m % 29 == 0) // BI inside a text object
+                "BT BI /W 1 /H 1 ID  EI (y) Tj ET"
+              else inlinePdfContent(m)
+            val raw = content.getBytes("ISO-8859-1")
+            val (data, filter) =
+              if (m % 2 == 0) (zlibDeflate(raw), " /Filter /FlateDecode")
+              else (raw, "")
+            val out = new java.io.ByteArrayOutputStream
+            out.write(s"%PDF-1.${m % 8}\n".getBytes("ISO-8859-1"))
+            out.write((s"1 0 obj\n<< /Length ${data.length}$filter " +
+              ">>\nstream\n").getBytes("ISO-8859-1"))
+            out.write(data)
+            out.write(("\nendstream\nendobj\ntrailer\n<< /Size 2 >>\n" +
+              "startxref\n0\n%%EOF\n").getBytes("ISO-8859-1"))
+            Multimodal.MediaRecord(m, "application/pdf", out.toByteArray)
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
   /** Paragraph q of doc m for the q242 whitespace corpus — the
     * formula the oracle replays: tab and break INSIDE the first run,
     * a hyperlink-wrapped run, a plain tail run, and a w:cr run on the
@@ -1891,6 +1943,51 @@ object DocTextQueries {
         SELECT m AS media_id, 'application/pdf' AS mime,
                CAST(CASE WHEN bad THEN 0 ELSE 1 END AS INT) AS n_streams,
                CAST(CASE WHEN bad THEN 0 ELSE L END AS INT)
+                 AS n_text_ops,
+               CAST(CASE WHEN bad THEN 0 ELSE length(txt) END AS BIGINT)
+                 AS text_len,
+               CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,
+               NOT bad AS ok
+        FROM t ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q249: INLINE images in content streams (§8.9.7) — scanned-page
+    // and logo-bearing PDFs embed image data directly between text
+    // shows (`BI …params… ID <binary> EI`), which the tokenizer
+    // rejected as unknown bytes, failing the whole document. The
+    // segment is now skipped wholesale: the parameter dict ends at
+    // the first whitespace-delimited ID, data ends at the first
+    // whitespace-flanked EI — each payload here splices an `XEI`
+    // (no whitespace flank: must NOT terminate) and is built from
+    // non-letter bytes so no other terminator can form. Text shows
+    // resume after each image and must survive untouched. Arms:
+    // 1+m%3 images, Flate %2; %41 drops the EI (unterminated — fail
+    // closed); %29 opens BI inside a BT text object (content-model
+    // violation — fail closed).
+    GraftQuery(
+      "q249_pdf_inline_images",
+      (spark, dir) => {
+        DocText.extractPdfText(inlinePdfFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("mime"), col("n_streams"),
+            col("n_text_ops"), col("text_len"), col("text_md5"),
+            col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m,
+                 doc_id % 41 = 0 OR doc_id % 29 = 0 AS bad,
+                 CAST(1 + doc_id % 3 AS INT) AS k
+          FROM documents),
+        t AS (
+          SELECT *, 'Img doc ' || m || ' head' ||
+            array_to_string(list_transform(range(0, k),
+              i -> ' seg ' || i || ' of ' || m), '') AS txt
+          FROM p)
+        SELECT m AS media_id, 'application/pdf' AS mime,
+               CAST(CASE WHEN bad THEN 0 ELSE 1 END AS INT) AS n_streams,
+               CAST(CASE WHEN bad THEN 0 ELSE 1 + k END AS INT)
                  AS n_text_ops,
                CAST(CASE WHEN bad THEN 0 ELSE length(txt) END AS BIGINT)
                  AS text_len,

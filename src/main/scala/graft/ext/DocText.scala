@@ -741,6 +741,17 @@ object DocText {
             case "T*" =>
               if (!inBT) return None
               out.append('\n')
+            case "BI" =>
+              // inline image (§8.9.7): parameter dict → ID → binary
+              // data → EI. Never page text; skipped wholesale. Not
+              // allowed inside a text object (content model), and an
+              // unterminated image fails closed.
+              if (inBT) return None
+              val dataAt = inlineImageData(c, i)
+              if (dataAt < 0) return None
+              val after = inlineImageEnd(c, dataAt)
+              if (after < 0) return None
+              i = after
             case _ => // Tf, Tm, graphics ops: styling / absolute
               // positioning, not text content (profile note above)
           }
@@ -748,6 +759,44 @@ object DocText {
         }
       }
       if (inBT) None else Some((ops, out.toString))
+    }
+
+    /** Index of the first inline-image data byte: the parameter dict
+      * between `BI` and `ID` is skipped WITHOUT tokenizing (its
+      * values are names/numbers the profile never needs), so the
+      * boundary is the first whitespace-delimited `ID` token, whose
+      * single following whitespace byte separates it from the data
+      * (§8.9.7). -1 when no such token exists. Profile note: an `ID`
+      * substring inside a parameter value would end the dict early —
+      * the same documented first-token hazard as stream-payload
+      * scanning, and conformant writers cannot produce it.
+      */
+    private def inlineImageData(c: String, from: Int): Int = {
+      var j = from
+      while (j + 2 < c.length) {
+        if (c(j) == 'I' && c(j + 1) == 'D' &&
+          (j == 0 || isPdfWs(c(j - 1)) || "/>])".contains(c(j - 1))) &&
+          isPdfWs(c(j + 2))) return j + 3
+        j += 1
+      }
+      -1
+    }
+
+    /** Index just past the `EI` that terminates inline-image data:
+      * the first `EI` preceded by whitespace and followed by
+      * whitespace/delimiter/end-of-stream — data bytes may spell `EI`
+      * without a whitespace flank and do not terminate. -1 when
+      * unterminated (fails the document closed).
+      */
+    private def inlineImageEnd(c: String, dataAt: Int): Int = {
+      var j = dataAt + 1
+      while (j + 1 < c.length) {
+        if (c(j) == 'E' && c(j + 1) == 'I' && isPdfWs(c(j - 1)) &&
+          (j + 2 >= c.length || isPdfWs(c(j + 2)) ||
+            "()<>[]/%".contains(c(j + 2)))) return j + 2
+        j += 1
+      }
+      -1
     }
 
     /** Hex string starting at `<`: (decoded, indexAfter). Even/odd

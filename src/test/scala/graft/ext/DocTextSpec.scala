@@ -369,6 +369,25 @@ class DocTextSpec extends AnyFunSuite {
       pdf(streamObj("BT -14 Td (x) Tj ET"))).isEmpty)
   }
 
+  test("pdf inline images (r17): BI/ID/EI segments skip wholesale, " +
+      "unflanked EI does not terminate, violations fail closed") {
+    // binary payload with an XEI trap and non-letter bytes around it
+    val img = "q BI /W 4 /H 2 /BPC 8 /CS /G ID XEI" +
+      " EI Q"
+    val Some((_, ops, t)) = DocText.PdfTextExtract.parse(pdf(streamObj(
+      s"BT (a) Tj ET $img BT (b) Tj ET")))
+    assert(ops == 2 && t == "ab")
+    // unterminated data fails the document closed
+    assert(DocText.PdfTextExtract.parse(pdf(streamObj(
+      "BT (a) Tj ET q BI /W 2 /H 1 ID  Q"))).isEmpty)
+    // inline image inside a text object: content-model violation
+    assert(DocText.PdfTextExtract.parse(pdf(streamObj(
+      "BT BI /W 1 /H 1 ID  EI (y) Tj ET"))).isEmpty)
+    // BI with no ID token at all
+    assert(DocText.PdfTextExtract.parse(pdf(streamObj(
+      "BT (a) Tj ET BI /W 2"))).isEmpty)
+  }
+
   test("pdf fuzz: single-byte mutations never throw") {
     val base = pdf(streamObj("BT (Hello \\(w\\) world) Tj ET"))
     val rnd = new scala.util.Random(222)
