@@ -795,6 +795,146 @@ object DocTextQueries {
     }.as[Multimodal.MediaRecord]
   }
 
+  /** PDF/TIFF-variant LZW encoder for the q250 fixture (§7.4.4):
+    * MSB-first bit packing, 9→12-bit codes, leading ClearTable,
+    * trailing EOD, EarlyChange=1 (the width bumps when the next free
+    * entry reaches 2^w - 1) — the exact mirror of
+    * [[graft.ext.DocText.PdfTextExtract.lzwDecode]].
+    */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    var acc = 0L
+    var nbits = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      acc = (acc << width) | code; nbits += width
+      while (nbits >= 8) {
+        out.write(((acc >> (nbits - 8)) & 0xff).toInt); nbits -= 8
+      }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[String, Int]
+    var next = 258
+    def has(s: String): Boolean = s.length == 1 || dict.contains(s)
+    def codeOf(s: String): Int =
+      if (s.length == 1) s(0).toInt else dict(s)
+    emit(256)
+    var w = ""
+    data.foreach { bb =>
+      val ch = (bb & 0xff).toChar
+      val wc = w + ch
+      if (has(wc)) w = wc
+      else {
+        emit(codeOf(w))
+        dict(wc) = next; next += 1
+        w = ch.toString
+        if (next == (1 << width) - 1) {
+          if (width < 12) width += 1
+          else { // table full (early change): clear — w is a single
+            emit(256); dict.clear(); next = 258; width = 9
+          }
+        }
+      }
+    }
+    if (w.nonEmpty) emit(codeOf(w))
+    emit(257)
+    if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Test hook: DocTextSpec roundtrips [[lzwEncode]] against the
+    * engine's decoder across the 9→12-bit width range.
+    */
+  private[graft] def lzwEncodeForTest(d: Array[Byte]): Array[Byte] =
+    lzwEncode(d)
+
+  /** ASCII85 encoder for the q250 fixture (§7.4.3): 4-byte groups →
+    * 5 chars `!`..`u` big-endian base 85, `z` for an all-zero full
+    * group, zero-byte padding on the final partial group (k bytes →
+    * k+1 chars), a newline every 8 groups (interior whitespace the
+    * decoder must skip), `~>` EOD.
+    */
+  private def a85Encode(data: Array[Byte]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var g = 0
+    while (i < data.length) {
+      val k = math.min(4, data.length - i)
+      var v = 0L
+      (0 until 4).foreach { j =>
+        v = (v << 8) | (if (j < k) data(i + j) & 0xff else 0)
+      }
+      if (k == 4 && v == 0L) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var x = v
+        (4 to 0 by -1).foreach { j =>
+          cs(j) = ('!' + (x % 85).toInt).toChar; x /= 85
+        }
+        sb.appendAll(cs, 0, if (k == 4) 5 else k + 1)
+      }
+      g += 1
+      if (g % 8 == 0) sb.append('\n')
+      i += 4
+    }
+    sb.append("~>").toString
+  }
+
+  /** Page text for the q250 legacy-filter corpus. */
+  private def lzwPageText(m: Long): String =
+    s"Lzw doc $m " + "rs " * (1 + (m % 7)).toInt + "tail."
+
+  /** PDFs exercising the r17 LEGACY filters: plain LZWDecode (%4==0),
+    * plain ASCII85Decode (%4==1), `[/ASCII85Decode /LZWDecode]`
+    * (%4==2 — 85-strip THEN LZW), `[/ASCIIHexDecode /LZWDecode]`
+    * (%4==3 — cross-family chain). The %29 arm carries `/DecodeParms
+    * << /EarlyChange 0 >>` (out of profile: parameters change byte
+    * semantics — must fail closed, not mis-decode), the %41 arm an
+    * invalid ASCII85 byte `v`.
+    */
+  private def buildLzwPdf(m: Long): Array[Byte] = {
+    val raw = (s"BT (${lzwPageText(m)
+      .replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")}" +
+      ") Tj ET").getBytes("ISO-8859-1")
+    val (data, filter) =
+      if (m % 41 == 0)
+        ("9jvo^~>".getBytes("ISO-8859-1"), " /Filter /ASCII85Decode")
+      else if (m % 29 == 0)
+        (lzwEncode(raw),
+          " /Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>")
+      else (m % 4) match {
+        case 0 => (lzwEncode(raw), " /Filter /LZWDecode")
+        case 1 => (a85Encode(raw).getBytes("ISO-8859-1"),
+          " /Filter /ASCII85Decode")
+        case 2 => (a85Encode(lzwEncode(raw)).getBytes("ISO-8859-1"),
+          " /Filter [ /ASCII85Decode /LZWDecode ]")
+        case _ => (hexEncode(lzwEncode(raw), upper = m % 3 == 0)
+          .getBytes("ISO-8859-1"),
+          " /Filter [/ASCIIHexDecode /LZWDecode]")
+      }
+    val out = new java.io.ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w(s"%PDF-1.${m % 8}\n")
+    w(s"1 0 obj\n<< /Length ${data.length}$filter >>\nstream\n")
+    out.write(data)
+    w("\nendstream\nendobj\ntrailer\n<< /Size 2 >>\nstartxref\n0\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def lzwPdfFixture(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q250_fixture", dir) {
+      t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { m =>
+            Multimodal.MediaRecord(m, "application/pdf", buildLzwPdf(m))
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
   /** Paragraph q of doc m for the q242 whitespace corpus — the
     * formula the oracle replays: tab and break INSIDE the first run,
     * a hyperlink-wrapped run, a plain tail run, and a w:cr run on the
@@ -887,9 +1027,10 @@ object DocTextQueries {
                     "BT (x) Tj ET\nendstream\nendobj\ntrailer\n" +
                     "<< /Size 2 >>\nstartxref\n0\n%%EOF\n")
                     .getBytes("ISO-8859-1")
-                case 3 => // LZW: out-of-profile filter
+                case 3 => // DCT: out-of-profile filter (LZW joined the
+                  // profile in r17/q250, so the census example moved)
                   ("%PDF-1.4\n1 0 obj\n<< /Length 4 /Filter " +
-                    "/LZWDecode >>\nstream\nabcd\nendstream\nendobj\n" +
+                    "/DCTDecode >>\nstream\nabcd\nendstream\nendobj\n" +
                     "trailer\n<< /Size 2 >>\nstartxref\n0\n%%EOF\n")
                     .getBytes("ISO-8859-1")
                 case 4 => simpleDocx(s"census $m ok", defl = m % 2 == 0)
@@ -1988,6 +2129,49 @@ object DocTextQueries {
         SELECT m AS media_id, 'application/pdf' AS mime,
                CAST(CASE WHEN bad THEN 0 ELSE 1 END AS INT) AS n_streams,
                CAST(CASE WHEN bad THEN 0 ELSE 1 + k END AS INT)
+                 AS n_text_ops,
+               CAST(CASE WHEN bad THEN 0 ELSE length(txt) END AS BIGINT)
+                 AS text_len,
+               CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,
+               NOT bad AS ok
+        FROM t ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q250: LEGACY filters — LZWDecode + ASCII85Decode (the r16
+    // "what's missing" #2 tail beyond ASCIIHex): pre-Flate-era and
+    // mail-gateway PDFs carry them, alone and in chains. LZW is the
+    // §7.4.4 TIFF variant (MSB-first 9→12-bit codes, ClearTable/EOD,
+    // EarlyChange=1 — NOT the GIF LSB-first decoder q207 ships);
+    // ASCII85 enforces the `~>` EOD, `z` only at group boundaries,
+    // group-value overflow, and the k→k-1 partial-group rule. Arms
+    // by %4: plain LZW, plain ASCII85 (interior newlines), the
+    // `[/ASCII85Decode /LZWDecode]` chain, and the cross-family
+    // `[/ASCIIHexDecode /LZWDecode]` chain. %29 carries `/DecodeParms
+    // << /EarlyChange 0 >>` — parameters change byte semantics, so
+    // the stream must FAIL CLOSED, never mis-decode; %41 plants an
+    // invalid ASCII85 byte.
+    GraftQuery(
+      "q250_pdf_legacy_filters",
+      (spark, dir) => {
+        DocText.extractPdfText(lzwPdfFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("mime"), col("n_streams"),
+            col("n_text_ops"), col("text_len"), col("text_md5"),
+            col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m,
+                 doc_id % 41 = 0 OR doc_id % 29 = 0 AS bad
+          FROM documents),
+        t AS (
+          SELECT *, 'Lzw doc ' || m || ' '
+            || repeat('rs ', CAST(1 + m % 7 AS INT)) || 'tail.' AS txt
+          FROM p)
+        SELECT m AS media_id, 'application/pdf' AS mime,
+               CAST(CASE WHEN bad THEN 0 ELSE 1 END AS INT) AS n_streams,
+               CAST(CASE WHEN bad THEN 0 ELSE 1 END AS INT)
                  AS n_text_ops,
                CAST(CASE WHEN bad THEN 0 ELSE length(txt) END AS BIGINT)
                  AS text_len,

@@ -568,8 +568,16 @@ object DocText {
       }
       def validate(ns: List[String]): Either[Unit, List[String]] =
         if (ns.nonEmpty && ns.forall(n =>
-          n == "FlateDecode" || n == "ASCIIHexDecode")) Right(ns)
+          n == "FlateDecode" || n == "ASCIIHexDecode" ||
+          n == "ASCII85Decode" || n == "LZWDecode")) Right(ns)
         else Left(())
+      // decode parameters change the byte semantics (Flate/LZW
+      // Predictor row filters, LZW EarlyChange 0) — a dict carrying
+      // them on a stream we would DECODE is out of profile; typed
+      // streams (q234's XRef + Predictor) are length-skipped before
+      // any filter runs and never reach here
+      if (dict.contains("/DecodeParms") || dict.contains("/DP"))
+        return Left(())
       val at = dict.indexOf("/Filter")
       if (at < 0) return Right(Nil)
       var j = at + 7
@@ -599,8 +607,115 @@ object DocText {
       filters.foldLeft(Option(raw)) {
         case (Some(d), "FlateDecode") => inflateZlib(d, outputCap)
         case (Some(d), "ASCIIHexDecode") => asciiHexDecode(d)
+        case (Some(d), "ASCII85Decode") => ascii85Decode(d)
+        case (Some(d), "LZWDecode") => lzwDecode(d, outputCap)
         case _ => None
       }
+
+    /** ASCII85Decode (§7.4.3): groups of 5 chars `!`..`u` → 4 bytes
+      * base 85 (big-endian), `z` → four zero bytes (only at a group
+      * boundary), whitespace ignored, `~>` is the REQUIRED EOD. A
+      * partial final group of n chars yields n-1 bytes (padded with
+      * `u`); a 1-char remainder, a group value over 2^32-1, `z`
+      * inside a group, any other byte, a missing EOD, or non-
+      * whitespace trailing bytes fail closed.
+      */
+    private[ext] def ascii85Decode(d: Array[Byte])
+        : Option[Array[Byte]] = {
+      val out = new java.io.ByteArrayOutputStream
+      val grp = new Array[Int](5)
+      var n = 0
+      var i = 0
+      def flush(k: Int): Boolean = { // k chars present (2..5)
+        var v = 0L
+        var j = 0
+        while (j < 5) { v = v * 85 + (if (j < k) grp(j) else 84); j += 1 }
+        if (v > 0xffffffffL) return false
+        val keep = k - 1
+        var s = 24
+        var b = 0
+        while (b < keep) { out.write(((v >> s) & 0xff).toInt); s -= 8; b += 1 }
+        true
+      }
+      while (i < d.length) {
+        val c = (d(i) & 0xff).toChar
+        if (c == '~') {
+          if (i + 1 >= d.length || (d(i + 1) & 0xff).toChar != '>')
+            return None
+          if (n == 1) return None // lone trailing digit
+          if (n >= 2 && !flush(n)) return None
+          var k = i + 2
+          while (k < d.length && isPdfWs((d(k) & 0xff).toChar)) k += 1
+          return if (k == d.length) Some(out.toByteArray) else None
+        } else if (c == 'z') {
+          if (n != 0) return None // only at a group boundary
+          out.write(0); out.write(0); out.write(0); out.write(0)
+        } else if (c >= '!' && c <= 'u') {
+          grp(n) = c - '!'
+          n += 1
+          if (n == 5) { if (!flush(5)) return None; n = 0 }
+        } else if (!isPdfWs(c)) return None
+        i += 1
+      }
+      None // missing ~> EOD
+    }
+
+    /** LZWDecode (§7.4.4, the TIFF/GIF-on-its-side variant the GIF
+      * decoder in [[graft.ext.ImageHash]] is NOT): MSB-first bit
+      * packing, 9→12-bit codes, 256=ClearTable, 257=EOD, EarlyChange
+      * 1 (the default — the code width bumps one entry early; a
+      * `/DecodeParms` overriding it is out of profile and fails
+      * closed in [[filterOf]]). Corrupt codes (beyond the next free
+      * entry), a table overflowing 12 bits without a clear, or data
+      * ending before EOD fail closed.
+      */
+    private[ext] def lzwDecode(d: Array[Byte], cap: Int)
+        : Option[Array[Byte]] = {
+      val out = new java.io.ByteArrayOutputStream
+      val dict = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+      var width = 9
+      def reset(): Unit = {
+        dict.clear()
+        var b = 0
+        while (b < 256) { dict += Array(b.toByte); b += 1 }
+        dict += null; dict += null // 256 clear, 257 EOD
+        width = 9
+      }
+      reset()
+      var prev: Array[Byte] = null
+      var acc = 0L
+      var nbits = 0
+      var i = 0
+      while (true) {
+        while (nbits < width && i < d.length) {
+          acc = (acc << 8) | (d(i) & 0xff); nbits += 8; i += 1
+        }
+        if (nbits < width) return None // ran out before EOD
+        val code = ((acc >> (nbits - width)) & ((1L << width) - 1)).toInt
+        nbits -= width
+        if (code == 256) { reset(); prev = null }
+        else if (code == 257) return Some(out.toByteArray)
+        else {
+          val entry =
+            if (code < dict.length) dict(code)
+            else if (code == dict.length && prev != null) prev :+ prev(0)
+            else return None
+          if (entry == null) return None
+          out.write(entry, 0, entry.length)
+          if (out.size > cap) return None
+          if (prev != null) {
+            if (dict.length >= 4096) return None // needs a clear
+            dict += (prev :+ entry(0))
+            // EarlyChange=1: the encoder bumps when ITS next free
+            // entry hits 2^w - 1; the decoder lags one entry behind
+            if (dict.length + 1 == (1 << width) - 1 && width < 12)
+              width += 1
+          }
+          prev = entry
+        }
+      }
+      None // unreachable
+    }
 
     /** ASCIIHexDecode (§7.4.2): hex digit pairs, interior whitespace
       * ignored, `>` is the REQUIRED EOD marker (odd final digit padded

@@ -272,7 +272,7 @@ class DocTextSpec extends AnyFunSuite {
       "1 0 obj\n<< /Length 9 0 R >>\nstream\nBT (x) Tj ET\nendstream" +
         "\nendobj")) == Left("pdf_length_unresolved"))
     assert(P.parseR(pdf(streamObj("BT (x) Tj ET",
-      " /Filter /LZWDecode"))) == Left("pdf_filter_unsupported"))
+      " /Filter /DCTDecode"))) == Left("pdf_filter_unsupported"))
     assert(P.parseR(pdf(streamObj("garbage",
       " /Filter /FlateDecode"))) == Left("pdf_decode_error"))
     assert(P.parseR(pdf(
@@ -386,6 +386,48 @@ class DocTextSpec extends AnyFunSuite {
     // BI with no ID token at all
     assert(DocText.PdfTextExtract.parse(pdf(streamObj(
       "BT (a) Tj ET BI /W 2"))).isEmpty)
+  }
+
+  test("pdf legacy filters (r17): LZW known vector + ASCII85 " +
+      "Leviathan vector, z/overflow/EOD edges fail closed") {
+    import DocText.PdfTextExtract.{ascii85Decode, lzwDecode}
+    // hand-packed 9-bit MSB stream: Clear(256) 'A'(65) 'B'(66) EOD(257)
+    val vec = Array(0x80, 0x10, 0x48, 0x50, 0x10).map(_.toByte)
+    assert(lzwDecode(vec, 1 << 20).map(new String(_, "ISO-8859-1"))
+      .contains("AB"))
+    // truncated before EOD / code beyond the next free entry
+    assert(lzwDecode(vec.dropRight(2), 1 << 20).isEmpty)
+    assert(lzwDecode(Array(0x81, 0x01, 0x00).map(_.toByte), 1 << 20)
+      .isEmpty) // second code = 258: nothing assigned yet
+    // the classic ASCII85 vector ("Man is d" from Leviathan)
+    assert(ascii85Decode("9jqo^BlbD-~>".getBytes("ISO-8859-1"))
+      .map(new String(_, "ISO-8859-1")).contains("Man is d"))
+    // z = four zero bytes, only at a group boundary
+    assert(ascii85Decode("z z~>".getBytes("ISO-8859-1"))
+      .exists(_.sameElements(new Array[Byte](8))))
+    assert(ascii85Decode("9jz~>".getBytes("ISO-8859-1")).isEmpty)
+    // group overflow, lone trailing digit, missing EOD, bad byte
+    assert(ascii85Decode("uuuuu~>".getBytes("ISO-8859-1")).isEmpty)
+    assert(ascii85Decode("9jqo^B~>".getBytes("ISO-8859-1")).isEmpty)
+    assert(ascii85Decode("9jqo^".getBytes("ISO-8859-1")).isEmpty)
+    assert(ascii85Decode("9jvo^~>".getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("pdf legacy filters (r17): LZW width growth roundtrips and " +
+      "DecodeParms fails closed") {
+    // enough distinct pairs to push the code width past 9 and 10 bits
+    val rnd = new scala.util.Random(250)
+    val big = Array.fill[Byte](6000)(rnd.nextInt(256).toByte)
+    val rep = ("the quick brown fox " * 40).getBytes("ISO-8859-1")
+    Seq(big, rep, Array.emptyByteArray, Array[Byte](7)).foreach { d =>
+      val enc = graft.analytics.DocTextQueries.lzwEncodeForTest(d)
+      assert(DocText.PdfTextExtract.lzwDecode(enc, 1 << 22)
+        .exists(_.sameElements(d)), s"roundtrip len=${d.length}")
+    }
+    // a DecodeParms dict on a typeless stream fails closed
+    assert(DocText.PdfTextExtract.parse(pdf(streamObj("BT (x) Tj ET",
+      " /Filter /FlateDecode /DecodeParms << /Predictor 12 >>")))
+      .isEmpty)
   }
 
   test("pdf fuzz: single-byte mutations never throw") {
