@@ -935,6 +935,98 @@ object DocTextQueries {
     }.as[Multimodal.MediaRecord]
   }
 
+  /** Page g's text (1-based) for the q251 page-tree corpus. */
+  private def pgText(m: Long, g: Int): String =
+    s"Pg $g of doc $m: " + "uv " * (1 + ((m + g) % 5)).toInt + "Z."
+
+  /** A structurally real multi-page PDF: catalog → Pages tree →
+    * Page leaves with /Contents, plus an ORPHAN content stream
+    * placed FIRST in the file (a file-order scan shows it; the
+    * page-tree walk must not). 1+m%3 pages; the 3-page arm nests a
+    * second /Pages level; at m%5==0 every object is emitted in
+    * REVERSE file order (file order ≠ page order — the point);
+    * (m+g)%7 pages have no /Contents (legal empty page); (m+g)%4
+    * pages split their content across a two-part /Contents array
+    * with the BT...ET spanning parts. %41: /Kids self-cycle; %29:
+    * /Root's catalog points at a missing Pages object.
+    */
+  private def buildPagesPdf(m: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    def w(x: String): Unit = out.write(x.getBytes("ISO-8859-1"))
+    val np = (1 + m % 3).toInt
+    val flate = m % 2 == 0
+    def streamObjB(num: Int, content: String): Unit = {
+      val raw = content.getBytes("ISO-8859-1")
+      val (data, filter) =
+        if (flate) (zlibDeflate(raw), " /Filter /FlateDecode")
+        else (raw, "")
+      w(s"$num 0 obj\n<< /Length ${data.length}$filter >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    w(s"%PDF-1.${4 + m % 4}\n")
+    streamObjB(90, s"BT (orphan doc $m never shown) Tj ET")
+    if (m % 41 == 0) {
+      w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+      w("2 0 obj\n<< /Type /Pages /Kids [ 2 0 R ] /Count 1 >>\nendobj\n")
+    } else if (m % 29 == 0) {
+      w("1 0 obj\n<< /Type /Catalog /Pages 77 0 R >>\nendobj\n")
+    } else {
+      val emits = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+      emits += (() =>
+        w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"))
+      val rootKids =
+        if (np == 3) "3 0 R 13 0 R"
+        else (1 to np).map(g => s"${10 + g} 0 R").mkString(" ")
+      emits += (() => w(s"2 0 obj\n<< /Type /Pages /Kids [ $rootKids ]" +
+        s" /Count $np >>\nendobj\n"))
+      if (np == 3)
+        emits += (() => w("3 0 obj\n<< /Type /Pages /Parent 2 0 R " +
+          "/Kids [ 11 0 R 12 0 R ] /Count 2 >>\nendobj\n"))
+      (1 to np).foreach { g =>
+        val parent = if (np == 3 && g <= 2) 3 else 2
+        val emptyPg = (m + g) % 7 == 0
+        val splitPg = !emptyPg && (m + g) % 4 == 0
+        val contents =
+          if (emptyPg) ""
+          else if (splitPg)
+            s" /Contents [ ${20 + 2 * g} 0 R ${21 + 2 * g} 0 R ]"
+          else s" /Contents ${20 + 2 * g} 0 R"
+        emits += (() => w(s"${10 + g} 0 obj\n<< /Type /Page " +
+          s"/Parent $parent 0 R$contents >>\nendobj\n"))
+        if (!emptyPg) {
+          val t = pgText(m, g) // no parens/backslash: safe unescaped
+          if (splitPg) {
+            val cut = t.length / 2
+            emits += (() =>
+              streamObjB(20 + 2 * g, s"BT (${t.substring(0, cut)}) Tj"))
+            emits += (() =>
+              streamObjB(21 + 2 * g, s"(${t.substring(cut)}) Tj ET"))
+          } else emits += (() => streamObjB(20 + 2 * g, s"BT ($t) Tj ET"))
+        }
+      }
+      (if (m % 5 == 0) emits.reverse else emits).foreach(_())
+    }
+    w("trailer\n<< /Size 99 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def pagesPdfFixture(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q251_fixture", dir) {
+      t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { m =>
+            Multimodal.MediaRecord(m, "application/pdf",
+              buildPagesPdf(m))
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
   /** Paragraph q of doc m for the q242 whitespace corpus — the
     * formula the oracle replays: tab and break INSIDE the first run,
     * a hyperlink-wrapped run, a plain tail run, and a w:cr run on the
@@ -2177,6 +2269,63 @@ object DocTextQueries {
                  AS text_len,
                CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,
                NOT bad AS ok
-        FROM t ORDER BY media_id"""))
+        FROM t ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q251: PAGE-TREE-ordered, page-attributed extraction
+    // ([[graft.ext.DocText.extractPdfPages]]) — q222–q250 extract in
+    // FILE order, but a reader sees PAGE order: writers append
+    // updated objects out of order, split page content across
+    // /Contents arrays, and leave orphan streams behind. The walk
+    // resolves trailer /Root → /Catalog → the /Pages tree depth-
+    // first (two-level on the 3-page arm), emitting one row per
+    // /Type /Page leaf. Discriminators a file-order scan fails: an
+    // orphan content stream placed FIRST in every file (must not
+    // appear), reverse object order at %5, a BT...ET spanning a
+    // two-part /Contents array at (m+g)%4 (parts concatenate into
+    // ONE logical stream — §7.8.2), a /Contents-less empty page at
+    // (m+g)%7 (md5('') row). %41 plants a /Kids self-cycle and %29
+    // a dangling /Pages ref — both fail closed to a single
+    // page_no=0 row.
+    GraftQuery(
+      "q251_pdf_page_tree",
+      (spark, dir) => {
+        DocText.extractPdfPages(pagesPdfFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("page_no"), col("n_text_ops"),
+            col("text_len"), col("text_md5"), col("ok"))
+          .orderBy(col("media_id"), col("page_no"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m,
+                 doc_id % 41 = 0 OR doc_id % 29 = 0 AS bad,
+                 CAST(1 + doc_id % 3 AS INT) AS np
+          FROM documents),
+        r AS (
+          SELECT m, bad,
+                 unnest(range(1, CASE WHEN bad THEN 2 ELSE np + 1 END))
+                   AS g
+          FROM p),
+        f AS (
+          SELECT m, bad, CAST(g AS INT) AS g,
+                 (m + g) % 7 = 0 AS empty_pg,
+                 (m + g) % 7 <> 0 AND (m + g) % 4 = 0 AS split_pg,
+                 'Pg ' || g || ' of doc ' || m || ': '
+                   || repeat('uv ', CAST(1 + (m + g) % 5 AS INT))
+                   || 'Z.' AS txt
+          FROM r)
+        SELECT m AS media_id,
+               CAST(CASE WHEN bad THEN 0 ELSE g END AS INT) AS page_no,
+               CAST(CASE WHEN bad OR empty_pg THEN 0
+                         WHEN split_pg THEN 2 ELSE 1 END AS INT)
+                 AS n_text_ops,
+               CAST(CASE WHEN bad OR empty_pg THEN 0
+                         ELSE length(txt) END AS BIGINT) AS text_len,
+               CASE WHEN bad THEN ''
+                    WHEN empty_pg THEN md5('')
+                    ELSE md5(txt) END AS text_md5,
+               NOT bad AS ok
+        FROM f ORDER BY media_id, page_no"""))
   )
 }

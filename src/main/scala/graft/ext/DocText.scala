@@ -265,6 +265,290 @@ object DocText {
       Right((nStreams, nOps, text.toString))
     }
 
+    // ----------------------------------------------------------------
+    // page-tree-ordered extraction (r17/q251)
+    // ----------------------------------------------------------------
+
+    /** Per-page (nTextOps, text) in PAGE-TREE order — the document
+      * order a reader sees, which is NOT the file order [[parseR]]
+      * scans (writers append updated objects, split content across
+      * parts, and leave orphan streams behind). The trailer's `/Root`
+      * (last trailer dict defining one wins — incremental updates
+      * append) leads to `/Type /Catalog` → `/Pages` → a `/Type
+      * /Pages` tree whose `/Kids` arrays are walked depth-first in
+      * order; each `/Type /Page` leaf contributes one page. A page's
+      * `/Contents` may be a single ref, an ARRAY of refs — the parts
+      * concatenate (newline-joined) into ONE logical stream before
+      * tokenizing, so a BT...ET may span parts (§7.8.2) — or absent
+      * (an empty page). Page-tree objects must be DIRECT objects
+      * (a page tree living inside an ObjStm is out of profile —
+      * documented cut); content-stream `/Length`s resolve through
+      * the full direct → ObjStm machinery. Fail-closed reasons
+      * extend [[parseR]]'s vocabulary with `pdf_no_root` (no
+      * resolvable trailer /Root) and `pdf_page_tree` (missing or
+      * non-Page/Pages node, empty or malformed /Kids, a ref cycle,
+      * depth over 32, or a /Contents target without a stream).
+      */
+    def parsePagesR(b: Array[Byte])
+        : Either[String, Vector[(Int, String)]] = {
+      if (b == null || b.length < 16) return Left("pdf_magic")
+      val s = new String(b, "ISO-8859-1")
+      if (!s.startsWith("%PDF-")) return Left("pdf_magic")
+      if (!s.contains("%%EOF")) return Left("pdf_no_eof")
+      val ranges = directPayloadRanges(s, b.length)
+      def inPayload(at: Int): Boolean = {
+        var i = 0
+        while (i < ranges.length && ranges(i)._1 <= at) {
+          if (at < ranges(i)._2) return true
+          i += 1
+        }
+        false
+      }
+      // index just after the LAST top-level `n 0 obj` header (later
+      // definitions win — incremental updates append)
+      def objAfter(n: Int): Option[Int] = {
+        val pat = s"$n 0 obj"
+        var at = s.indexOf(pat)
+        var best = -1
+        while (at >= 0) {
+          val preOk = at == 0 || {
+            val c = s(at - 1)
+            !c.isDigit && (isPdfWs(c) || "/()[]<>".contains(c))
+          }
+          val end = at + pat.length
+          val postOk = end >= s.length || isPdfWs(s(end)) ||
+            "/()[]<>".contains(s(end))
+          if (preOk && postOk && !inPayload(at)) best = at
+          at = s.indexOf(pat, at + 1)
+        }
+        if (best < 0) None else Some(best + pat.length)
+      }
+      // object body: up to endobj, cut at a stream keyword (dict part)
+      def bodyOf(n: Int): Option[String] = objAfter(n).map { from =>
+        val endO = s.indexOf("endobj", from)
+        val to = if (endO < 0) s.length else endO
+        val stK = s.indexOf("stream", from)
+        s.substring(from, if (stK >= 0 && stK < to) stK else to)
+      }
+      // the last trailer dict that defines /Root wins
+      var root = -1
+      var tAt = s.indexOf("trailer")
+      while (tAt >= 0) {
+        if (!inPayload(tAt)) {
+          val end0 = s.indexOf("startxref", tAt)
+          val end = if (end0 < 0) s.length else end0
+          namedRef(s.substring(tAt + 7, end), "/Root")
+            .foreach(r => root = r)
+        }
+        tAt = s.indexOf("trailer", tAt + 7)
+      }
+      if (root < 0) return Left("pdf_no_root")
+      val cat = bodyOf(root) match {
+        case Some(x) => x
+        case None => return Left("pdf_no_root")
+      }
+      val pagesRoot = namedRef(cat, "/Pages") match {
+        case Some(p) => p
+        case None => return Left("pdf_page_tree")
+      }
+      val pageContents = Vector.newBuilder[List[Int]]
+      val visited = scala.collection.mutable.HashSet.empty[Int]
+      def walk(n: Int, depth: Int): Boolean = {
+        if (depth > 32 || !visited.add(n)) return false
+        bodyOf(n) match {
+          case None => false
+          case Some(body) => nameValue(body, "/Type") match {
+            case Some("Pages") => namedRefs(body, "/Kids") match {
+              case Some(kids) if kids.nonEmpty =>
+                kids.forall(walk(_, depth + 1))
+              case _ => false
+            }
+            case Some("Page") =>
+              if (keyIndex(body, "/Contents") < 0) {
+                pageContents += Nil // a page with no content is legal
+                true
+              } else namedRefs(body, "/Contents") match {
+                case Some(cs) if cs.nonEmpty => pageContents += cs; true
+                case _ => false
+              }
+            case _ => false
+          }
+        }
+      }
+      if (!walk(pagesRoot, 0)) return Left("pdf_page_tree")
+      // shared lazy length tables (same machinery as parseR)
+      var ints: Map[Int, Int] = null
+      var stmInts: Option[Map[Int, Int]] = null
+      def streamContent(cn: Int): Either[String, Array[Byte]] = {
+        val from = objAfter(cn) match {
+          case Some(x) => x
+          case None => return Left("pdf_page_tree")
+        }
+        val at = s.indexOf("stream", from)
+        val endO = s.indexOf("endobj", from)
+        if (at < 0 || (endO >= 0 && endO < at))
+          return Left("pdf_page_tree") // /Contents target: no stream
+        var q = at - 1
+        while (q >= 0 && (s(q) == ' ' || s(q) == '\r' || s(q) == '\n' ||
+          s(q) == '\t')) q -= 1
+        if (q < 1 || s(q) != '>' || s(q - 1) != '>')
+          return Left("pdf_stream_dict")
+        val dict = dictBefore(s, q - 1) match {
+          case Some(d) => d
+          case None => return Left("pdf_stream_dict")
+        }
+        if (hasName(dict, "/Type") || hasName(dict, "/Subtype"))
+          return Left("pdf_content_profile") // typed stream as content
+        val len = directLength(dict) match {
+          case Some(l) => l
+          case None => indirectLengthRef(dict) match {
+            case Some(obj) =>
+              if (ints == null) ints = intObjects(s, b.length)
+              ints.get(obj) match {
+                case Some(l) => l
+                case None =>
+                  if (stmInts == null) stmInts = objStmObjects(s, b, ints)
+                  stmInts match {
+                    case Some(m2) => m2.get(obj) match {
+                      case Some(l) => l
+                      case None => return Left("pdf_length_unresolved")
+                    }
+                    case None => return Left("pdf_objstm_malformed")
+                  }
+              }
+            case None => return Left("pdf_no_length")
+          }
+        }
+        var dataAt = at + 6
+        if (dataAt < s.length && s(dataAt) == '\r') dataAt += 1
+        if (dataAt >= s.length || s(dataAt) != '\n')
+          return Left("pdf_stream_bounds")
+        dataAt += 1
+        if (dataAt + len > b.length || len < 0)
+          return Left("pdf_stream_bounds")
+        var after = dataAt + len
+        if (after < s.length && s(after) == '\r') after += 1
+        if (after < s.length && s(after) == '\n') after += 1
+        if (!s.startsWith("endstream", after))
+          return Left("pdf_stream_bounds")
+        val raw = java.util.Arrays.copyOfRange(b, dataAt, dataAt + len)
+        filterOf(dict) match {
+          case Right(fs) => decodeChain(raw, fs) match {
+            case Some(x) => Right(x)
+            case None => Left("pdf_decode_error")
+          }
+          case Left(()) => Left("pdf_filter_unsupported")
+        }
+      }
+      val out = Vector.newBuilder[(Int, String)]
+      val pages = pageContents.result()
+      var pi = 0
+      while (pi < pages.length) {
+        val parts = new StringBuilder
+        var ci = 0
+        val cs = pages(pi)
+        while (ci < cs.length) {
+          streamContent(cs(ci)) match {
+            case Right(x) =>
+              if (ci > 0) parts.append('\n')
+              parts.append(new String(x, "ISO-8859-1"))
+            case Left(e) => return Left(e)
+          }
+          ci += 1
+        }
+        tokenizeContent(parts.toString) match {
+          case Some((ops, t)) => out += ((ops, t))
+          case None => return Left("pdf_content_profile")
+        }
+        pi += 1
+      }
+      Right(out.result())
+    }
+
+    /** First delimiter-terminated occurrence of dict key `key`, or
+      * -1 (`/Length` never matches `/Length1` — the q232 lesson).
+      */
+    private def keyIndex(body: String, key: String): Int = {
+      var at = body.indexOf(key)
+      while (at >= 0) {
+        val end = at + key.length
+        if (end >= body.length || isPdfWs(body(end)) ||
+          "/()[]<>".contains(body(end))) return at
+        at = body.indexOf(key, at + 1)
+      }
+      -1
+    }
+
+    /** Parse `N G R` starting at `j0` (leading whitespace allowed):
+      * (objnum, indexAfterR), or None.
+      */
+    private def parseRefAt(body: String, j0: Int): Option[(Int, Int)] = {
+      var j = j0
+      while (j < body.length && isPdfWs(body(j))) j += 1
+      val s1 = j
+      while (j < body.length && body(j).isDigit) j += 1
+      if (j == s1 || j - s1 > 9) return None
+      val num = body.substring(s1, j).toInt
+      var k = j
+      while (k < body.length && isPdfWs(body(k))) k += 1
+      val s2 = k
+      while (k < body.length && body(k).isDigit) k += 1
+      if (k == s2 || k - s2 > 5) return None
+      var r = k
+      while (r < body.length && isPdfWs(body(r))) r += 1
+      if (r >= body.length || body(r) != 'R') return None
+      val after = r + 1
+      if (after < body.length && !isPdfWs(body(after)) &&
+        !"/()[]<>".contains(body(after))) return None
+      Some((num, after))
+    }
+
+    /** The ref value `/Key N G R`, or None. */
+    private[ext] def namedRef(body: String, key: String): Option[Int] = {
+      val at = keyIndex(body, key)
+      if (at < 0) None
+      else parseRefAt(body, at + key.length).map(_._1)
+    }
+
+    /** `/Key [ N G R … ]` (possibly empty) or the single-ref form. */
+    private[ext] def namedRefs(body: String, key: String)
+        : Option[List[Int]] = {
+      val at = keyIndex(body, key)
+      if (at < 0) return None
+      var j = at + key.length
+      while (j < body.length && isPdfWs(body(j))) j += 1
+      if (j < body.length && body(j) == '[') {
+        j += 1
+        val acc = List.newBuilder[Int]
+        while (j < body.length) {
+          var k = j
+          while (k < body.length && isPdfWs(body(k))) k += 1
+          if (k >= body.length) return None
+          if (body(k) == ']') return Some(acc.result())
+          parseRefAt(body, k) match {
+            case Some((n2, after)) => acc += n2; j = after
+            case None => return None
+          }
+        }
+        None
+      } else parseRefAt(body, j).map(p => List(p._1))
+    }
+
+    /** Name value of dict key `key` (`/Type /Page` → "Page"). */
+    private[ext] def nameValue(body: String, key: String)
+        : Option[String] = {
+      val at = keyIndex(body, key)
+      if (at < 0) return None
+      var j = at + key.length
+      while (j < body.length && isPdfWs(body(j))) j += 1
+      if (j >= body.length || body(j) != '/') return None
+      j += 1
+      val st = j
+      while (j < body.length && !isPdfWs(body(j)) &&
+        !"/()[]<>".contains(body(j))) j += 1
+      if (j > st) Some(body.substring(st, j)) else None
+    }
+
     /** The payload ranges `[dataAt, dataAt+len)` of every stream whose
       * `/Length` is a DIRECT integer — knowable without any object
       * resolution, so the integer-object scan can exclude them
@@ -1017,6 +1301,48 @@ object DocText {
           case scala.util.control.NonFatal(e) =>
             PdfText(r.media_id, r.mime, 0, 0, 0L, "", ok = false,
               Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      }
+    }
+  }
+
+  final case class PdfPage(
+      media_id: Long,
+      mime: String,
+      page_no: Int,
+      n_text_ops: Int,
+      text_len: Long,
+      text_md5: String,
+      ok: Boolean,
+      error: Option[String])
+
+  /** PAGE-attributed PDF text extraction in page-tree order
+    * ([[PdfTextExtract.parsePagesR]]): one row per page (page_no
+    * 1-based); a document failing any profile check emits one
+    * page_no=0 ok=false row — row counts stay per-document
+    * accountable either way.
+    */
+  def extractPdfPages(media: Dataset[Multimodal.MediaRecord])
+      : Dataset[PdfPage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        try {
+          PdfTextExtract.parsePagesR(r.media) match {
+            case Right(pages) =>
+              pages.zipWithIndex.map { case ((ops, t), i) =>
+                PdfPage(r.media_id, r.mime, i + 1, ops, t.length.toLong,
+                  md5Hex(t), ok = true, None)
+              }
+            case Left(_) =>
+              Seq(PdfPage(r.media_id, r.mime, 0, 0, 0L, "", ok = false,
+                None))
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Seq(PdfPage(r.media_id, r.mime, 0, 0, 0L, "", ok = false,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName))))
         }
       }
     }

@@ -430,6 +430,63 @@ class DocTextSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("pdf page tree (r17): pages come out in TREE order, orphans " +
+      "and file order are ignored, parts concatenate, cycles fail") {
+    import DocText.PdfTextExtract.parsePagesR
+    def doc(objs: String): Array[Byte] = bytes(
+      s"%PDF-1.6\n$objs\ntrailer\n<< /Size 99 /Root 1 0 R >>\n" +
+        "startxref\n0\n%%EOF\n")
+    def cs(num: Int, content: String): String =
+      s"$num 0 obj\n<< /Length ${content.length} >>\nstream\n" +
+        content + "\nendstream\nendobj\n"
+    // page 2's objects FIRST in the file + an orphan stream: the
+    // walk must yield page order and never the orphan
+    val two = doc(
+      cs(90, "BT (orphan) Tj ET") +
+        cs(22, "BT (second page) Tj ET") +
+        "12 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 22 0 R >>\nendobj\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [ 11 0 R 12 0 R ] /Count 2 >>\nendobj\n" +
+        "11 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 21 0 R >>\nendobj\n" +
+        cs(21, "BT (first page) Tj ET"))
+    assert(parsePagesR(two) ==
+      Right(Vector((1, "first page"), (1, "second page"))))
+    // two-level tree + a two-part /Contents whose BT...ET spans parts
+    // + an empty (contents-less) page
+    val nested = doc(
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [ 3 0 R 13 0 R ] /Count 3 >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Pages /Parent 2 0 R /Kids [ 11 0 R 12 0 R ] /Count 2 >>\nendobj\n" +
+        "11 0 obj\n<< /Type /Page /Contents [ 21 0 R 22 0 R ] >>\nendobj\n" +
+        "12 0 obj\n<< /Type /Page >>\nendobj\n" +
+        "13 0 obj\n<< /Type /Page /Contents 23 0 R >>\nendobj\n" +
+        cs(21, "BT (He) Tj") + cs(22, "(llo) Tj ET") +
+        cs(23, "BT (tail) Tj ET"))
+    assert(parsePagesR(nested) ==
+      Right(Vector((2, "Hello"), (0, ""), (1, "tail"))))
+    // later redefinition of a page object wins (incremental update)
+    val redef = doc(
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [ 11 0 R ] /Count 1 >>\nendobj\n" +
+        "11 0 obj\n<< /Type /Page /Contents 21 0 R >>\nendobj\n" +
+        cs(21, "BT (old) Tj ET") + cs(22, "BT (new) Tj ET") +
+        "11 0 obj\n<< /Type /Page /Contents 22 0 R >>\nendobj\n")
+    assert(parsePagesR(redef) == Right(Vector((1, "new"))))
+    // cycle, dangling kid, missing root: fail closed
+    assert(parsePagesR(doc(
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [ 2 0 R ] /Count 1 >>\nendobj\n"))
+      == Left("pdf_page_tree"))
+    assert(parsePagesR(doc(
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [ 44 0 R ] /Count 1 >>\nendobj\n"))
+      == Left("pdf_page_tree"))
+    assert(parsePagesR(bytes(
+      "%PDF-1.6\n1 0 obj\n<< /Type /Catalog >>\nendobj\n" +
+        "trailer\n<< /Size 9 >>\nstartxref\n0\n%%EOF\n"))
+      == Left("pdf_no_root"))
+  }
+
   test("pdf fuzz: single-byte mutations never throw") {
     val base = pdf(streamObj("BT (Hello \\(w\\) world) Tj ET"))
     val rnd = new scala.util.Random(222)
