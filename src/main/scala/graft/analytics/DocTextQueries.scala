@@ -1027,6 +1027,95 @@ object DocTextQueries {
     }.as[Multimodal.MediaRecord]
   }
 
+  /** word/numbering.xml for the q252 corpus: abstractNum 0 = decimal
+    * "%1." over a level-1 that is bullet "-" (or decimal "%1.%2" on
+    * the m%3==0 arm — the multi-level reference + reset pin);
+    * abstractNum 1 = lowerLetter "(%1)" starting at 1+m%4.
+    */
+  private def numberingXml(m: Long): String = {
+    val lvl1 =
+      if (m % 3 == 0)
+        "<w:numFmt w:val=\"decimal\"/><w:lvlText w:val=\"%1.%2\"/>"
+      else "<w:numFmt w:val=\"bullet\"/><w:lvlText w:val=\"-\"/>"
+    "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+      "<w:numbering xmlns:w=\"http://schemas.openxmlformats.org/" +
+      "wordprocessingml/2006/main\">" +
+      "<w:abstractNum w:abstractNumId=\"0\">" +
+      "<w:lvl w:ilvl=\"0\"><w:start w:val=\"1\"/>" +
+      "<w:numFmt w:val=\"decimal\"/><w:lvlText w:val=\"%1.\"/></w:lvl>" +
+      s"""<w:lvl w:ilvl="1">$lvl1</w:lvl>""" +
+      "</w:abstractNum>" +
+      "<w:abstractNum w:abstractNumId=\"1\">" +
+      s"""<w:lvl w:ilvl="0"><w:start w:val="${1 + m % 4}"/>""" +
+      "<w:numFmt w:val=\"lowerLetter\"/>" +
+      "<w:lvlText w:val=\"(%1)\"/></w:lvl>" +
+      "</w:abstractNum>" +
+      "<w:num w:numId=\"1\"><w:abstractNumId w:val=\"0\"/></w:num>" +
+      "<w:num w:numId=\"2\"><w:abstractNumId w:val=\"1\"/></w:num>" +
+      "</w:numbering>"
+  }
+
+  /** word/document.xml for the q252 corpus: 7+m%3 paragraphs cycling
+    * plain / numId-1-lvl-0 / numId-1-lvl-1 / numId-2-lvl-0 by q%4 —
+    * the second Item (q=5) must RESET the sub-level so the q=6 Sub
+    * renders x.1, not x.2, on the multi-level arm.
+    */
+  private def numDocumentXml(m: Long, badNum: Boolean,
+                             withTable: Boolean): String = {
+    val np = (7 + m % 3).toInt
+    val body = (0 until np).map { q =>
+      val (numPr, text) = (q % 4) match {
+        case 0 => ("", s"Plain $q of $m")
+        case 1 => (numPrXml(0, if (badNum && q == 1) 9 else 1),
+          s"Item $q of $m")
+        case 2 => (numPrXml(1, 1), s"Sub $q of $m")
+        case _ => (numPrXml(0, 2), s"Alpha $q of $m")
+      }
+      s"<w:p>$numPr<w:r><w:t>$text</w:t></w:r></w:p>"
+    }.mkString
+    val tbl = if (withTable)
+      "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>cell</w:t></w:r></w:p>" +
+        "</w:tc></w:tr></w:tbl>"
+    else ""
+    "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+      "<w:document xmlns:w=\"http://schemas.openxmlformats.org/" +
+      "wordprocessingml/2006/main\"><w:body>" + body + tbl +
+      "</w:body></w:document>"
+  }
+
+  private def numPrXml(ilvl: Int, numId: Int): String =
+    "<w:pPr><w:numPr><w:ilvl w:val=\"" + ilvl + "\"/>" +
+      "<w:numId w:val=\"" + numId + "\"/></w:numPr></w:pPr>"
+
+  private def numDocxFixture(spark: org.apache.spark.sql.SparkSession,
+                             dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q252_fixture", dir) {
+      t.documents.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (m, text) =>
+            if (m % 41 == 0)
+              Multimodal.MediaRecord(m, "application/octet-stream",
+                text.getBytes("UTF-8"))
+            else
+              Multimodal.MediaRecord(m,
+                "application/vnd.openxmlformats-officedocument" +
+                  ".wordprocessingml.document",
+                buildZip(Seq(
+                  ("[Content_Types].xml", ctXml.getBytes("UTF-8"), false),
+                  ("word/document.xml",
+                    numDocumentXml(m, badNum = m % 29 == 0,
+                      withTable = m % 29 != 0 && m % 31 == 0)
+                      .getBytes("UTF-8"), m % 2 == 0),
+                  ("word/numbering.xml",
+                    numberingXml(m).getBytes("UTF-8"), m % 2 == 1))))
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
   /** Paragraph q of doc m for the q242 whitespace corpus — the
     * formula the oracle replays: tab and break INSIDE the first run,
     * a hyperlink-wrapped run, a plain tail run, and a w:cr run on the
@@ -2326,6 +2415,64 @@ object DocTextQueries {
                     WHEN empty_pg THEN md5('')
                     ELSE md5(txt) END AS text_md5,
                NOT bad AS ok
-        FROM f ORDER BY media_id, page_no"""))
+        FROM f ORDER BY media_id, page_no""")),
+
+    // ------------------------------------------------------------------
+    // q252: DOCX LIST NUMBERING ([[graft.ext.DocText.DocxNumExtract]])
+    // — every list in a real document loses its ordinals under the
+    // q223 walk ("1."/"2."/"a)" are NOT in any w:t run; they render
+    // from word/numbering.xml), flattening structure that dedup
+    // shingles, quality scores, and chunkers then see differently
+    // than a reader does. Paragraphs cycle plain / decimal item /
+    // sub-item / lowerLetter item by q%4 over the w:num →
+    // w:abstractNum → w:lvl resolution; the m%3==0 arm switches the
+    // sub-level to the multi-level "%1.%2" form, where the SECOND
+    // item (q=5) must reset the sub-counter — q=6 renders x.1, not
+    // x.2; lowerLetter starts at 1+m%4 (w:start). Arms: deflate %2,
+    // raw reject %41, an UNDEFINED numId at %29 (must fail closed,
+    // not render unmarked), a w:tbl at %31 (table cells carry their
+    // own numbering contexts — documented out-of-profile cut).
+    GraftQuery(
+      "q252_docx_numbering",
+      (spark, dir) => {
+        DocText.extractDocxNumbered(numDocxFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("mime"), col("n_paragraphs"),
+            col("n_numbered"), col("text_len"), col("text_md5"),
+            col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m,
+                 doc_id % 41 = 0 OR doc_id % 29 = 0
+                   OR doc_id % 31 = 0 AS bad,
+                 CAST(7 + doc_id % 3 AS INT) AS np
+          FROM documents),
+        t AS (
+          SELECT *, array_to_string(list_transform(range(0, np), q ->
+            CASE CAST(q % 4 AS INT)
+              WHEN 0 THEN 'Plain ' || q || ' of ' || m
+              WHEN 1 THEN (q // 4 + 1) || '. Item ' || q || ' of ' || m
+              WHEN 2 THEN CASE WHEN m % 3 = 0
+                THEN (q // 4 + 1) || '.1 Sub ' || q || ' of ' || m
+                ELSE '- Sub ' || q || ' of ' || m END
+              ELSE '(' || chr(CAST(97 + m % 4 + q // 4 AS INT))
+                || ') Alpha ' || q || ' of ' || m
+            END), chr(10)) AS txt
+          FROM p)
+        SELECT m AS media_id,
+               CASE WHEN m % 41 = 0 THEN 'application/octet-stream'
+                    ELSE 'application/vnd.openxmlformats-officedocument'
+                      || '.wordprocessingml.document' END AS mime,
+               CAST(CASE WHEN bad THEN 0 ELSE np END AS INT)
+                 AS n_paragraphs,
+               CAST(CASE WHEN bad THEN 0
+                 ELSE np - ((np + 3) // 4) END AS INT) AS n_numbered,
+               CAST(CASE WHEN bad THEN 0 ELSE length(txt) END AS BIGINT)
+                 AS text_len,
+               CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,
+               NOT bad AS ok
+        FROM t ORDER BY media_id"""))
   )
 }

@@ -2110,6 +2110,347 @@ object DocText {
     }
   }
 
+  // ------------------------------------------------------------------
+  // DOCX list numbering (r17/q252)
+  // ------------------------------------------------------------------
+
+  final case class DocxNumbered(
+      media_id: Long,
+      mime: String,
+      n_paragraphs: Int,
+      n_numbered: Int,
+      text_len: Long,
+      text_md5: String,
+      ok: Boolean,
+      error: Option[String])
+
+  /** List-numbering-aware main-document extraction: paragraphs
+    * carrying `w:pPr/w:numPr` render their ECMA-376 §17.9 marker —
+    * `word/numbering.xml`'s `w:num` → `w:abstractNum` → `w:lvl`
+    * (numFmt + lvlText + start) resolution — ahead of the text, so
+    * "1. / 2. / a) / -" list structure survives into the corpus
+    * instead of silently flattening (every list in a real document
+    * loses its ordinals under q223's walk).
+    *
+    * Counter semantics (the Word-observable subset, documented):
+    * one counter per (numId, ilvl) — two nums sharing an
+    * abstractNum count independently; a level's first use renders
+    * its `w:start` (default 1); incrementing a level RESETS all
+    * deeper levels of the same numId; `%k` in lvlText renders level
+    * k-1's current counter (its start if unreferenced yet) in THAT
+    * level's numFmt. Profile: numFmt ∈ {decimal, bullet,
+    * lowerLetter} (lowerLetter rolls over a..z, aa..); `numId 0`
+    * removes numbering (plain paragraph, no increment); an
+    * unresolvable numId/ilvl, a non-name numFmt, `%k` referencing a
+    * bullet level, or a `w:tbl` (table cells carry their own
+    * numbering contexts — out of this operator's profile) fail the
+    * document closed.
+    */
+  object DocxNumExtract {
+
+    /** numId → ilvl → (numFmt, lvlText, start). */
+    private[ext] def numDefsR(xml: String)
+        : Either[String, Map[Int, Map[Int, (String, String, Int)]]] = {
+      val absLvls = scala.collection.mutable.HashMap
+        .empty[Int, Map[Int, (String, String, Int)]]
+      val numAbs = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+      var curAbs = -1
+      var curLvls = Map.empty[Int, (String, String, Int)]
+      var curLvl = -1
+      var fmt: String = null
+      var lvlText: String = null
+      var start = 1
+      var curNum = -1
+      var i = 0
+      while (i < xml.length) {
+        val lt = xml.indexOf('<', i)
+        if (lt < 0) i = xml.length
+        else {
+          val gt = xml.indexOf('>', lt)
+          if (gt < 0) return Left("docx_xml_profile")
+          val tag = xml.substring(lt + 1, gt)
+          if (tag.startsWith("?")) i = gt + 1
+          else if (tag.startsWith("!")) return Left("docx_xml_profile")
+          else {
+            val selfClosing = tag.endsWith("/")
+            val body = if (selfClosing) tag.dropRight(1) else tag
+            val name = body.takeWhile(ch => ch != ' ' && ch != '\t' &&
+              ch != '\r' && ch != '\n')
+            name match {
+              case "w:abstractNum" =>
+                attrInt(body, "w:abstractNumId") match {
+                  case Some(a) if curAbs < 0 && !selfClosing =>
+                    curAbs = a; curLvls = Map.empty
+                  case _ => return Left("docx_xml_profile")
+                }
+              case "/w:abstractNum" =>
+                if (curAbs < 0 || curLvl >= 0)
+                  return Left("docx_xml_profile")
+                absLvls(curAbs) = curLvls
+                curAbs = -1
+              case "w:lvl" =>
+                attrInt(body, "w:ilvl") match {
+                  case Some(l) if curAbs >= 0 && curLvl < 0 &&
+                    !selfClosing =>
+                    curLvl = l; fmt = null; lvlText = null; start = 1
+                  case _ => return Left("docx_xml_profile")
+                }
+              case "/w:lvl" =>
+                if (curLvl < 0 || fmt == null || lvlText == null)
+                  return Left("docx_xml_profile")
+                curLvls += (curLvl -> ((fmt, lvlText, start)))
+                curLvl = -1
+              case "w:numFmt" if curLvl >= 0 =>
+                fmt = attrVal(body, "w:val").orNull
+                if (fmt == null) return Left("docx_xml_profile")
+              case "w:lvlText" if curLvl >= 0 =>
+                lvlText = attrVal(body, "w:val").orNull
+                if (lvlText == null) return Left("docx_xml_profile")
+              case "w:start" if curLvl >= 0 =>
+                start = attrInt(body, "w:val") match {
+                  case Some(v) if v >= 0 => v
+                  case _ => return Left("docx_xml_profile")
+                }
+              case "w:num" =>
+                attrInt(body, "w:numId") match {
+                  case Some(n) if curNum < 0 && !selfClosing => curNum = n
+                  case _ => return Left("docx_xml_profile")
+                }
+              case "/w:num" =>
+                if (curNum < 0 || !numAbs.contains(curNum))
+                  return Left("docx_xml_profile")
+                curNum = -1
+              case "w:abstractNumId" if curNum >= 0 =>
+                attrInt(body, "w:val") match {
+                  case Some(a) => numAbs(curNum) = a
+                  case None => return Left("docx_xml_profile")
+                }
+              case _ => // lvlJc, pPr presentation noise: skipped
+            }
+            i = gt + 1
+          }
+        }
+      }
+      if (curAbs >= 0 || curNum >= 0 || curLvl >= 0)
+        return Left("docx_xml_profile")
+      val out = Map.newBuilder[Int, Map[Int, (String, String, Int)]]
+      numAbs.foreach { case (num, abs) =>
+        absLvls.get(abs) match {
+          case Some(lvls) => out += (num -> lvls)
+          case None => return Left("docx_xml_profile")
+        }
+      }
+      Right(out.result())
+    }
+
+    /** Attribute value `name="…"` inside a tag body (entity-decoded
+      * via the five-entity profile).
+      */
+    private[ext] def attrVal(body: String, name: String)
+        : Option[String] = {
+      val pat = name + "=\""
+      var at = body.indexOf(pat)
+      while (at > 0 && !" \t\r\n".contains(body(at - 1)))
+        at = body.indexOf(pat, at + 1)
+      if (at < 0) return None
+      val st = at + pat.length
+      val end = body.indexOf('"', st)
+      if (end < 0) None
+      else DocxTextExtract.unescape(body.substring(st, end))
+    }
+
+    private def attrInt(body: String, name: String): Option[Int] =
+      attrVal(body, name).flatMap { v =>
+        if (v.nonEmpty && v.length <= 9 && v.forall(_.isDigit))
+          Some(v.toInt)
+        else None
+      }
+
+    /** Render counter value `n` in `fmt`. */
+    private def render(fmt: String, n: Int): Option[String] = fmt match {
+      case "decimal" => Some(n.toString)
+      case "lowerLetter" if n >= 1 =>
+        val ch = ('a' + ((n - 1) % 26)).toChar
+        Some(ch.toString * (1 + (n - 1) / 26))
+      case _ => None // bullet levels cannot be referenced by %k
+    }
+
+    /** (nParagraphs, nNumbered, renderedText). */
+    def parseR(b: Array[Byte]): Either[String, (Int, Int, String)] = {
+      val parts = DocxTextExtract.partsR(b, n =>
+        n == "word/document.xml" || n == "word/numbering.xml") match {
+        case Right(p) => p
+        case Left(r) => return Left(r)
+      }
+      val docXml = parts.find(_._1 == "word/document.xml") match {
+        case Some((_, x)) => new String(x, "UTF-8")
+        case None => return Left("docx_no_document_part")
+      }
+      val defs = parts.find(_._1 == "word/numbering.xml") match {
+        case Some((_, x)) => numDefsR(new String(x, "UTF-8")) match {
+          case Right(d) => d
+          case Left(r) => return Left(r)
+        }
+        case None => Map.empty[Int, Map[Int, (String, String, Int)]]
+      }
+      // walk document.xml: per-paragraph text + numPr
+      val paras = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Int, Int)] // (text, ilvl, numId; -1 = plain)
+      var cur: StringBuilder = null
+      var inRun = false
+      var inPPr = false
+      var inNumPr = false
+      var pIlvl = 0
+      var pNumId = -1
+      var i = 0
+      while (i < docXml.length) {
+        val lt = docXml.indexOf('<', i)
+        if (lt < 0) i = docXml.length
+        else {
+          val gt = docXml.indexOf('>', lt)
+          if (gt < 0) return Left("docx_xml_profile")
+          val tag = docXml.substring(lt + 1, gt)
+          if (tag.startsWith("?")) i = gt + 1
+          else if (tag.startsWith("!")) return Left("docx_xml_profile")
+          else {
+            val selfClosing = tag.endsWith("/")
+            val body = if (selfClosing) tag.dropRight(1) else tag
+            val name = body.takeWhile(ch => ch != ' ' && ch != '\t' &&
+              ch != '\r' && ch != '\n')
+            name match {
+              case "w:p" if !selfClosing =>
+                if (cur != null) return Left("docx_xml_profile")
+                cur = new StringBuilder
+                pIlvl = 0; pNumId = -1
+              case "/w:p" =>
+                if (cur == null) return Left("docx_xml_profile")
+                paras += ((cur.toString, pIlvl, pNumId))
+                cur = null
+              case "w:pPr" if !selfClosing => inPPr = true
+              case "/w:pPr" => inPPr = false
+              case "w:numPr" if !selfClosing =>
+                if (!inPPr) return Left("docx_xml_profile")
+                inNumPr = true
+              case "/w:numPr" => inNumPr = false
+              case "w:ilvl" if inNumPr =>
+                pIlvl = attrInt(body, "w:val") match {
+                  case Some(v) => v
+                  case None => return Left("docx_xml_profile")
+                }
+              case "w:numId" if inNumPr =>
+                pNumId = attrInt(body, "w:val") match {
+                  case Some(v) => v
+                  case None => return Left("docx_xml_profile")
+                }
+              case "w:tbl" =>
+                return Left("docx_xml_profile") // out of this profile
+              case "w:r" if !selfClosing => inRun = true
+              case "/w:r" => inRun = false
+              case "w:br" | "w:cr" =>
+                if (inRun && cur != null) cur.append('\n')
+              case "w:tab" =>
+                if (inRun && cur != null) cur.append('\t')
+              case "w:t" =>
+                if (cur == null) return Left("docx_xml_profile")
+                if (!selfClosing) {
+                  val end = docXml.indexOf("</w:t>", gt + 1)
+                  if (end < 0) return Left("docx_xml_profile")
+                  DocxTextExtract.unescape(
+                    docXml.substring(gt + 1, end)) match {
+                    case Some(t) => cur.append(t)
+                    case None => return Left("docx_xml_profile")
+                  }
+                }
+              case _ =>
+            }
+            i = if (name == "w:t" && !selfClosing)
+              docXml.indexOf("</w:t>", gt + 1) + 6
+            else gt + 1
+          }
+        }
+      }
+      if (cur != null) return Left("docx_xml_profile")
+      // render
+      val counters = scala.collection.mutable.HashMap
+        .empty[(Int, Int), Int]
+      val outText = new StringBuilder
+      var nNum = 0
+      var pi = 0
+      while (pi < paras.length) {
+        val (t, ilvl, numId) = paras(pi)
+        if (pi > 0) outText.append('\n')
+        if (numId < 0 || numId == 0) outText.append(t)
+        else {
+          val lvls = defs.get(numId) match {
+            case Some(l) => l
+            case None => return Left("docx_xml_profile")
+          }
+          val (fmt, lvlText, startV) = lvls.get(ilvl) match {
+            case Some(x) => x
+            case None => return Left("docx_xml_profile")
+          }
+          val cur2 = counters.getOrElse((numId, ilvl), startV - 1) + 1
+          counters((numId, ilvl)) = cur2
+          // incrementing a level resets all deeper levels of the num
+          lvls.keysIterator.filter(_ > ilvl)
+            .foreach(l => counters.remove((numId, l)))
+          if (fmt != "decimal" && fmt != "bullet" &&
+            fmt != "lowerLetter") return Left("docx_xml_profile")
+          // marker: lvlText with %k → level k-1's counter in ITS fmt
+          val marker = new StringBuilder
+          var mi = 0
+          while (mi < lvlText.length) {
+            val c = lvlText(mi)
+            if (c == '%' && mi + 1 < lvlText.length &&
+              lvlText(mi + 1).isDigit) {
+              val l = lvlText(mi + 1) - '0' - 1
+              val (rf, _, rs) = lvls.get(l) match {
+                case Some(x) => x
+                case None => return Left("docx_xml_profile")
+              }
+              render(rf, counters.getOrElse((numId, l), rs)) match {
+                case Some(x) => marker.append(x)
+                case None => return Left("docx_xml_profile")
+              }
+              mi += 2
+            } else { marker.append(c); mi += 1 }
+          }
+          nNum += 1
+          outText.append(marker).append(' ').append(t)
+        }
+        pi += 1
+      }
+      Right((paras.length, nNum, outText.toString))
+    }
+  }
+
+  /** Numbering-aware DOCX stage: same per-partition discipline as
+    * [[extractDocxText]].
+    */
+  def extractDocxNumbered(media: Dataset[Multimodal.MediaRecord])
+      : Dataset[DocxNumbered] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          DocxNumExtract.parseR(r.media) match {
+            case Right((np, nn, t)) =>
+              DocxNumbered(r.media_id, r.mime, np, nn, t.length.toLong,
+                md5Hex(t), ok = true, None)
+            case Left(_) =>
+              DocxNumbered(r.media_id, r.mime, 0, 0, 0L, "", ok = false,
+                None)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            DocxNumbered(r.media_id, r.mime, 0, 0, 0L, "", ok = false,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      }
+    }
+  }
+
   /** DOCX text-extraction stage: same per-partition discipline as
     * [[extractPdfText]].
     */

@@ -487,6 +487,68 @@ class DocTextSpec extends AnyFunSuite {
       == Left("pdf_no_root"))
   }
 
+  test("docx numbering (r17): markers render from numbering.xml — " +
+      "counters, resets, w:start, numId 0, independence, failures") {
+    import DocText.DocxNumExtract
+    def zip2(doc: String, num: Option[String]): Array[Byte] =
+      multiStoredZip(
+        (Seq("word/document.xml" -> doc) ++
+          num.map("word/numbering.xml" -> _))
+          .map { case (n, x) => n -> x.getBytes("UTF-8") })
+    val numbering =
+      """<w:numbering>
+        |<w:abstractNum w:abstractNumId="0">
+        |<w:lvl w:ilvl="0"><w:start w:val="1"/><w:numFmt w:val="decimal"/><w:lvlText w:val="%1."/></w:lvl>
+        |<w:lvl w:ilvl="1"><w:numFmt w:val="decimal"/><w:lvlText w:val="%1.%2"/></w:lvl>
+        |</w:abstractNum>
+        |<w:abstractNum w:abstractNumId="1">
+        |<w:lvl w:ilvl="0"><w:start w:val="27"/><w:numFmt w:val="lowerLetter"/><w:lvlText w:val="(%1)"/></w:lvl>
+        |</w:abstractNum>
+        |<w:num w:numId="1"><w:abstractNumId w:val="0"/></w:num>
+        |<w:num w:numId="2"><w:abstractNumId w:val="0"/></w:num>
+        |<w:num w:numId="3"><w:abstractNumId w:val="1"/></w:num>
+        |</w:numbering>""".stripMargin
+    def para(t: String, pr: String = ""): String =
+      s"<w:p>$pr<w:r><w:t>$t</w:t></w:r></w:p>"
+    def numPr(ilvl: Int, numId: Int): String =
+      s"""<w:pPr><w:numPr><w:ilvl w:val="$ilvl"/><w:numId w:val="$numId"/></w:numPr></w:pPr>"""
+    def doc(ps: String): String =
+      s"<w:document><w:body>$ps</w:body></w:document>"
+    // counters, multi-level, reset-on-parent-increment, numId
+    // independence (1 vs 2 share an abstractNum but count apart),
+    // lowerLetter rollover at 27 → "aa", numId 0 = no numbering
+    val d = doc(
+      para("i1", numPr(0, 1)) + para("s1", numPr(1, 1)) +
+        para("s2", numPr(1, 1)) + para("i2", numPr(0, 1)) +
+        para("s3", numPr(1, 1)) + para("other", numPr(0, 2)) +
+        para("alpha", numPr(0, 3)) + para("plain") +
+        para("none", numPr(0, 0)))
+    val Right((np, nn, t)) = DocxNumExtract.parseR(zip2(d, Some(numbering)))
+    assert(np == 9 && nn == 7)
+    assert(t == Seq("1. i1", "1.1 s1", "1.2 s2", "2. i2", "2.1 s3",
+      "1. other", "(aa) alpha", "plain", "none").mkString("\n"))
+    // a document with no numbering part and no numPr is plain
+    assert(DocxNumExtract.parseR(zip2(doc(para("x")), None)) ==
+      Right((1, 0, "x")))
+    // undefined numId / numPr without a numbering part / table: fail
+    assert(DocxNumExtract.parseR(
+      zip2(doc(para("x", numPr(0, 9))), Some(numbering))).isLeft)
+    assert(DocxNumExtract.parseR(
+      zip2(doc(para("x", numPr(0, 1))), None)).isLeft)
+    assert(DocxNumExtract.parseR(zip2(doc(
+      para("x") + "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>c</w:t></w:r>" +
+        "</w:p></w:tc></w:tr></w:tbl>"), Some(numbering))).isLeft)
+    // %k referencing a bullet level: fail closed
+    val badRef =
+      """<w:numbering><w:abstractNum w:abstractNumId="0">
+        |<w:lvl w:ilvl="0"><w:numFmt w:val="bullet"/><w:lvlText w:val="-"/></w:lvl>
+        |<w:lvl w:ilvl="1"><w:numFmt w:val="decimal"/><w:lvlText w:val="%1.%2"/></w:lvl>
+        |</w:abstractNum>
+        |<w:num w:numId="1"><w:abstractNumId w:val="0"/></w:num></w:numbering>""".stripMargin
+    assert(DocxNumExtract.parseR(
+      zip2(doc(para("x", numPr(1, 1))), Some(badRef))).isLeft)
+  }
+
   test("pdf fuzz: single-byte mutations never throw") {
     val base = pdf(streamObj("BT (Hello \\(w\\) world) Tj ET"))
     val rnd = new scala.util.Random(222)
