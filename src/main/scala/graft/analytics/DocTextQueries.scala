@@ -1116,6 +1116,45 @@ object DocTextQueries {
     }.as[Multimodal.MediaRecord]
   }
 
+  /** An RTF document for the q253 corpus: real header destinations
+    * (fonttbl/colortbl/info/starred generator — all carrying junk
+    * that must NOT leak), a `\'e9` byte escape mid-word, a `{\b …}`
+    * group whose control-word delimiter space must be consumed,
+    * escaped literal braces, and a Unicode euro escape (u8364 with its
+    * fallback `?` skipped) on the m%3 arm. %41 drops the closing
+    * brace (unbalanced), %29 corrupts the hex escape.
+    */
+  private def buildRtf(m: Long): Array[Byte] = {
+    val esc = if (m % 29 == 0) "\\'zq" else "\\'e9"
+    val euro =
+      if (m % 3 == 0) s"\\par euro \\u8364? ok" else ""
+    val doc =
+      s"{\\rtf1\\ansi\\deff0" +
+        "{\\fonttbl{\\f0\\fswiss Calibri;}}" +
+        "{\\colortbl ;\\red255\\green0\\blue0;}" +
+        s"{\\info{\\title secret title $m}}" +
+        s"{\\*\\generator graftgen $m;}\n" +
+        s"Rtf doc $m caf$esc ${m % 7}\\par " +
+        s"{\\b bold${m % 5}} and plain tail \\{braces\\}$euro}"
+    val full = if (m % 41 == 0) doc.dropRight(1) else doc
+    full.getBytes("ISO-8859-1")
+  }
+
+  private def rtfFixture(spark: org.apache.spark.sql.SparkSession,
+                         dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q253_fixture", dir) {
+      t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { m =>
+            Multimodal.MediaRecord(m, "application/rtf", buildRtf(m))
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
   /** Paragraph q of doc m for the q242 whitespace corpus — the
     * formula the oracle replays: tab and break INSIDE the first run,
     * a hyperlink-wrapped run, a plain tail run, and a w:cr run on the
@@ -2469,6 +2508,46 @@ object DocTextQueries {
                  AS n_paragraphs,
                CAST(CASE WHEN bad THEN 0
                  ELSE np - ((np + 3) // 4) END AS INT) AS n_numbered,
+               CAST(CASE WHEN bad THEN 0 ELSE length(txt) END AS BIGINT)
+                 AS text_len,
+               CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,
+               NOT bad AS ok
+        FROM t ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q253: RTF extraction ([[graft.ext.DocText.RtfExtract]]) — the
+    // Word-95-era format legacy corpora and mail gateways still ship.
+    // Every document carries the real header destinations (fonttbl,
+    // colortbl, an \info title, a starred \*\generator) whose junk
+    // must NOT leak; the body pins the delimiter rules that garble
+    // naive parsers: `{\b bold}`'s control-word space is CONSUMED
+    // (not " bold"), `\'e9` is a byte escape mid-word, `\{braces\}`
+    // are literal, the u8364 Unicode escape emits € and SKIPS its `?` fallback, source
+    // newlines are never text, `\par` is. %41 drops the closing
+    // brace (unbalanced — fail), %29 corrupts the hex escape.
+    GraftQuery(
+      "q253_rtf_text",
+      (spark, dir) => {
+        DocText.extractRtfText(rtfFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("mime"), col("n_pars"),
+            col("text_len"), col("text_md5"), col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m,
+                 doc_id % 41 = 0 OR doc_id % 29 = 0 AS bad
+          FROM documents),
+        t AS (
+          SELECT *, 'Rtf doc ' || m || ' café ' || (m % 7) || chr(10)
+            || 'bold' || (m % 5) || ' and plain tail {braces}'
+            || CASE WHEN m % 3 = 0 THEN chr(10) || 'euro € ok'
+               ELSE '' END AS txt
+          FROM p)
+        SELECT m AS media_id, 'application/rtf' AS mime,
+               CAST(CASE WHEN bad THEN 0 WHEN m % 3 = 0 THEN 2
+                    ELSE 1 END AS INT) AS n_pars,
                CAST(CASE WHEN bad THEN 0 ELSE length(txt) END AS BIGINT)
                  AS text_len,
                CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,

@@ -2111,6 +2111,195 @@ object DocText {
   }
 
   // ------------------------------------------------------------------
+  // RTF (r17/q253)
+  // ------------------------------------------------------------------
+
+  final case class RtfText(
+      media_id: Long,
+      mime: String,
+      n_pars: Int,
+      text_len: Long,
+      text_md5: String,
+      ok: Boolean,
+      error: Option[String])
+
+  /** RTF 1.x text extraction (the Word-95-era format legacy corpora
+    * still carry): control words `\word[-]N` with their single-space
+    * delimiter CONSUMED (`{\b bold}` is "bold", not " bold"), groups
+    * `{…}` balanced, `\par`/`\line` → \n, `\tab` → \t, `\~` → space,
+    * `\'hh` byte escapes (ISO-8859-1 identity — the same
+    * byte-transparent convention the PDF parser uses), `\uN` Unicode
+    * (negative N + 65536) with its `\ucN`-scoped fallback item(s)
+    * skipped (group-inherited, default 1), escaped `\{` `\}` `\\`
+    * literals, source CR/LF ignored. Destination groups never leak
+    * into text: `{\*…}` (starred) and `{\fonttbl/\colortbl/
+    * \stylesheet/\info/\pict …}` skip to their matching brace
+    * (escape-aware). Unbalanced braces, a truncated escape, bad hex
+    * digits, or a missing `{\rtf` header fail closed.
+    */
+  object RtfExtract {
+    private val destinations =
+      Set("fonttbl", "colortbl", "stylesheet", "info", "pict")
+
+    /** (nPars, text) or a stable reason: rtf_magic, rtf_structure. */
+    def parseR(b: Array[Byte]): Either[String, (Int, String)] = {
+      if (b == null || b.length < 6) return Left("rtf_magic")
+      val s = new String(b, "ISO-8859-1")
+      if (!s.startsWith("{\\rtf")) return Left("rtf_magic")
+      val out = new StringBuilder
+      var nPars = 0
+      var depth = 0
+      var i = 0
+      var justOpened = false
+      // group-scoped \uc values (fallback items to skip after \u)
+      val ucStack = scala.collection.mutable.ArrayBuffer[Int](1)
+      // skip a group raw from position `at` (depth already counts
+      // its brace): escape-aware brace scan to the matching close
+      def skipGroup(at: Int): Option[Int] = {
+        var j = at
+        var d = 1
+        while (j < s.length && d > 0) {
+          s(j) match {
+            case '\\' => j += 2
+            case '{' => d += 1; j += 1
+            case '}' => d -= 1; j += 1
+            case _ => j += 1
+          }
+        }
+        if (d == 0) Some(j) else None
+      }
+      def hex(c: Char): Int =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else -1
+      while (i < s.length) {
+        val c = s(i)
+        c match {
+          case '{' =>
+            depth += 1
+            ucStack += ucStack.last
+            justOpened = true
+            i += 1
+          case '}' =>
+            depth -= 1
+            if (depth < 0 || ucStack.length <= 1)
+              return Left("rtf_structure")
+            ucStack.remove(ucStack.length - 1)
+            justOpened = false
+            i += 1
+          case '\\' =>
+            if (i + 1 >= s.length) return Left("rtf_structure")
+            val n = s(i + 1)
+            if (n == '\'') {
+              if (i + 3 >= s.length) return Left("rtf_structure")
+              val h1 = hex(s(i + 2)); val h2 = hex(s(i + 3))
+              if (h1 < 0 || h2 < 0) return Left("rtf_structure")
+              out.append(((h1 << 4) | h2).toChar)
+              i += 4
+            } else if (n == '{' || n == '}' || n == '\\') {
+              out.append(n); i += 2
+            } else if (n == '~') { out.append(' '); i += 2 }
+            else if (n == '*') {
+              if (justOpened) {
+                skipGroup(i) match {
+                  case Some(j) =>
+                    depth -= 1
+                    ucStack.remove(ucStack.length - 1)
+                    i = j
+                  case None => return Left("rtf_structure")
+                }
+              } else i += 2
+            } else if (n >= 'a' && n <= 'z') {
+              var j = i + 1
+              while (j < s.length && s(j) >= 'a' && s(j) <= 'z') j += 1
+              val word = s.substring(i + 1, j)
+              var neg = false
+              if (j < s.length && s(j) == '-') { neg = true; j += 1 }
+              val ps = j
+              while (j < s.length && s(j).isDigit && j - ps < 7) j += 1
+              val param =
+                if (j == ps) None
+                else Some {
+                  val v = s.substring(ps, j).toInt
+                  if (neg) -v else v
+                }
+              if (j < s.length && s(j) == ' ') j += 1 // delimiter
+              if (justOpened && destinations.contains(word)) {
+                skipGroup(i) match {
+                  case Some(k) =>
+                    depth -= 1
+                    ucStack.remove(ucStack.length - 1)
+                    j = k
+                  case None => return Left("rtf_structure")
+                }
+              } else word match {
+                case "par" => out.append('\n'); nPars += 1
+                case "line" => out.append('\n')
+                case "tab" => out.append('\t')
+                case "uc" =>
+                  ucStack(ucStack.length - 1) =
+                    math.max(0, param.getOrElse(1))
+                case "u" =>
+                  val v0 = param.getOrElse(
+                    return Left("rtf_structure"))
+                  val cp = if (v0 < 0) v0 + 65536 else v0
+                  if (cp < 0 || cp > 0xffff)
+                    return Left("rtf_structure")
+                  out.append(cp.toChar)
+                  // skip the \ucN fallback items (char or \'hh each)
+                  var k = ucStack.last
+                  while (k > 0 && j < s.length) {
+                    if (s(j) == '\\' && j + 3 < s.length &&
+                      s(j + 1) == '\'') j += 4
+                    else if (s(j) == '{' || s(j) == '}')
+                      k = 0 // group edge ends fallback early
+                    else j += 1
+                    if (k > 0) k -= 1
+                  }
+                case _ => // formatting / header words: no text
+              }
+              justOpened = false
+              i = j
+            } else { i += 2 } // other control symbols: no text
+            justOpened = false
+          case '\r' | '\n' => i += 1 // source line breaks: never text
+          case _ =>
+            if (depth >= 1) out.append(c)
+            justOpened = false
+            i += 1
+        }
+      }
+      if (depth != 0) return Left("rtf_structure")
+      Right((nPars, out.toString))
+    }
+  }
+
+  /** RTF stage: same per-partition discipline as [[extractPdfText]]. */
+  def extractRtfText(media: Dataset[Multimodal.MediaRecord])
+      : Dataset[RtfText] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          RtfExtract.parseR(r.media) match {
+            case Right((np, t)) =>
+              RtfText(r.media_id, r.mime, np, t.length.toLong,
+                md5Hex(t), ok = true, None)
+            case Left(_) =>
+              RtfText(r.media_id, r.mime, 0, 0L, "", ok = false, None)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            RtfText(r.media_id, r.mime, 0, 0L, "", ok = false,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
   // DOCX list numbering (r17/q252)
   // ------------------------------------------------------------------
 

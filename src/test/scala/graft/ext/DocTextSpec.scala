@@ -549,6 +549,40 @@ class DocTextSpec extends AnyFunSuite {
       zip2(doc(para("x", numPr(1, 1))), Some(badRef))).isLeft)
   }
 
+  test("rtf (r17): destinations never leak, delimiter space is " +
+      "consumed, escapes decode, structure violations fail closed") {
+    import DocText.RtfExtract.parseR
+    def rtf(body: String): Array[Byte] =
+      s"{\\rtf1\\ansi $body}".getBytes("ISO-8859-1")
+    // header destinations + starred group: junk must not leak
+    assert(parseR(rtf("{\\fonttbl{\\f0 Calibri;}}{\\info{\\title SECRET}}" +
+      "{\\*\\generator gen;}hello")) == Right((0, "hello")))
+    // {\b bold}: the control word eats exactly ONE space
+    assert(parseR(rtf("{\\b bold} x")) == Right((0, "bold x")))
+    assert(parseR(rtf("{\\b  two}")) == Right((0, " two")))
+    // \par/\line/\tab/\~, source newlines ignored
+    assert(parseR(rtf("a\\par b\\line c\\tab d\\~e\nf")) ==
+      Right((1, "a\nb\nc\td ef")))
+    // byte + brace + backslash escapes
+    assert(parseR(rtf("caf\\'e9 \\{x\\} \\\\y")) ==
+      Right((0, "café {x} \\y")))
+    // unicode with fallback skip; \uc2 widens the skip; negative cp
+    assert(parseR(rtf("\\u8364? ok")) == Right((0, "€ ok")))
+    assert(parseR(rtf("{\\uc2 \\u8364\\'80? ok}")) ==
+      Right((0, "€ ok")))
+    assert(parseR(rtf("\\u-3813?")) ==
+      Right((0, (-3813 + 65536).toChar.toString)))
+    // nested skipped destination with inner braces
+    assert(parseR(rtf("{\\info{\\title {deep} junk}}z")) ==
+      Right((0, "z")))
+    // failures: magic, unbalanced either way, bad hex, dangling \
+    assert(parseR("not rtf at all".getBytes("ISO-8859-1")).isLeft)
+    assert(parseR("{\\rtf1 x".getBytes("ISO-8859-1")).isLeft)
+    assert(parseR("{\\rtf1 x}}".getBytes("ISO-8859-1")).isLeft)
+    assert(parseR(rtf("caf\\'zq")).isLeft)
+    assert(parseR("{\\rtf1 a\\".getBytes("ISO-8859-1")).isLeft)
+  }
+
   test("pdf fuzz: single-byte mutations never throw") {
     val base = pdf(streamObj("BT (Hello \\(w\\) world) Tj ET"))
     val rnd = new scala.util.Random(222)
