@@ -1155,6 +1155,104 @@ object DocTextQueries {
     }.as[Multimodal.MediaRecord]
   }
 
+  /** Quoted-printable encode (RFC 2045 §6.7) for the q254 fixture:
+    * printable ASCII straight through, `=` and non-ASCII as =XX
+    * uppercase, LF as a HARD CRLF, a soft break `=CRLF` every ~24
+    * output chars (vanishes on decode).
+    */
+  private def qpEncode(s: String): String = {
+    val sb = new StringBuilder
+    var col = 0
+    s.getBytes("UTF-8").foreach { bb =>
+      val v = bb & 0xff
+      if (col > 24) { sb.append("=\r\n"); col = 0 }
+      if (v == '\n') { sb.append("\r\n"); col = 0 }
+      else if (v >= 33 && v <= 126 && v != '=') {
+        sb.append(v.toChar); col += 1
+      } else if (v == ' ') { sb.append(' '); col += 1 }
+      else { sb.append(f"=${v}%02X"); col += 3 }
+    }
+    sb.toString
+  }
+
+  /** Single-part body text for the q254 corpus. */
+  private def emlBodyText(m: Long): String =
+    s"Mail body $m é one.\nSecond ${m % 7} tail."
+
+  /** An RFC 5322 message: folded RFC 2047 subject (B form, Q at %5),
+    * and a body arm by m%4 — 8bit, quoted-printable (soft breaks),
+    * base64, or multipart/mixed carrying the qp text part, a base64
+    * attachment that must NOT leak, and a multipart/alternative
+    * whose html twin is skipped for its plain sibling. %41 plants an
+    * invalid base64 byte; %29 drops the closing `--boundary--`.
+    */
+  private def buildEml(m: Long): Array[Byte] = {
+    val subjWord =
+      if (m % 5 == 0) "=?utf-8?Q?caf=C3=A9?="
+      else "=?UTF-8?B?Y2Fmw6k=?="
+    val subjHdr =
+      if (m % 7 == 0) s"Subject: doc $m\r\n $subjWord end"
+      else s"Subject: doc $m $subjWord end"
+    val common = s"From: sender$m@example.com\r\nMIME-Version: 1.0\r\n" +
+      subjHdr + "\r\n"
+    def single(cte: String, body: String): String =
+      common + "Content-Type: text/plain; charset=utf-8\r\n" +
+        s"Content-Transfer-Encoding: $cte\r\n\r\n" + body
+    val txt = emlBodyText(m)
+    val msg =
+      if (m % 41 == 0) single("base64", "!!!not*base64***")
+      else if (m % 29 == 0)
+        common + s"""Content-Type: multipart/mixed; boundary="x$m"""" +
+          "\r\n\r\npreamble\r\n" + s"--x$m\r\n" +
+          "Content-Type: text/plain; charset=utf-8\r\n\r\nnever closed"
+      else (m % 4) match {
+        case 0 => single("8bit", txt.replace("\n", "\r\n"))
+        case 1 => single("quoted-printable", qpEncode(txt))
+        case 2 => single("base64",
+          java.util.Base64.getMimeEncoder
+            .encodeToString(txt.getBytes("UTF-8")))
+        case _ =>
+          common +
+            s"""Content-Type: multipart/mixed; boundary="out$m"""" +
+            "\r\n\r\npreamble junk\r\n" +
+            s"--out$m\r\n" +
+            "Content-Type: text/plain; charset=utf-8\r\n" +
+            "Content-Transfer-Encoding: quoted-printable\r\n\r\n" +
+            qpEncode(txt) + "\r\n" +
+            s"--out$m\r\n" +
+            "Content-Type: application/octet-stream\r\n" +
+            "Content-Transfer-Encoding: base64\r\n\r\n" +
+            "QXR0YWNobWVudCBqdW5r\r\n" +
+            s"--out$m\r\n" +
+            s"Content-Type: multipart/alternative; boundary=in$m\r\n" +
+            "\r\n" +
+            s"--in$m\r\n" +
+            "Content-Type: text/html; charset=utf-8\r\n\r\n" +
+            s"<p>html twin $m</p>\r\n" +
+            s"--in$m\r\n" +
+            "Content-Type: text/plain; charset=utf-8\r\n\r\n" +
+            s"Alt plain $m.\r\n" +
+            s"--in$m--\r\n" +
+            s"--out$m--\r\nepilogue\r\n"
+      }
+    msg.getBytes("UTF-8")
+  }
+
+  private def emlFixture(spark: org.apache.spark.sql.SparkSession,
+                         dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q254_fixture", dir) {
+      t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { m =>
+            Multimodal.MediaRecord(m, "message/rfc822", buildEml(m))
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
   /** Paragraph q of doc m for the q242 whitespace corpus — the
     * formula the oracle replays: tab and break INSIDE the first run,
     * a hyperlink-wrapped run, a plain tail run, and a w:cr run on the
@@ -2548,6 +2646,53 @@ object DocTextQueries {
         SELECT m AS media_id, 'application/rtf' AS mime,
                CAST(CASE WHEN bad THEN 0 WHEN m % 3 = 0 THEN 2
                     ELSE 1 END AS INT) AS n_pars,
+               CAST(CASE WHEN bad THEN 0 ELSE length(txt) END AS BIGINT)
+                 AS text_len,
+               CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,
+               NOT bad AS ok
+        FROM t ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q254: MIME / EML extraction ([[graft.ext.DocText.MimeExtract]])
+    // — mail archives are a standing training-data source and every
+    // body byte arrives transfer-encoded. Arms by m%4: 8bit, quoted-
+    // printable (soft breaks vanish, =C3=A9 decodes, hard CRLF
+    // normalizes), base64 (MIME line wrap), and multipart/mixed
+    // whose preamble, epilogue, and base64 ATTACHMENT must not leak
+    // while the nested multipart/alternative contributes its plain
+    // sibling, not the html twin. Subjects pin RFC 2047 (B always, Q
+    // at %5) and header FOLDING at %7 (the continuation line joins
+    // before decoding). %41 plants an invalid base64 byte (the
+    // strict decoder fails closed where the JDK MIME decoder skips);
+    // %29 drops the closing --boundary-- (structure fail).
+    GraftQuery(
+      "q254_eml_text",
+      (spark, dir) => {
+        DocText.extractEmlText(emlFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("mime"), col("n_text_parts"),
+            col("subject_md5"), col("text_len"), col("text_md5"),
+            col("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m,
+                 doc_id % 41 = 0 OR doc_id % 29 = 0 AS bad
+          FROM documents),
+        t AS (
+          SELECT *,
+            'Mail body ' || m || ' é one.' || chr(10) || 'Second '
+              || (m % 7) || ' tail.'
+              || CASE WHEN m % 4 = 3
+                 THEN chr(10) || 'Alt plain ' || m || '.'
+                 ELSE '' END AS txt,
+            'doc ' || m || ' café end' AS subj
+          FROM p)
+        SELECT m AS media_id, 'message/rfc822' AS mime,
+               CAST(CASE WHEN bad THEN 0 WHEN m % 4 = 3 THEN 2
+                    ELSE 1 END AS INT) AS n_text_parts,
+               CASE WHEN bad THEN '' ELSE md5(subj) END AS subject_md5,
                CAST(CASE WHEN bad THEN 0 ELSE length(txt) END AS BIGINT)
                  AS text_len,
                CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,

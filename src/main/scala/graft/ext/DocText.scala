@@ -2300,6 +2300,375 @@ object DocText {
   }
 
   // ------------------------------------------------------------------
+  // MIME / EML (r17/q254)
+  // ------------------------------------------------------------------
+
+  final case class EmlText(
+      media_id: Long,
+      mime: String,
+      n_text_parts: Int,
+      subject_md5: String,
+      text_len: Long,
+      text_md5: String,
+      ok: Boolean,
+      error: Option[String])
+
+  /** RFC 5322/2045/2046/2047 message extraction — mail archives are a
+    * standing training-data source and every body byte is
+    * transfer-encoded. Headers unfold (continuation lines join with
+    * one space); the body decodes by Content-Transfer-Encoding
+    * (7bit/8bit/binary identity, quoted-printable with soft breaks,
+    * base64 — hand-rolled STRICT: an invalid byte fails closed where
+    * the JDK MIME decoder would silently skip it), then by charset
+    * (us-ascii / utf-8 strict / iso-8859-1), then CRLF normalizes to
+    * \n. A multipart container walks parts between `--boundary`
+    * delimiters —
+    * the CLOSING `--boundary--` is required, the preamble/epilogue
+    * and non-text parts (attachments) never leak — recursively to
+    * depth 8; multipart/alternative contributes its FIRST text/plain
+    * child (the plain rendition of the html twin), other multiparts
+    * every text/plain child in order, joined \n. Subjects decode
+    * their RFC 2047 encoded-words (B and Q forms, `_` = space in Q).
+    * Missing closing delimiter, malformed transfer coding, foreign
+    * charsets, or a malformed encoded-word fail closed.
+    */
+  object MimeExtract {
+
+    private def b64Strict(s: String): Option[Array[Byte]] = {
+      val out = new java.io.ByteArrayOutputStream
+      var acc = 0
+      var nbits = 0
+      var pad = 0
+      var i = 0
+      while (i < s.length) {
+        val c = s(i)
+        val v =
+          if (c >= 'A' && c <= 'Z') c - 'A'
+          else if (c >= 'a' && c <= 'z') c - 'a' + 26
+          else if (c >= '0' && c <= '9') c - '0' + 52
+          else if (c == '+') 62
+          else if (c == '/') 63
+          else if (c == '=') { pad += 1; -1 }
+          else if (c == '\r' || c == '\n' || c == ' ' || c == '\t') -2
+          else return None
+        if (v >= 0) {
+          if (pad > 0) return None // data after padding
+          acc = (acc << 6) | v
+          nbits += 6
+          if (nbits >= 8) {
+            nbits -= 8
+            out.write((acc >> nbits) & 0xff)
+          }
+        }
+        i += 1
+      }
+      // valid tails: whole groups (no pad), 2 chars + '==' (4 bits
+      // over), 3 chars + '=' (2 bits over); leftover bits must be 0
+      val okTail = (nbits, pad) match {
+        case (0, 0) => true
+        case (4, 2) => true
+        case (2, 1) => true
+        case _ => false
+      }
+      if (!okTail) return None
+      if (nbits > 0 && (acc & ((1 << nbits) - 1)) != 0) return None
+      Some(out.toByteArray)
+    }
+
+    private def qpDecode(s: String): Option[Array[Byte]] = {
+      val out = new java.io.ByteArrayOutputStream
+      def hex(c: Char): Int =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else -1
+      var i = 0
+      while (i < s.length) {
+        val c = s(i)
+        if (c == '=') {
+          if (i + 1 < s.length && s(i + 1) == '\n') i += 2 // soft LF
+          else if (i + 2 < s.length && s(i + 1) == '\r' &&
+            s(i + 2) == '\n') i += 3 // soft CRLF
+          else if (i + 2 < s.length) {
+            val h1 = hex(s(i + 1)); val h2 = hex(s(i + 2))
+            if (h1 < 0 || h2 < 0) return None
+            out.write((h1 << 4) | h2)
+            i += 3
+          } else return None
+        } else { out.write(c.toInt & 0xff); i += 1 }
+      }
+      Some(out.toByteArray)
+    }
+
+    private def charsetDecode(b: Array[Byte], cs: String)
+        : Option[String] = cs.toLowerCase match {
+      case "utf-8" | "us-ascii" =>
+        val d = decodeUtf8Strict(b, 0)
+        if (cs.equalsIgnoreCase("us-ascii") &&
+          b.exists(x => (x & 0x80) != 0)) None
+        else d
+      case "iso-8859-1" | "latin1" => Some(new String(b, "ISO-8859-1"))
+      case _ => None
+    }
+
+    /** Header map (lowercased name → unfolded value, first wins) and
+      * the body start offset.
+      */
+    private def headers(s: String)
+        : Option[(Map[String, String], Int)] = {
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[String, String]
+      var i = 0
+      var curName: String = null
+      val curVal = new StringBuilder
+      def flush(): Unit = if (curName != null) {
+        if (!acc.contains(curName)) acc(curName) = curVal.toString.trim
+        curName = null
+        curVal.clear()
+      }
+      while (i < s.length) {
+        val eol0 = s.indexOf('\n', i)
+        val eol = if (eol0 < 0) s.length else eol0
+        val rawLine = s.substring(i, eol)
+        val line =
+          if (rawLine.endsWith("\r")) rawLine.dropRight(1) else rawLine
+        if (line.isEmpty) { // blank line: body starts after it
+          flush()
+          return Some((acc.toMap, eol + 1))
+        }
+        if (line(0) == ' ' || line(0) == '\t') {
+          if (curName == null) return None // continuation of nothing
+          curVal.append(' ').append(line.trim)
+        } else {
+          flush()
+          val colon = line.indexOf(':')
+          if (colon <= 0) return None
+          curName = line.substring(0, colon).trim.toLowerCase
+          curVal.append(line.substring(colon + 1).trim)
+        }
+        i = eol + 1
+      }
+      flush()
+      Some((acc.toMap, s.length)) // headers-only message: empty body
+    }
+
+    /** (type/subtype lowercased, params lowercased-key map). */
+    private[ext] def contentType(v: String)
+        : Option[(String, Map[String, String])] = {
+      val parts = v.split(';')
+      val tpe = parts(0).trim.toLowerCase
+      if (!tpe.contains('/')) return None
+      val params = scala.collection.mutable.HashMap.empty[String, String]
+      var i = 1
+      while (i < parts.length) {
+        val p = parts(i).trim
+        if (p.nonEmpty) {
+          val eq = p.indexOf('=')
+          if (eq <= 0) return None
+          val k = p.substring(0, eq).trim.toLowerCase
+          var value = p.substring(eq + 1).trim
+          if (value.length >= 2 && value.startsWith("\"") &&
+            value.endsWith("\""))
+            value = value.substring(1, value.length - 1)
+          params(k) = value
+        }
+        i += 1
+      }
+      Some((tpe, params.toMap))
+    }
+
+    /** Decode one entity body to text if it is text/plain. */
+    private def decodeTextBody(hdrs: Map[String, String], body: String)
+        : Either[String, Option[String]] = {
+      val (tpe, params) =
+        contentType(hdrs.getOrElse("content-type",
+          "text/plain; charset=us-ascii")) match {
+          case Some(x) => x
+          case None => return Left("eml_content_type")
+        }
+      if (tpe != "text/plain") return Right(None)
+      val cte = hdrs.getOrElse("content-transfer-encoding", "7bit")
+        .trim.toLowerCase
+      val rawBytes = cte match {
+        case "7bit" | "8bit" | "binary" =>
+          Some(body.getBytes("ISO-8859-1"))
+        case "quoted-printable" => qpDecode(body)
+        case "base64" => b64Strict(body)
+        case _ => None
+      }
+      val bytes = rawBytes match {
+        case Some(x) => x
+        case None => return Left("eml_transfer_encoding")
+      }
+      charsetDecode(bytes, params.getOrElse("charset", "us-ascii")) match {
+        case Some(t) => Right(Some(t.replace("\r\n", "\n")))
+        case None => return Left("eml_charset")
+      }
+    }
+
+    /** Walk one entity; Right(text parts in order). */
+    private def walkEntity(hdrs: Map[String, String], body: String,
+                           depth: Int)
+        : Either[String, Vector[String]] = {
+      if (depth > 8) return Left("eml_structure")
+      val (tpe, params) =
+        contentType(hdrs.getOrElse("content-type",
+          "text/plain; charset=us-ascii")) match {
+          case Some(x) => x
+          case None => return Left("eml_content_type")
+        }
+      if (!tpe.startsWith("multipart/"))
+        return decodeTextBody(hdrs, body).map(_.toVector)
+      val boundary = params.get("boundary") match {
+        case Some(b) if b.nonEmpty => b
+        case _ => return Left("eml_structure")
+      }
+      // split on delimiter lines; the closing delimiter is REQUIRED
+      val delim = "--" + boundary
+      val lines = body.split("\n", -1)
+      val partAcc = Vector.newBuilder[Vector[String]]
+      var cur: StringBuilder = null
+      var closed = false
+      var li = 0
+      def finishPart(): Either[String, Unit] = {
+        if (cur != null) {
+          // the CRLF before a delimiter belongs to the delimiter: its
+          // LF was the split point, its CR is still on the last line
+          val raw = cur.toString
+          val trimmed =
+            if (raw.endsWith("\r")) raw.dropRight(1) else raw
+          headers(trimmed) match {
+            case Some((ph, off)) =>
+              walkEntity(ph, trimmed.substring(off), depth + 1) match {
+                case Right(ts) => partAcc += ts
+                case Left(e) => return Left(e)
+              }
+            case None => return Left("eml_headers")
+          }
+        }
+        Right(())
+      }
+      while (li < lines.length && !closed) {
+        val line0 = lines(li)
+        val line =
+          if (line0.endsWith("\r")) line0.dropRight(1) else line0
+        if (line == delim + "--") {
+          finishPart() match {
+            case Left(e) => return Left(e)
+            case _ =>
+          }
+          cur = null
+          closed = true
+        } else if (line == delim) {
+          finishPart() match {
+            case Left(e) => return Left(e)
+            case _ =>
+          }
+          cur = new StringBuilder
+        } else if (cur != null) {
+          if (cur.nonEmpty) cur.append('\n')
+          cur.append(line0) // keep original \r for the part's decoder
+        }
+        li += 1
+      }
+      if (!closed) return Left("eml_structure")
+      val parts = partAcc.result()
+      if (tpe == "multipart/alternative")
+        Right(parts.find(_.nonEmpty).map(_.take(1)).getOrElse(Vector()))
+      else Right(parts.flatten)
+    }
+
+    /** RFC 2047 encoded-word decoding for header values. */
+    private[ext] def decodeWords(v: String): Option[String] = {
+      val out = new StringBuilder
+      var i = 0
+      while (i < v.length) {
+        val at = v.indexOf("=?", i)
+        if (at < 0) { out.append(v.substring(i)); i = v.length }
+        else {
+          out.append(v.substring(i, at))
+          val q1 = v.indexOf('?', at + 2)
+          if (q1 < 0) return None
+          val q2 = v.indexOf('?', q1 + 1)
+          if (q2 < 0 || q2 != q1 + 2) return None
+          val end = v.indexOf("?=", q2 + 1)
+          if (end < 0) return None
+          val cs = v.substring(at + 2, q1)
+          val enc = v.substring(q1 + 1, q2).toLowerCase
+          val data = v.substring(q2 + 1, end)
+          val bytes = enc match {
+            case "b" => b64Strict(data) match {
+              case Some(x) => x
+              case None => return None
+            }
+            case "q" =>
+              qpDecode(data.replace('_', ' ')) match {
+                case Some(x) => x
+                case None => return None
+              }
+            case _ => return None
+          }
+          charsetDecode(bytes, cs) match {
+            case Some(t) => out.append(t)
+            case None => return None
+          }
+          i = end + 2
+        }
+      }
+      Some(out.toString)
+    }
+
+    /** (nTextParts, decodedSubject, text) or a stable reason code:
+      * eml_headers, eml_content_type, eml_transfer_encoding,
+      * eml_charset, eml_structure, eml_subject.
+      */
+    def parseR(b: Array[Byte]): Either[String, (Int, String, String)] = {
+      if (b == null || b.length == 0) return Left("eml_headers")
+      val s = new String(b, "ISO-8859-1")
+      val (hdrs, bodyAt) = headers(s) match {
+        case Some(x) => x
+        case None => return Left("eml_headers")
+      }
+      if (!hdrs.contains("from") && !hdrs.contains("mime-version"))
+        return Left("eml_headers") // not message-shaped
+      val subject = decodeWords(hdrs.getOrElse("subject", "")) match {
+        case Some(x) => x
+        case None => return Left("eml_subject")
+      }
+      walkEntity(hdrs, s.substring(bodyAt), 0) match {
+        case Right(parts) =>
+          Right((parts.length, subject, parts.mkString("\n")))
+        case Left(e) => Left(e)
+      }
+    }
+  }
+
+  /** EML stage: same per-partition discipline as [[extractPdfText]]. */
+  def extractEmlText(media: Dataset[Multimodal.MediaRecord])
+      : Dataset[EmlText] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          MimeExtract.parseR(r.media) match {
+            case Right((np, subj, t)) =>
+              EmlText(r.media_id, r.mime, np, md5Hex(subj),
+                t.length.toLong, md5Hex(t), ok = true, None)
+            case Left(_) =>
+              EmlText(r.media_id, r.mime, 0, "", 0L, "", ok = false,
+                None)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            EmlText(r.media_id, r.mime, 0, "", 0L, "", ok = false,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
   // DOCX list numbering (r17/q252)
   // ------------------------------------------------------------------
 

@@ -583,6 +583,56 @@ class DocTextSpec extends AnyFunSuite {
     assert(parseR("{\\rtf1 a\\".getBytes("ISO-8859-1")).isLeft)
   }
 
+  test("eml (r17): transfer codings, multipart walls, rfc2047 " +
+      "subjects, strict failures") {
+    import DocText.MimeExtract.parseR
+    def eml(s: String): Array[Byte] = s.getBytes("UTF-8")
+    // qp with soft break + hard CRLF + =E9-style escapes
+    val qp = parseR(eml(
+      "From: a@b\r\nSubject: s\r\n" +
+        "Content-Type: text/plain; charset=utf-8\r\n" +
+        "Content-Transfer-Encoding: quoted-printable\r\n\r\n" +
+        "caf=C3=A9 lo=\r\nng\r\nnext"))
+    assert(qp == Right((1, "s", "café long\nnext")))
+    // base64 with wrap; strict: invalid byte fails
+    assert(parseR(eml("From: a@b\r\n" +
+      "Content-Transfer-Encoding: base64\r\n\r\nY2Fmw6k=")) ==
+      Left("eml_charset")) // us-ascii default + non-ascii bytes
+    assert(parseR(eml("From: a@b\r\n" +
+      "Content-Type: text/plain; charset=utf-8\r\n" +
+      "Content-Transfer-Encoding: base64\r\n\r\nY2Fm\r\nw6k=")) ==
+      Right((1, "", "café")))
+    assert(parseR(eml("From: a@b\r\n" +
+      "Content-Type: text/plain; charset=utf-8\r\n" +
+      "Content-Transfer-Encoding: base64\r\n\r\nY2*m")).isLeft)
+    // multipart: preamble/attachment never leak; alternative picks
+    // the plain sibling; missing closing delimiter fails
+    val mp =
+      "From: a@b\r\nContent-Type: multipart/mixed; boundary=\"bb\"\r\n" +
+        "\r\npreamble\r\n--bb\r\n" +
+        "Content-Type: multipart/alternative; boundary=ii\r\n\r\n" +
+        "--ii\r\nContent-Type: text/html\r\n\r\n<p>x</p>\r\n" +
+        "--ii\r\nContent-Type: text/plain\r\n\r\nplain wins\r\n" +
+        "--ii--\r\n--bb\r\n" +
+        "Content-Type: application/octet-stream\r\n" +
+        "Content-Transfer-Encoding: base64\r\n\r\nanVuaw==\r\n"
+    assert(parseR(eml(mp + "--bb--\r\n")) ==
+      Right((1, "", "plain wins")))
+    assert(parseR(eml(mp)).isLeft)
+    // folded subject + B/Q encoded-words
+    assert(parseR(eml("From: a@b\r\nSubject: doc\r\n" +
+      " =?UTF-8?B?Y2Fmw6k=?= =?utf-8?Q?x_y?=\r\n\r\nhi")) ==
+      Right((1, "doc café x y", "hi")))
+    // malformed encoded-word, foreign charset, junk headers
+    assert(parseR(eml(
+      "From: a@b\r\nSubject: =?utf-8?X?zz?=\r\n\r\nhi")).isLeft)
+    assert(parseR(eml("From: a@b\r\n" +
+      "Content-Type: text/plain; charset=koi8-r\r\n\r\nhi")).isLeft)
+    assert(parseR(eml("no colon line\r\n\r\nx")).isLeft)
+    assert(parseR(eml("X-Other: no from or mime-version\r\n\r\nx"))
+      .isLeft)
+  }
+
   test("pdf fuzz: single-byte mutations never throw") {
     val base = pdf(streamObj("BT (Hello \\(w\\) world) Tj ET"))
     val rnd = new scala.util.Random(222)
