@@ -296,6 +296,47 @@ object DocTextQueries {
     }.as[Multimodal.MediaRecord]
   }
 
+  /** One-paragraph RTF carrying exactly `c` (the q255 arm), with the
+    * standard header destinations as per-doc noise.
+    */
+  private def simpleRtf(c: String, m: Long): Array[Byte] =
+    (s"{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0 F;}}" +
+      s"{\\info{\\title noise $m}}\n$c}").getBytes("ISO-8859-1")
+
+  private def mixed255Fixture(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q255_fixture", dir) {
+      t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { m =>
+            val r = (m % 251).toInt
+            val c = s"Penta content $r body " +
+              "gh " * (1 + r % 6) + "tail."
+            if (m % 41 == 0)
+              Multimodal.MediaRecord(m, "application/rtf",
+                "{\\rtf1\\ansi unbalanced".getBytes("ISO-8859-1"))
+            else (m % 5) match {
+              case 0 => Multimodal.MediaRecord(m, "application/pdf",
+                simplePdf(c, m % 2 == 0))
+              case 1 => Multimodal.MediaRecord(m,
+                "application/vnd.openxmlformats-officedocument" +
+                  ".wordprocessingml.document",
+                simpleDocx(c, m % 2 == 0))
+              case 2 => Multimodal.MediaRecord(m, "text/html",
+                htmlPage(c).getBytes("UTF-8"))
+              case 3 => Multimodal.MediaRecord(m, "text/plain",
+                c.getBytes("UTF-8"))
+              case _ => Multimodal.MediaRecord(m, "application/rtf",
+                simpleRtf(c, m))
+            }
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
   /** The q228 Avro corpus — written with the REAL Avro library (the
     * jar ships with Spark; only the DataSource connector is absent),
     * so the from-scratch reader is pinned against genuine
@@ -2697,6 +2738,79 @@ object DocTextQueries {
                  AS text_len,
                CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,
                NOT bad AS ok
-        FROM t ORDER BY media_id"""))
+        FROM t ORDER BY media_id""")),
+
+    // ------------------------------------------------------------------
+    // q255: FIVE-format unification with the r17 RTF dispatch arm —
+    // q226's cross-format exact-dedup census widened: the same
+    // logical content now also arrives as RTF (`{\rtf` magic,
+    // byte-0 anchored), which WITHOUT the new arm would pass the txt
+    // arm as valid UTF-8 and leak `\fonttbl` control words into the
+    // corpus — exactly the dup a content-hash census then misses
+    // (the RTF copy's hash would differ from its PDF/DOCX/HTML/txt
+    // twins). Content keys on doc_id % 251 so every group spans all
+    // five formats by construction; per-doc `\info` noise pins that
+    // header junk stays out of the hash; the %41 arm is an
+    // UNBALANCED RTF — the dispatch arm must fail closed, never
+    // fall through to txt. Scale shape unchanged from q226:
+    // map-side extraction, one hash aggregation, one hash join.
+    GraftQuery(
+      "q255_penta_format_unify",
+      (spark, dir) => {
+        import graft.ext.HtmlText
+        val any =
+          DocText.extractAnyText(mixed255Fixture(spark, dir)).toDF()
+        val htmlU = HtmlText.htmlExtractText(
+            any.filter(col("needs_html")), col("media_id"), col("raw"))
+          .select(col("doc_id").as("media_id"), lit("html").as("format"),
+            coalesce(col("extracted"), lit("")).as("text"),
+            col("extracted").isNotNull.as("ok"))
+        val unified = any.filter(!col("needs_html"))
+          .select(col("media_id"), col("format"),
+            col("raw").as("text"), col("ok"))
+          .unionByName(htmlU)
+        val groups = unified.filter(col("ok"))
+          .groupBy(md5(col("text")).as("text_md5"))
+          .agg(count(lit(1)).as("n_copies"),
+            min(col("media_id")).as("keeper"))
+        unified
+          .withColumn("text_md5",
+            when(col("ok"), md5(col("text"))).otherwise(lit("")))
+          .join(groups, Seq("text_md5"), "left")
+          .select(col("media_id"), col("format"), col("ok"),
+            col("text_md5"),
+            coalesce(col("n_copies"), lit(0L)).as("n_copies"),
+            (col("ok") && col("media_id") === col("keeper"))
+              .as("is_canonical"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m, doc_id % 41 = 0 AS bad,
+                 CAST(doc_id % 5 AS INT) AS arm,
+                 CAST(doc_id % 251 AS INT) AS r
+          FROM documents),
+        t AS (
+          SELECT *, 'Penta content ' || r || ' body '
+            || repeat('gh ', CAST(1 + r % 6 AS INT)) || 'tail.' AS c
+          FROM p),
+        g AS (
+          SELECT c, CAST(count(*) AS BIGINT) AS n_copies,
+                 min(m) AS keeper
+          FROM t WHERE NOT bad GROUP BY c)
+        SELECT m AS media_id,
+               CASE WHEN bad THEN ''
+                    WHEN arm = 0 THEN 'pdf'
+                    WHEN arm = 1 THEN 'docx'
+                    WHEN arm = 2 THEN 'html'
+                    WHEN arm = 3 THEN 'txt'
+                    ELSE 'rtf' END AS format,
+               NOT bad AS ok,
+               CASE WHEN bad THEN '' ELSE md5(c) END AS text_md5,
+               CAST(CASE WHEN bad THEN 0 ELSE g.n_copies END AS BIGINT)
+                 AS n_copies,
+               NOT bad AND m = g.keeper AS is_canonical
+        FROM t LEFT JOIN g USING (c)
+        ORDER BY m"""))
   )
 }

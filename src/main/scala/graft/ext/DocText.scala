@@ -1780,6 +1780,19 @@ object DocText {
               case None => AnyText(r.media_id, r.mime, "", "",
                 needs_html = false, ok = false, None)
             }
+          else if (b != null && b.length >= 5 && b(0) == '{' &&
+            b(1) == '\\' && b(2) == 'r' && b(3) == 't' && b(4) == 'f')
+            // RTF (r17): byte-0-anchored `{\rtf` magic, same contract
+            // as the parser's own header check — without this arm an
+            // RTF payload would pass the txt arm as valid UTF-8 and
+            // leak control words into the corpus
+            RtfExtract.parseR(b) match {
+              case Right((_, t)) =>
+                AnyText(r.media_id, r.mime, "rtf", t,
+                  needs_html = false, ok = true, None)
+              case Left(_) => AnyText(r.media_id, r.mime, "", "",
+                needs_html = false, ok = false, None)
+            }
           else if (b != null && b.length >= 2 &&
             (((b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff) ||
               ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xfe))) {
