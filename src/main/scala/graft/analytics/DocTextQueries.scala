@@ -1355,11 +1355,11 @@ object DocTextQueries {
     }.as[Multimodal.MediaRecord]
   }
 
-  /** The q243 hostile census corpus: twelve arms by m%12 spanning
-    * every dispatch family, ok and failing, with the %41 empty-bytes
-    * override — each arm engineered to land on ONE stable reason
-    * code, so the census histogram is exactly derivable from doc_id
-    * arithmetic.
+  /** The q243 hostile census corpus: fourteen arms by m%14 spanning
+    * every dispatch family (RTF joined in r17 — arms 12/13), ok and
+    * failing, with the %41 empty-bytes override — each arm
+    * engineered to land on ONE stable reason code, so the census
+    * histogram is exactly derivable from doc_id arithmetic.
     */
   private def censusFixture(spark: org.apache.spark.sql.SparkSession,
                             dir: String)
@@ -1372,7 +1372,7 @@ object DocTextQueries {
           it.map { m =>
             val b: Array[Byte] =
               if (m % 41 == 0) Array.emptyByteArray
-              else (m % 12) match {
+              else (m % 14) match {
                 case 0 => simplePdf(s"census $m ok", flate = m % 2 == 0)
                 case 1 =>
                   // non-hex digit inside a content hex string
@@ -1411,7 +1411,10 @@ object DocTextQueries {
                   val be = Array(0xfe.toByte, 0xff.toByte) ++
                     s"utf16 $m".getBytes("UTF-16BE")
                   java.util.Arrays.copyOf(be, be.length - 1)
-                case _ => s"<p>html $m</p>".getBytes("UTF-8")
+                case 11 => s"<p>html $m</p>".getBytes("UTF-8")
+                case 12 => simpleRtf(s"census rtf $m ok", m)
+                case _ => // unbalanced rtf (r17 dispatch family)
+                  s"{\\rtf1\\ansi dangling $m".getBytes("ISO-8859-1")
               }
             Multimodal.MediaRecord(m, "application/octet-stream", b)
           }
@@ -2216,25 +2219,28 @@ object DocTextQueries {
         WITH p AS (
           SELECT doc_id AS m,
             CASE WHEN doc_id % 41 = 0 THEN 'unknown'
-                 WHEN doc_id % 12 IN (0,1,2,3) THEN 'pdf'
-                 WHEN doc_id % 12 IN (4,5,6,7) THEN 'docx'
-                 WHEN doc_id % 12 = 8 THEN 'avro'
-                 WHEN doc_id % 12 = 9 THEN 'txt'
-                 WHEN doc_id % 12 = 10 THEN 'utf16'
-                 ELSE 'html' END AS format,
+                 WHEN doc_id % 14 IN (0,1,2,3) THEN 'pdf'
+                 WHEN doc_id % 14 IN (4,5,6,7) THEN 'docx'
+                 WHEN doc_id % 14 = 8 THEN 'avro'
+                 WHEN doc_id % 14 = 9 THEN 'txt'
+                 WHEN doc_id % 14 = 10 THEN 'utf16'
+                 WHEN doc_id % 14 = 11 THEN 'html'
+                 ELSE 'rtf' END AS format,
             CASE WHEN doc_id % 41 = 0 THEN 'empty'
-                 WHEN doc_id % 12 = 0 THEN 'ok'
-                 WHEN doc_id % 12 = 1 THEN 'pdf_content_profile'
-                 WHEN doc_id % 12 = 2 THEN 'pdf_length_unresolved'
-                 WHEN doc_id % 12 = 3 THEN 'pdf_filter_unsupported'
-                 WHEN doc_id % 12 = 4 THEN 'ok'
-                 WHEN doc_id % 12 = 5 THEN 'docx_no_document_part'
-                 WHEN doc_id % 12 = 6 THEN 'docx_xml_profile'
-                 WHEN doc_id % 12 = 7 THEN 'docx_zip'
-                 WHEN doc_id % 12 = 8 THEN 'avro_malformed'
-                 WHEN doc_id % 12 = 9 THEN 'ok'
-                 WHEN doc_id % 12 = 10 THEN 'utf16_malformed'
-                 ELSE 'ok' END AS reason
+                 WHEN doc_id % 14 = 0 THEN 'ok'
+                 WHEN doc_id % 14 = 1 THEN 'pdf_content_profile'
+                 WHEN doc_id % 14 = 2 THEN 'pdf_length_unresolved'
+                 WHEN doc_id % 14 = 3 THEN 'pdf_filter_unsupported'
+                 WHEN doc_id % 14 = 4 THEN 'ok'
+                 WHEN doc_id % 14 = 5 THEN 'docx_no_document_part'
+                 WHEN doc_id % 14 = 6 THEN 'docx_xml_profile'
+                 WHEN doc_id % 14 = 7 THEN 'docx_zip'
+                 WHEN doc_id % 14 = 8 THEN 'avro_malformed'
+                 WHEN doc_id % 14 = 9 THEN 'ok'
+                 WHEN doc_id % 14 = 10 THEN 'utf16_malformed'
+                 WHEN doc_id % 14 = 11 THEN 'ok'
+                 WHEN doc_id % 14 = 12 THEN 'ok'
+                 ELSE 'rtf_structure' END AS reason
           FROM documents),
         f AS (
           SELECT format,

@@ -1900,6 +1900,15 @@ object DocText {
               case None => ExtractProbe(r.media_id, "avro",
                 "avro_malformed", ok = false)
             }
+          else if (b != null && b.length >= 5 && b(0) == '{' &&
+            b(1) == '\\' && b(2) == 'r' && b(3) == 't' && b(4) == 'f')
+            // r17: mirrors extractAnyText's RTF arm position exactly
+            RtfExtract.parseR(b) match {
+              case Right(_) => ExtractProbe(r.media_id, "rtf", "ok",
+                ok = true)
+              case Left(code) => ExtractProbe(r.media_id, "rtf", code,
+                ok = false)
+            }
           else if (b != null && b.length >= 2 &&
             (((b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff) ||
               ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xfe)))
