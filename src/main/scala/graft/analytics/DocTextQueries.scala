@@ -1294,6 +1294,80 @@ object DocTextQueries {
     }.as[Multimodal.MediaRecord]
   }
 
+  /** The q256 /ToUnicode CMap: 2-byte codespace; ascii shifted by
+    * +0x100 via an increment bfrange (so identity decoding is
+    * VISIBLY wrong), an `fi` ligature bfchar (one glyph, two UTF-16
+    * units), and an array-form bfrange mapping 0x60..0x62 → XYZ.
+    */
+  private def toUnicodeCMap: String =
+    "/CIDInit /ProcSet findresource begin\nbegincmap\n" +
+      "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+      "2 beginbfchar\n<0050> <00660069>\n<0042> <0021>\nendbfchar\n" +
+      "2 beginbfrange\n<0120> <017E> <0020>\n" +
+      "<0060> <0062> [<0058> <0059> <005A>]\nendbfrange\n" +
+      "endcmap\nend"
+
+  /** A page-tree PDF whose text rides FONT GLYPH CODES: /F1 is a
+    * Type0 font with the [[toUnicodeCMap]] (ascii+0x100, ligature,
+    * array range), /F2 has no /ToUnicode (identity). /Resources is
+    * inline, or an indirect object at m%3==0. %41 inserts an
+    * unmapped glyph; %29 switches to an undefined /F9.
+    */
+  private def buildCMapPdf(m: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    def w(x: String): Unit = out.write(x.getBytes("ISO-8859-1"))
+    def streamObjB(num: Int, content: String, flate: Boolean): Unit = {
+      val raw = content.getBytes("ISO-8859-1")
+      val (data, filter) =
+        if (flate) (zlibDeflate(raw), " /Filter /FlateDecode")
+        else (raw, "")
+      w(s"$num 0 obj\n<< /Length ${data.length}$filter >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    def g(cs: String): String =
+      cs.map(c => f"${0x100 + c.toInt}%04x").mkString
+    val hexStr = g(s"Uni $m: ") + "0050" + "0120" + "006000610062" +
+      (if (m % 41 == 0) "0bb0" else "") // unmapped glyph arm
+    val f1 = if (m % 29 == 0) "/F9" else "/F1"
+    val content = s"BT $f1 12 Tf <$hexStr> Tj " +
+      s"/F2 12 Tf ( plain $m.) Tj ET"
+    val fontDict = "<< /F1 7 0 R /F2 8 0 R >>"
+    val resources =
+      if (m % 3 == 0) "12 0 R" else s"<< /Font $fontDict >>"
+    w(s"%PDF-1.${5 + m % 3}\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [ 11 0 R ] /Count 1 >>\nendobj\n")
+    w(s"11 0 obj\n<< /Type /Page /Parent 2 0 R " +
+      s"/Resources $resources /Contents 20 0 R >>\nendobj\n")
+    if (m % 3 == 0)
+      w(s"12 0 obj\n<< /Font $fontDict >>\nendobj\n")
+    w("7 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /Graft " +
+      "/ToUnicode 9 0 R >>\nendobj\n")
+    w("8 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      ">>\nendobj\n")
+    streamObjB(9, toUnicodeCMap, flate = m % 2 == 0)
+    streamObjB(20, content, flate = m % 2 == 1)
+    w("trailer\n<< /Size 99 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def cmapPdfFixture(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q256_fixture", dir) {
+      t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { m =>
+            Multimodal.MediaRecord(m, "application/pdf",
+              buildCMapPdf(m))
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
   /** Paragraph q of doc m for the q242 whitespace corpus — the
     * formula the oracle replays: tab and break INSIDE the first run,
     * a hyperlink-wrapped run, a plain tail run, and a w:cr run on the
@@ -2817,6 +2891,48 @@ object DocTextQueries {
                  AS n_copies,
                NOT bad AND m = g.keeper AS is_canonical
         FROM t LEFT JOIN g USING (c)
-        ORDER BY m"""))
+        ORDER BY m""")),
+
+    // ------------------------------------------------------------------
+    // q256: /ToUnicode CMAP resolution ([[graft.ext.DocText
+    // .PdfTextExtract.parseToUnicode]] through the q251 page-tree
+    // path) — the largest remaining PDF coverage cut after ObjStm:
+    // modern writers subset fonts and show GLYPH CODES, so without
+    // the font's /ToUnicode CMap the "text" is garbage that no
+    // downstream operator can use. Page /Resources → /Font (inline
+    // dicts, or an indirect /Resources object at m%3) → per-font
+    // CMaps; /F1 is a 2-byte Type0 font whose CMap shifts ascii by
+    // +0x100 (an increment bfrange — identity decoding is VISIBLY
+    // wrong), maps one glyph to the two-unit `fi` ligature (bfchar),
+    // and an ARRAY-form bfrange to XYZ; /F2 has no CMap and stays
+    // identity — the Tf switch mid-stream pins per-font state. %41
+    // shows an UNMAPPED glyph (fail closed, never U+FFFD); %29
+    // switches to an undefined /F9 (fail closed).
+    GraftQuery(
+      "q256_pdf_tounicode",
+      (spark, dir) => {
+        DocText.extractPdfPages(cmapPdfFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("page_no"), col("n_text_ops"),
+            col("text_len"), col("text_md5"), col("ok"))
+          .orderBy(col("media_id"), col("page_no"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m,
+                 doc_id % 41 = 0 OR doc_id % 29 = 0 AS bad
+          FROM documents),
+        t AS (
+          SELECT *, 'Uni ' || m || ': fi XYZ plain ' || m || '.' AS txt
+          FROM p)
+        SELECT m AS media_id,
+               CAST(CASE WHEN bad THEN 0 ELSE 1 END AS INT) AS page_no,
+               CAST(CASE WHEN bad THEN 0 ELSE 2 END AS INT)
+                 AS n_text_ops,
+               CAST(CASE WHEN bad THEN 0 ELSE length(txt) END AS BIGINT)
+                 AS text_len,
+               CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,
+               NOT bad AS ok
+        FROM t ORDER BY media_id, page_no"""))
   )
 }

@@ -351,7 +351,7 @@ object DocText {
         case Some(p) => p
         case None => return Left("pdf_page_tree")
       }
-      val pageContents = Vector.newBuilder[List[Int]]
+      val pageContents = Vector.newBuilder[(List[Int], String)]
       val visited = scala.collection.mutable.HashSet.empty[Int]
       def walk(n: Int, depth: Int): Boolean = {
         if (depth > 32 || !visited.add(n)) return false
@@ -365,10 +365,11 @@ object DocText {
             }
             case Some("Page") =>
               if (keyIndex(body, "/Contents") < 0) {
-                pageContents += Nil // a page with no content is legal
+                pageContents += ((Nil, body)) // no content: legal
                 true
               } else namedRefs(body, "/Contents") match {
-                case Some(cs) if cs.nonEmpty => pageContents += cs; true
+                case Some(cs) if cs.nonEmpty =>
+                  pageContents += ((cs, body)); true
                 case _ => false
               }
             case _ => false
@@ -440,13 +441,83 @@ object DocText {
           case Left(()) => Left("pdf_filter_unsupported")
         }
       }
+      // r17/q256: page /Resources → /Font → per-font /ToUnicode CMaps
+      // (inline dicts or indirect refs at every level; fonts without
+      // a CMap are identity; font objects memoized across pages)
+      val fontMemo = scala.collection.mutable.HashMap
+        .empty[Int, Either[String, Option[ToUnicodeMap]]]
+      def fontMapOf(ref: Int): Either[String, Option[ToUnicodeMap]] =
+        fontMemo.getOrElseUpdate(ref, {
+          bodyOf(ref) match {
+            case None => Left("pdf_page_tree")
+            case Some(fb) => namedRef(fb, "/ToUnicode") match {
+              case None => Right(None) // no CMap: identity font
+              case Some(tref) => streamContent(tref) match {
+                case Right(bytes) =>
+                  parseToUnicode(new String(bytes, "ISO-8859-1")) match {
+                    case Some(m2) => Right(Some(m2))
+                    case None => Left("pdf_cmap_malformed")
+                  }
+                case Left(e) => Left(e)
+              }
+            }
+          }
+        })
+      def fontsOf(pageBody: String)
+          : Either[String, Map[String, Option[ToUnicodeMap]]] = {
+        def subDict(body: String, key: String)
+            : Either[String, Option[String]] =
+          dictValueOf(body, key) match {
+            case Some(d) => Right(Some(d))
+            case None => namedRef(body, key) match {
+              case Some(ref) => bodyOf(ref) match {
+                case Some(b2) => Right(Some(b2))
+                case None => Left("pdf_page_tree")
+              }
+              case None =>
+                // key present but neither dict nor ref: malformed
+                if (keyIndex(body, key) >= 0) Left("pdf_page_tree")
+                else Right(None)
+            }
+          }
+        val res = subDict(pageBody, "/Resources") match {
+          case Right(Some(r)) => r
+          case Right(None) => return Right(Map.empty)
+          case Left(e) => return Left(e)
+        }
+        val fd = subDict(res, "/Font") match {
+          case Right(Some(f)) => f
+          case Right(None) => return Right(Map.empty)
+          case Left(e) => return Left(e)
+        }
+        val out2 = Map.newBuilder[String, Option[ToUnicodeMap]]
+        var k = 0
+        while (k < fd.length) {
+          if (fd(k) == '/') {
+            var e = k + 1
+            while (e < fd.length && !isPdfWs(fd(e)) &&
+              !"/()[]<>".contains(fd(e))) e += 1
+            val nm = fd.substring(k + 1, e)
+            parseRefAt(fd, e) match {
+              case Some((ref, after)) =>
+                fontMapOf(ref) match {
+                  case Right(x) => out2 += (nm -> x)
+                  case Left(err) => return Left(err)
+                }
+                k = after
+              case None => return Left("pdf_page_tree")
+            }
+          } else k += 1
+        }
+        Right(out2.result())
+      }
       val out = Vector.newBuilder[(Int, String)]
       val pages = pageContents.result()
       var pi = 0
       while (pi < pages.length) {
         val parts = new StringBuilder
         var ci = 0
-        val cs = pages(pi)
+        val (cs, pageBody) = pages(pi)
         while (ci < cs.length) {
           streamContent(cs(ci)) match {
             case Right(x) =>
@@ -456,13 +527,196 @@ object DocText {
           }
           ci += 1
         }
-        tokenizeContent(parts.toString) match {
+        val fonts = fontsOf(pageBody) match {
+          case Right(f) => f
+          case Left(e) => return Left(e)
+        }
+        tokenizeContent(parts.toString, fonts) match {
           case Some((ops, t)) => out += ((ops, t))
           case None => return Left("pdf_content_profile")
         }
         pi += 1
       }
       Right(out.result())
+    }
+
+    /** The balanced `<< … >>` dict VALUE of `key` (inner text), or
+      * None when the value is not an inline dict.
+      */
+    private def dictValueOf(body: String, key: String)
+        : Option[String] = {
+      val at = keyIndex(body, key)
+      if (at < 0) return None
+      var j = at + key.length
+      while (j < body.length && isPdfWs(body(j))) j += 1
+      if (j + 1 >= body.length || body(j) != '<' || body(j + 1) != '<')
+        return None
+      val st = j
+      var d = 0
+      while (j + 1 < body.length) {
+        if (body(j) == '<' && body(j + 1) == '<') { d += 1; j += 2 }
+        else if (body(j) == '>' && body(j + 1) == '>') {
+          d -= 1; j += 2
+          if (d == 0) return Some(body.substring(st + 2, j - 2))
+        } else j += 1
+      }
+      None
+    }
+
+    // ----------------------------------------------------------------
+    // ToUnicode CMaps (r17/q256)
+    // ----------------------------------------------------------------
+
+    /** A font's /ToUnicode character map: glyph code → text. `single`
+      * holds bfchar (and array-form bfrange) entries; `ranges` holds
+      * increment-form bfranges as (lo, hi, dstBase) where the BASE
+      * string's last UTF-16 unit increments with the code offset
+      * (the CMap spec's rule).
+      */
+    final case class ToUnicodeMap(
+        codeBytes: Int,
+        single: Map[Int, String],
+        ranges: Vector[(Int, Int, String)]) {
+      def lookup(code: Int): Option[String] =
+        single.get(code).orElse {
+          ranges.collectFirst { case (lo, hi, base)
+            if code >= lo && code <= hi =>
+            base.dropRight(1) +
+              (base.last + (code - lo)).toChar
+          }
+        }
+    }
+
+    /** Parse a decoded /ToUnicode CMap stream (PDF 32000-1 §9.10.3):
+      * one codespacerange fixing the code width (1 or 2 bytes —
+      * Identity-H fonts are 2), bfchar pairs, bfrange triples in both
+      * the increment form and the array form; destination hex is
+      * UTF-16BE (multi-unit destinations — ligatures — supported).
+      * PostScript scaffolding tokens are skipped. Mixed code widths,
+      * a missing codespacerange, odd destination hex, or a src of the
+      * wrong width fail closed.
+      */
+    private[ext] def parseToUnicode(t: String): Option[ToUnicodeMap] = {
+      // tokenizer: hex strings, brackets, bare words/numbers
+      val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < t.length) {
+        val c = t(i)
+        if (isPdfWs(c)) i += 1
+        else if (c == '<') {
+          val end = t.indexOf('>', i + 1)
+          if (end < 0) return None
+          toks += t.substring(i, end + 1)
+          i = end + 1
+        } else if (c == '[' || c == ']') { toks += c.toString; i += 1 }
+        else {
+          val st = i
+          while (i < t.length && !isPdfWs(t(i)) && t(i) != '<' &&
+            t(i) != '[' && t(i) != ']') i += 1
+          toks += t.substring(st, i)
+        }
+      }
+      def hexBytes(tok: String): Option[Array[Int]] = {
+        if (tok.length < 2 || tok.head != '<' || tok.last != '>')
+          return None
+        val h = tok.substring(1, tok.length - 1)
+        if (h.length % 2 != 0) return None
+        val out = new Array[Int](h.length / 2)
+        var k = 0
+        while (k < out.length) {
+          val hi = Character.digit(h(2 * k), 16)
+          val lo = Character.digit(h(2 * k + 1), 16)
+          if (hi < 0 || lo < 0) return None
+          out(k) = (hi << 4) | lo
+          k += 1
+        }
+        Some(out)
+      }
+      def codeOf(b: Array[Int], width: Int): Option[Int] =
+        if (b.length != width) None
+        else Some(b.foldLeft(0)((a, x) => (a << 8) | x))
+      def utf16(b: Array[Int]): Option[String] = {
+        if (b.length % 2 != 0 || b.isEmpty) return None
+        val sb = new StringBuilder
+        var k = 0
+        while (k < b.length) {
+          sb.append(((b(k) << 8) | b(k + 1)).toChar)
+          k += 2
+        }
+        Some(sb.toString)
+      }
+      var width = 0
+      val single = Map.newBuilder[Int, String]
+      val ranges = Vector.newBuilder[(Int, Int, String)]
+      var p = 0
+      while (p < toks.length) {
+        toks(p) match {
+          case "begincodespacerange" =>
+            p += 1
+            while (p < toks.length &&
+              toks(p) != "endcodespacerange") {
+              if (p + 1 >= toks.length) return None
+              val lo = hexBytes(toks(p)).getOrElse(return None)
+              val hi = hexBytes(toks(p + 1)).getOrElse(return None)
+              if (lo.length != hi.length ||
+                (lo.length != 1 && lo.length != 2)) return None
+              if (width == 0) width = lo.length
+              else if (width != lo.length) return None // mixed widths
+              p += 2
+            }
+            if (p >= toks.length) return None
+            p += 1
+          case "beginbfchar" =>
+            if (width == 0) return None
+            p += 1
+            while (p < toks.length && toks(p) != "endbfchar") {
+              if (p + 1 >= toks.length) return None
+              val src = hexBytes(toks(p))
+                .flatMap(codeOf(_, width)).getOrElse(return None)
+              val dst = hexBytes(toks(p + 1)).flatMap(utf16)
+                .getOrElse(return None)
+              single += (src -> dst)
+              p += 2
+            }
+            if (p >= toks.length) return None
+            p += 1
+          case "beginbfrange" =>
+            if (width == 0) return None
+            p += 1
+            while (p < toks.length && toks(p) != "endbfrange") {
+              if (p + 2 >= toks.length) return None
+              val lo = hexBytes(toks(p))
+                .flatMap(codeOf(_, width)).getOrElse(return None)
+              val hi = hexBytes(toks(p + 1))
+                .flatMap(codeOf(_, width)).getOrElse(return None)
+              if (hi < lo) return None
+              if (toks(p + 2) == "[") {
+                var q = p + 3
+                var code = lo
+                while (q < toks.length && toks(q) != "]") {
+                  val dst = hexBytes(toks(q)).flatMap(utf16)
+                    .getOrElse(return None)
+                  if (code > hi) return None // more dsts than codes
+                  single += (code -> dst)
+                  code += 1
+                  q += 1
+                }
+                if (q >= toks.length || code != hi + 1) return None
+                p = q + 1
+              } else {
+                val base = hexBytes(toks(p + 2)).flatMap(utf16)
+                  .getOrElse(return None)
+                ranges += ((lo, hi, base))
+                p += 3
+              }
+            }
+            if (p >= toks.length) return None
+            p += 1
+          case _ => p += 1 // PostScript scaffolding: skipped
+        }
+      }
+      if (width == 0) None
+      else Some(ToUnicodeMap(width, single.result(), ranges.result()))
     }
 
     /** First delimiter-terminated occurrence of dict key `key`, or
@@ -1062,7 +1316,9 @@ object DocText {
       * full text state — documented cut). Positioning ops outside a
       * BT/ET block are a profile violation, same discipline as shows.
       */
-    private[ext] def tokenizeContent(c: String): Option[(Int, String)] = {
+    private[ext] def tokenizeContent(c: String,
+        fonts: Map[String, Option[ToUnicodeMap]] = Map.empty)
+        : Option[(Int, String)] = {
       val out = new StringBuilder
       var i = 0
       var inBT = false
@@ -1072,12 +1328,41 @@ object DocText {
       val arrayItems = new StringBuilder
       var n2 = 0.0 // last operand-position number (Td/TD's ty)
       var nCount = 0 // numbers seen since the last operator token
+      var lastName: String = null // last /Name operand (Tf's font)
+      var cmap: Option[ToUnicodeMap] = None // current font's map
+      // r17/q256: strings are GLYPH CODES when the current font has a
+      // /ToUnicode CMap — translate at parse (no operator can change
+      // the font between a string and its show op); fonts absent =
+      // identity, the exact pre-font behavior
+      def xlat(s: String): Option[String] = cmap match {
+        case None => Some(s)
+        case Some(m) =>
+          val w = m.codeBytes
+          if (s.length % w != 0) return None
+          val sb = new StringBuilder
+          var k = 0
+          while (k < s.length) {
+            val code =
+              if (w == 1) s(k).toInt
+              else (s(k).toInt << 8) | s(k + 1).toInt
+            m.lookup(code) match {
+              case Some(x) => sb.append(x)
+              case None => return None // unmapped glyph: fail closed
+            }
+            k += w
+          }
+          Some(sb.toString)
+      }
       while (i < c.length) {
         val ch = c(i)
         if (ch == ' ' || ch == '\r' || ch == '\n' || ch == '\t') i += 1
         else if (ch == '(') {
           parseLiteral(c, i) match {
-            case Some((str, next)) =>
+            case Some((str0, next)) =>
+              val str = xlat(str0) match {
+                case Some(x) => x
+                case None => return None
+              }
               lastString = str
               if (inArray) arrayItems.append(str)
               i = next
@@ -1091,16 +1376,22 @@ object DocText {
           // — ubiquitous in real PDFs, decoded since r16.
           if (i + 1 < c.length && c(i + 1) == '<') return None
           parseHex(c, i) match {
-            case Some((str, next)) =>
+            case Some((str0, next)) =>
+              val str = xlat(str0) match {
+                case Some(x) => x
+                case None => return None
+              }
               lastString = str
               if (inArray) arrayItems.append(str)
               i = next
             case None => return None
           }
         }
-        else if (ch == '/') { // name: skip to delimiter
+        else if (ch == '/') { // name: capture (Tf's operand), advance
           i += 1
+          val nmStart = i
           while (i < c.length && !" \r\n\t()[]<>/".contains(c(i))) i += 1
+          lastName = c.substring(nmStart, i)
         } else if (ch == '-' || ch == '+' || ch == '.' || ch.isDigit) {
           val start = i
           i += 1
@@ -1140,6 +1431,17 @@ object DocText {
             case "T*" =>
               if (!inBT) return None
               out.append('\n')
+            case "Tf" =>
+              // font switch — meaningful only when the caller supplied
+              // page resources (the page-tree path); with no resource
+              // context Tf stays styling, the pre-font contract
+              if (fonts.nonEmpty) {
+                if (lastName == null) return None
+                fonts.get(lastName) match {
+                  case Some(cm) => cmap = cm
+                  case None => return None // font not in resources
+                }
+              }
             case "BI" =>
               // inline image (§8.9.7): parameter dict → ID → binary
               // data → EI. Never page text; skipped wholesale. Not

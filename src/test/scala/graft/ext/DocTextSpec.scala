@@ -633,6 +633,54 @@ class DocTextSpec extends AnyFunSuite {
       .isLeft)
   }
 
+  test("pdf ToUnicode (r17): glyph codes map through the font's " +
+      "CMap; unmapped glyphs and undefined fonts fail closed") {
+    import DocText.PdfTextExtract.{parsePagesR, parseToUnicode}
+    val cmap = "begincmap 1 begincodespacerange <0000> <FFFF> " +
+      "endcodespacerange 2 beginbfchar <0050> <00660069> " +
+      "endbfchar 2 beginbfrange <0120> <017E> <0020> " +
+      "<0060> <0062> [<0058> <0059> <005A>] endbfrange endcmap"
+    val Some(m) = parseToUnicode(cmap)
+    assert(m.codeBytes == 2)
+    assert(m.lookup(0x50).contains("fi"))
+    assert(m.lookup(0x155).contains("U")) // 0x55 + 0x100
+    assert(m.lookup(0x61).contains("Y")) // array form
+    assert(m.lookup(0xbb0).isEmpty)
+    // 1-byte map + mixed-width rejection
+    assert(parseToUnicode("begincodespacerange <00> <ff> " +
+      "endcodespacerange beginbfchar <41> <0042> endbfchar")
+      .exists(x => x.codeBytes == 1 && x.lookup(0x41).contains("B")))
+    assert(parseToUnicode("begincodespacerange <00> <ff> " +
+      "<0000> <ffff> endcodespacerange").isEmpty)
+    assert(parseToUnicode("beginbfchar <41> <0042> endbfchar").isEmpty)
+    // end-to-end through the page tree: glyphs translate, the Tf
+    // switch to a no-CMap font restores identity, odd-length 2-byte
+    // strings / unmapped glyphs / unknown fonts fail closed
+    def doc(hex: String, font: String): Array[Byte] = {
+      val content = s"BT /F1 12 Tf <$hex> Tj /$font 12 Tf (: t) Tj ET"
+      bytes("%PDF-1.6\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [ 11 0 R ] /Count 1 >>\nendobj\n" +
+        "11 0 obj\n<< /Type /Page /Resources << /Font " +
+        "<< /F1 7 0 R /F2 8 0 R >> >> /Contents 20 0 R >>\nendobj\n" +
+        "7 0 obj\n<< /Type /Font /ToUnicode 9 0 R >>\nendobj\n" +
+        "8 0 obj\n<< /Type /Font /BaseFont /Helv >>\nendobj\n" +
+        s"9 0 obj\n<< /Length ${cmap.length} >>\nstream\n$cmap\n" +
+        "endstream\nendobj\n" +
+        s"20 0 obj\n<< /Length ${content.length} >>\nstream\n" +
+        content + "\nendstream\nendobj\n" +
+        "trailer\n<< /Size 99 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n")
+    }
+    assert(parsePagesR(doc("0050" + "0120" + "0060", "F2")) ==
+      Right(Vector((2, "fi X: t"))))
+    assert(parsePagesR(doc("0bb0", "F2")) ==
+      Left("pdf_content_profile")) // unmapped glyph
+    assert(parsePagesR(doc("00", "F2")) ==
+      Left("pdf_content_profile")) // one byte: odd for a 2-byte font
+    assert(parsePagesR(doc("0050", "F9")) ==
+      Left("pdf_content_profile")) // undefined font
+  }
+
   test("pdf fuzz: single-byte mutations never throw") {
     val base = pdf(streamObj("BT (Hello \\(w\\) world) Tj ET"))
     val rnd = new scala.util.Random(222)
