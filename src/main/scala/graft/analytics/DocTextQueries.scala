@@ -1368,6 +1368,56 @@ object DocTextQueries {
     }.as[Multimodal.MediaRecord]
   }
 
+  /** mbox writer for the q257 fixture: `From ` separators, one
+    * terminating newline per message, `^>*From ` body lines quoted
+    * with one more `>` (mboxrd).
+    */
+  private def mboxEscape(msg: String): String =
+    msg.split("\n", -1).map { l =>
+      if (l.matches("^>*From .*")) ">" + l else l
+    }.mkString("\n")
+
+  /** An mbox of 1+m%2 [[buildEml]] messages (mid = m*3+i — the
+    * per-message bad arms land naturally where mid hits %41/%29,
+    * pinning one-broken-message-is-one-failed-ROW isolation) plus a
+    * final plain message whose body line `From here m` rides the
+    * mboxrd quoting round trip. %41 files don't start with `From `
+    * and fail whole.
+    */
+  private def buildMbox(m: Long): Array[Byte] = {
+    if (m % 41 == 0)
+      return s"not an mbox $m\nFrom nowhere".getBytes("UTF-8")
+    val k = (1 + m % 2).toInt
+    val sb = new StringBuilder
+    (0 until k).foreach { i =>
+      val msg = new String(buildEml(m * 3 + i), "ISO-8859-1")
+      sb.append(s"From sender$i@example.com Thu Jan  1 00:00:0$i 2026\n")
+      sb.append(mboxEscape(msg)).append('\n')
+    }
+    val qmsg = s"From: quoter$m@example.com\r\nMIME-Version: 1.0\r\n" +
+      s"Subject: quote $m\r\n" +
+      "Content-Type: text/plain; charset=utf-8\r\n\r\n" +
+      s"Begin\nFrom here $m\nEnd"
+    sb.append(s"From quoter$m@example.com Thu Jan  1 00:01:00 2026\n")
+    sb.append(mboxEscape(qmsg)).append('\n')
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  private def mboxFixture(spark: org.apache.spark.sql.SparkSession,
+                          dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q257_fixture", dir) {
+      t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { m =>
+            Multimodal.MediaRecord(m, "application/mbox", buildMbox(m))
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
   /** Paragraph q of doc m for the q242 whitespace corpus — the
     * formula the oracle replays: tab and break INSIDE the first run,
     * a hyperlink-wrapped run, a plain tail run, and a w:cr run on the
@@ -2933,6 +2983,74 @@ object DocTextQueries {
                  AS text_len,
                CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,
                NOT bad AS ok
-        FROM t ORDER BY media_id, page_no"""))
+        FROM t ORDER BY media_id, page_no""")),
+
+    // ------------------------------------------------------------------
+    // q257: MBOX archives ([[graft.ext.DocText.MboxExtract]] over
+    // q254's message parser) — a mailbox on disk is ONE file of many
+    // messages; training-data ingestion reads the archive, not
+    // single .eml files. `From ` separator lines split messages
+    // (each terminated by the writer's newline, stripped back), the
+    // mboxrd `>From ` quoting round-trips a body line that would
+    // otherwise FORGE a separator, and every message parses
+    // independently: mids = m*3+i land on q254's %41/%29 bad arms
+    // naturally, pinning that one broken message is one failed ROW,
+    // never a failed archive (the per-page accountability
+    // convention). %41 files don't start with `From ` → a single
+    // msg_no=0 row.
+    GraftQuery(
+      "q257_mbox_archive",
+      (spark, dir) => {
+        DocText.extractMbox(mboxFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("msg_no"), col("n_text_parts"),
+            col("subject_md5"), col("text_md5"), col("ok"))
+          .orderBy(col("media_id"), col("msg_no"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m, doc_id % 41 = 0 AS filebad,
+                 CAST(1 + doc_id % 2 AS INT) AS k
+          FROM documents),
+        fb AS (
+          SELECT m, 0 AS msg_no, 0 AS n_text_parts,
+                 '' AS subject_md5, '' AS text_md5, FALSE AS ok
+          FROM p WHERE filebad),
+        em AS (
+          SELECT m, k, unnest(range(1, k + 1)) AS g
+          FROM p WHERE NOT filebad),
+        et AS (
+          SELECT m, CAST(g AS INT) AS msg_no, m * 3 + g - 1 AS mid
+          FROM em),
+        r1 AS (
+          SELECT m, msg_no,
+                 CASE WHEN mid % 41 = 0 OR mid % 29 = 0 THEN 0
+                      WHEN mid % 4 = 3 THEN 2 ELSE 1 END
+                   AS n_text_parts,
+                 CASE WHEN mid % 41 = 0 OR mid % 29 = 0 THEN ''
+                      ELSE md5('doc ' || mid || ' café end') END
+                   AS subject_md5,
+                 CASE WHEN mid % 41 = 0 OR mid % 29 = 0 THEN ''
+                      ELSE md5('Mail body ' || mid || ' é one.'
+                        || chr(10) || 'Second ' || (mid % 7)
+                        || ' tail.'
+                        || CASE WHEN mid % 4 = 3 THEN chr(10)
+                           || 'Alt plain ' || mid || '.' ELSE '' END)
+                      END AS text_md5,
+                 NOT (mid % 41 = 0 OR mid % 29 = 0) AS ok
+          FROM et),
+        r2 AS (
+          SELECT m, k + 1 AS msg_no, 1 AS n_text_parts,
+                 md5('quote ' || m) AS subject_md5,
+                 md5('Begin' || chr(10) || 'From here ' || m
+                   || chr(10) || 'End') AS text_md5,
+                 TRUE AS ok
+          FROM p WHERE NOT filebad)
+        SELECT m AS media_id, CAST(msg_no AS INT) AS msg_no,
+               CAST(n_text_parts AS INT) AS n_text_parts,
+               subject_md5, text_md5, ok
+        FROM (SELECT * FROM fb UNION ALL SELECT * FROM r1
+              UNION ALL SELECT * FROM r2)
+        ORDER BY media_id, msg_no"""))
   )
 }

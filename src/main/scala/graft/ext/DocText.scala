@@ -2967,6 +2967,101 @@ object DocText {
     }
   }
 
+  final case class MboxMsg(
+      media_id: Long,
+      mime: String,
+      msg_no: Int,
+      n_text_parts: Int,
+      subject_md5: String,
+      text_md5: String,
+      ok: Boolean,
+      error: Option[String])
+
+  /** mbox mail-archive container (the file one mailbox IS on disk):
+    * messages separated by `From ` lines at column 0; the writer
+    * terminates every message with one newline (stripped back on
+    * read — only the LAST message carries it inside its slice, the
+    * others end at the separator's preceding newline), and quotes
+    * body lines matching `^>*From ` with one extra `>` (mboxrd) —
+    * the reader strips one. A file not starting with `From ` fails
+    * whole (mbox_magic); each message then parses independently
+    * through [[MimeExtract]] — one broken message is one failed ROW,
+    * not a failed archive (the per-page accountability convention).
+    */
+  object MboxExtract {
+    private val quoted = java.util.regex.Pattern.compile("^>+From .*")
+
+    def splitR(b: Array[Byte]): Either[String, Vector[Array[Byte]]] = {
+      if (b == null || b.length < 6) return Left("mbox_magic")
+      val s = new String(b, "ISO-8859-1")
+      if (!s.startsWith("From ")) return Left("mbox_magic")
+      val seps = scala.collection.mutable.ArrayBuffer[Int](0)
+      var at = s.indexOf("\nFrom ")
+      while (at >= 0) {
+        seps += at + 1
+        at = s.indexOf("\nFrom ", at + 1)
+      }
+      val msgs = Vector.newBuilder[Array[Byte]]
+      var idx = 0
+      while (idx < seps.length) {
+        val start = seps(idx)
+        val hdrEnd = s.indexOf('\n', start)
+        if (hdrEnd < 0) return Left("mbox_truncated")
+        var content =
+          if (idx + 1 < seps.length)
+            s.substring(hdrEnd + 1, seps(idx + 1) - 1)
+          else {
+            val tail = s.substring(hdrEnd + 1)
+            if (tail.endsWith("\n")) tail.dropRight(1) else tail
+          }
+        if (content.nonEmpty) {
+          val unq = content.split("\n", -1).map { l =>
+            if (quoted.matcher(l).matches()) l.substring(1) else l
+          }
+          content = unq.mkString("\n")
+        }
+        msgs += content.getBytes("ISO-8859-1")
+        idx += 1
+      }
+      Right(msgs.result())
+    }
+  }
+
+  /** mbox stage: one row per message (msg_no 1-based); a file-level
+    * failure emits one msg_no=0 row.
+    */
+  def extractMbox(media: Dataset[Multimodal.MediaRecord])
+      : Dataset[MboxMsg] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        try {
+          MboxExtract.splitR(r.media) match {
+            case Right(msgs) =>
+              msgs.zipWithIndex.map { case (mb, i) =>
+                MimeExtract.parseR(mb) match {
+                  case Right((np, subj, t)) =>
+                    MboxMsg(r.media_id, r.mime, i + 1, np,
+                      md5Hex(subj), md5Hex(t), ok = true, None)
+                  case Left(_) =>
+                    MboxMsg(r.media_id, r.mime, i + 1, 0, "", "",
+                      ok = false, None)
+                }
+              }
+            case Left(_) =>
+              Seq(MboxMsg(r.media_id, r.mime, 0, 0, "", "", ok = false,
+                None))
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Seq(MboxMsg(r.media_id, r.mime, 0, 0, "", "", ok = false,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName))))
+        }
+      }
+    }
+  }
+
   /** EML stage: same per-partition discipline as [[extractPdfText]]. */
   def extractEmlText(media: Dataset[Multimodal.MediaRecord])
       : Dataset[EmlText] = {

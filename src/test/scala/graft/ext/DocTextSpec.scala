@@ -681,6 +681,26 @@ class DocTextSpec extends AnyFunSuite {
       Left("pdf_content_profile")) // undefined font
   }
 
+  test("mbox (r17): separator split, terminator strip, mboxrd " +
+      "quoting round trip, per-message isolation") {
+    import DocText.MboxExtract.splitR
+    def b(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    // two messages; the second's body line would forge a separator
+    // without quoting; ">>From" loses exactly one '>'
+    val mbox = "From a Thu Jan  1 00:00:00 2026\n" +
+      "From: a@b\r\n\r\nhello\n" +
+      "From b Thu Jan  1 00:00:01 2026\n" +
+      "From: b@b\r\n\r\n>From here\n>>From deeper\nEnd\n"
+    val Right(msgs) = splitR(b(mbox))
+    assert(msgs.length == 2)
+    assert(new String(msgs(0), "ISO-8859-1") == "From: a@b\r\n\r\nhello")
+    assert(new String(msgs(1), "ISO-8859-1") ==
+      "From: b@b\r\n\r\nFrom here\n>From deeper\nEnd")
+    // not an mbox / truncated separator line
+    assert(splitR(b("not mbox\nFrom x")).isLeft)
+    assert(splitR(b("From only-a-separator-no-newline")).isLeft)
+  }
+
   test("pdf fuzz: single-byte mutations never throw") {
     val base = pdf(streamObj("BT (Hello \\(w\\) world) Tj ET"))
     val rnd = new scala.util.Random(222)
