@@ -150,6 +150,32 @@ object StateAudit {
       domains.toLong, "one fixed-size token bucket per active domain")
   }
 
+  def auditExtractCensus(spark: SparkSession): Audit = {
+    import spark.implicits._
+    import streaming.StreamingExtractCensus
+    // 4 formats, ok + failing arms — state is one MapState row per
+    // (format, reason) pair SEEN, bounded by formats × the fixed
+    // reason vocabulary regardless of document count
+    val docs = (0 until 240).map { i =>
+      val b: Array[Byte] = (i % 6) match {
+        case 0 => s"plain text $i".getBytes("UTF-8")
+        case 1 => Array(0xc0.toByte) // txt → utf8_malformed
+        case 2 => s"<p>html $i</p>".getBytes("UTF-8")
+        case 3 => s"{\\rtf1\\ansi doc $i}".getBytes("ISO-8859-1")
+        case 4 => "{\\rtf1\\ansi open".getBytes("ISO-8859-1") // structure
+        case _ => "%PDF-1.4\nno eof".getBytes("ISO-8859-1") // pdf_no_eof
+      }
+      StreamingExtractCensus.DocBytes(i.toLong, b)
+    }
+    val src = MemoryStream[StreamingExtractCensus.DocBytes](spark)
+    val out = StreamingExtractCensus.census(src.toDS())
+    src.addData(docs)
+    val chk = run(spark, src, out, "extractcensus")
+    val (rows, keys) = stateRows(spark, chk, Some("counts"))
+    Audit("StreamingExtractCensus", "counts", docs.size, keys, rows,
+      6L, "(format, reason) pairs seen ≤ formats × fixed vocabulary")
+  }
+
   def auditSemanticDedup(spark: SparkSession): Audit = {
     import spark.implicits._
     import streaming.StreamingSemanticDedup
@@ -258,7 +284,7 @@ object StateAudit {
   def all(spark: SparkSession): Seq[Audit] = Seq(
     auditQuota(spark), auditMinhashDedup(spark),
     auditCdcChunkDedup(spark), auditRateLimit(spark),
-    auditSemanticDedup(spark),
+    auditExtractCensus(spark), auditSemanticDedup(spark),
     auditDrift(spark), auditProfile(spark), auditHeavyHitters(spark),
     auditAffinity(spark), auditCusum(spark))
 

@@ -302,9 +302,33 @@ object StreamBench {
       (0 until nBatches).map(batch))
   }
 
+  def benchExtractCensus(spark: SparkSession, perBatch: Int,
+                         nBatches: Int): Bench = {
+    import spark.implicits._
+    import streaming.StreamingExtractCensus
+    val src = MemoryStream[StreamingExtractCensus.DocBytes](spark)
+    val out = StreamingExtractCensus.census(src.toDS())
+    // the probe is the cost: full parser dispatch per record over a
+    // txt/html/rtf/malformed mix
+    def batch(b: Int) = (0 until perBatch).map { i =>
+      val id = b.toLong * perBatch + i
+      val bytes: Array[Byte] = (i % 4) match {
+        case 0 => ("plain " + words(id, 30)).getBytes("UTF-8")
+        case 1 => ("<p>" + words(id, 30) + "</p>").getBytes("UTF-8")
+        case 2 => ("{\\rtf1\\ansi " + words(id, 30) + "}")
+          .getBytes("ISO-8859-1")
+        case _ => Array[Byte](0xc0.toByte)
+      }
+      StreamingExtractCensus.DocBytes(id, bytes)
+    }
+    drive(spark, src, out, "StreamingExtractCensus", batch(-1),
+      (0 until nBatches).map(batch))
+  }
+
   def all(spark: SparkSession, perBatch: Int, nBatches: Int): Seq[Bench] =
     Seq(
       benchTracker(spark, perBatch, nBatches),
+      benchExtractCensus(spark, perBatch, nBatches),
       benchSimhashDedup(spark, perBatch, nBatches),
       benchMinhashDedup(spark, perBatch, nBatches),
       benchMinhashDedup(spark, perBatch, nBatches,

@@ -2164,14 +2164,12 @@ object DocText {
     * `empty`; `exception` (the catch-all backstop). Scale shape:
     * pure map-side, one probe per document, no shuffle.
     */
-  def extractionProbe(media: Dataset[Multimodal.MediaRecord])
-      : Dataset[ExtractProbe] = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.mapPartitions { it =>
-      it.map { r =>
-        try {
-          val b = r.media
+  /** One record's probe — the SINGLE dispatch copy the batch census
+    * (q243) and its streaming twin share, so the two censuses cannot
+    * drift apart.
+    */
+  def probeOne(media_id: Long, b: Array[Byte]): ExtractProbe = {
+    try {
           val bomEnd =
             if (b != null && b.length >= 3 && (b(0) & 0xff) == 0xef &&
               (b(1) & 0xff) == 0xbb && (b(2) & 0xff) == 0xbf) 3 else 0
@@ -2181,34 +2179,34 @@ object DocText {
           if (b != null && b.length >= 5 && b(0) == '%' && b(1) == 'P' &&
             b(2) == 'D' && b(3) == 'F' && b(4) == '-')
             PdfTextExtract.parseR(b) match {
-              case Right(_) => ExtractProbe(r.media_id, "pdf", "ok",
+              case Right(_) => ExtractProbe(media_id, "pdf", "ok",
                 ok = true)
-              case Left(code) => ExtractProbe(r.media_id, "pdf", code,
+              case Left(code) => ExtractProbe(media_id, "pdf", code,
                 ok = false)
             }
           else if (b != null && b.length >= 4 && b(0) == 'P' &&
             b(1) == 'K')
             DocxTextExtract.parseFullR(b) match {
-              case Right(_) => ExtractProbe(r.media_id, "docx", "ok",
+              case Right(_) => ExtractProbe(media_id, "docx", "ok",
                 ok = true)
-              case Left(code) => ExtractProbe(r.media_id, "docx", code,
+              case Left(code) => ExtractProbe(media_id, "docx", code,
                 ok = false)
             }
           else if (b != null && b.length >= 4 && b(0) == 'O' &&
             b(1) == 'b' && b(2) == 'j' && b(3) == 1)
             AvroOcf.parse(b) match {
-              case Some(_) => ExtractProbe(r.media_id, "avro", "ok",
+              case Some(_) => ExtractProbe(media_id, "avro", "ok",
                 ok = true)
-              case None => ExtractProbe(r.media_id, "avro",
+              case None => ExtractProbe(media_id, "avro",
                 "avro_malformed", ok = false)
             }
           else if (b != null && b.length >= 5 && b(0) == '{' &&
             b(1) == '\\' && b(2) == 'r' && b(3) == 't' && b(4) == 'f')
             // r17: mirrors extractAnyText's RTF arm position exactly
             RtfExtract.parseR(b) match {
-              case Right(_) => ExtractProbe(r.media_id, "rtf", "ok",
+              case Right(_) => ExtractProbe(media_id, "rtf", "ok",
                 ok = true)
-              case Left(code) => ExtractProbe(r.media_id, "rtf", code,
+              case Left(code) => ExtractProbe(media_id, "rtf", code,
                 ok = false)
             }
           else if (b != null && b.length >= 2 &&
@@ -2220,31 +2218,36 @@ object DocText {
                   c == '\r' || c == '\n'))
                 val fmt = if (lead >= 0 && t(lead) == '<') "html"
                   else "txt"
-                ExtractProbe(r.media_id, fmt, "ok", ok = true)
-              case None => ExtractProbe(r.media_id, "utf16",
+                ExtractProbe(media_id, fmt, "ok", ok = true)
+              case None => ExtractProbe(media_id, "utf16",
                 "utf16_malformed", ok = false)
             }
           else if (b != null && t0 < b.length && b(t0) == '<')
             decodeUtf8Strict(b, t0) match {
-              case Some(_) => ExtractProbe(r.media_id, "html", "ok",
+              case Some(_) => ExtractProbe(media_id, "html", "ok",
                 ok = true)
-              case None => ExtractProbe(r.media_id, "html",
+              case None => ExtractProbe(media_id, "html",
                 "utf8_malformed", ok = false)
             }
           else if (b != null && b.length >= 1)
             decodeUtf8Strict(b, bomEnd) match {
-              case Some(_) => ExtractProbe(r.media_id, "txt", "ok",
+              case Some(_) => ExtractProbe(media_id, "txt", "ok",
                 ok = true)
-              case None => ExtractProbe(r.media_id, "txt",
+              case None => ExtractProbe(media_id, "txt",
                 "utf8_malformed", ok = false)
             }
-          else ExtractProbe(r.media_id, "unknown", "empty", ok = false)
+          else ExtractProbe(media_id, "unknown", "empty", ok = false)
         } catch {
           case scala.util.control.NonFatal(_) =>
-            ExtractProbe(r.media_id, "unknown", "exception", ok = false)
-        }
-      }
+            ExtractProbe(media_id, "unknown", "exception", ok = false)
     }
+  }
+
+  def extractionProbe(media: Dataset[Multimodal.MediaRecord])
+      : Dataset[ExtractProbe] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(it => it.map(r => probeOne(r.media_id, r.media)))
   }
 
   final case class DocxTables(
