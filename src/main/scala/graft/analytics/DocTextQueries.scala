@@ -1368,6 +1368,83 @@ object DocTextQueries {
     }.as[Multimodal.MediaRecord]
   }
 
+  /** Chapter c's XHTML for the q258 corpus: head/title junk, p/h2
+    * block alternation, an inline `<b>` split mid-line, an `&amp;`
+    * entity — text = block lines joined \n.
+    */
+  private def epubChapterXhtml(m: Long, c: Int): String = {
+    val nl = (1 + (m + c) % 3).toInt
+    val body = (0 until nl).map { l =>
+      val tag = if (l % 2 == 0) "p" else "h2"
+      s"<$tag>Ch $c.$l <b>of</b> $m &amp; more</$tag>"
+    }.mkString
+    "<?xml version=\"1.0\" encoding=\"UTF-8\"?><html><head>" +
+      s"<title>junk $m</title></head><body>$body</body></html>"
+  }
+
+  /** An EPUB: stored `mimetype`, container.xml → OPF → spine over
+    * 1+m%3 chapters (spine REVERSED vs entry/name order at m%5 —
+    * reading order is the spine's, nothing else's), a cover.xhtml in
+    * the manifest but NOT the spine (must not leak). Arms: %41 wrong
+    * mimetype; %29 a ghost spine idref; %31 a container with no
+    * rootfile.
+    */
+  private def buildEpub(m: Long): Array[Byte] = {
+    val k = (1 + m % 3).toInt
+    val mimetype =
+      if (m % 41 == 0) "application/zip" else "application/epub+zip"
+    val container =
+      if (m % 41 != 0 && m % 29 != 0 && m % 31 == 0)
+        "<?xml version=\"1.0\"?><container><rootfiles></rootfiles>" +
+          "</container>"
+      else
+        "<?xml version=\"1.0\"?><container version=\"1.0\"><rootfiles>" +
+          "<rootfile full-path=\"OEBPS/content.opf\" " +
+          "media-type=\"application/oebps-package+xml\"/>" +
+          "</rootfiles></container>"
+    val spineIds =
+      (if (m % 5 == 0) (0 until k).reverse else 0 until k)
+        .map(c => s"ch$c")
+    val ghost =
+      if (m % 41 != 0 && m % 29 == 0) "<itemref idref=\"ghost\"/>"
+      else ""
+    val opf = "<?xml version=\"1.0\"?><package><manifest>" +
+      (0 until k).map(c => s"""<item id="ch$c" href="ch$c.xhtml" """ +
+        "media-type=\"application/xhtml+xml\"/>").mkString +
+      "<item id=\"cover\" href=\"cover.xhtml\" " +
+      "media-type=\"application/xhtml+xml\"/>" +
+      "</manifest><spine>" + ghost +
+      spineIds.map(id => s"""<itemref idref="$id"/>""").mkString +
+      "</spine></package>"
+    buildZip(
+      Seq(("mimetype", mimetype.getBytes("UTF-8"), false)) ++
+        (0 until k).map(c => (s"OEBPS/ch$c.xhtml",
+          epubChapterXhtml(m, c).getBytes("UTF-8"), m % 2 == 0)) ++
+        Seq(
+          ("OEBPS/cover.xhtml",
+            "<html><body><p>COVER JUNK</p></body></html>"
+              .getBytes("UTF-8"), false),
+          ("META-INF/container.xml", container.getBytes("UTF-8"),
+            m % 2 == 1),
+          ("OEBPS/content.opf", opf.getBytes("UTF-8"), m % 2 == 0)))
+  }
+
+  private def epubFixture(spark: org.apache.spark.sql.SparkSession,
+                          dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    val t = new Tables(spark, dir)
+    import spark.implicits._
+    FixtureCache.materialized(spark, "q258_fixture", dir) {
+      t.documents.select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { m =>
+            Multimodal.MediaRecord(m, "application/epub+zip",
+              buildEpub(m))
+          }
+        }.toDF()
+    }.as[Multimodal.MediaRecord]
+  }
+
   /** mbox writer for the q257 fixture: `From ` separators, one
     * terminating newline per message, `^>*From ` body lines quoted
     * with one more `>` (mboxrd).
@@ -3051,6 +3128,63 @@ object DocTextQueries {
                subject_md5, text_md5, ok
         FROM (SELECT * FROM fb UNION ALL SELECT * FROM r1
               UNION ALL SELECT * FROM r2)
-        ORDER BY media_id, msg_no"""))
+        ORDER BY media_id, msg_no""")),
+
+    // ------------------------------------------------------------------
+    // q258: EPUB extraction ([[graft.ext.DocText.EpubExtract]]) —
+    // ebook corpora are book-length, high-quality text behind three
+    // indirection layers: the OCF mimetype entry, container.xml's
+    // rootfile → the OPF package, and the OPF spine ordering
+    // manifest hrefs. One row per SPINE chapter in READING order —
+    // the spine is reversed against entry/name order at m%5, so a
+    // zip-order walk emits the book backwards; a cover.xhtml sits in
+    // the manifest but not the spine and must not leak; head/title
+    // junk, inline markup, and entities ride each chapter's XHTML.
+    // %41 ships the wrong mimetype, %29 a ghost spine idref, %31 a
+    // rootfile-less container — all fail closed to one chapter_no=0
+    // row.
+    GraftQuery(
+      "q258_epub_chapters",
+      (spark, dir) => {
+        DocText.extractEpub(epubFixture(spark, dir))
+          .toDF()
+          .select(col("media_id"), col("chapter_no"), col("n_blocks"),
+            col("text_len"), col("text_md5"), col("ok"))
+          .orderBy(col("media_id"), col("chapter_no"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS m,
+                 doc_id % 41 = 0 OR doc_id % 29 = 0
+                   OR doc_id % 31 = 0 AS bad,
+                 CAST(1 + doc_id % 3 AS INT) AS k
+          FROM documents),
+        r AS (
+          SELECT m, bad, k,
+                 unnest(range(1, CASE WHEN bad THEN 2 ELSE k + 1 END))
+                   AS g
+          FROM p),
+        f AS (
+          SELECT m, bad, CAST(g AS INT) AS g,
+                 CASE WHEN m % 5 = 0 THEN k - g ELSE g - 1 END AS sc
+          FROM r),
+        t AS (
+          SELECT m, bad, g, sc,
+                 CAST(1 + (m + sc) % 3 AS INT) AS nl,
+                 array_to_string(list_transform(
+                   range(0, 1 + (m + sc) % 3),
+                   l -> 'Ch ' || sc || '.' || l || ' of ' || m
+                     || ' & more'), chr(10)) AS txt
+          FROM f)
+        SELECT m AS media_id,
+               CAST(CASE WHEN bad THEN 0 ELSE g END AS INT)
+                 AS chapter_no,
+               CAST(CASE WHEN bad THEN 0 ELSE nl END AS INT)
+                 AS n_blocks,
+               CAST(CASE WHEN bad THEN 0 ELSE length(txt) END AS BIGINT)
+                 AS text_len,
+               CASE WHEN bad THEN '' ELSE md5(txt) END AS text_md5,
+               NOT bad AS ok
+        FROM t ORDER BY media_id, chapter_no"""))
   )
 }

@@ -2627,6 +2627,219 @@ object DocText {
   }
 
   // ------------------------------------------------------------------
+  // EPUB (r17/q258)
+  // ------------------------------------------------------------------
+
+  final case class EpubChapter(
+      media_id: Long,
+      mime: String,
+      chapter_no: Int,
+      n_blocks: Int,
+      text_len: Long,
+      text_md5: String,
+      ok: Boolean,
+      error: Option[String])
+
+  /** EPUB (OCF/OPF) extraction — ebook corpora are book-length,
+    * high-quality text behind three layers of indirection: the ZIP
+    * container's `mimetype` entry must read `application/epub+zip`,
+    * `META-INF/container.xml`'s first `rootfile` names the OPF
+    * package document, and the OPF's `spine` orders `manifest` item
+    * hrefs (resolved against the OPF's directory) — READING order,
+    * which is not ZIP entry order, and manifest items outside the
+    * spine (covers, style sheets) are not content. Chapters are
+    * XHTML: `body`-scoped block elements (p, h1–h6, li) each yield
+    * one line, inline markup is transparent, head/title junk and
+    * text outside blocks contribute nothing, the five XML entities
+    * decode. Wrong mimetype, a container without a rootfile, a
+    * spine idref missing from the manifest, a missing chapter entry,
+    * or malformed chapter XHTML fail closed.
+    */
+  object EpubExtract {
+    private val blocks =
+      Set("p", "h1", "h2", "h3", "h4", "h5", "h6", "li")
+
+    /** One chapter's (nBlocks, text): block lines joined \n. */
+    private[ext] def xhtmlText(x: String): Option[(Int, String)] = {
+      val lines = Vector.newBuilder[String]
+      var n = 0
+      var cur: StringBuilder = null
+      var inBody = false
+      var i = 0
+      while (i < x.length) {
+        val lt = x.indexOf('<', i)
+        if (lt < 0) i = x.length
+        else {
+          if (cur != null && lt > i) {
+            DocxTextExtract.unescape(x.substring(i, lt)) match {
+              case Some(t) => cur.append(t)
+              case None => return None
+            }
+          }
+          val gt = x.indexOf('>', lt)
+          if (gt < 0) return None
+          val tag = x.substring(lt + 1, gt)
+          if (tag.startsWith("?")) i = gt + 1
+          else if (tag.startsWith("!")) return None
+          else {
+            val closing = tag.startsWith("/")
+            val body0 = if (closing) tag.substring(1) else tag
+            val body = if (body0.endsWith("/")) body0.dropRight(1)
+              else body0
+            val name = body.takeWhile(ch => ch != ' ' && ch != '\t' &&
+              ch != '\r' && ch != '\n').toLowerCase
+            if (name == "body") {
+              if (closing) { inBody = false; i = x.length }
+              else { inBody = true; i = gt + 1 }
+            } else if (blocks.contains(name)) {
+              if (closing) {
+                if (cur == null) return None
+                lines += cur.toString
+                n += 1
+                cur = null
+              } else {
+                if (!inBody || cur != null) return None // no nesting
+                cur = new StringBuilder
+              }
+              i = gt + 1
+            } else i = gt + 1 // inline / head / structural: transparent
+          }
+          if (i <= lt) return None
+        }
+      }
+      if (cur != null) return None // unclosed block
+      val ls = lines.result()
+      Some((n, ls.mkString("\n")))
+    }
+
+    /** Per-chapter (nBlocks, text) in SPINE order, or a reason code:
+      * epub_zip / docx_part_* (container), epub_mimetype,
+      * epub_container, epub_opf, epub_chapter_missing,
+      * epub_xhtml_profile.
+      */
+    def parseR(b: Array[Byte])
+        : Either[String, Vector[(Int, String)]] = {
+      val parts = DocxTextExtract.partsR(b, _ => true) match {
+        case Right(p) => p
+        case Left(r) => return Left(r)
+      }
+      val byName = parts.toMap
+      byName.get("mimetype") match {
+        case Some(mt)
+          if new String(mt, "UTF-8") == "application/epub+zip" =>
+        case _ => return Left("epub_mimetype")
+      }
+      val container = byName.get("META-INF/container.xml") match {
+        case Some(x) => new String(x, "UTF-8")
+        case None => return Left("epub_container")
+      }
+      // first <rootfile …full-path="…"…> — name-boundary guarded so
+      // the <rootfiles> wrapper can never match
+      var rfAt = container.indexOf("<rootfile")
+      while (rfAt >= 0 && rfAt + 9 < container.length && {
+        val c = container(rfAt + 9)
+        !(c == ' ' || c == '\t' || c == '\r' || c == '\n' ||
+          c == '/' || c == '>')
+      }) rfAt = container.indexOf("<rootfile", rfAt + 1)
+      if (rfAt < 0) return Left("epub_container")
+      val rfEnd = container.indexOf('>', rfAt)
+      if (rfEnd < 0) return Left("epub_container")
+      val opfPath = DocxNumExtract.attrVal(
+        container.substring(rfAt + 1, rfEnd), "full-path") match {
+        case Some(p) if p.nonEmpty => p
+        case _ => return Left("epub_container")
+      }
+      val opfDir = {
+        val cut = opfPath.lastIndexOf('/')
+        if (cut < 0) "" else opfPath.substring(0, cut + 1)
+      }
+      val opf = byName.get(opfPath) match {
+        case Some(x) => new String(x, "UTF-8")
+        case None => return Left("epub_opf")
+      }
+      // manifest items (id → href) and spine idrefs, in order
+      val items = scala.collection.mutable.HashMap.empty[String, String]
+      val spine = Vector.newBuilder[String]
+      var i = 0
+      while (i < opf.length) {
+        val lt = opf.indexOf('<', i)
+        if (lt < 0) i = opf.length
+        else {
+          val gt = opf.indexOf('>', lt)
+          if (gt < 0) return Left("epub_opf")
+          val tag = opf.substring(lt + 1, gt)
+          val body = if (tag.endsWith("/")) tag.dropRight(1) else tag
+          val name = body.takeWhile(ch => ch != ' ' && ch != '\t' &&
+            ch != '\r' && ch != '\n')
+          if (name == "item") {
+            (DocxNumExtract.attrVal(body, "id"),
+              DocxNumExtract.attrVal(body, "href")) match {
+              case (Some(id), Some(href)) => items(id) = href
+              case _ => return Left("epub_opf")
+            }
+          } else if (name == "itemref") {
+            DocxNumExtract.attrVal(body, "idref") match {
+              case Some(id) => spine += id
+              case None => return Left("epub_opf")
+            }
+          }
+          i = gt + 1
+        }
+      }
+      val order = spine.result()
+      if (order.isEmpty) return Left("epub_opf")
+      val out = Vector.newBuilder[(Int, String)]
+      var c = 0
+      while (c < order.length) {
+        val href = items.get(order(c)) match {
+          case Some(h) => h
+          case None => return Left("epub_opf") // idref not in manifest
+        }
+        val chapter = byName.get(opfDir + href) match {
+          case Some(x) => new String(x, "UTF-8")
+          case None => return Left("epub_chapter_missing")
+        }
+        xhtmlText(chapter) match {
+          case Some(r) => out += r
+          case None => return Left("epub_xhtml_profile")
+        }
+        c += 1
+      }
+      Right(out.result())
+    }
+  }
+
+  /** EPUB stage: one row per spine chapter (1-based); a failing book
+    * emits one chapter_no=0 row.
+    */
+  def extractEpub(media: Dataset[Multimodal.MediaRecord])
+      : Dataset[EpubChapter] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        try {
+          EpubExtract.parseR(r.media) match {
+            case Right(chs) =>
+              chs.zipWithIndex.map { case ((nb, t), i) =>
+                EpubChapter(r.media_id, r.mime, i + 1, nb,
+                  t.length.toLong, md5Hex(t), ok = true, None)
+              }
+            case Left(_) =>
+              Seq(EpubChapter(r.media_id, r.mime, 0, 0, 0L, "",
+                ok = false, None))
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Seq(EpubChapter(r.media_id, r.mime, 0, 0, 0L, "",
+              ok = false,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName))))
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
   // MIME / EML (r17/q254)
   // ------------------------------------------------------------------
 

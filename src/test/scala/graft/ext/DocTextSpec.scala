@@ -701,6 +701,48 @@ class DocTextSpec extends AnyFunSuite {
     assert(splitR(b("From only-a-separator-no-newline")).isLeft)
   }
 
+  test("epub (r17): spine order rules, covers and head junk never " +
+      "leak, container/manifest violations fail closed") {
+    import DocText.EpubExtract.{parseR, xhtmlText}
+    assert(xhtmlText("<html><head><title>junk</title></head><body>" +
+      "<p>One <b>bold</b> &amp; two</p><h2>Head</h2>" +
+      "</body></html>") == Some((2, "One bold & two\nHead")))
+    assert(xhtmlText("<body><p>a<p>b</p></p></body>").isEmpty) // nest
+    assert(xhtmlText("<body><p>open</body>").isEmpty)
+    def epub(spine: Seq[String], container: String =
+        "<container><rootfiles><rootfile full-path=\"O/c.opf\"/>" +
+          "</rootfiles></container>",
+        mimetype: String = "application/epub+zip"): Array[Byte] = {
+      val opf = "<package><manifest>" +
+        "<item id=\"a\" href=\"a.xhtml\"/>" +
+        "<item id=\"b\" href=\"b.xhtml\"/>" +
+        "<item id=\"cover\" href=\"cv.xhtml\"/>" +
+        "</manifest><spine>" +
+        spine.map(s => s"""<itemref idref="$s"/>""").mkString +
+        "</spine></package>"
+      multiStoredZip(Seq(
+        "mimetype" -> mimetype.getBytes("UTF-8"),
+        "O/a.xhtml" ->
+          "<body><p>alpha</p></body>".getBytes("UTF-8"),
+        "O/b.xhtml" ->
+          "<body><p>beta</p></body>".getBytes("UTF-8"),
+        "O/cv.xhtml" ->
+          "<body><p>COVER</p></body>".getBytes("UTF-8"),
+        "META-INF/container.xml" -> container.getBytes("UTF-8"),
+        "O/c.opf" -> opf.getBytes("UTF-8")))
+    }
+    // spine order wins; the cover never appears
+    assert(parseR(epub(Seq("b", "a"))) ==
+      Right(Vector((1, "beta"), (1, "alpha"))))
+    // ghost idref, wrong mimetype, rootfile-less container
+    assert(parseR(epub(Seq("a", "ghost"))) == Left("epub_opf"))
+    assert(parseR(epub(Seq("a"), mimetype = "application/zip")) ==
+      Left("epub_mimetype"))
+    assert(parseR(epub(Seq("a"),
+      container = "<container><rootfiles/></container>")) ==
+      Left("epub_container"))
+  }
+
   test("pdf fuzz: single-byte mutations never throw") {
     val base = pdf(streamObj("BT (Hello \\(w\\) world) Tj ET"))
     val rnd = new scala.util.Random(222)
