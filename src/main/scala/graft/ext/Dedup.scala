@@ -469,46 +469,17 @@ object Dedup {
     * ([[graft.streaming.StreamingCdcChunkDedup]]), so batch and
     * stream chunk the SAME units.
     */
-  def cdcChunkArray(text: Column, w: Int = 16): Column = {
-    // SINGLE-REFERENCE expression shape, deliberately: Catalyst
-    // inlines every multi-referenced alias at each reference site
-    // (CollapseProject), so a "natural" boundaries array consumed by
-    // size() + two element_at()s re-ran the md5 boundary FILTER once
-    // per reference per chunk — ~2×chunks full re-evaluations per row
-    // (measured: 8+ min at sf0.1; this shape: seconds). The fold
-    // consumes the boundary array exactly once and builds the chunk
-    // array in one traversal; lambda variables (`st`, `e`) are bound
-    // values, not re-evaluated trees.
-    val t = text
-    val len = length(t)
-    // ascending chunk END positions: every banded window end, plus the
-    // text end (possibly duplicating the last banded end — the fold's
-    // e == prev skip dedupes it). Texts shorter than w get no banded
-    // ends and become one whole-text chunk; an empty text's only end
-    // (0) equals the fold seed, so the fold yields no chunks — the
-    // empty-text wrapper below restores the single empty chunk.
-    val ends = concat(
-      filter(
-        when(len >= w, sequence(lit(w), len))
-          .otherwise(array().cast("array<int>")),
-        i => substring(md5(t.substr(i - (w - 1), lit(w))), 1, 1)
-          === "0"),
-      array(len))
-    val chunks = aggregate(
-      ends,
-      struct(lit(0).as("prev"),
-        array().cast("array<string>").as("acc")),
-      (st, e) => when(e === st.getField("prev"), st).otherwise(
-        struct(e.as("prev"),
-          concat(st.getField("acc"),
-            array(t.substr(st.getField("prev") + 1,
-              e - st.getField("prev")))).as("acc"))),
-      st => st.getField("acc"))
-    // total over empty texts: one empty chunk, matching the oracle
-    // replay's [0,0] end-pair (ADVICE r16 — the inner-join gate would
-    // otherwise silently drop empty docs on the Spark side only)
-    when(len === 0, array(lit(""))).otherwise(chunks)
-  }
+  def cdcChunkArray(text: Column, w: Int = 16): Column =
+    // Native codegen kernel ([[graft.functions.CdcKernels.cdcChunks]],
+    // round-17 optimization): the higher-order-function fold this rule
+    // was first written as had no codegen path (interpreted lambdas)
+    // and paid an O(chars) `UTF8String.substringSQL` scan per candidate
+    // boundary — O(chars²) per document. The kernel computes the
+    // char→byte offset table once and runs one MD5 per window over raw
+    // byte ranges; chunk placement is byte-identical (oracle-pinned by
+    // q238/q247 at 3 SFs, parity-pinned in ExtSpec). Totality contract
+    // unchanged: empty text is one empty chunk (ADVICE r16).
+    graft.functions.CdcFns.cdc_chunk_array(text, w)
 
   /** BOUNDED content-defined chunking — the FastCDC-lineage
     * production profile the unbounded [[cdcChunkArray]] documents as
@@ -527,47 +498,15 @@ object Dedup {
     * FILTER runs once; all per-end arithmetic is cheap and inline.
     */
   def cdcChunkArrayBounded(text: Column, w: Int = 16, minLen: Int = 8,
-                           maxLen: Int = 32): Column = {
-    require(w > 0 && minLen > 0 && maxLen >= minLen,
-      "need 0 < minLen <= maxLen and w > 0")
-    val t = text
-    val len = length(t)
-    val ends = concat(
-      filter(
-        when(len >= w, sequence(lit(w), len))
-          .otherwise(array().cast("array<int>")),
-        i => substring(md5(t.substr(i - (w - 1), lit(w))), 1, 1)
-          === "0"),
-      array(len))
-    val chunks = aggregate(
-      ends,
-      struct(lit(0).as("prev"),
-        array().cast("array<string>").as("acc")),
-      (st, e) => {
-        val prev = st.getField("prev")
-        val d = e - prev
-        // forced max-stride cuts across the gap: f = ceil(d/max) - 1
-        val f = greatest(lit(0),
-          floor((d - 1).cast("double") / lit(maxLen)).cast("int"))
-        val base = prev + f * maxLen
-        val rem = d - f * maxLen
-        val isFinal = e === len
-        val tailEmit = (isFinal && rem > 0) ||
-          (!isFinal && rem >= minLen)
-        val forced = when(f >= 1,
-          transform(sequence(lit(1), f),
-            i => t.substr(prev + (i - 1) * maxLen + 1, lit(maxLen))))
-          .otherwise(array().cast("array<string>"))
-        val newPrev = when(isFinal || rem >= minLen, e).otherwise(base)
-        when(e === prev, st).otherwise(
-          struct(newPrev.as("prev"),
-            concat(st.getField("acc"), forced,
-              when(tailEmit, array(t.substr(base + 1, rem)))
-                .otherwise(array().cast("array<string>"))).as("acc")))
-      },
-      st => st.getField("acc"))
-    when(len === 0, array(lit(""))).otherwise(chunks)
-  }
+                           maxLen: Int = 32): Column =
+    // Native codegen kernel ([[graft.functions.CdcKernels
+    // .cdcChunksBounded]], round-17 optimization) replaying the
+    // original fold branch-for-branch — skipped sub-minLen banded cuts,
+    // exact-maxLen forced strides, final-chunk exception — over the
+    // same banded ends; see [[cdcChunkArray]] for why native (the HOF
+    // fold was interpreted and O(chars²)). Oracle-pinned by q246 at
+    // 3 SFs, parity-pinned in ExtSpec.
+    graft.functions.CdcFns.cdc_chunk_array_bounded(text, w, minLen, maxLen)
 
   /** The (id, band, bucket) LSH index both [[minhashPairs]] and
     * [[minhashBucketAudit]] hang off — map-side signature + banding,

@@ -99,6 +99,95 @@ class ExtSpec extends AnyFunSuite {
     assert(e == Seq(""))
   }
 
+  test("cdc native kernel: chunk-for-chunk parity with the legacy " +
+      "higher-order-function fold, incl. multi-byte chars") {
+    import org.apache.spark.sql.Column
+    // the pre-round-17 HOF shapes, kept verbatim as the reference
+    // implementations — the native kernels must be indistinguishable
+    def legacyUnbounded(text: Column, w: Int = 16): Column = {
+      val t = text
+      val len = length(t)
+      val ends = concat(
+        filter(
+          when(len >= w, sequence(lit(w), len))
+            .otherwise(array().cast("array<int>")),
+          i => substring(md5(t.substr(i - (w - 1), lit(w))), 1, 1)
+            === "0"),
+        array(len))
+      val chunks = aggregate(
+        ends,
+        struct(lit(0).as("prev"),
+          array().cast("array<string>").as("acc")),
+        (st, e) => when(e === st.getField("prev"), st).otherwise(
+          struct(e.as("prev"),
+            concat(st.getField("acc"),
+              array(t.substr(st.getField("prev") + 1,
+                e - st.getField("prev")))).as("acc"))),
+        st => st.getField("acc"))
+      when(len === 0, array(lit(""))).otherwise(chunks)
+    }
+    def legacyBounded(text: Column, w: Int = 16, minLen: Int = 8,
+                      maxLen: Int = 32): Column = {
+      val t = text
+      val len = length(t)
+      val ends = concat(
+        filter(
+          when(len >= w, sequence(lit(w), len))
+            .otherwise(array().cast("array<int>")),
+          i => substring(md5(t.substr(i - (w - 1), lit(w))), 1, 1)
+            === "0"),
+        array(len))
+      val chunks = aggregate(
+        ends,
+        struct(lit(0).as("prev"),
+          array().cast("array<string>").as("acc")),
+        (st, e) => {
+          val prev = st.getField("prev")
+          val d = e - prev
+          val f = greatest(lit(0),
+            floor((d - 1).cast("double") / lit(maxLen)).cast("int"))
+          val base = prev + f * maxLen
+          val rem = d - f * maxLen
+          val isFinal = e === len
+          val tailEmit = (isFinal && rem > 0) ||
+            (!isFinal && rem >= minLen)
+          val forced = when(f >= 1,
+            transform(sequence(lit(1), f),
+              i => t.substr(prev + (i - 1) * maxLen + 1, lit(maxLen))))
+            .otherwise(array().cast("array<string>"))
+          val newPrev = when(isFinal || rem >= minLen, e).otherwise(base)
+          when(e === prev, st).otherwise(
+            struct(newPrev.as("prev"),
+              concat(st.getField("acc"), forced,
+                when(tailEmit, array(t.substr(base + 1, rem)))
+                  .otherwise(array().cast("array<string>"))).as("acc")))
+        },
+        st => st.getField("acc"))
+      when(len === 0, array(lit(""))).otherwise(chunks)
+    }
+    // corpus: real docs + hostile arms — empty, sub-window, multi-byte
+    // (2- and 3-byte UTF-8, so char offsets ≠ byte offsets), band-free
+    // uniform runs (forces max-stride cuts), and a long mixed text
+    val hostile = Seq(
+      (9001L, ""), (9002L, "tiny"), (9003L, "a" * 100),
+      (9004L, "héllo wörld ünïcode ¢¢¢ " * 20),
+      (9005L, "日本語のテキストです。" * 30),
+      (9006L, ("mixed ascii と 日本語 and ü " * 40) + "tail"))
+      .toDF("doc_id", "text")
+    val corpus = docs.limit(50).select(col("doc_id"), col("text"))
+      .unionAll(hostile)
+    val both = corpus.select(col("doc_id"),
+      Dedup.cdcChunkArray(col("text")).as("native_u"),
+      legacyUnbounded(col("text")).as("legacy_u"),
+      Dedup.cdcChunkArrayBounded(col("text")).as("native_b"),
+      legacyBounded(col("text")).as("legacy_b"))
+    val mismatch = both.where(
+      not(col("native_u") <=> col("legacy_u")) ||
+        not(col("native_b") <=> col("legacy_b")))
+    assert(mismatch.isEmpty,
+      s"native/legacy cdc divergence:\n${mismatch.collect().mkString("\n")}")
+  }
+
   test("minhashBucketAudit: the guard fires on a boilerplate corpus " +
       "and stays quiet on a well-separated one") {
     // boilerplate corpus — the q231 first-cut shape: every doc shares
