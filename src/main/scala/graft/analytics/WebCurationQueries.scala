@@ -750,12 +750,18 @@ object WebCurationQueries {
           (col("doc_id") % 5).cast("string"),
           lit("</footer></body></html>"))
         val extracted = HtmlText.htmlExtractText(src, col("doc_id"), html)
+        // `norm` feeds BOTH the LSH loser pass and the final verdict
+        // join — one materialization instead of running the html
+        // synthesis + extraction + NFC + quality kernels twice
+        // (round-17 optimization: 2.23 → 1.53 s at sf0.1; the same
+        // derive-once discipline as ndDomains in q206)
         val norm = extracted
           .withColumn("norm",
             graft.functions.NfcNormalize.nfc_normalize(col("extracted")))
           .withColumn("q_micro",
             round(TextAnalysis.qualityScore(col("norm")) * 10000)
               .cast("long"))
+          .localCheckpoint(true)
         val losers = Dedup.minhashPairs(
             norm.where(col("norm").isNotNull), col("doc_id"), col("norm"),
             n = 3, threshold = 0.8)

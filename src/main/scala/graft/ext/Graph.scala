@@ -57,11 +57,26 @@ object Graph {
     // no shuffle whose exchange Catalyst could reuse), so derivation work
     // upstream of the edge list (distinct, unions) would be re-paid
     // 3× per run; one lineage-truncating materialization amortizes it.
-    // Shuffle mode keeps the lazy composition — its per-iteration
-    // exchanges ARE reused (see below).
-    val e = if (broadcastRank) e0.localCheckpoint() else e0
-    val deg = e.groupBy(col("src").as("node"))
+    // The in-plan repartition by `dst` (round-17 optimization) feeds the
+    // per-iteration contribution aggregation: HashPartitioning(dst)
+    // satisfies groupBy(dst)'s clustering, so no iteration shuffles the
+    // contribution stream, and the ONE repartition exchange is reused
+    // across all iterations of the composed plan (ReusedExchange). It
+    // must sit AFTER the checkpoint (in the lazy plan): a checkpointed
+    // RDD reports UnknownPartitioning, which would hide the layout from
+    // the planner. Shuffle mode keeps the lazy composition — its
+    // per-iteration exchanges ARE reused (see below).
+    val e = if (broadcastRank) e0.localCheckpoint().repartition(col("dst"))
+            else e0
+    val deg0 = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
+    // deg is referenced ~2× per iteration (broadcast build + probe side
+    // of the rank assembly); in broadcast mode each reference would
+    // re-scan the edge list and re-aggregate — one NODE-sized eager
+    // materialization removes all of it (round-17: q80 2.6 → 1.5 s at
+    // sf0.1 together with the repartition above). Shuffle mode keeps
+    // the lazy form whose src-keyed exchange is reused.
+    val deg = if (broadcastRank) deg0.localCheckpoint(true) else deg0
     if (validate) {
       // one extra job (node-sized distinct + anti join, early-out via
       // isEmpty's limit-1) — the price of never returning a subtly
@@ -79,14 +94,17 @@ object Graph {
     val n = deg.agg(count(lit(1)).as("n"))
     var rank = deg.crossJoin(broadcast(n))
       .select(col("node"), expr(s"${TotalMass}L div n").as("r"))
-    // DELIBERATELY no persist of e/deg: for the few iterations PR needs,
-    // the whole loop composes into ONE lazy plan, and Catalyst reuses
-    // the repeated edge/degree exchanges across iterations
-    // (ReusedExchange) — measured ~1.4× faster at sf0.1 than
+    // SHUFFLE MODE: deliberately no persist of e/deg — for the few
+    // iterations PR needs, the whole loop composes into ONE lazy plan,
+    // and Catalyst reuses the repeated edge/degree exchanges across
+    // iterations (ReusedExchange) — measured ~1.4× faster at sf0.1 than
     // materializing them through the block store, which pays
     // serialization plus a plan-breaking eager barrier per input. Deep
     // iteration counts hit lineage growth instead; `checkpointEvery`
     // truncates it, trading that reuse back for bounded plans.
+    // BROADCAST MODE: e is checkpointed + dst-repartitioned and deg is
+    // eagerly node-sized-materialized above, so each iteration is a
+    // pure map-side scan + in-partition aggregation.
     def hint(df: DataFrame): DataFrame =
       if (broadcastRank) broadcast(df) else df
     for (i <- 1 to iterations) {
@@ -462,8 +480,14 @@ object Graph {
     * one per-node argmax as a single `max(struct(weight, -label))`
     * (no window, no second sort). The label vector rides BROADCAST
     * joins under `broadcastLabels` (the [[pageRank]] policy — right for
-    * dimension-sized node sets; leave off for web-scale graphs) and
-    * each round's vector is `localCheckpoint`ed, keeping plans flat.
+    * dimension-sized node sets; leave off for web-scale graphs); the
+    * label vector is `localCheckpoint`ed every `checkpointEvery` rounds.
+    * The default (8) keeps shallow runs as ONE composed plan — a
+    * per-round eager checkpoint costs a job per round and, in broadcast
+    * mode, splits the plan so the edge repartition exchange re-runs per
+    * round instead of being reused (round-17: per-round checkpoints
+    * were ~40% of q204's LP cost at rounds=3); deep runs still truncate
+    * lineage before plans grow unboundedly.
     *
     * Input: weighted directed edges (src, dst, w) — pass BOTH
     * directions for an undirected graph (the census shape
@@ -473,14 +497,22 @@ object Graph {
     * edge; `community` is a node id, canonical only per round count.
     */
   def labelPropagation(edges: DataFrame, rounds: Int,
-                       checkpointEvery: Int = 1,
+                       checkpointEvery: Int = 8,
                        broadcastLabels: Boolean = false): DataFrame = {
     require(rounds >= 1)
     val e0 = edges.select(col("src"), col("dst"), col("w"))
     // broadcast mode re-scans the edge subtree every round (no reusable
     // exchange) — one lineage-truncating materialization amortizes the
-    // upstream derivation, same policy as [[pageRank]]
-    val e = if (broadcastLabels) e0.localCheckpoint() else e0
+    // upstream derivation, same policy as [[pageRank]]. The in-plan
+    // repartition by `src` (round-17 optimization) makes BOTH per-round
+    // aggregations exchange-free — HashPartitioning(src) satisfies
+    // groupBy(src, nl) and groupBy(node) alike (subset clustering) —
+    // and the one repartition exchange is reused across rounds of the
+    // composed plan; it must sit AFTER the checkpoint, which reports
+    // UnknownPartitioning (q204: 2.5 → 1.2 s at sf0.1 together with
+    // checkpointEvery=8 below).
+    val e = if (broadcastLabels) e0.localCheckpoint().repartition(col("src"))
+            else e0
     def hint(df: DataFrame): DataFrame =
       if (broadcastLabels) broadcast(df) else df
     var labels = e.select(col("src").as("node")).distinct()
