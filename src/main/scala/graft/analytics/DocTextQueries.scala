@@ -2063,8 +2063,13 @@ object DocTextQueries {
       "q231_cross_format_near_dup",
       (spark, dir) => {
         import graft.ext.{Dedup, DocText, HtmlText}
+        // derive-once (round-17 optimization): `any` feeds BOTH union
+        // branches and `unified` feeds the LSH pass plus two format-tag
+        // joins — without the two materializations the container
+        // extraction kernels re-run up to 3× per query (the q88/q224
+        // discipline)
         val any = DocText.extractAnyText(mixed231Fixture(spark, dir))
-          .toDF()
+          .toDF().localCheckpoint(true)
         val htmlU = HtmlText.htmlExtractText(
             any.filter(col("needs_html")), col("media_id"), col("raw"))
           .select(col("doc_id").as("media_id"), lit("html").as("format"),
@@ -2073,6 +2078,7 @@ object DocTextQueries {
         val unified = any.filter(!col("needs_html") && col("ok"))
           .select(col("media_id"), col("format"), col("raw").as("text"))
           .unionByName(htmlU)
+          .localCheckpoint(true)
         val pairs = Dedup.minhashPairs(unified, col("media_id"),
           col("text"), n = 3, threshold = 0.8)
         val fmt = unified.select(col("media_id"), col("format"))

